@@ -1,0 +1,31 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet-backed table resolution for the test corpus.
+  *
+  * The reference resolves 1/2/3-part table names against session defaults
+  * (`/root/reference/Data_Quality_Table.sql:20-33`) and reads them via
+  * `session.table` (`/root/reference/Data_Security.sql:47`). Here a "table"
+  * is a parquet path under a scale-factor directory; on a cluster the same
+  * API is backed by the session catalog.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Resolve a 1/2/3-part name to its final segment (db/schema prefixes are
+    * session-default noise on a path-backed catalog); mirrors the resolution
+    * at `/root/reference/Data_Quality_Table.sql:20-33`.
+    */
+  def resolve(name: String): String = {
+    val parts = name.split('.')
+    require(parts.nonEmpty && parts.length <= 3,
+      s"table name must have 1-3 parts: $name")
+    parts.last.stripPrefix("\"").stripSuffix("\"").toLowerCase
+  }
+}

@@ -1,0 +1,89 @@
+package graft.profile
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryPack}
+import graft.io.Tables
+
+/** Verifiable profiling queries (SURVEY §2d A1–A5, §3.3).
+  *
+  * The DuckDB oracle is generated from the same schema description so the
+  * two sides stay in sync; DuckDB still computes the values independently.
+  */
+object ProfileQueries extends QueryPack {
+
+  /** Injectable clock for the future-date check — a fixed literal so the
+    * Spark run and the (later) DuckDB oracle run agree.
+    */
+  val FixedNow = "2030-01-01 00:00:00"
+
+  private case class ColSpec(name: String, engineType: String,
+      numeric: Boolean, temporal: Boolean)
+
+  // lineitem parquet-read schema, per FIXTURES.md §A.
+  private val lineitemCols = Seq(
+    ColSpec("l_orderkey", "NUMBER", numeric = true, temporal = false),
+    ColSpec("l_partkey", "NUMBER", numeric = true, temporal = false),
+    ColSpec("l_suppkey", "NUMBER", numeric = true, temporal = false),
+    ColSpec("l_linenumber", "NUMBER", numeric = true, temporal = false),
+    ColSpec("l_quantity", "FLOAT", numeric = true, temporal = false),
+    ColSpec("l_extendedprice", "FLOAT", numeric = true, temporal = false),
+    ColSpec("l_discount", "FLOAT", numeric = true, temporal = false),
+    ColSpec("l_tax", "FLOAT", numeric = true, temporal = false),
+    ColSpec("l_returnflag", "VARCHAR", numeric = false, temporal = false),
+    ColSpec("l_linestatus", "VARCHAR", numeric = false, temporal = false),
+    ColSpec("l_shipdate", "TIMESTAMP", numeric = false, temporal = true))
+
+  private val ordersCols = Seq(
+    ColSpec("o_orderkey", "NUMBER", numeric = true, temporal = false),
+    ColSpec("o_custkey", "NUMBER", numeric = true, temporal = false),
+    ColSpec("o_orderstatus", "VARCHAR", numeric = false, temporal = false),
+    ColSpec("o_totalprice", "FLOAT", numeric = true, temporal = false),
+    ColSpec("o_orderdate", "TIMESTAMP", numeric = false, temporal = true),
+    ColSpec("o_orderpriority", "VARCHAR", numeric = false, temporal = false))
+
+  /** DuckDB-side equivalent of [[Profiler.profile]] for one table: a
+    * UNION ALL of per-column aggregates (the oracle may be slow; only the
+    * Spark side is the engine under test).
+    */
+  private def profileOracle(table: String, cols: Seq[ColSpec]): String = {
+    val selects = cols.map { c =>
+      val q = c.name
+      val minMax =
+        if (c.numeric)
+          s"MIN($q)::DOUBLE AS min_val, MAX($q)::DOUBLE AS max_val, " +
+            s"ROUND(AVG($q::DOUBLE), 4) AS avg_val, " +
+            s"ROUND(STDDEV_SAMP($q::DOUBLE), 4) AS stddev_val"
+        else
+          "NULL::DOUBLE AS min_val, NULL::DOUBLE AS max_val, " +
+            "NULL::DOUBLE AS avg_val, NULL::DOUBLE AS stddev_val"
+      val future =
+        if (c.temporal)
+          s"CAST(SUM(CASE WHEN $q > TIMESTAMP '$FixedNow' THEN 1 ELSE 0 " +
+            "END) AS BIGINT) AS future_count"
+        else "NULL::BIGINT AS future_count"
+      s"SELECT '$q' AS column_name, '${c.engineType}' AS data_type, " +
+        "COUNT(*) AS count_all, " +
+        s"COUNT(DISTINCT $q) AS count_distinct, " +
+        s"COUNT(*) - COUNT($q) AS count_nulls, " +
+        s"(COUNT(*) - COUNT($q))::DOUBLE / COUNT(*) AS null_ratio, " +
+        s"COUNT(DISTINCT $q)::DOUBLE / COUNT(*) AS distinct_ratio, " +
+        s"$minMax, $future FROM $table"
+    }
+    selects.mkString(" UNION ALL ") + " ORDER BY column_name"
+  }
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("profile_lineitem",
+      (s, dir) => Profiler
+        .profile(Tables.load(s, dir, "lineitem"),
+          now = lit(FixedNow).cast("timestamp"))
+        .orderBy("column_name"),
+      Some(profileOracle("lineitem", lineitemCols))),
+    QueryDef("profile_orders",
+      (s, dir) => Profiler
+        .profile(Tables.load(s, dir, "orders"),
+          now = lit(FixedNow).cast("timestamp"))
+        .orderBy("column_name"),
+      Some(profileOracle("orders", ordersCols))))
+}

@@ -1,0 +1,109 @@
+package graft.profile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.types.TypeMapper
+
+/** Single-pass per-column table profiling.
+  *
+  * The reference profiles a table with 2N+1 full-scan queries — one catalog
+  * query plus, per column, a counts query
+  * (`/root/reference/Data_Quality_Table.sql:70-77`), a numeric-stats query
+  * for the numeric family (`:89-100`), and a future-date count per temporal
+  * column (`:148-151`). That is N+1 round trips and N+ full scans.
+  *
+  * Here all per-column statistics are computed in ONE `df.agg(...)` job —
+  * one scan of the table, with partial aggregation (map-side combine) done
+  * by Catalyst. Exact `COUNT(DISTINCT)` over many columns expands the
+  * aggregate (Spark's Expand operator multiplies rows by the number of
+  * distinct-aggregate groups); for oracle-exact results at test scale this
+  * is the right trade. At 100 TB use [[approxProfile]], which swaps in
+  * HyperLogLog `approx_count_distinct` and keeps the plan a plain
+  * single-pass hash aggregate.
+  */
+object Profiler {
+
+  /** Stats emitted per column (long format, one row per column). */
+  val outputColumns: Seq[String] = Seq(
+    "column_name", "data_type", "count_all", "count_distinct", "count_nulls",
+    "null_ratio", "distinct_ratio", "min_val", "max_val", "avg_val",
+    "stddev_val", "future_count")
+
+  /** Profile every column of `df` in a single aggregation pass.
+    *
+    * @param now injectable clock for the future-date accuracy check
+    *            (`/root/reference/Data_Quality_Table.sql:148-151`); pass a
+    *            literal in tests for determinism.
+    * @param exact exact `COUNT(DISTINCT)` (oracle-parity) vs HLL approx
+    *              (the 100 TB configuration).
+    */
+  def profile(df: DataFrame, now: Column = current_timestamp(),
+              exact: Boolean = true): DataFrame = {
+    val fields = df.schema.fields
+    require(fields.nonEmpty, "cannot profile a zero-column table")
+
+    def distinctAgg(c: Column): Column =
+      if (exact) countDistinct(c) else approx_count_distinct(c)
+
+    val perCol = fields.flatMap { f =>
+      val c = col(f.name)
+      val isNum = TypeMapper.familyOf(f.dataType) == TypeMapper.NumericFamily
+      val isTemporal =
+        TypeMapper.familyOf(f.dataType) == TypeMapper.TemporalFamily
+      val nullD = lit(null).cast(DoubleType)
+      val nullL = lit(null).cast(LongType)
+      Seq(
+        distinctAgg(c).as(s"${f.name}__distinct"),
+        count(c).as(s"${f.name}__nonnull"),
+        (if (isNum) min(c.cast(DoubleType)) else nullD)
+          .as(s"${f.name}__min"),
+        (if (isNum) max(c.cast(DoubleType)) else nullD)
+          .as(s"${f.name}__max"),
+        (if (isNum) avg(c.cast(DoubleType)) else nullD)
+          .as(s"${f.name}__avg"),
+        (if (isNum) stddev_samp(c.cast(DoubleType)) else nullD)
+          .as(s"${f.name}__stddev"),
+        (if (isTemporal) sum(when(c > now, 1L).otherwise(0L)) else nullL)
+          .as(s"${f.name}__future"))
+    }
+    val wide = df.agg(count(lit(1)).as("count_all"),
+      perCol.head, perCol.tail: _*)
+
+    // Reshape the single wide row to long format (one row per column)
+    // without leaving the plan: stack() is a Generate over one input row.
+    val stackArgs = fields.map { f =>
+      val n = f.name
+      Seq(s"'$n'", s"'${TypeMapper.toEngineType(f.dataType)}'",
+        s"`${n}__distinct`", s"`${n}__nonnull`", s"`${n}__min`",
+        s"`${n}__max`", s"`${n}__avg`", s"`${n}__stddev`", s"`${n}__future`"
+      ).mkString(", ")
+    }.mkString(", ")
+    val stacked = wide.selectExpr(
+      "count_all",
+      s"stack(${fields.length}, $stackArgs) as " +
+        "(column_name, data_type, count_distinct, count_nonnull, min_val, " +
+        "max_val, avg_val, stddev_val, future_count)")
+
+    stacked.select(
+      col("column_name"), col("data_type"), col("count_all"),
+      col("count_distinct"),
+      (col("count_all") - col("count_nonnull")).as("count_nulls"),
+      // long/long division is always DOUBLE in Spark; one IEEE op on
+      // identical operands is bit-stable across engines, no rounding needed.
+      ((col("count_all") - col("count_nonnull")) / col("count_all"))
+        .as("null_ratio"),
+      (col("count_distinct") / col("count_all")).as("distinct_ratio"),
+      // avg/stddev accumulate in nondeterministic partition order → round
+      // for cross-engine comparability; min/max are order-insensitive.
+      col("min_val"), col("max_val"),
+      round(col("avg_val"), 4).as("avg_val"),
+      round(col("stddev_val"), 4).as("stddev_val"),
+      col("future_count"))
+  }
+
+  /** 100 TB variant: HLL distinct counts, no Expand in the plan. */
+  def approxProfile(df: DataFrame, now: Column = current_timestamp())
+      : DataFrame = profile(df, now, exact = false)
+}
