@@ -1,0 +1,23 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** One shared SparkSession recipe so Verify and Bench (and tests) run under
+  * identical configuration — UTC session time zone, shuffle partitions =
+  * cpu count (not the 200 default, which would fragment tiny test shuffles),
+  * AQE on (coalesces shuffle partitions / handles skew at real scale).
+  */
+object Sessions {
+  def local(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

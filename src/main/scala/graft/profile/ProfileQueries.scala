@@ -66,8 +66,10 @@ object ProfileQueries extends QueryPack {
         "COUNT(*) AS count_all, " +
         s"COUNT(DISTINCT $q) AS count_distinct, " +
         s"COUNT(*) - COUNT($q) AS count_nulls, " +
-        s"(COUNT(*) - COUNT($q))::DOUBLE / COUNT(*) AS null_ratio, " +
-        s"COUNT(DISTINCT $q)::DOUBLE / COUNT(*) AS distinct_ratio, " +
+        s"(COUNT(*) - COUNT($q))::DOUBLE / GREATEST(COUNT(*), 1) " +
+        "AS null_ratio, " +
+        s"COUNT(DISTINCT $q)::DOUBLE / GREATEST(COUNT(*), 1) " +
+        "AS distinct_ratio, " +
         s"$minMax, $future FROM $table"
     }
     selects.mkString(" UNION ALL ") + " ORDER BY column_name"

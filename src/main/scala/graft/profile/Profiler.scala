@@ -68,8 +68,8 @@ object Profiler {
         (if (isTemporal) sum(when(c > now, 1L).otherwise(0L)) else nullL)
           .as(s"${f.name}__future"))
     }
-    val wide = df.agg(count(lit(1)).as("count_all"),
-      perCol.head, perCol.tail: _*)
+    val aggs = count(lit(1)).as("count_all") +: perCol.toSeq
+    val wide = df.agg(aggs.head, aggs.tail: _*)
 
     // Reshape the single wide row to long format (one row per column)
     // without leaving the plan: stack() is a Generate over one input row.
@@ -92,9 +92,12 @@ object Profiler {
       (col("count_all") - col("count_nonnull")).as("count_nulls"),
       // long/long division is always DOUBLE in Spark; one IEEE op on
       // identical operands is bit-stable across engines, no rounding needed.
-      ((col("count_all") - col("count_nonnull")) / col("count_all"))
-        .as("null_ratio"),
-      (col("count_distinct") / col("count_all")).as("distinct_ratio"),
+      // Divisor is max(count_all, 1) — empty-table guard per
+      // `/root/reference/Data_Quality_Table.sql:83-84`.
+      ((col("count_all") - col("count_nonnull")) /
+        greatest(col("count_all"), lit(1L))).as("null_ratio"),
+      (col("count_distinct") / greatest(col("count_all"), lit(1L)))
+        .as("distinct_ratio"),
       // avg/stddev accumulate in nondeterministic partition order → round
       // for cross-engine comparability; min/max are order-insensitive.
       col("min_val"), col("max_val"),
