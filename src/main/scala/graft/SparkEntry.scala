@@ -7,7 +7,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   */
 object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
-    profile.ProfileQueries)
+    profile.ProfileQueries,
+    dq.DqQueries)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 

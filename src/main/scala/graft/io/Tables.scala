@@ -1,6 +1,8 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Parquet-backed table resolution for the test corpus.
   *
@@ -15,8 +17,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    // Parquet TIMESTAMP(NANOS) columns arrive as LongType under
+    // spark.sql.legacy.parquet.nanosAsLong (Spark has no ns timestamp type);
+    // restore the declared temporal type at µs precision. Truncation, not
+    // rounding — matches how engines narrow timestamps.
+    val temporal = Schemas.byTable.get(name)
+      .map(_.filter(_.temporal).map(_.name).toSet).getOrElse(Set.empty)
+    raw.schema.fields.foldLeft(raw) { (df, f) =>
+      if (temporal(f.name) && f.dataType == LongType)
+        // `div`, not `/`: column `/` is IEEE double division, which cannot
+        // represent ~1.7e18 ns exactly (53-bit mantissa).
+        df.withColumn(f.name,
+          expr(s"timestamp_micros(`${f.name}` div 1000)"))
+      else df
+    }
+  }
 
   /** Resolve a 1/2/3-part name to its final segment (db/schema prefixes are
     * session-default noise on a path-backed catalog); mirrors the resolution

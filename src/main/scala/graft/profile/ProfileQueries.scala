@@ -3,7 +3,8 @@ package graft.profile
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, QueryPack}
-import graft.io.Tables
+import graft.io.{Schemas, Tables}
+import graft.io.Schemas.ColSpec
 
 /** Verifiable profiling queries (SURVEY §2d A1–A5, §3.3).
   *
@@ -16,31 +17,6 @@ object ProfileQueries extends QueryPack {
     * Spark run and the (later) DuckDB oracle run agree.
     */
   val FixedNow = "2030-01-01 00:00:00"
-
-  private case class ColSpec(name: String, engineType: String,
-      numeric: Boolean, temporal: Boolean)
-
-  // lineitem parquet-read schema, per FIXTURES.md §A.
-  private val lineitemCols = Seq(
-    ColSpec("l_orderkey", "NUMBER", numeric = true, temporal = false),
-    ColSpec("l_partkey", "NUMBER", numeric = true, temporal = false),
-    ColSpec("l_suppkey", "NUMBER", numeric = true, temporal = false),
-    ColSpec("l_linenumber", "NUMBER", numeric = true, temporal = false),
-    ColSpec("l_quantity", "FLOAT", numeric = true, temporal = false),
-    ColSpec("l_extendedprice", "FLOAT", numeric = true, temporal = false),
-    ColSpec("l_discount", "FLOAT", numeric = true, temporal = false),
-    ColSpec("l_tax", "FLOAT", numeric = true, temporal = false),
-    ColSpec("l_returnflag", "VARCHAR", numeric = false, temporal = false),
-    ColSpec("l_linestatus", "VARCHAR", numeric = false, temporal = false),
-    ColSpec("l_shipdate", "TIMESTAMP", numeric = false, temporal = true))
-
-  private val ordersCols = Seq(
-    ColSpec("o_orderkey", "NUMBER", numeric = true, temporal = false),
-    ColSpec("o_custkey", "NUMBER", numeric = true, temporal = false),
-    ColSpec("o_orderstatus", "VARCHAR", numeric = false, temporal = false),
-    ColSpec("o_totalprice", "FLOAT", numeric = true, temporal = false),
-    ColSpec("o_orderdate", "TIMESTAMP", numeric = false, temporal = true),
-    ColSpec("o_orderpriority", "VARCHAR", numeric = false, temporal = false))
 
   /** DuckDB-side equivalent of [[Profiler.profile]] for one table: a
     * UNION ALL of per-column aggregates (the oracle may be slow; only the
@@ -75,17 +51,14 @@ object ProfileQueries extends QueryPack {
     selects.mkString(" UNION ALL ") + " ORDER BY column_name"
   }
 
-  override def queries: Seq[QueryDef] = Seq(
-    QueryDef("profile_lineitem",
+  private def profileQuery(table: String): QueryDef =
+    QueryDef(s"profile_$table",
       (s, dir) => Profiler
-        .profile(Tables.load(s, dir, "lineitem"),
+        .profile(Tables.load(s, dir, table),
           now = lit(FixedNow).cast("timestamp"))
         .orderBy("column_name"),
-      Some(profileOracle("lineitem", lineitemCols))),
-    QueryDef("profile_orders",
-      (s, dir) => Profiler
-        .profile(Tables.load(s, dir, "orders"),
-          now = lit(FixedNow).cast("timestamp"))
-        .orderBy("column_name"),
-      Some(profileOracle("orders", ordersCols))))
+      Some(profileOracle(table, Schemas.byTable(table))))
+
+  override def queries: Seq[QueryDef] =
+    Seq(profileQuery("lineitem"), profileQuery("orders"))
 }

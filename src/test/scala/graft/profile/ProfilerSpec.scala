@@ -1,0 +1,84 @@
+package graft.profile
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class ProfilerSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("amount", DoubleType),
+    StructField("created", TimestampType)))
+
+  private def df(rows: Row*) =
+    spark.createDataFrame(rows.asJava, schema)
+
+  private val t0 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+  private val t1 = java.sql.Timestamp.valueOf("2021-01-01 00:00:00")
+  private val now = lit("2020-06-01 00:00:00").cast("timestamp")
+
+  private def rowFor(out: org.apache.spark.sql.DataFrame, col: String): Row =
+    out.filter(s"column_name = '$col'").collect().head
+
+  test("per-column stats over a small frame") {
+    val out = Profiler.profile(
+      df(Row(1L, "a", 10.0, t0), Row(2L, "a", null, t1),
+        Row(3L, null, 30.0, null)),
+      now = now)
+    assert(out.count() == 4)
+
+    val id = rowFor(out, "id")
+    assert(id.getAs[Long]("count_all") == 3)
+    assert(id.getAs[Long]("count_distinct") == 3)
+    assert(id.getAs[Long]("count_nulls") == 0)
+    assert(id.getAs[Double]("avg_val") == 2.0)
+    assert(id.getAs[Double]("stddev_val") == 1.0) // sample stddev of 1,2,3
+
+    val name = rowFor(out, "name")
+    assert(name.getAs[String]("data_type") == "VARCHAR")
+    assert(name.getAs[Long]("count_distinct") == 1)
+    assert(name.getAs[Long]("count_nulls") == 1)
+    assert(name.isNullAt(name.fieldIndex("avg_val")))
+
+    val created = rowFor(out, "created")
+    // t1 (2021) is after the injected clock (mid-2020): one future value.
+    assert(created.getAs[Long]("future_count") == 1)
+  }
+
+  test("empty table: ratios guard against division by zero") {
+    val out = Profiler.profile(df(), now = now)
+    val id = rowFor(out, "id")
+    assert(id.getAs[Long]("count_all") == 0)
+    assert(id.getAs[Double]("null_ratio") == 0.0)
+    assert(id.getAs[Double]("distinct_ratio") == 0.0)
+  }
+
+  test("all-null column yields null numeric stats") {
+    val out = Profiler.profile(
+      df(Row(1L, "a", null, t0), Row(2L, "b", null, t0)), now = now)
+    val amount = rowFor(out, "amount")
+    assert(amount.getAs[Long]("count_nulls") == 2)
+    assert(amount.getAs[Long]("count_distinct") == 0)
+    assert(amount.isNullAt(amount.fieldIndex("avg_val")))
+    assert(amount.isNullAt(amount.fieldIndex("stddev_val")))
+  }
+
+  test("single-row table: stddev_samp is null, not NaN") {
+    val out = Profiler.profile(df(Row(1L, "a", 5.0, t0)), now = now)
+    val amount = rowFor(out, "amount")
+    assert(amount.isNullAt(amount.fieldIndex("stddev_val")))
+  }
+
+  test("approx profile keeps counts near-exact at small scale") {
+    val out = Profiler.approxProfile(
+      df((1 to 50).map(i => Row(i.toLong, s"n$i", i.toDouble, t0)): _*))
+    val id = rowFor(out, "id")
+    val d = id.getAs[Long]("count_distinct")
+    assert(d > 45 && d < 55, s"approx distinct $d out of range")
+  }
+}
