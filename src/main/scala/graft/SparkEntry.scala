@@ -8,7 +8,9 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     profile.ProfileQueries,
-    dq.DqQueries)
+    dq.DqQueries,
+    pipeline.PipelineQueries,
+    security.PiiQueries)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 

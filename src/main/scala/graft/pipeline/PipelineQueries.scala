@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryPack}
+import graft.io.Tables
+
+/** Registered SCD1 / window-dedup queries with DuckDB oracles.
+  *
+  * Timestamps are emitted as BIGINT epoch-microseconds (`unix_micros` /
+  * DuckDB `epoch_us`): the corpus stores events.ts at nanosecond precision,
+  * which Spark reads truncated to µs while DuckDB keeps ns — raw timestamp
+  * output would hash-mismatch on the sub-µs tail even when the query logic
+  * agrees. All window ordering likewise uses the µs value on both sides so
+  * tie-breaking is engine-independent.
+  */
+object PipelineQueries extends QueryPack {
+
+  /** µs-aligned split point: `<`/`>=` against it commute with ns→µs
+    * truncation (floor), so both engines partition rows identically.
+    */
+  val SplitTs = "2024-07-01 00:00:00"
+
+  private val outCols = Seq("event_id", "ts_us", "user_id", "event_type",
+    "value", "props")
+
+  private val oracleProj =
+    "event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props"
+
+  private def latestQuery = QueryDef(
+    "scd1_latest_events",
+    (s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      Scd1.latestPerKey(events, Seq("user_id"), "ts",
+          tieBreakers = Seq("event_id"))
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .orderBy("user_id")
+    },
+    Some(s"SELECT $oracleProj FROM events QUALIFY ROW_NUMBER() OVER " +
+      "(PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) " +
+      "= 1 ORDER BY user_id"))
+
+  private def mergeQuery = QueryDef(
+    "scd1_merge_events",
+    (s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val split = lit(SplitTs).cast("timestamp")
+      val target = events.filter(col("ts") < split)
+      val source = events.filter(col("ts") >= split)
+      Scd1.merge(target, source, Seq("user_id"), "ts",
+          tieBreakers = Seq("event_id"))
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .orderBy("event_id")
+    },
+    Some(
+      s"""WITH tgt AS (SELECT * FROM events WHERE ts < TIMESTAMP '$SplitTs'),
+         |src AS (SELECT * FROM events WHERE ts >= TIMESTAMP '$SplitTs'
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) = 1)
+         |SELECT $oracleProj FROM tgt
+         |  WHERE user_id NOT IN (SELECT user_id FROM src)
+         |UNION ALL SELECT $oracleProj FROM src
+         |ORDER BY event_id""".stripMargin.replace("\n", " ")))
+
+  override def queries: Seq[QueryDef] = Seq(latestQuery, mergeQuery)
+}

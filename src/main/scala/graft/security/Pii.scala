@@ -1,0 +1,116 @@
+package graft.security
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** PII detection and masking with native (codegen'd) column expressions —
+  * no per-row UDFs anywhere.
+  *
+  * Patterns and mask shapes follow `/root/reference/Data_Security.sql:13-33`
+  * exactly (the reference stores them double-escaped inside a SQL string
+  * literal; the effective regexes are reproduced here). Detection priority
+  * is the reference's dict order: EMAIL, PHONE, AADHAAR, CREDIT_CARD.
+  *
+  * Documented deviations:
+  *   - the reference masks only its 1000-row sample and overwrites the
+  *     `<TABLE>_MASKED` sink with just those rows
+  *     (`/root/reference/Data_Security.sql:49,64-68`); here detection is
+  *     sampled but masking runs over the FULL table, distributed.
+  *   - the reference masks with the "first" type of an unordered Python
+  *     set (nondeterministic); here the first type in pattern-priority
+  *     order wins.
+  */
+object Pii {
+
+  /** (type, regex) in detection-priority order
+    * (`/root/reference/Data_Security.sql:13-18`).
+    */
+  val patterns: Seq[(String, String)] = Seq(
+    "EMAIL" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "PHONE" ->
+      "\\b(\\+?\\d{1,3}[\\s-]?)?(\\(?\\d{3,5}\\)?[\\s-]?)?\\d{3,5}[\\s-]?\\d{3,5}\\b",
+    "AADHAAR" -> "\\b\\d{4}\\s\\d{4}\\s\\d{4}\\b",
+    "CREDIT_CARD" -> "\\b\\d{4}[- ]?\\d{4}[- ]?\\d{4}[- ]?\\d{4}\\b")
+
+  /** First matching PII type for a value, else null
+    * (`/root/reference/Data_Security.sql:35-41`).
+    */
+  def detectType(c: Column): Column =
+    patterns.foldRight(lit(null).cast(StringType)) {
+      case ((tpe, pat), acc) => when(c.rlike(pat), lit(tpe)).otherwise(acc)
+    }
+
+  /** Mask one value as the given PII type
+    * (`/root/reference/Data_Security.sql:20-33`). Null passes through
+    * (the reference skips NaN values at `:64`).
+    */
+  def maskValue(c: Column, piiType: String): Column = {
+    val masked = piiType match {
+      case "EMAIL" =>
+        // limit = -1 keeps trailing empty strings, matching Python's
+        // str.split (Java's default split drops them: "a@" must be 2 parts).
+        val parts = split(c, "@", -1)
+        when(size(parts) === 2,
+          concat(substring(element_at(parts, 1), 1, 1), lit("***@"),
+            element_at(parts, 2)))
+          .otherwise(lit("*****"))
+      case "PHONE" =>
+        // every digit followed by ≥4 more digits → '*' (keeps last 4 and
+        // all separators); Java regex supports the lookahead directly.
+        regexp_replace(c, "\\d(?=\\d{4})", "*")
+      case "AADHAAR" => concat(lit("XXXX XXXX "), substring(c, -4, 4))
+      case "CREDIT_CARD" =>
+        concat(lit("XXXX-XXXX-XXXX-"), substring(c, -4, 4))
+      case _ => lit("*****")
+    }
+    when(c.isNull, c).otherwise(masked)
+  }
+
+  /** Sampled per-column detection: scan `sampleRows` rows once and collect
+    * the set of PII types seen per string column
+    * (`/root/reference/Data_Security.sql:49-58`; the reference further
+    * limits to 100 values per column — one bounded pass over the sample is
+    * the same cost envelope and strictly more thorough).
+    *
+    * Returns column → detected types (priority-ordered, comma-joined like
+    * the reference's `", ".join`).
+    */
+  def detectColumns(df: DataFrame, sampleRows: Int = 1000)
+      : Map[String, String] = {
+    val stringCols =
+      df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    if (stringCols.isEmpty) return Map.empty
+    val aggs = stringCols.map(n =>
+      collect_set(detectType(col(n))).as(n))
+    val row = df.limit(sampleRows).agg(aggs.head, aggs.tail: _*).head()
+    val order = patterns.map(_._1).zipWithIndex.toMap
+    stringCols.flatMap { n =>
+      val types = row.getSeq[String](row.fieldIndex(n))
+        .sortBy(order.getOrElse(_, Int.MaxValue))
+      if (types.isEmpty) None else Some(n -> types.mkString(", "))
+    }.toMap
+  }
+
+  /** Full-table masking of the detected columns; appends the
+    * `PII_MASKING_TYPE` lineage column
+    * (`/root/reference/Data_Security.sql:60-66`).
+    */
+  def maskTable(df: DataFrame, piiInfo: Map[String, String]): DataFrame = {
+    val masked = piiInfo.foldLeft(df) { case (acc, (name, types)) =>
+      val primary = types.split(",")(0).trim
+      acc.withColumn(name, maskValue(col(name), primary))
+    }
+    val lineage = piiInfo.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"'$k': '$v'" }.mkString("{", ", ", "}")
+    masked.withColumn("PII_MASKING_TYPE", lit(lineage))
+  }
+
+  /** End-to-end: sampled detection → full-table mask. Returns the input
+    * unchanged (no lineage column) when nothing is detected.
+    */
+  def apply(df: DataFrame, sampleRows: Int = 1000): DataFrame = {
+    val info = detectColumns(df, sampleRows)
+    if (info.isEmpty) df else maskTable(df, info)
+  }
+}

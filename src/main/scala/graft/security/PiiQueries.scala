@@ -1,0 +1,106 @@
+package graft.security
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryPack}
+import graft.io.Tables
+
+/** Registered PII queries with DuckDB oracles.
+  *
+  * The corpus has no real PII, so both engines synthesize the same
+  * deterministic PII-shaped columns from `customer` keys, then the Spark
+  * side masks with the reference transforms
+  * (`/root/reference/Data_Security.sql:20-33`) while the oracle recomputes
+  * the expected strings with arithmetic DuckDB can express (its RE2 regex
+  * engine has no lookahead, so the PHONE mask is oracle-checked on
+  * digits-only values where the lookahead is equivalent to "star all but
+  * the last 4").
+  */
+object PiiQueries extends QueryPack {
+
+  /** Deterministic PII-shaped synthesis (same arithmetic as the oracle). */
+  private def synth(df: DataFrame): DataFrame = df.select(
+    col("c_custkey"),
+    concat(lit("user"), col("c_custkey"), lit("@example.com")).as("email"),
+    lpad((col("c_custkey") * 7 + 5550000000L).cast("string"), 10, "0")
+      .as("phone"),
+    concat(
+      lpad(((col("c_custkey") * 13) % 10000).cast("string"), 4, "0"),
+      lit(" "),
+      lpad(((col("c_custkey") * 17) % 10000).cast("string"), 4, "0"),
+      lit(" "),
+      lpad(((col("c_custkey") * 19) % 10000).cast("string"), 4, "0"))
+      .as("aadhaar"),
+    concat(
+      lpad(((col("c_custkey") * 23) % 10000).cast("string"), 4, "0"),
+      lit("-"),
+      lpad(((col("c_custkey") * 29) % 10000).cast("string"), 4, "0"),
+      lit("-"),
+      lpad(((col("c_custkey") * 31) % 10000).cast("string"), 4, "0"),
+      lit("-"),
+      lpad(((col("c_custkey") * 37) % 10000).cast("string"), 4, "0"))
+      .as("card"))
+
+  private val synthSql =
+    """SELECT c_custkey,
+      |'user' || c_custkey || '@example.com' AS email,
+      |lpad((c_custkey * 7 + 5550000000)::VARCHAR, 10, '0') AS phone,
+      |lpad(((c_custkey * 13) % 10000)::VARCHAR, 4, '0') || ' ' ||
+      |  lpad(((c_custkey * 17) % 10000)::VARCHAR, 4, '0') || ' ' ||
+      |  lpad(((c_custkey * 19) % 10000)::VARCHAR, 4, '0') AS aadhaar,
+      |lpad(((c_custkey * 23) % 10000)::VARCHAR, 4, '0') || '-' ||
+      |  lpad(((c_custkey * 29) % 10000)::VARCHAR, 4, '0') || '-' ||
+      |  lpad(((c_custkey * 31) % 10000)::VARCHAR, 4, '0') || '-' ||
+      |  lpad(((c_custkey * 37) % 10000)::VARCHAR, 4, '0') AS card
+      |FROM customer""".stripMargin.replace("\n", " ")
+
+  private def maskQuery = QueryDef(
+    "pii_mask_customer",
+    (s, dir) => synth(Tables.load(s, dir, "customer")).select(
+        col("c_custkey"),
+        Pii.maskValue(col("email"), "EMAIL").as("email_masked"),
+        Pii.maskValue(col("phone"), "PHONE").as("phone_masked"),
+        Pii.maskValue(col("aadhaar"), "AADHAAR").as("aadhaar_masked"),
+        Pii.maskValue(col("card"), "CREDIT_CARD").as("card_masked"))
+      .orderBy("c_custkey"),
+    Some("SELECT c_custkey, " +
+      "substr(email, 1, 1) || '***@' || split_part(email, '@', 2) " +
+      "AS email_masked, " +
+      "repeat('*', length(phone) - 4) || right(phone, 4) AS phone_masked, " +
+      "'XXXX XXXX ' || right(aadhaar, 4) AS aadhaar_masked, " +
+      "'XXXX-XXXX-XXXX-' || right(card, 4) AS card_masked " +
+      s"FROM ($synthSql) ORDER BY c_custkey"))
+
+  /** Detection over the synthesized columns, long format. AADHAAR/CARD
+    * values intentionally classify as PHONE — the reference iterates its
+    * pattern dict in insertion order and PHONE precedes them
+    * (`/root/reference/Data_Security.sql:13-18,37-40`); parity, not a bug.
+    */
+  private def detectQuery = QueryDef(
+    "pii_detect_customer",
+    (s, dir) => {
+      val stacked = synth(Tables.load(s, dir, "customer")).selectExpr(
+        "stack(4, 'email', email, 'phone', phone, 'aadhaar', aadhaar, " +
+          "'card', card) AS (column_name, value)")
+      stacked.groupBy("column_name")
+        .agg(min(Pii.detectType(col("value"))).as("min_type"),
+          max(Pii.detectType(col("value"))).as("max_type"))
+        .orderBy("column_name")
+    },
+    Some {
+      val detect = Pii.patterns.map { case (t, p) =>
+        s"WHEN regexp_matches(value, '${p.replace("'", "''")}') THEN '$t'"
+      }.mkString("CASE ", " ", " ELSE NULL END")
+      s"WITH sy AS ($synthSql) " +
+        "SELECT column_name, MIN(pii) AS min_type, MAX(pii) AS max_type " +
+        s"FROM (SELECT column_name, $detect AS pii FROM (" +
+        "SELECT 'email' AS column_name, email AS value FROM sy " +
+        "UNION ALL SELECT 'phone', phone FROM sy " +
+        "UNION ALL SELECT 'aadhaar', aadhaar FROM sy " +
+        "UNION ALL SELECT 'card', card FROM sy)) " +
+        "GROUP BY column_name ORDER BY column_name"
+    })
+
+  override def queries: Seq[QueryDef] = Seq(maskQuery, detectQuery)
+}

@@ -1,0 +1,73 @@
+package graft.security
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PiiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mask(v: String, tpe: String): String =
+    Seq(v).toDF("v").select(Pii.maskValue(col("v"), tpe)).as[String].head()
+
+  private def detect(v: String): Option[String] =
+    Seq(v).toDF("v").select(Pii.detectType(col("v")))
+      .as[Option[String]].head()
+
+  // Expected strings computed by hand from the reference's Python
+  // (`/root/reference/Data_Security.sql:20-33`).
+  test("EMAIL mask keeps first char and domain") {
+    assert(mask("alice.smith@example.com", "EMAIL") === "a***@example.com")
+    assert(mask("a@b.co", "EMAIL") === "a***@b.co")
+    // no '@' → python falls through to the generic mask
+    assert(mask("not-an-email", "EMAIL") === "*****")
+    // two '@' → 3 parts → generic mask (python len(parts)==2 fails)
+    assert(mask("a@b@c", "EMAIL") === "*****")
+    // trailing '@' → ["a",""] in python; Spark must match (split limit -1)
+    assert(mask("a@", "EMAIL") === "a***@")
+  }
+
+  test("PHONE mask stars every digit that has 4+ digits after it") {
+    assert(mask("5551234567", "PHONE") === "******4567")
+    // separators break digit runs: the lookahead needs 4 CONSECUTIVE
+    // digits, so a fully-separated number is untouched (python-verified)
+    assert(mask("+1 555-123-4567", "PHONE") === "+1 555-123-4567")
+    assert(mask("555-12345678", "PHONE") === "555-****5678")
+    assert(mask("123", "PHONE") === "123")
+  }
+
+  test("AADHAAR and CREDIT_CARD masks keep the last 4") {
+    assert(mask("1234 5678 9012", "AADHAAR") === "XXXX XXXX 9012")
+    assert(mask("1234-5678-9012-3456", "CREDIT_CARD") ===
+      "XXXX-XXXX-XXXX-3456")
+  }
+
+  test("unknown type masks fully; null passes through") {
+    assert(mask("whatever", "SSN") === "*****")
+    val out = Seq[Option[String]](None).toDF("v")
+      .select(Pii.maskValue(col("v"), "EMAIL")).as[Option[String]].head()
+    assert(out === None)
+  }
+
+  test("detection priority follows the reference's pattern order") {
+    assert(detect("reach me at bob@corp.io") === Some("EMAIL"))
+    assert(detect("5551234567") === Some("PHONE"))
+    // aadhaar/card shapes ALSO match the loose PHONE pattern, which comes
+    // first in dict order — parity with the reference, not a bug.
+    assert(detect("1234 5678 9012") === Some("PHONE"))
+    assert(detect("plain text") === None)
+  }
+
+  test("detectColumns finds types on a sample; maskTable masks full table") {
+    val df = Seq(
+      ("r1", "bob@x.io", "none"),
+      ("r2", "eve@y.io", "none")).toDF("id", "contact", "clean")
+    val info = Pii.detectColumns(df)
+    assert(info === Map("contact" -> "EMAIL"))
+    val masked = Pii.maskTable(df, info).orderBy("id")
+    assert(masked.select("contact").as[String].collect() ===
+      Array("b***@x.io", "e***@y.io"))
+    assert(masked.select("PII_MASKING_TYPE").as[String].head() ===
+      "{'contact': 'EMAIL'}")
+  }
+}
