@@ -10,7 +10,9 @@ object SparkEntry {
     profile.ProfileQueries,
     dq.DqQueries,
     pipeline.PipelineQueries,
-    security.PiiQueries)
+    security.PiiQueries,
+    text.TextQueries,
+    dedup.DedupQueries)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 

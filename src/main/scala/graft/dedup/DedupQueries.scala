@@ -1,0 +1,110 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryPack}
+import graft.io.Tables
+
+/** Registered dedup queries over `documents`.
+  *
+  * `dedup_exact` and `dedup_jaccard_blocked` are DuckDB-oracled; the
+  * MinHash-LSH and SimHash pipelines hash with xxhash64 (no DuckDB
+  * equivalent) so they register as rows-only checks, with their semantics
+  * pinned by scalatests against blocked ground truth instead.
+  */
+object DedupQueries extends QueryPack {
+
+  /** Exact dedup as a survivor report: one row per distinct text with the
+    * kept (minimum) id and the duplicate count.
+    */
+  private def exactQuery = QueryDef(
+    "dedup_exact_documents",
+    (s, dir) => Tables.load(s, dir, "documents")
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
+      .select(col("keep_id"), col("copies"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy("keep_id"),
+    Some("SELECT MIN(doc_id) AS keep_id, COUNT(*) AS copies, " +
+      "md5(text) AS text_md5 FROM documents GROUP BY text " +
+      "ORDER BY keep_id"))
+
+  /** Prefix-blocked exact 3-shingle Jaccard: pairs sharing an 80-char
+    * prefix block (cheap equality blocking — a hash join, no crossJoin),
+    * verified with exact set Jaccard. Oracle recomputes shingling and
+    * Jaccard natively in DuckDB.
+    */
+  private def jaccardQuery = QueryDef(
+    "dedup_jaccard_blocked_documents",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val blocked = docs.select(col("doc_id"),
+        substring(col("text"), 1, 80).as("blk"))
+      val pairs = blocked.as("a")
+        .join(blocked.as("b"), col("a.blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      Dedup.jaccardOnPairs(pairs, docs, "doc_id", "text", shingleK = 3)
+        .orderBy("id_a", "id_b")
+    },
+    Some(
+      """WITH d AS (SELECT doc_id, text, substr(text, 1, 80) AS blk,
+        |  list_distinct(CASE
+        |    WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN []::VARCHAR[]
+        |    WHEN len(regexp_split_to_array(trim(text), '\s+')) <= 3
+        |      THEN [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')]
+        |    ELSE list_transform(
+        |      generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+        |      i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+        |           regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+        |           regexp_split_to_array(trim(text), '\s+')[i+2])
+        |  END) AS sh FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |    greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS jaccard
+        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")))
+
+  /** Banded MinHash-LSH near-dup pipeline (rows-only check; semantics
+    * pinned by DedupSpec against blocked ground truth).
+    */
+  private def minhashQuery = QueryDef(
+    "dedup_minhash_documents",
+    (s, dir) => Dedup.nearDuplicates(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      .orderBy("id_a", "id_b"),
+    None)
+
+  /** SimHash near-dup pairs: 16-bit chunk blocking (a fingerprint within
+    * hamming ≤ 3 of another must share at least one of 4 chunks — here we
+    * use it as a candidate filter with a wider verify threshold).
+    */
+  private def simhashQuery = QueryDef(
+    "dedup_simhash_documents",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val fps = docs.select(col("doc_id"),
+        SimHash.simhash64(Dedup.wordShingles(col("text"), 3)).as("fp"))
+      val chunks = fps.select(col("doc_id"), col("fp"),
+        posexplode(array((0 until 4).map(i =>
+          shiftrightunsigned(col("fp"), i * 16).bitwiseAND(0xFFFFL)): _*))
+          .as(Seq("chunk_idx", "chunk_val")))
+      val cands = chunks.as("a")
+        .join(chunks.as("b"),
+          col("a.chunk_idx") === col("b.chunk_idx") &&
+            col("a.chunk_val") === col("b.chunk_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+        .distinct()
+      cands.select(col("id_a"), col("id_b"),
+          SimHash.hamming(col("fp_a"), col("fp_b")).as("hamming"))
+        .filter(col("hamming") <= 12)
+        .orderBy("id_a", "id_b")
+    },
+    None)
+
+  override def queries: Seq[QueryDef] = Seq(
+    exactQuery, jaccardQuery, minhashQuery, simhashQuery)
+}

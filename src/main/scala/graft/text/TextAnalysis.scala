@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-corpus analysis operators for training-data pipelines: token
+  * counting, quality gates, language ID, document fingerprinting.
+  *
+  * Everything is a native column expression (whole-stage-codegen'd, no
+  * UDFs), so at 100 TB these run as a single projection over the corpus —
+  * no shuffle, no python worker, trivially parallel per file split.
+  *
+  * The reference has no text pipeline; these extend its DQ/profiling
+  * surface (SURVEY §2d) to the document table per the build mandate.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text; empty string → empty array (Spark's
+    * split of "" yields [""], which would miscount).
+    */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token count: letter runs, digit runs, and single other
+    * non-space chars each count as one token — a cheap proxy for subword
+    * tokenizer output (both Java regex and RE2 support the classes).
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishCount(c: Column): Column = regexp_count(c, lit(BpeishPattern))
+
+  /** Punctuation character ratio over all characters (0 for empty text). */
+  def punctRatio(c: Column): Column =
+    regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("double") /
+      greatest(length(c), lit(1))
+
+  /** Small fixed English stopword list for the stopword-ratio gate. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  /** Fraction of tokens that are stopwords (0 when no tokens). */
+  def stopwordRatio(c: Column): Column = {
+    val stops = array(Stopwords.map(lit): _*)
+    size(filter(tokens(c), t => array_contains(stops, t))).cast("double") /
+      greatest(size(tokens(c)), lit(1))
+  }
+
+  /** Mean token length = non-space characters / token count. */
+  def avgTokenLen(c: Column): Column =
+    length(regexp_replace(c, "\\s+", "")).cast("double") /
+      greatest(size(tokens(c)), lit(1))
+
+  /** Gopher/C4-style quality gates: fraction of four rules passed.
+    * Each gate is a hard boolean so the score is exactly k/4 — robust to
+    * cross-engine float drift.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenOk = length(c).between(50, 5000)
+    val tokOk = avgTokenLen(c).between(3.0, 12.0)
+    val punctOk = punctRatio(c) <= 0.1
+    val stopOk = stopwordRatio(c) >= 0.05
+    (Seq(lenOk, tokOk, punctOk, stopOk)
+      .map(g => when(g, 1).otherwise(0))
+      .reduce(_ + _)).cast("double") / 4
+  }
+
+  /** Marker-word / script language heuristic. CJK codepoints → zh;
+    * else the language whose marker stopwords appear; default en.
+    * Deliberately simple n-gram-free dispatch — deterministic and
+    * SQL-portable; swap for a real n-gram model behind the same column
+    * contract when quality matters.
+    */
+  def langId(c: Column): Column = {
+    def hasAny(words: Seq[String]): Column =
+      words.map(w => c.rlike(s"(^|\\s)$w(\\s|$$)")).reduce(_ || _)
+    when(c.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+      .when(hasAny(Seq("der", "und", "die", "nicht")), "de")
+      .when(hasAny(Seq("le", "la", "et", "les")), "fr")
+      .when(hasAny(Seq("el", "los", "las", "es")), "es")
+      .otherwise("en")
+  }
+
+  /** Order-insensitive bag-of-words fingerprint: md5 of the sorted
+    * distinct token list. Identical token multisets-as-sets collide by
+    * design (near-dup prefilter); md5 is available in every engine so the
+    * oracle can recompute it.
+    */
+  def fingerprint(c: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(c))))
+      .cast("binary"))
+}

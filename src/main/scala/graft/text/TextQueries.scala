@@ -1,0 +1,83 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryPack}
+import graft.io.Tables
+
+/** Registered text-analysis queries over `documents` with DuckDB oracles.
+  *
+  * Ratio columns are raw IEEE divisions of exact integer counts — bit-equal
+  * across engines without rounding. The only subtle porting point: DuckDB's
+  * `regexp_replace` is first-match unless given the 'g' flag, while Spark's
+  * is always global.
+  */
+object TextQueries extends QueryPack {
+
+  private val stopList =
+    TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val tokensSql =
+    "CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
+      "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+
+  private def statsOracle: String = {
+    val toks = tokensSql
+    val punct = "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE " +
+      "/ greatest(length(text), 1)"
+    val stopRatio = s"len(list_filter($toks, t -> " +
+      s"list_contains($stopList, t)))::DOUBLE / greatest(len($toks), 1)"
+    val avgTok = "length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE " +
+      s"/ greatest(len($toks), 1)"
+    val gates = Seq(
+      "CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1 ELSE 0 END",
+      s"CASE WHEN ($avgTok) BETWEEN 3.0 AND 12.0 THEN 1 ELSE 0 END",
+      s"CASE WHEN ($punct) <= 0.1 THEN 1 ELSE 0 END",
+      s"CASE WHEN ($stopRatio) >= 0.05 THEN 1 ELSE 0 END")
+    val lang = "CASE " +
+      "WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' " +
+      "WHEN regexp_matches(text, '(^|\\s)der(\\s|$)') OR " +
+      "regexp_matches(text, '(^|\\s)und(\\s|$)') OR " +
+      "regexp_matches(text, '(^|\\s)die(\\s|$)') OR " +
+      "regexp_matches(text, '(^|\\s)nicht(\\s|$)') THEN 'de' " +
+      "WHEN regexp_matches(text, '(^|\\s)le(\\s|$)') OR " +
+      "regexp_matches(text, '(^|\\s)la(\\s|$)') OR " +
+      "regexp_matches(text, '(^|\\s)et(\\s|$)') OR " +
+      "regexp_matches(text, '(^|\\s)les(\\s|$)') THEN 'fr' " +
+      "WHEN regexp_matches(text, '(^|\\s)el(\\s|$)') OR " +
+      "regexp_matches(text, '(^|\\s)los(\\s|$)') OR " +
+      "regexp_matches(text, '(^|\\s)las(\\s|$)') OR " +
+      "regexp_matches(text, '(^|\\s)es(\\s|$)') THEN 'es' " +
+      "ELSE 'en' END"
+    s"SELECT doc_id, len($toks) AS n_tokens, " +
+      "len(regexp_extract_all(text, " +
+      "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe, " +
+      s"$punct AS punct_ratio, $stopRatio AS stopword_ratio, " +
+      s"$avgTok AS avg_token_len, " +
+      s"(${gates.mkString(" + ")})::DOUBLE / 4 AS quality_score, " +
+      s"$lang AS lang_id, " +
+      s"md5(array_to_string(list_sort(list_distinct($toks)), ' ')) " +
+      "AS fingerprint " +
+      "FROM documents ORDER BY doc_id"
+  }
+
+  private def statsQuery = QueryDef(
+    "text_stats_documents",
+    (s, dir) => {
+      val t = col("text")
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.bpeishCount(t).as("n_tokens_bpe"),
+        TextAnalysis.punctRatio(t).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(t).as("stopword_ratio"),
+        TextAnalysis.avgTokenLen(t).as("avg_token_len"),
+        TextAnalysis.qualityScore(t).as("quality_score"),
+        TextAnalysis.langId(t).as("lang_id"),
+        TextAnalysis.fingerprint(t).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+    Some(statsOracle))
+
+  override def queries: Seq[QueryDef] = Seq(statsQuery)
+}
