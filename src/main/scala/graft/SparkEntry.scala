@@ -9,10 +9,12 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     profile.ProfileQueries,
     dq.DqQueries,
+    dq.FileDqQueries,
     pipeline.PipelineQueries,
     security.PiiQueries,
     text.TextQueries,
-    dedup.DedupQueries)
+    dedup.DedupQueries,
+    sim.SimilarityQueries)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 

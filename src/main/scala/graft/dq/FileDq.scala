@@ -1,0 +1,241 @@
+package graft.dq
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.types.TypeMapper
+
+/** File-variant DQ checks (`/root/reference/Data_Discovery_File.sql:97-313`)
+  * in the reference's report-row shape:
+  * (pillar, col_name, result, rule, status, reason).
+  *
+  * Scale design vs the reference's pandas loops:
+  *   - completeness/uniqueness/validity: pure column arithmetic over the
+  *     single-pass [[graft.profile.Profiler]] output — zero extra scans.
+  *   - z-score outliers: 2 scans total for ALL numeric columns (one
+  *     stats pass, one counting pass) vs one pandas pass per column.
+  *   - rare values: ONE melt + groupBy for all string columns (single
+  *     shuffle) vs a value_counts per column.
+  *   - pairwise FD consistency: the reference runs an O(N²) loop of
+  *     groupbys (`:101-113`); here all ordered pairs are exploded row-wise
+  *     once and aggregated in one job (two shuffles total). Pair count is
+  *     capped by `maxPairs` (dropped pairs are logged, never silent).
+  *
+  * All ratio results are computed as ONE division of exact integer counts
+  * (never a float sum), so they are bit-identical across engines.
+  *
+  * Documented deviations:
+  *   - validity `result` is 1.0/0.0, not the reference's `str(bool)`
+  *     (`:297` emits a string into a float field — a bug we don't copy).
+  *   - thresholds/status semantics are kept (0.95, strict `> 3σ`,
+  *     `< 0.01` share).
+  */
+object FileDq {
+
+  val Threshold = 0.95
+
+  private def statusOf(result: Column): Column =
+    when(result >= Threshold, "passed").otherwise("failed")
+
+  private val reportCols =
+    Seq("pillar", "col_name", "result", "rule", "status", "reason")
+
+  /** Completeness + uniqueness + validity rows from a profile frame
+    * (schema = [[graft.profile.Profiler.outputColumns]]).
+    */
+  def basicChecks(profile: DataFrame): DataFrame = {
+    val total = col("count_all")
+    val totalSafe = greatest(total, lit(1L))
+    val nulls = col("count_nulls")
+
+    val completeness = (total - nulls).cast("double") / totalSafe
+    val compl = profile.select(
+      lit("completeness").as("pillar"),
+      col("column_name").as("col_name"),
+      completeness.as("result"),
+      concat(lit("Completeness of "), col("column_name")).as("rule"),
+      statusOf(completeness).as("status"),
+      when(completeness >= Threshold, lit("Less than 5% nulls"))
+        .otherwise(concat(nulls.cast("string"), lit(" nulls out of "),
+          total.cast("string"), lit(" rows"))).as("reason"))
+
+    val uniqueness = col("count_distinct").cast("double") / totalSafe
+    val uniq = profile.select(
+      lit("uniqueness").as("pillar"),
+      col("column_name").as("col_name"),
+      uniqueness.as("result"),
+      concat(lit("Uniqueness of "), col("column_name")).as("rule"),
+      statusOf(uniqueness).as("status"),
+      when(uniqueness >= Threshold, lit("High uniqueness"))
+        .otherwise(concat(col("count_distinct").cast("string"),
+          lit(" unique values out of "), total.cast("string")))
+        .as("reason"))
+
+    // pandas: object → all-str (schema-true here), numeric dtypes → valid,
+    // datetime/other → invalid (is_numeric_dtype(datetime) is False).
+    val valid = col("data_type").isin("VARCHAR", "NUMBER", "FLOAT",
+      "BOOLEAN")
+    val validity = profile.select(
+      lit("validity").as("pillar"),
+      col("column_name").as("col_name"),
+      when(valid, 1.0).otherwise(0.0).as("result"),
+      concat(lit("Validity of "), col("column_name")).as("rule"),
+      when(valid, "passed").otherwise("failed").as("status"),
+      when(valid, lit("All values match expected type"))
+        .otherwise(lit("Some values do not match expected type"))
+        .as("reason"))
+
+    compl.unionByName(uniq).unionByName(validity)
+  }
+
+  /** Z-score outlier rate per numeric column: strict |x−mean| > 3·σ_samp,
+    * result = 1 − outliers/n (1.0 when the column is empty).
+    */
+  def zscoreChecks(df: DataFrame, numericCols: Seq[String]): DataFrame = {
+    import df.sparkSession.implicits._
+    if (numericCols.isEmpty) return emptyReport(df)
+    val statAggs = numericCols.flatMap { c =>
+      Seq(avg(col(c)).as(s"${c}__m"), stddev_samp(col(c)).as(s"${c}__sd"),
+        count(col(c)).as(s"${c}__n"))
+    }
+    val stats = df.agg(statAggs.head, statAggs.tail: _*).head()
+    val outAggs = numericCols.map { c =>
+      val m = stats.getAs[Any](s"${c}__m")
+      val sd = stats.getAs[Any](s"${c}__sd")
+      if (m == null || sd == null) lit(0L).as(c)
+      else sum(when(abs(col(c) -
+        lit(m.asInstanceOf[Double])) > lit(3.0) *
+        lit(sd.asInstanceOf[Double]), 1L).otherwise(0L))
+        .as(c)
+    }
+    val outs = df.agg(outAggs.head, outAggs.tail: _*).head()
+    val rows = numericCols.map { c =>
+      val n = stats.getAs[Long](s"${c}__n")
+      val outliers =
+        if (outs.isNullAt(outs.fieldIndex(c))) 0L
+        else outs.getAs[Long](c)
+      val result = if (n > 0) 1.0 - outliers.toDouble / n else 1.0
+      val status = if (result >= Threshold) "passed" else "failed"
+      val reason =
+        if (status == "failed") s"$outliers outliers detected in $c"
+        else "Outliers within acceptable range"
+      (("accuracy"), c, result, s"Outlier check on $c (z-score > 3)",
+        status, reason)
+    }
+    rows.toDF(reportCols: _*)
+  }
+
+  /** Rare-value mass per string column: shares < 1% of non-null values.
+    * One melt + one shuffle for every column together; the rare mass is
+    * Σrare_counts / total (single division — order-independent).
+    */
+  def rareValueChecks(df: DataFrame, stringCols: Seq[String]): DataFrame = {
+    if (stringCols.isEmpty) return emptyReport(df)
+    val stackExpr = s"stack(${stringCols.length}, " +
+      stringCols.map(c => s"'$c', `$c`").mkString(", ") +
+      ") AS (col_name, value)"
+    val melted = df.selectExpr(stackExpr).filter(col("value").isNotNull)
+    val counts = melted.groupBy("col_name", "value").count()
+    val w = Window.partitionBy("col_name")
+    val shares = counts
+      .withColumn("total", sum("count").over(w))
+      .withColumn("share", col("count").cast("double") / col("total"))
+    val perCol = shares.groupBy("col_name").agg(
+      (lit(1.0) - coalesce(sum(when(col("share") < 0.01, col("count"))),
+        lit(0L)).cast("double") / greatest(max("total"), lit(1L)))
+        .as("result"),
+      count(when(col("share") < 0.01, 1)).as("rare_n"))
+    perCol.select(
+      lit("accuracy").as("pillar"),
+      col("col_name"),
+      col("result"),
+      concat(lit("Rare value check on "), col("col_name"),
+        lit(" (<1% frequency)")).as("rule"),
+      statusOf(col("result")).as("status"),
+      when(col("result") >= Threshold,
+        lit("Rare values within acceptable range"))
+        .otherwise(concat(col("rare_n").cast("string"),
+          lit(" rare values (<1%) in "), col("col_name"))).as("reason"))
+  }
+
+  /** Pairwise functional-dependency consistency for every ordered column
+    * pair: 1.0 when each value of c1 maps to exactly one value of c2
+    * (nulls dropped pairwise). All pairs run in ONE job: per-row explode
+    * of (pair, key, value) then two aggregations.
+    *
+    * @param maxPairs hard cap on ordered pairs (N·(N−1) grows fast); the
+    *                 number dropped is logged, never silent.
+    */
+  def fdConsistencyChecks(df: DataFrame, cols: Seq[String],
+      maxPairs: Int = 64): DataFrame = {
+    val allPairs =
+      for (c1 <- cols; c2 <- cols if c1 != c2) yield (c1, c2)
+    val pairs = allPairs.take(maxPairs)
+    if (pairs.size < allPairs.size)
+      System.err.println(
+        s"[graft] fdConsistency: capped at $maxPairs of ${allPairs.size} " +
+          s"pairs (${allPairs.size - pairs.size} dropped)")
+    if (pairs.isEmpty) return emptyReport(df)
+
+    val pairStructs = array(pairs.map { case (c1, c2) =>
+      struct(lit(s"$c1->$c2").as("pair"),
+        col(c1).cast("string").as("k"), col(c2).cast("string").as("v"))
+    }: _*)
+    val exploded = df.select(explode(pairStructs).as("p"))
+      .select(col("p.pair").as("pair"), col("p.k").as("k"),
+        col("p.v").as("v"))
+      .filter(col("k").isNotNull && col("v").isNotNull)
+    val perKey = exploded.groupBy("pair", "k")
+      .agg(countDistinct("v").as("nd"))
+    val perPair = perKey.groupBy("pair")
+      .agg(sum(when(col("nd") > 1, 1L).otherwise(0L)).as("bad"))
+
+    val names = split(col("pair"), "->")
+    val c1 = element_at(names, 1)
+    val c2 = element_at(names, 2)
+    val result = when(col("bad") === 0, 1.0).otherwise(0.0)
+    perPair.select(
+      lit("consistency").as("pillar"),
+      col("pair").as("col_name"),
+      result.as("result"),
+      concat(lit("Each "), c1, lit(" maps to a consistent "), c2)
+        .as("rule"),
+      when(col("bad") === 0, "passed").otherwise("failed").as("status"),
+      when(col("bad") === 0,
+        concat(lit("Each value in "), c1, lit(" maps to one value in "),
+          c2))
+        .otherwise(concat(col("bad").cast("string"), lit(" values in "),
+          c1, lit(" map to multiple values in "), c2)).as("reason"))
+  }
+
+  /** Column family partition of a schema, reference rules:
+    * numeric = pandas numeric dtypes, string = object/str.
+    */
+  def numericCols(df: DataFrame): Seq[String] =
+    df.schema.fields.filter(f =>
+      TypeMapper.familyOf(f.dataType) == TypeMapper.NumericFamily)
+      .map(_.name).toSeq
+
+  def stringCols(df: DataFrame): Seq[String] =
+    df.schema.fields.filter(f =>
+      TypeMapper.familyOf(f.dataType) == TypeMapper.StringFamily)
+      .map(_.name).toSeq
+
+  /** Full file-DQ report: basics (from a precomputed profile) +
+    * consistency + accuracy, like the reference's `dq_checks` composition
+    * (`Data_Discovery_File.sql:307-311`).
+    */
+  def report(df: DataFrame, profile: DataFrame,
+      maxFdPairs: Int = 64): DataFrame =
+    basicChecks(profile)
+      .unionByName(fdConsistencyChecks(df, df.columns.toSeq, maxFdPairs))
+      .unionByName(zscoreChecks(df, numericCols(df)))
+      .unionByName(rareValueChecks(df, stringCols(df)))
+
+  private def emptyReport(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    Seq.empty[(String, String, Double, String, String, String)]
+      .toDF(reportCols: _*)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.dq
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryPack}
+import graft.io.{Schemas, Tables}
+import graft.io.Schemas.ColSpec
+import graft.profile.Profiler
+
+/** Registered file-variant DQ report queries with DuckDB oracles.
+  *
+  * The oracle rebuilds every report row (including reason strings) from
+  * the raw parquet, mirroring the arithmetic in [[FileDq]]: all ratios are
+  * a single division of exact integer counts, so results compare exactly.
+  */
+object FileDqQueries extends QueryPack {
+
+  private val Thr = "0.95"
+
+  private def completenessSql(t: String, c: ColSpec): String = {
+    val r = s"COUNT(${c.name})::DOUBLE / GREATEST(COUNT(*), 1)"
+    s"SELECT 'completeness' AS pillar, '${c.name}' AS col_name, " +
+      s"$r AS result, 'Completeness of ${c.name}' AS rule, " +
+      s"CASE WHEN $r >= $Thr THEN 'passed' ELSE 'failed' END AS status, " +
+      s"CASE WHEN $r >= $Thr THEN 'Less than 5% nulls' ELSE " +
+      s"(COUNT(*) - COUNT(${c.name}))::VARCHAR || ' nulls out of ' || " +
+      s"COUNT(*)::VARCHAR || ' rows' END AS reason FROM $t"
+  }
+
+  private def uniquenessSql(t: String, c: ColSpec): String = {
+    val r = s"COUNT(DISTINCT ${c.name})::DOUBLE / GREATEST(COUNT(*), 1)"
+    s"SELECT 'uniqueness' AS pillar, '${c.name}' AS col_name, " +
+      s"$r AS result, 'Uniqueness of ${c.name}' AS rule, " +
+      s"CASE WHEN $r >= $Thr THEN 'passed' ELSE 'failed' END AS status, " +
+      s"CASE WHEN $r >= $Thr THEN 'High uniqueness' ELSE " +
+      s"COUNT(DISTINCT ${c.name})::VARCHAR || ' unique values out of ' " +
+      s"|| COUNT(*)::VARCHAR END AS reason FROM $t"
+  }
+
+  private def validitySql(c: ColSpec): String = {
+    val valid =
+      Seq("VARCHAR", "NUMBER", "FLOAT", "BOOLEAN").contains(c.engineType)
+    val (r, st, re) =
+      if (valid) ("1.0", "passed", "All values match expected type")
+      else ("0.0", "failed", "Some values do not match expected type")
+    s"SELECT 'validity' AS pillar, '${c.name}' AS col_name, " +
+      s"$r AS result, 'Validity of ${c.name}' AS rule, '$st' AS status, " +
+      s"'$re' AS reason"
+  }
+
+  private def fdSql(t: String, c1: String, c2: String): String =
+    s"SELECT 'consistency' AS pillar, '$c1->$c2' AS col_name, " +
+      "CASE WHEN bad = 0 THEN 1.0 ELSE 0.0 END AS result, " +
+      s"'Each $c1 maps to a consistent $c2' AS rule, " +
+      "CASE WHEN bad = 0 THEN 'passed' ELSE 'failed' END AS status, " +
+      s"CASE WHEN bad = 0 THEN 'Each value in $c1 maps to one value in " +
+      s"$c2' ELSE bad::VARCHAR || ' values in $c1 map to multiple " +
+      s"values in $c2' END AS reason FROM (" +
+      "SELECT COUNT(CASE WHEN nd > 1 THEN 1 END) AS bad FROM (" +
+      s"SELECT $c1, COUNT(DISTINCT $c2) AS nd FROM $t " +
+      s"WHERE $c1 IS NOT NULL AND $c2 IS NOT NULL GROUP BY $c1))"
+
+  private def zscoreSql(t: String, c: String): String =
+    s"SELECT 'accuracy' AS pillar, '$c' AS col_name, " +
+      "CASE WHEN n > 0 THEN 1.0 - o::DOUBLE / n ELSE 1.0 END AS result, " +
+      s"'Outlier check on $c (z-score > 3)' AS rule, " +
+      s"CASE WHEN (CASE WHEN n > 0 THEN 1.0 - o::DOUBLE / n ELSE 1.0 " +
+      s"END) >= $Thr THEN 'passed' ELSE 'failed' END AS status, " +
+      s"CASE WHEN (CASE WHEN n > 0 THEN 1.0 - o::DOUBLE / n ELSE 1.0 " +
+      s"END) >= $Thr THEN 'Outliers within acceptable range' ELSE " +
+      s"o::VARCHAR || ' outliers detected in $c' END AS reason FROM (" +
+      s"SELECT (SELECT COUNT(*) FROM $t WHERE ABS($c - (SELECT AVG($c) " +
+      s"FROM $t)) > 3 * (SELECT STDDEV_SAMP($c) FROM $t)) AS o, " +
+      s"(SELECT COUNT($c) FROM $t) AS n)"
+
+  private def rareSql(t: String, c: String): String =
+    s"SELECT 'accuracy' AS pillar, '$c' AS col_name, result, " +
+      s"'Rare value check on $c (<1% frequency)' AS rule, " +
+      s"CASE WHEN result >= $Thr THEN 'passed' ELSE 'failed' END " +
+      "AS status, " +
+      s"CASE WHEN result >= $Thr THEN 'Rare values within acceptable " +
+      s"range' ELSE rare_n::VARCHAR || ' rare values (<1%) in $c' END " +
+      "AS reason FROM (" +
+      s"WITH vc AS (SELECT $c AS v, COUNT(*) AS cnt FROM $t " +
+      s"WHERE $c IS NOT NULL GROUP BY $c), " +
+      "tt AS (SELECT SUM(cnt) AS tot FROM vc) " +
+      "SELECT 1.0 - COALESCE(SUM(CASE WHEN cnt::DOUBLE / tot < 0.01 " +
+      "THEN cnt END), 0)::DOUBLE / GREATEST(tot, 1) AS result, " +
+      "COUNT(CASE WHEN cnt::DOUBLE / tot < 0.01 THEN 1 END) AS rare_n " +
+      "FROM vc, tt GROUP BY tot)"
+
+  private def reportOracle(table: String, cols: Seq[ColSpec]): String = {
+    val basics = cols.flatMap(c => Seq(completenessSql(table, c),
+      uniquenessSql(table, c), validitySql(c)))
+    val fds = for (a <- cols; b <- cols if a.name != b.name)
+      yield fdSql(table, a.name, b.name)
+    val zs = cols.filter(_.numeric).map(c => zscoreSql(table, c.name))
+    val rares = cols.filter(c => !c.numeric && !c.temporal)
+      .map(c => rareSql(table, c.name))
+    (basics ++ fds ++ zs ++ rares).mkString(" UNION ALL ") +
+      " ORDER BY pillar, col_name"
+  }
+
+  private def fileDqQuery(table: String): QueryDef =
+    QueryDef(s"dq_file_$table",
+      (s, dir) => {
+        val df = Tables.load(s, dir, table)
+        val profile = Profiler.profile(df,
+          now = lit(DqQueries.FixedNow).cast("timestamp"))
+        FileDq.report(df, profile).orderBy("pillar", "col_name")
+      },
+      Some(reportOracle(table, Schemas.byTable(table))))
+
+  override def queries: Seq[QueryDef] =
+    Seq(fileDqQuery("events"), fileDqQuery("documents"))
+}

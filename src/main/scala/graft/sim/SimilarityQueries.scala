@@ -1,0 +1,60 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryPack}
+import graft.io.Tables
+
+/** Registered similarity-search queries over `embeddings`.
+  *
+  * The brute-force top-k is DuckDB-oracled EXACTLY: both engines cast
+  * float→double and fold the dot product in sequential array order, so the
+  * IEEE results are bit-identical (verified empirically; no rounding
+  * needed). The LSH path has no SQL equivalent (hash-derived hyperplanes)
+  * and registers rows-only, with recall pinned against brute force in
+  * SimilaritySpec.
+  */
+object SimilarityQueries extends QueryPack {
+
+  val K = 10
+  val QueryIds = 10 // vec_id < 10 form the query set
+
+  private val cosineSql =
+    "CASE WHEN sqrt(list_dot_product(q.v, q.v)) * " +
+      "sqrt(list_dot_product(c.v, c.v)) = 0 THEN 0.0 " +
+      "ELSE list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v))" +
+      " * sqrt(list_dot_product(c.v, c.v))) END"
+
+  private def bruteQuery = QueryDef(
+    "sim_topk_bruteforce",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < QueryIds), "vec_id", "embedding", K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id < $QueryIds),
+         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  $cosineSql AS cosine FROM e c, q WHERE c.vec_id <> q.vec_id)
+         |SELECT query_id, rn AS rank, neighbor_id, cosine FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+         |WHERE rn <= $K ORDER BY query_id, rank""".stripMargin
+        .replace("\n", " ")))
+
+  private def lshQuery = QueryDef(
+    "sim_topk_lsh",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < QueryIds),
+          "vec_id", "embedding", K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  override def queries: Seq[QueryDef] = Seq(bruteQuery, lshQuery)
+}

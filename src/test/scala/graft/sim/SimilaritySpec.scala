@@ -1,0 +1,52 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: orthogonal -> 0, identical -> 1, zero vector guarded") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 2.0), Seq(1.0, 2.0)),
+      (Seq(0.0, 0.0), Seq(1.0, 1.0))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")))
+    val out = df.as[Double].collect()
+    assert(math.abs(out(0)) < 1e-15)
+    assert(math.abs(out(1) - 1.0) < 1e-12)
+    assert(out(2) === 0.0)
+  }
+
+  test("brute-force top-k ranks by cosine desc, excludes self") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.bruteForceTopK(emb,
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+    val rows = out.select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+    assert(rows.length === 15)
+    rows.foreach { case (q, _, n) => assert(q !== n) }
+    // ranks are 1..5 per query
+    assert(rows.groupBy(_._1).values.forall(
+      _.map(_._2).sorted.sameElements(1 to 5)))
+  }
+
+  test("LSH top-k recall vs brute force is usable and plan is join-based") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = 10
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k)
+    val got = approx.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(s"LSH recall@$k = $recall (${(exact & got).size}/${exact.size})")
+    assert(recall >= 0.5, s"recall $recall too low for 16 tables x 4 bits")
+    // the ANN path must be candidate-join based, not an all-pairs cross
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
