@@ -14,7 +14,9 @@ object SparkEntry {
     security.PiiQueries,
     text.TextQueries,
     dedup.DedupQueries,
-    sim.SimilarityQueries)
+    sim.SimilarityQueries,
+    exec.ExecQueries,
+    io.DiscoveryQueries)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 

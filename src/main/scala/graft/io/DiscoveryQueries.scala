@@ -1,0 +1,55 @@
+package graft.io
+
+import graft.{QueryDef, QueryPack}
+
+/** Registered discovery queries: file → inferred schema rows, checked
+  * against the corpus's known column specs as a literal oracle. The
+  * csv/json variants first export a slice of the corpus through Spark's
+  * writers, then rediscover it through the inference path — exercising
+  * reader + inference + TypeMapper end to end.
+  */
+object DiscoveryQueries extends QueryPack {
+
+  private def specOracle(rows: Seq[(String, String, Int)]): String =
+    rows.map { case (n, t, o) =>
+      s"SELECT '$n' AS column_name, '$t' AS data_type, " +
+        s"$o AS ordinal_position"
+    }.mkString(" UNION ALL ") + " ORDER BY ordinal_position"
+
+  private def parquetQuery = QueryDef(
+    "discovery_parquet_lineitem",
+    (s, dir) => Discovery.schemaFrame(s, s"$dir/lineitem.parquet")
+      .orderBy("ordinal_position"),
+    Some(specOracle(Schemas.lineitem.zipWithIndex.map { case (c, i) =>
+      (c.name, c.engineType, i + 1)
+    })))
+
+  private def csvQuery = QueryDef(
+    "discovery_csv_events",
+    (s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_events.csv"
+      Tables.load(s, dir, "events")
+        .select("event_id", "event_type", "value")
+        .write.mode("overwrite").option("header", "true").csv(out)
+      Discovery.schemaFrame(s, out).orderBy("ordinal_position")
+    },
+    Some(specOracle(Seq(
+      ("event_id", "NUMBER", 1), ("event_type", "VARCHAR", 2),
+      ("value", "FLOAT", 3)))))
+
+  private def jsonQuery = QueryDef(
+    "discovery_json_documents",
+    (s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_docs.json"
+      Tables.load(s, dir, "documents")
+        .select("doc_id", "lang", "source")
+        .write.mode("overwrite").json(out)
+      Discovery.schemaFrame(s, out).orderBy("ordinal_position")
+    },
+    Some(specOracle(Seq(
+      ("doc_id", "NUMBER", 1), ("lang", "VARCHAR", 2),
+      ("source", "VARCHAR", 3)))))
+
+  override def queries: Seq[QueryDef] =
+    Seq(parquetQuery, csvQuery, jsonQuery)
+}

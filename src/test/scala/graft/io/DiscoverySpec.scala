@@ -1,0 +1,46 @@
+package graft.io
+
+import graft.SparkSpec
+
+class DiscoverySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("parquet discovery maps the full schema with engine types") {
+    val fd = Discovery.fileDefinition(spark, s"$sf/lineitem.parquet")
+    assert(fd.fileType === "parquet")
+    assert(fd.fileName === "lineitem.parquet")
+    assert(fd.columns.map(_.columnName) ===
+      Schemas.lineitem.map(_.name))
+    assert(fd.columns.map(_.`type`) ===
+      Schemas.lineitem.map(_.engineType))
+    assert(fd.fileSize.endsWith("KB") || fd.fileSize.endsWith("MB") ||
+      fd.fileSize.endsWith("B"))
+  }
+
+  test("file size formatting follows the reference's units") {
+    assert(Discovery.formatSize(512) === "512 B")
+    assert(Discovery.formatSize(2048) === "2.0 KB")
+    assert(Discovery.formatSize(1536) === "1.5 KB")
+    assert(Discovery.formatSize(3 * 1024 * 1024) === "3.0 MB")
+  }
+
+  test("unsupported extension raises like the reference") {
+    intercept[IllegalArgumentException] {
+      Discovery.load(spark, "/tmp/nope.avro")
+    }
+    intercept[IllegalArgumentException] {
+      Discovery.load(spark, "/tmp/nope.xlsx")
+    }
+  }
+
+  test("ingest ndjson round-trip preserves rows") {
+    import spark.implicits._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_disc.json"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.mode("overwrite").json(out)
+    val (df, tpe) = Discovery.load(spark, out)
+    assert(tpe === "json")
+    assert(df.count() === 2)
+  }
+}
