@@ -11,12 +11,14 @@ object SparkEntry {
     dq.DqQueries,
     dq.FileDqQueries,
     pipeline.PipelineQueries,
+    pipeline.BuilderQueries,
     security.PiiQueries,
     text.TextQueries,
     dedup.DedupQueries,
     sim.SimilarityQueries,
     exec.ExecQueries,
-    io.DiscoveryQueries)
+    io.DiscoveryQueries,
+    mm.MultimodalQueries)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 

@@ -25,14 +25,14 @@ object SimHash {
     */
   def simhash64(tokens: Column): Column = {
     val hashes = transform(tokens, t => xxhash64(t))
-    // counters(j) = Σ_tokens (bit j set ? +1 : −1)
+    // counters(j) = Σ_tokens (bit j set ? +1 : −1); the ±1 is fused into
+    // the zip lambda (an intermediate transform() array doubled the
+    // per-hash lambda evaluations in interpreted HOF execution)
     val counters = aggregate(
       hashes,
       array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc,
-        transform(pows, p =>
-          when(h.bitwiseAND(p) =!= 0, 1).otherwise(-1)),
-        (a, b) => a + b))
+      (acc, h) => zip_with(acc, pows, (a, p) =>
+        a + when(h.bitwiseAND(p) =!= 0, 1).otherwise(-1)))
     aggregate(
       zip_with(counters, pows, (c, p) => when(c > 0, p).otherwise(lit(0L))),
       lit(0L),

@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryPack}
+import graft.io.Tables
+
+/** Registered generated-pipeline-shape queries (J1/A13) with DuckDB
+  * oracles. Money metrics are DECIMAL(18,2)-cast before summing on BOTH
+  * sides so the aggregates are exact integers-in-disguise and hash-match
+  * regardless of summation order.
+  */
+object BuilderQueries extends QueryPack {
+
+  /** orders ⋈ customer ⋈ nation with broadcast dims, revenue per nation. */
+  private def joinAggQuery = QueryDef(
+    "join_revenue_by_nation",
+    (s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val customer = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_nationkey")
+      val nation = Tables.load(s, dir, "nation")
+        .select("n_nationkey", "n_name")
+      val joined = Builders.join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        Seq((customer, Seq("c_custkey"), true),
+          (nation.withColumnRenamed("n_nationkey", "c_nationkey"),
+            Seq("c_nationkey"), true)))
+      Builders.aggregate(joined, Seq(col("n_name")),
+        Seq(Builders.moneySum(col("o_totalprice")).cast("double")
+            .as("revenue"),
+          count(lit(1)).as("order_cnt")))
+        .orderBy("n_name")
+    },
+    Some("SELECT n_name, SUM(o_totalprice::DECIMAL(18,2))::DOUBLE AS revenue, " +
+      "COUNT(*) AS order_cnt FROM orders " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "GROUP BY n_name ORDER BY n_name"))
+
+  /** Monthly revenue summary (the codegen "monthly" shape). */
+  private def monthlyQuery = QueryDef(
+    "agg_monthly_orders",
+    (s, dir) => Builders.monthlySummary(Tables.load(s, dir, "orders"),
+        "o_orderdate",
+        Seq(Builders.moneySum(col("o_totalprice")).cast("double")
+            .as("revenue"),
+          count(lit(1)).as("order_cnt"),
+          countDistinct(col("o_custkey")).as("customers")))
+      .orderBy("month")
+      .withColumn("month", col("month").cast("string")),
+    Some("SELECT date_trunc('month', o_orderdate)::DATE::VARCHAR AS month, " +
+      "SUM(o_totalprice::DECIMAL(18,2))::DOUBLE AS revenue, " +
+      "COUNT(*) AS order_cnt, COUNT(DISTINCT o_custkey) AS customers " +
+      "FROM orders GROUP BY 1 ORDER BY month"))
+
+  /** Line-item revenue by return flag: per-row double math is
+    * deterministic; the per-row result is decimal-cast before the sum.
+    */
+  private def revenueQuery = QueryDef(
+    "agg_lineitem_revenue",
+    (s, dir) => Builders.aggregate(
+        Tables.load(s, dir, "lineitem"),
+        Seq(col("l_returnflag"), col("l_linestatus")),
+        Seq(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
+          Builders.moneySum(col("l_extendedprice")).cast("double")
+            .as("gross"),
+          count(lit(1)).as("cnt")))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("SELECT l_returnflag, l_linestatus, " +
+      "SUM((l_extendedprice * (1.0 - l_discount))::DECIMAL(18,4))::DOUBLE " +
+      "AS revenue, SUM(l_extendedprice::DECIMAL(18,2))::DOUBLE AS gross, " +
+      "COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+      "ORDER BY l_returnflag, l_linestatus"))
+
+  override def queries: Seq[QueryDef] =
+    Seq(joinAggQuery, monthlyQuery, revenueQuery)
+}
