@@ -38,36 +38,22 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
 
-  /** Mersenne prime 2^31−1: permutation hashes stay in 32 bits so the
-    * a·h+b products below never overflow a long.
-    */
-  private val P = 2147483647L
-
-  /** MinHash signature (array of `numHashes` ints) over a shingle array.
-    * Universal-hash family h_i(x) = (a_i·x + b_i) mod P over the base
-    * xxhash64 of each shingle, reduced mod P first. Empty shingle sets get
-    * signature [P, P, …] (sentinel that only collides with other empties).
+  /** MinHash signature (array of `numHashes` longs) over a shingle array.
+    * Universal-hash family h_i(x) = (a_i·x + b_i) mod P (P = 2³¹−1, so the
+    * products never overflow a long) over the base xxhash64 of each
+    * shingle, reduced mod P first. Empty shingle sets get signature
+    * [P, P, …] (sentinel that only collides with other empties).
     *
-    * Single-pass structure matters: the shingle hashes are folded ONCE via
-    * `aggregate`, updating all `numHashes` running minima per hash. The
-    * naive `transform(seeds, i => array_min(transform(hashes, …)))` nests
-    * the hash computation inside the seed lambda, so Spark re-shingles and
-    * re-hashes the document `numHashes` times — measured 50× slower on the
-    * corpus bench.
+    * Native codegen'd loop (`org.apache.spark.sql.graft.MinHashSig`): one
+    * xxhash per shingle, updating all `numHashes` running minima in a
+    * primitive inner loop. Two prior HOF formulations measured 50× (nested
+    * re-hash) and ~8× (single-pass fold, interpreted closures) slower.
     */
-  def minHashSignature(shingles: Column, numHashes: Int): Column = {
-    val baseHashes = transform(shingles, s => pmod(xxhash64(s), lit(P)))
-    // (a_i, b_i) as literal arrays; zip_with pairs them with the acc
-    val aLit = array((0 until numHashes).map(i => lit(i * 2L + 1)): _*)
-    val bLit =
-      array((0 until numHashes).map(i => lit(i * 40503L + 12345L)): _*)
-    val seeds = zip_with(aLit, bLit, (a, b) => struct(a.as("a"), b.as("b")))
-    aggregate(
-      baseHashes,
-      transform(seeds, _ => lit(P)), // initial minima = sentinel P
-      (acc, h) => zip_with(acc, seeds, (cur, s) =>
-        least(cur, pmod(s.getField("a") * h + s.getField("b"), lit(P)))))
-  }
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.MinHashSig(
+        org.apache.spark.sql.graft.ColumnShim.expression(shingles),
+        numHashes))
 
   /** (id, band_idx, band_hash) — one row per band per doc. `bands` must
     * divide the signature length; each band hashes `sigLen/bands`

@@ -105,6 +105,45 @@ object DedupQueries extends QueryPack {
     },
     None)
 
+  /** Embedding-cosine near-dup, label-blocked exact variant: pairs within
+    * the same `label` block with cosine ≥ 0.3 (≈ the 99th percentile of
+    * the corpus pair distribution — the fixtures are near-random vectors,
+    * so a classic 0.95 dup threshold would be vacuous). Cosine folds are
+    * sequential double ops in both engines, so values hash-match exactly.
+    */
+  private def embBlockedQuery = QueryDef(
+    "dedup_embedding_blocked",
+    (s, dir) => EmbeddingDedup.cosinePairsBlocked(
+        graft.io.Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", threshold = 0.3)
+      .orderBy("id_a", "id_b"),
+    Some(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
+        |    sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0
+        |  ELSE list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) *
+        |     sqrt(list_dot_product(b.v, b.v))) END AS cosine
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")))
+
+  /** Embedding-cosine near-dup, sign-LSH bucketed (the 100 TB path;
+    * hyperplanes are engine-side literals with no SQL equivalent, so this
+    * registers rows-only — recall is pinned against the blocked variant in
+    * DedupSpec).
+    */
+  private def embLshQuery = QueryDef(
+    "dedup_embedding_lsh",
+    (s, dir) => EmbeddingDedup.cosinePairsLsh(
+        graft.io.Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.3)
+      .orderBy("id_a", "id_b"),
+    None)
+
   override def queries: Seq[QueryDef] = Seq(
-    exactQuery, jaccardQuery, minhashQuery, simhashQuery)
+    exactQuery, jaccardQuery, minhashQuery, simhashQuery,
+    embBlockedQuery, embLshQuery)
 }

@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.{ArrayDot, ColumnShim, CosineSim}
+
+/** Public wrappers for the native vector expressions (implementation in
+  * `org.apache.spark.sql.graft.VectorExpressionsImpl` — the Catalyst
+  * `ExpectsInputTypes` contract is `private[sql]` in Spark 4, so the case
+  * classes live inside that package scope).
+  *
+  * Inputs must be `array<double>`; cast float embeddings upstream (e.g.
+  * `transform(c, _.cast("double"))`) once behind a projection boundary.
+  */
+object VectorExpressions {
+
+  /** Σ aᵢ·bᵢ as a codegen'd primitive loop. */
+  def dot(a: Column, b: Column): Column =
+    ColumnShim.column(ArrayDot(ColumnShim.expression(a),
+      ColumnShim.expression(b)))
+
+  /** Cosine similarity in one traversal; 0.0 on zero norms. */
+  def cosine(a: Column, b: Column): Column =
+    ColumnShim.column(CosineSim(ColumnShim.expression(a),
+      ColumnShim.expression(b)))
+}

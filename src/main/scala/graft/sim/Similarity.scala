@@ -22,18 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double precision, sequential array order. */
+  /** Σ aᵢ·bᵢ in double precision, sequential array order (native codegen
+    * expression — see [[graft.functions.VectorExpressions]]).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val nn = norm(a) * norm(b)
-    when(nn === 0.0, 0.0).otherwise(d / nn)
-  }
+  /** Cosine similarity; 0 when either vector has zero norm. Single-loop
+    * native expression — three accumulators, one array traversal.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosine(a, b)
 
   private def asDouble(c: Column): Column =
     transform(c, x => x.cast("double"))
@@ -54,36 +55,42 @@ object Similarity {
         cosine(col("__qv"), col("__cv")).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 
   /** Deterministic random hyperplane as a LITERAL array column: generated
-    * driver-side from a fixed seed, so the expression tree stays one
-    * literal per plane instead of dims×(hash ops) — per-row hyperplane
-    * hashing bloated task binaries to ~17 MB and is gone.
+    * driver-side from a fixed seed, so the expression tree carries plain
+    * constants — per-row hyperplane hashing bloated task binaries to
+    * ~17 MB and is gone.
     */
   private def planeLit(table: Int, bit: Int, dims: Int): Column = {
     val rng = new scala.util.Random(table.toLong * 1000003L + bit * 7919L)
     array((0 until dims).map(_ => lit(rng.nextDouble() * 2 - 1)): _*)
   }
 
-  /** Sign-LSH bucket id for one table: b bits, bit j = sign(v · plane_j). */
+  /** Sign-LSH bucket id for one table: b bits, bit j = sign(v · plane_j).
+    * `vec` should already be `array<double>` (the codegen'd [[dot]] makes
+    * the per-plane loops cheap; the cast must not be re-derived per plane,
+    * which [[lshIndex]] guarantees with a projection boundary).
+    */
   def signBucket(vec: Column, table: Int, bits: Int, dims: Int): Column =
     (0 until bits).map { j =>
       when(dot(vec, planeLit(table, j, dims)) >= 0, lit(1L << j))
         .otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** (id, table_idx, bucket) — L·|df| rows, the ANN index. */
+  /** (id, table_idx, bucket) — L·|df| rows, the ANN index. The vector is
+    * cast to `array<double>` once behind a projection boundary; each of
+    * the tables·bits plane dots is then a native codegen'd loop.
+    */
   def lshIndex(df: DataFrame, idCol: String, vecCol: String, tables: Int,
-      bits: Int, dims: Int): DataFrame = {
-    val v = asDouble(col(vecCol))
-    val buckets = array((0 until tables).map(t =>
-      signBucket(v, t, bits, dims)): _*)
-    df.select(col(idCol),
-      posexplode(buckets).as(Seq("table_idx", "bucket")))
-  }
+      bits: Int, dims: Int): DataFrame =
+    df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .select(col(idCol),
+        posexplode(array((0 until tables).map(t =>
+          signBucket(col("__v"), t, bits, dims)): _*))
+          .as(Seq("table_idx", "bucket")))
 
   /** Approximate top-k: candidates = corpus rows sharing any (table,
     * bucket) with the query, then exact cosine on candidates only.
@@ -107,7 +114,7 @@ object Similarity {
         cosine(col("__qv"), col("__cv")).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 }

@@ -67,8 +67,8 @@ object TextQueries extends QueryPack {
       val t = col("text")
       Tables.load(s, dir, "documents").select(
         col("doc_id"),
-        TextAnalysis.tokenCount(t).as("n_tokens"),
-        TextAnalysis.bpeishCount(t).as("n_tokens_bpe"),
+        TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
+        TextAnalysis.bpeishCount(t).cast("long").as("n_tokens_bpe"),
         TextAnalysis.punctRatio(t).as("punct_ratio"),
         TextAnalysis.stopwordRatio(t).as("stopword_ratio"),
         TextAnalysis.avgTokenLen(t).as("avg_token_len"),

@@ -73,6 +73,26 @@ class DedupSpec extends SparkSpec {
     assert(dAB <= 16)
   }
 
+  test("embedding cosine near-dup: LSH recalls blocked pairs, no cartesian") {
+    val emb = graft.io.Tables.load(spark, sf, "embeddings")
+    val truth = EmbeddingDedup.cosinePairsBlocked(emb, "vec_id",
+        "embedding", "label", threshold = 0.3)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val found = EmbeddingDedup.cosinePairsLsh(emb, "vec_id", "embedding",
+      threshold = 0.3)
+    val plan = found.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "LSH pipeline must never plan a cartesian product")
+    val foundPairs =
+      found.as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(truth.nonEmpty, "corpus should contain cosine>=0.3 pairs")
+    // sign-LSH at theta≈72deg is probabilistic; require >=70% recall of
+    // the blocked ground truth and exact-cosine precision by construction
+    val recall = (truth & foundPairs).size.toDouble / truth.size
+    assert(recall >= 0.7, s"LSH recall $recall below 0.7 (|truth|=${truth.size})")
+    foundPairs.foreach { case (a, b) => assert(a < b) }
+  }
+
   test("exact dedup collapses identical texts") {
     val df = Seq((1, "same"), (2, "same"), (3, "other")).toDF("id", "text")
     assert(Dedup.exact(df, Seq("text")).count() === 2)

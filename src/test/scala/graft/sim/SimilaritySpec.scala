@@ -24,7 +24,7 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.bruteForceTopK(emb,
       emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
     val rows = out.select("query_id", "rank", "neighbor_id")
-      .as[(Long, Int, Long)].collect()
+      .as[(Long, Long, Long)].collect()
     assert(rows.length === 15)
     rows.foreach { case (q, _, n) => assert(q !== n) }
     // ranks are 1..5 per query
