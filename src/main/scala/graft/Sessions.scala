@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
   def local(appName: String = "graft"): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")

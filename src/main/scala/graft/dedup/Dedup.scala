@@ -79,15 +79,22 @@ object Dedup {
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
       maxBucket: Int = 64): DataFrame = {
+    // The signature frame is the LSH index: persist it so (a) CollapseProject
+    // cannot inline the MinHash computation into the band-explode lambda
+    // (which would re-sign every doc `bands` times), and (b) the self-join
+    // below reads the index instead of re-deriving it per side. ~1 KB/row;
+    // at cluster scale this is the standard materialized sketch table
+    // (write to storage for multi-job reuse).
     val sigs = df.select(col(idCol),
       minHashSignature(wordShingles(col(textCol), shingleK), numHashes)
-        .as("__sig"))
+        .as("__sig")).persist()
     val buckets = bandedBuckets(sigs, idCol, "__sig", bands)
     val bounded = buckets.withColumn("__bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("band_idx", "band_hash")))
       .filter(col("__bucket_n").between(2, maxBucket))
       .drop("__bucket_n")
+      .persist()
     val left = bounded.select(col("band_idx"), col("band_hash"),
       col(idCol).as("id_a"))
     val right = bounded.select(col("band_idx"), col("band_hash"),
@@ -103,8 +110,11 @@ object Dedup {
     */
   def jaccardOnPairs(pairs: DataFrame, df: DataFrame, idCol: String,
       textCol: String, shingleK: Int): DataFrame = {
+    // persist: joined once per pair side — without it the corpus is
+    // re-shingled twice.
     val sets = df.select(col(idCol).as("__id"),
       array_distinct(wordShingles(col(textCol), shingleK)).as("__set"))
+      .persist()
     pairs
       .join(sets.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__set", "__set_a"), "id_a")

@@ -84,8 +84,12 @@ object DedupQueries extends QueryPack {
     "dedup_simhash_documents",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
+      // persist: the fingerprint frame is exploded into 4 chunks and
+      // self-joined — without it CollapseProject inlines the SimHash into
+      // every chunk element and each join side (8 evals/doc; measured 24×).
       val fps = docs.select(col("doc_id"),
         SimHash.simhash64(Dedup.wordShingles(col("text"), 3)).as("fp"))
+        .persist()
       val chunks = fps.select(col("doc_id"), col("fp"),
         posexplode(array((0 until 4).map(i =>
           shiftrightunsigned(col("fp"), i * 16).bitwiseAND(0xFFFFL)): _*))

@@ -66,10 +66,13 @@ object EmbeddingDedup {
       threshold: Double, tables: Int = 16, bits: Int = 4, dims: Int = 64,
       maxBucket: Int = 256): DataFrame = {
     val idx = Similarity.lshIndex(df, idCol, vecCol, tables, bits, dims)
+    // Materialized ANN index: without the persist the hyperplane hashing is
+    // re-derived on each side of the self-join (and under the window).
     val bounded = idx.withColumn("__bucket_n",
         count(lit(1)).over(Window.partitionBy("table_idx", "bucket")))
       .filter(col("__bucket_n").between(2, maxBucket))
       .drop("__bucket_n")
+      .persist()
     val left = bounded.select(col("table_idx"), col("bucket"),
       col(idCol).as("id_a"))
     val right = bounded.select(col("table_idx"), col("bucket"),

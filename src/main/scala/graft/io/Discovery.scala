@@ -20,20 +20,39 @@ object Discovery {
   final case class FileDefinition(fileName: String, fileType: String,
       fileSize: String, columns: Seq[ColumnDef])
 
+  /** S2: pluggable readers for formats without a built-in Spark source
+    * (the reference's `pd.read_excel` branch, `:325-327`). A registered
+    * reader takes precedence over the built-in dispatch for its extension;
+    * Excel stays unregistered here (no Excel library ships in this
+    * environment, and the corpus has no Excel fixtures) — registering one
+    * is a one-liner for a deployment that bundles e.g. a POI-based source.
+    */
+  private val pluggable =
+    scala.collection.concurrent.TrieMap[String, (SparkSession, String) => DataFrame]()
+
+  def registerReader(ext: String,
+      reader: (SparkSession, String) => DataFrame): Unit =
+    pluggable.put(ext.toLowerCase, reader)
+
+  def unregisterReader(ext: String): Unit =
+    pluggable.remove(ext.toLowerCase)
+
   /** Extension-dispatched distributed load
     * (`Data_Discovery_File.sql:317-349`). Returns (df, fileType).
-    * Excel has no built-in Spark source and no test corpus — it raises,
-    * like the reference's unsupported branch.
+    * Excel raises unless a pluggable reader is registered, like the
+    * reference's unsupported branch.
     */
   def load(spark: SparkSession, path: String): (DataFrame, String) = {
     val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
+    pluggable.get(ext).foreach { r => return (r(spark, path), ext) }
     ext match {
       case "csv" =>
         (spark.read.option("header", "true").option("inferSchema", "true")
           .csv(path), "csv")
       case "xls" | "xlsx" =>
         throw new IllegalArgumentException(
-          "Excel needs a pluggable reader (no built-in Spark source)")
+          "Excel needs a pluggable reader (registerReader(\"xlsx\", …)); " +
+            "no built-in Spark source")
       case "json" =>
         // NDJSON first (Spark native), whole-file fallback (`:329-337`)
         val lines = spark.read.json(path)

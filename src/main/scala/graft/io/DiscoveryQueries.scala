@@ -50,6 +50,23 @@ object DiscoveryQueries extends QueryPack {
       ("doc_id", "NUMBER", 1), ("lang", "VARCHAR", 2),
       ("source", "VARCHAR", 3)))))
 
+  /** S4: Spark 4 ships a built-in XML source; the reference's
+    * `pd.read_xml` branch (`Data_Discovery_File.sql:339-341`) maps to
+    * `spark.read.xml` with a `rowTag`.
+    */
+  private def xmlQuery = QueryDef(
+    "discovery_xml_events",
+    (s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_events.xml"
+      Tables.load(s, dir, "events")
+        .select("event_id", "event_type", "value")
+        .write.mode("overwrite").option("rowTag", "row").xml(out)
+      Discovery.schemaFrame(s, out).orderBy("ordinal_position")
+    },
+    Some(specOracle(Seq(
+      ("event_id", "NUMBER", 1), ("event_type", "VARCHAR", 2),
+      ("value", "FLOAT", 3)))))
+
   override def queries: Seq[QueryDef] =
-    Seq(parquetQuery, csvQuery, jsonQuery)
+    Seq(parquetQuery, csvQuery, jsonQuery, xmlQuery)
 }

@@ -74,6 +74,33 @@ object BuilderQueries extends QueryPack {
       "COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus " +
       "ORDER BY l_returnflag, l_linestatus"))
 
+  /** Set operations (SURVEY §2g — absent in the reference, exposed for
+    * generated-SQL parity): distinct-union / intersect / except of the
+    * customer-key domains of `customer` and `orders`, reported as one
+    * (op, n) row each. All three are shuffle-on-key operators.
+    */
+  private def setOpsQuery = QueryDef(
+    "setops_customer_orders",
+    (s, dir) => {
+      val a = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("k"))
+      val b = Tables.load(s, dir, "orders").select(col("o_custkey").as("k"))
+      def counted(op: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      counted("union", a.union(b).distinct())
+        .unionByName(counted("intersect", a.intersect(b)))
+        .unionByName(counted("except", a.except(b)))
+        .orderBy("op")
+    },
+    Some("WITH a AS (SELECT c_custkey AS k FROM customer), " +
+      "b AS (SELECT o_custkey AS k FROM orders) " +
+      "SELECT 'union' AS op, (SELECT COUNT(*) FROM " +
+      "(SELECT k FROM a UNION SELECT k FROM b)) AS n " +
+      "UNION ALL SELECT 'intersect', (SELECT COUNT(*) FROM " +
+      "(SELECT k FROM a INTERSECT SELECT k FROM b)) " +
+      "UNION ALL SELECT 'except', (SELECT COUNT(*) FROM " +
+      "(SELECT k FROM a EXCEPT SELECT k FROM b)) ORDER BY op"))
+
   override def queries: Seq[QueryDef] =
-    Seq(joinAggQuery, monthlyQuery, revenueQuery)
+    Seq(joinAggQuery, monthlyQuery, revenueQuery, setOpsQuery)
 }

@@ -34,6 +34,28 @@ class DiscoverySpec extends SparkSpec {
     }
   }
 
+  test("xml round-trip discovers the same schema (S4)") {
+    import spark.implicits._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_disc.xml"
+    Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
+      .write.mode("overwrite").option("rowTag", "row").xml(out)
+    val fd = Discovery.fileDefinition(spark, out)
+    assert(fd.fileType === "xml")
+    assert(fd.columns.map(c => (c.columnName, c.`type`)) ===
+      Seq(("id", "NUMBER"), ("s", "VARCHAR"), ("v", "FLOAT")))
+  }
+
+  test("pluggable reader takes over an unsupported extension (S2)") {
+    import spark.implicits._
+    Discovery.registerReader("xlsx",
+      (s, _) => Seq(("stub", 1L)).toDF("sheet", "rows"))
+    try {
+      val (df, tpe) = Discovery.load(spark, "/tmp/fake.xlsx")
+      assert(tpe === "xlsx")
+      assert(df.columns === Array("sheet", "rows"))
+    } finally Discovery.unregisterReader("xlsx")
+  }
+
   test("ingest ndjson round-trip preserves rows") {
     import spark.implicits._
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_disc.json"
