@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.io.Tables
+import graft.pipeline.Scd1
+
+class StreamingPipelinesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("windowed event stats match the equivalent batch aggregation") {
+    val events = Tables.load(spark, sf, "events")
+    val src = tmpDir("graft_stream_src")
+    events.write.mode("overwrite").parquet(src)
+
+    val stream = spark.readStream.schema(events.schema).parquet(src)
+    val out = StreamingPipelines.windowedEventStats(stream, "ts",
+      window = "1 day", watermark = "2 days")
+    val q = out.writeStream.format("memory").queryName("win_stats")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("graft_stream_ckpt"))
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("win_stats")
+      .select("window_start", "event_type", "n", "value_sum")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6)))
+      .toSet
+    val batch = events
+      .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(col("win.start"), col("event_type"), col("n"),
+        col("value_sum"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6)))
+      .toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("incremental SCD1 over a stream equals batch latest-per-key") {
+    val events = Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "event_type", "ts", "value")
+    val src = tmpDir("graft_scd1_src")
+    // two "arrival" files to force at least two micro-batch candidates
+    events.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(src)
+    events.filter(col("event_id") % 2 === 1)
+      .write.mode("append").parquet(src)
+
+    val target = tmpDir("graft_scd1_target") + "/t"
+    val stream = spark.readStream.schema(events.schema).parquet(src)
+    val q = StreamingPipelines.incrementalScd1(stream, target,
+      keys = Seq("user_id"), orderCol = "ts",
+      tieBreakers = Seq("event_id"), checkpoint = tmpDir("graft_scd1_ckpt"))
+    q.awaitTermination(120000)
+
+    val streamedFinal = spark.read.parquet(target)
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchFinal = Scd1.latestPerKey(events, Seq("user_id"), "ts",
+        tieBreakers = Seq("event_id"))
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamedFinal === batchFinal)
+    assert(streamedFinal.nonEmpty)
+  }
+
+  test("profileStream appends one batch-tagged profile per micro-batch") {
+    val events = Tables.load(spark, sf, "events")
+      .select("event_id", "value")
+    val src = tmpDir("graft_prof_src")
+    events.write.mode("overwrite").parquet(src)
+
+    val results = tmpDir("graft_prof_out") + "/r"
+    val stream = spark.readStream.schema(
+      events.schema).parquet(src)
+    val q = StreamingPipelines.profileStream(stream, results,
+      checkpoint = tmpDir("graft_prof_ckpt"))
+    q.awaitTermination(120000)
+
+    val prof = spark.read.parquet(results)
+    assert(prof.columns.contains("batch_id"))
+    // both profiled columns present for every processed batch
+    val byBatch = prof.groupBy("batch_id")
+      .agg(countDistinct("column_name").as("cols")).collect()
+    assert(byBatch.nonEmpty)
+    byBatch.foreach(r => assert(r.getLong(1) === 2))
+  }
+}
