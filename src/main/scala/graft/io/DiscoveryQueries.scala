@@ -67,6 +67,29 @@ object DiscoveryQueries extends QueryPack {
       ("event_id", "NUMBER", 1), ("event_type", "VARCHAR", 2),
       ("value", "FLOAT", 3)))))
 
+  /** S9: catalog scan as a relation, with the reference's CASE
+    * length/precision dispatch (`Data_Quality_Table.sql:38-54`). Oracle =
+    * literal expected rows from the corpus schema spec (NUMBER→38,
+    * FLOAT→17 significant digits, VARCHAR→16 MB Snowflake default,
+    * TIMESTAMP→µs precision 6).
+    */
+  private def catalogQuery(table: String) = QueryDef(
+    s"catalog_columns_$table",
+    (s, dir) => Catalog.tableColumns(s, dir, table),
+    Some {
+      val lenOf = Map("NUMBER" -> 38L, "FLOAT" -> 17L,
+        "VARCHAR" -> 16777216L, "TIMESTAMP" -> 6L)
+      Schemas.byTable(table).zipWithIndex.map { case (c, i) =>
+        s"SELECT '${table.toUpperCase}' AS table_name, " +
+          s"'${c.name.toUpperCase}' AS column_name, " +
+          s"'${c.engineType}' AS data_type, 'YES' AS is_nullable, " +
+          s"CAST(${lenOf(c.engineType)} AS BIGINT) " +
+          "AS character_maximum_length, " +
+          s"CAST(${i + 1} AS BIGINT) AS ordinal_position"
+      }.mkString(" UNION ALL ") + " ORDER BY ordinal_position"
+    })
+
   override def queries: Seq[QueryDef] =
-    Seq(parquetQuery, csvQuery, jsonQuery, xmlQuery)
+    Seq(parquetQuery, csvQuery, jsonQuery, xmlQuery,
+      catalogQuery("customer"), catalogQuery("lineitem"))
 }
