@@ -76,18 +76,33 @@ object Dedup {
     *                  bucket must not explode the join). Dropped bucket
     *                  count is reported via `droppedBuckets` if needed.
     */
+  /** Distinct k-shingle sets per id — the shared working set of the
+    * near-dup pipeline (signatures AND exact Jaccard both derive from it;
+    * MinHash minima are identical over a set and its multiset).
+    */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int): DataFrame =
+    df.select(col(idCol),
+      array_distinct(wordShingles(col(textCol), shingleK)).as("__set"))
+
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      maxBucket: Int = 64): DataFrame =
+    lshCandidatesFromSets(shingleSets(df, idCol, textCol, shingleK),
+      idCol, numHashes, bands, maxBucket)
+
+  /** Candidate pairs from a precomputed (id, __set) frame. The banded
+    * bucket index is persisted: it is the LSH index proper, read by the
+    * window bound and BOTH sides of the self-join — without the persist
+    * CollapseProject re-derives the MinHash per band and per side. ~1
+    * KB/row; at cluster scale this is the standard materialized sketch
+    * table (write to storage for multi-job reuse).
+    */
+  def lshCandidatesFromSets(sets: DataFrame, idCol: String,
+      numHashes: Int = 128, bands: Int = 32,
       maxBucket: Int = 64): DataFrame = {
-    // The signature frame is the LSH index: persist it so (a) CollapseProject
-    // cannot inline the MinHash computation into the band-explode lambda
-    // (which would re-sign every doc `bands` times), and (b) the self-join
-    // below reads the index instead of re-deriving it per side. ~1 KB/row;
-    // at cluster scale this is the standard materialized sketch table
-    // (write to storage for multi-job reuse).
-    val sigs = df.select(col(idCol),
-      minHashSignature(wordShingles(col(textCol), shingleK), numHashes)
-        .as("__sig")).persist()
+    val sigs = sets.select(col(idCol),
+      minHashSignature(col("__set"), numHashes).as("__sig"))
     val buckets = bandedBuckets(sigs, idCol, "__sig", bands)
     val bounded = buckets.withColumn("__bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
@@ -109,12 +124,18 @@ object Dedup {
     * projection — never quadratic in the corpus.
     */
   def jaccardOnPairs(pairs: DataFrame, df: DataFrame, idCol: String,
-      textCol: String, shingleK: Int): DataFrame = {
-    // persist: joined once per pair side — without it the corpus is
-    // re-shingled twice.
-    val sets = df.select(col(idCol).as("__id"),
-      array_distinct(wordShingles(col(textCol), shingleK)).as("__set"))
-      .persist()
+      textCol: String, shingleK: Int): DataFrame =
+    jaccardOnPairsFromSets(pairs,
+      // persist: joined once per pair side — without it the corpus is
+      // re-shingled twice.
+      shingleSets(df, idCol, textCol, shingleK).persist(), idCol)
+
+  /** Exact Jaccard over candidate pairs from a precomputed (id, __set)
+    * frame (persist it if it is not already materialized).
+    */
+  def jaccardOnPairsFromSets(pairs: DataFrame, sets0: DataFrame,
+      idCol: String): DataFrame = {
+    val sets = sets0.withColumnRenamed(idCol, "__id")
     pairs
       .join(sets.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__set", "__set_a"), "id_a")
@@ -127,14 +148,17 @@ object Dedup {
             lit(1))).as("jaccard"))
   }
 
-  /** Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold. */
+  /** Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold.
+    * The corpus is shingled ONCE: the persisted (id, set) frame feeds both
+    * the MinHash index and the exact verification joins.
+    */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8, maxBucket: Int = 64): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, shingleK).persist()
     val pairs =
-      lshCandidates(df, idCol, textCol, shingleK, numHashes, bands,
-        maxBucket)
-    jaccardOnPairs(pairs, df, idCol, textCol, shingleK)
+      lshCandidatesFromSets(sets, idCol, numHashes, bands, maxBucket)
+    jaccardOnPairsFromSets(pairs, sets, idCol)
       .filter(col("jaccard") >= threshold)
   }
 }

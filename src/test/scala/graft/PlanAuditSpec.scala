@@ -1,0 +1,53 @@
+package graft
+
+import graft.SparkSpec
+
+/** Physical-plan audits: the shapes we design for must survive Catalyst.
+  * Each assertion pins a scale property — broadcasts chosen for small
+  * dims, column pruning reaching the scan, no cartesian products in any
+  * LSH pipeline — so a regression shows up as a test failure, not a
+  * silent 100× slowdown at scale.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("join_revenue_by_nation broadcasts the dimension tables") {
+    val p = plan("join_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"),
+      "small dims (customer/nation) must be broadcast, not shuffled")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("LSH pipelines never plan a cartesian product") {
+    for (q <- Seq("dedup_minhash_documents", "dedup_simhash_documents",
+        "dedup_embedding_lsh", "sim_topk_lsh")) {
+      assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+  }
+
+  test("brute-force top-k broadcasts the query side only") {
+    val p = plan("sim_topk_bruteforce")
+    // corpus×queries is a broadcast nested loop over the SMALL query set —
+    // linear in corpus size, which is the designed scale behavior
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("text stats scan prunes to the projected columns") {
+    val p = SparkEntry.queries("text_stats_documents")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must read only doc_id+text, got:\n${p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")}")
+  }
+
+  test("scd1 merge decomposes to anti-join + union with no cartesian") {
+    val p = plan("scd1_merge_events")
+    // (WholeStageCodegen spans only materialize after AQE executes, so
+    // codegen presence isn't assertable on the pre-execution plan string.)
+    assert(p.contains("LeftAnti"), "upsert must keep the anti-join shape")
+    assert(p.contains("Union"))
+    assert(!p.contains("CartesianProduct"))
+  }
+}
