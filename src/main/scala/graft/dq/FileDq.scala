@@ -233,6 +233,65 @@ object FileDq {
       .unionByName(zscoreChecks(df, numericCols(df)))
       .unionByName(rareValueChecks(df, stringCols(df)))
 
+  /** A14: pass/fail partitioning of a rules report
+    * (`Data_Discovery_File.sql:379-405`) — rule counts per status, plus
+    * the per-status detail frames via [[partition]].
+    */
+  def summary(report: DataFrame): DataFrame =
+    report.groupBy("status")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rules"))
+
+  /** (passed_rules_detail, failed_rules_detail). */
+  def partition(report: DataFrame): (DataFrame, DataFrame) =
+    (report.filter(org.apache.spark.sql.functions.col("status") === "passed"),
+      report.filter(org.apache.spark.sql.functions.col("status") === "failed"))
+
+  /** The file-variant VARIANT document
+    * (`Data_Discovery_File.sql:379-433`): file_definition metadata, the
+    * pass/fail rule partition as `result_summary`, and the audit log with
+    * injectable clock timestamps (epoch seconds).
+    */
+  def document(fileDef: graft.io.Discovery.FileDefinition,
+      report: DataFrame, filePath: String,
+      startEpoch: Double, endEpoch: Double,
+      agentName: String = "DQ_DISCOVERY_AND_CHECKS"): String = {
+    import graft.util._
+    val rows = report.orderBy("pillar", "col_name").collect().toSeq
+    def detail(status: String): JArr = JArr(rows
+      .filter(_.getAs[String]("status") == status)
+      .map(r => JObj(Seq(
+        "pillar" -> JValue.of(r.getAs[String]("pillar")),
+        "column" -> JValue.of(r.getAs[String]("col_name")),
+        "rule" -> JValue.of(r.getAs[String]("rule")),
+        "reason" -> JValue.of(r.getAs[String]("reason"))))))
+    val passed = detail("passed")
+    val failed = detail("failed")
+    val summaryObj = JObj(Seq(
+      "rules_pass" -> JValue.of(passed.items.length),
+      "rules_fail" -> JValue.of(failed.items.length),
+      "passed_rules_detail" -> passed,
+      "failed_rules_detail" -> failed))
+    val fd = JObj(Seq(
+      "file_name" -> JValue.of(fileDef.fileName),
+      "file_type" -> JValue.of(fileDef.fileType),
+      "file_size" -> JValue.of(fileDef.fileSize),
+      "columns" -> JArr(fileDef.columns.map(c => JObj(Seq(
+        "column_name" -> JValue.of(c.columnName),
+        "type" -> JValue.of(c.`type`)))))))
+    JObj(Seq(
+      "file_definition" -> fd,
+      "dq_auto_check_result" -> summaryObj,
+      "audit_log" -> JObj(Seq(
+        "agent_name" -> JValue.of(agentName),
+        "start_time" -> JValue.of(startEpoch),
+        "end_time" -> JValue.of(endEpoch),
+        "input" -> JValue.of(filePath),
+        "result_summary" -> JObj(Seq(
+          "rules_pass" -> JValue.of(passed.items.length),
+          "rules_fail" -> JValue.of(failed.items.length))))))).render
+  }
+
   private def emptyReport(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
     Seq.empty[(String, String, Double, String, String, String)]

@@ -111,6 +111,20 @@ object FileDqQueries extends QueryPack {
       },
       Some(reportOracle(table, Schemas.byTable(table))))
 
+  /** A14: pass/fail rule counts over the events report. */
+  private def summaryQuery = QueryDef(
+    "dq_file_summary_events",
+    (s, dir) => {
+      val df = Tables.load(s, dir, "events")
+      val profile = Profiler.profile(df,
+        now = lit(DqQueries.FixedNow).cast("timestamp"))
+      FileDq.summary(FileDq.report(df, profile)).orderBy("status")
+    },
+    Some("SELECT status, COUNT(*) AS rules FROM (" +
+      reportOracle("events", Schemas.byTable("events")).stripSuffix(
+        " ORDER BY pillar, col_name") +
+      ") GROUP BY status ORDER BY status"))
+
   override def queries: Seq[QueryDef] =
-    Seq(fileDqQuery("events"), fileDqQuery("documents"))
+    Seq(fileDqQuery("events"), fileDqQuery("documents"), summaryQuery)
 }

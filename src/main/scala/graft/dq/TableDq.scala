@@ -70,4 +70,81 @@ object TableDq {
     */
   def tableScore(profile: DataFrame): DataFrame =
     score(profile).agg(round(avg("column_score"), 3).as("table_score"))
+
+  /** The reference's VARIANT report document
+    * (`Data_Quality_Table.sql:183-189`): target_table, catalog column
+    * records, per-column profiling (incl. the `numeric_stats` sub-object,
+    * `:80-104`), per-column pillar scores with rule texts (`:106-173`),
+    * and the table score. One collect of each tiny per-column frame; the
+    * data-sized work stays in the profiling jobs.
+    */
+  def document(profile: DataFrame, catalog: DataFrame,
+      tableName: String): String = {
+    import graft.util._
+    val prof = profile.persist()
+    val profRows = prof.orderBy("column_name").collect()
+    val scoreRows = score(prof).orderBy("column_name").collect()
+    prof.unpersist()
+
+    val columns = JArr(catalog.orderBy("ordinal_position").collect().toSeq
+      .map { r =>
+        JObj(Seq(
+          "COLUMN_NAME" -> JValue.of(r.getAs[String]("column_name")),
+          "DATA_TYPE" -> JValue.of(r.getAs[String]("data_type")),
+          "IS_NULLABLE" -> JValue.of(r.getAs[String]("is_nullable")),
+          "CHARACTER_MAXIMUM_LENGTH" -> JValue.of(
+            Option(r.getAs[Any]("character_maximum_length")))))
+      })
+
+    def num(r: org.apache.spark.sql.Row, f: String): Option[Double] =
+      Option(r.getAs[Any](f)).map(_.toString.toDouble)
+
+    val profiling = JObj(profRows.toSeq.map { r =>
+      val colName = r.getAs[String]("column_name")
+      val numeric = num(r, "avg_val").isDefined || num(r, "min_val").isDefined
+      val numStats: JValue =
+        if (!numeric) JNull
+        else JObj(Seq(
+          "AVG_VAL" -> JValue.of(num(r, "avg_val").map(_.toString)),
+          "MIN_VAL" -> JValue.of(num(r, "min_val")),
+          "MAX_VAL" -> JValue.of(num(r, "max_val")),
+          "STDDEV" -> JValue.of(num(r, "stddev_val"))))
+      colName -> JObj(Seq(
+        "count_all" -> JValue.of(r.getAs[Long]("count_all")),
+        "count_distinct" -> JValue.of(r.getAs[Long]("count_distinct")),
+        "count_nulls" -> JValue.of(r.getAs[Long]("count_nulls")),
+        "null_ratio" -> JValue.of(r.getAs[Double]("null_ratio")),
+        "distinct_ratio" -> JValue.of(r.getAs[Double]("distinct_ratio")),
+        "data_type" -> JValue.of(r.getAs[String]("data_type")),
+        "numeric_stats" -> numStats))
+    })
+
+    val pillarRules = Seq(
+      "completeness" -> "should have minimal nulls",
+      "uniqueness" -> "values should be unique or diverse",
+      "validity" -> "must be within valid value ranges",
+      "accuracy" -> "values should be correct (e.g., no future dates)",
+      "consistency" -> "should align consistently with related columns")
+    val dqResults = JObj(scoreRows.toSeq.map { r =>
+      val colName = r.getAs[String]("column_name")
+      colName -> JObj(
+        pillarRules.map { case (pillar, ruleSuffix) =>
+          pillar -> JObj(Seq(
+            "rule" -> JValue.of(s"$colName $ruleSuffix"),
+            "score" -> JValue.of(r.getAs[Double](pillar))))
+        } :+ ("column_score" -> JValue.of(r.getAs[Double]("column_score"))))
+    })
+
+    val tblScore = BigDecimal(
+      scoreRows.map(_.getAs[Double]("column_score")).sum /
+        math.max(scoreRows.length, 1))
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP)
+
+    JObj(Seq(
+      "target_table" -> JValue.of(tableName),
+      "columns" -> columns,
+      "profiling" -> profiling,
+      "dq_results" -> dqResults,
+      "table_score" -> JDouble(tblScore.toDouble))).render
+  }
 }
