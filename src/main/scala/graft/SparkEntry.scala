@@ -18,7 +18,8 @@ object SparkEntry {
     sim.SimilarityQueries,
     exec.ExecQueries,
     io.DiscoveryQueries,
-    mm.MultimodalQueries)
+    mm.MultimodalQueries,
+    orch.OrchQueries)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 

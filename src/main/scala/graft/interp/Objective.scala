@@ -105,7 +105,7 @@ object Objective {
     val tpe = taskType(objective)
     val (sqlPrompt, sparkPrompt) = prompts(objective, tpe)
     CodeGenResult(tpe.name,
-      TextGenerator.cleanCode(gen.generate(sqlPrompt)),
-      TextGenerator.cleanCode(gen.generate(sparkPrompt)))
+      TextGenerator.cleanCode(gen.generate(sqlPrompt, metadata)),
+      TextGenerator.cleanCode(gen.generate(sparkPrompt, metadata)))
   }
 }

@@ -10,6 +10,14 @@ package graft.interp
   */
 trait TextGenerator {
   def generate(prompt: String): String
+
+  /** Metadata-aware variant — the reference hands METADATA to
+    * `generate_reply` alongside the prompt
+    * (`CODE_GENERATOR.sql:124-134`); generators that don't use it fall
+    * back to the prompt-only form.
+    */
+  def generate(prompt: String, metadata: Objective.Metadata): String =
+    generate(prompt)
 }
 
 object TextGenerator {
