@@ -19,7 +19,9 @@ object SparkEntry {
     exec.ExecQueries,
     io.DiscoveryQueries,
     mm.MultimodalQueries,
-    orch.OrchQueries)
+    orch.OrchQueries,
+    streaming.StreamingQueries,
+    catalog.GlossaryQueries)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 

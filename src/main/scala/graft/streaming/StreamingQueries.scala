@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.{QueryDef, QueryPack}
+
+/** Registered streaming query: the watermarked tumbling-window aggregation
+  * executed as a REAL StreamingQuery (parquet source → AvailableNow
+  * trigger → memory sink), then returned as a relation. Because the
+  * catch-up run drains the whole corpus, the result equals the batch
+  * aggregation — which is exactly what the DuckDB oracle computes, so the
+  * streaming path goes through the same hash-compare gate as every batch
+  * operator. FLOAT sums go through DECIMAL(18,4) on both sides so results
+  * don't depend on accumulation order.
+  */
+object StreamingQueries extends QueryPack {
+
+  private def windowedQuery = QueryDef(
+    "stream_windowed_events",
+    (s, dir) => {
+      // FileStreamSource needs a DIRECTORY; stage the events table into
+      // one (this also normalizes the nanos-as-long ts to a µs timestamp
+      // via Tables.load before the stream starts).
+      val staged =
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream_events"
+      graft.io.Tables.load(s, dir, "events")
+        .write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val conv = s.readStream.schema(schema).parquet(staged)
+        // decimal sum: result must not depend on accumulation order
+        .withColumn("value", col("value").cast("decimal(18,4)"))
+      val out = StreamingPipelines.windowedEventStats(conv, "ts",
+        window = "1 day", watermark = "2 days")
+      val name = "graft_stream_windowed"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_stream_ckpt").toString
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      s.table(name).select(
+        col("window_start").cast("string").as("window_start"),
+        col("event_type"), col("n"),
+        col("value_sum").cast("double").as("value_sum"))
+        .orderBy("window_start", "event_type")
+    },
+    Some("SELECT date_trunc('day', ts)::TIMESTAMP::VARCHAR AS window_start, " +
+      "event_type, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum " +
+      "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"))
+
+  override def queries: Seq[QueryDef] = Seq(windowedQuery)
+}
