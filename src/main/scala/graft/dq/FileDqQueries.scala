@@ -105,8 +105,11 @@ object FileDqQueries extends QueryPack {
     QueryDef(s"dq_file_$table",
       (s, dir) => {
         val df = Tables.load(s, dir, table)
+        // persist: the report union references the profile in three
+        // branches (completeness/uniqueness/validity) — without it the
+        // profiling aggregation runs three times.
         val profile = Profiler.profile(df,
-          now = lit(DqQueries.FixedNow).cast("timestamp"))
+          now = lit(DqQueries.FixedNow).cast("timestamp")).persist()
         FileDq.report(df, profile).orderBy("pillar", "col_name")
       },
       Some(reportOracle(table, Schemas.byTable(table))))
@@ -117,7 +120,7 @@ object FileDqQueries extends QueryPack {
     (s, dir) => {
       val df = Tables.load(s, dir, "events")
       val profile = Profiler.profile(df,
-        now = lit(DqQueries.FixedNow).cast("timestamp"))
+        now = lit(DqQueries.FixedNow).cast("timestamp")).persist()
       FileDq.summary(FileDq.report(df, profile)).orderBy("status")
     },
     Some("SELECT status, COUNT(*) AS rules FROM (" +

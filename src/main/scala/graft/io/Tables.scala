@@ -37,12 +37,28 @@ object Tables {
 
   /** Resolve a 1/2/3-part name to its final segment (db/schema prefixes are
     * session-default noise on a path-backed catalog); mirrors the resolution
-    * at `/root/reference/Data_Quality_Table.sql:20-33`.
+    * at `/root/reference/Data_Quality_Table.sql:20-33`. Quote-aware: dots
+    * inside double-quoted segments don't split, and only UNQUOTED
+    * identifiers are case-folded (quoted names keep their case, like the
+    * reference's quoted resolution).
     */
   def resolve(name: String): String = {
-    val parts = name.split('.')
-    require(parts.nonEmpty && parts.length <= 3,
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    name.foreach {
+      case '"' => inQuote = !inQuote
+        cur.append('"'): Unit
+      case '.' if !inQuote => parts += cur.result(); cur.clear()
+      case c => cur.append(c): Unit
+    }
+    parts += cur.result()
+    require(!inQuote, s"unterminated quote in table name: $name")
+    require(parts.forall(_.nonEmpty) && parts.length <= 3,
       s"table name must have 1-3 parts: $name")
-    parts.last.stripPrefix("\"").stripSuffix("\"").toLowerCase
+    val last = parts.last
+    if (last.startsWith("\"") && last.endsWith("\"") && last.length >= 2)
+      last.substring(1, last.length - 1)
+    else last.toLowerCase
   }
 }

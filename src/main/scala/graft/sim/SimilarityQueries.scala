@@ -56,5 +56,19 @@ object SimilarityQueries extends QueryPack {
     },
     None)
 
-  override def queries: Seq[QueryDef] = Seq(bruteQuery, lshQuery)
+  /** IVF-probed approximate top-k (rows-only: KMeans centroids have no
+    * SQL equivalent; recall pinned against brute force in SimilaritySpec).
+    */
+  private def ivfQuery = QueryDef(
+    "sim_topk_ivf",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      IvfSimilarity.topK(emb, emb.filter(col("vec_id") < QueryIds),
+          "vec_id", "embedding", K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  override def queries: Seq[QueryDef] = Seq(bruteQuery, lshQuery, ivfQuery)
 }

@@ -49,4 +49,24 @@ class SimilaritySpec extends SparkSpec {
     val plan = approx.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("IVF top-k recall vs brute force is usable and probes lists only") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = 10
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = IvfSimilarity.topK(emb, queries, "vec_id", "embedding",
+      k, nlist = 16, nprobe = 4)
+    val got = approx.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(s"IVF recall@$k = $recall (${(exact & got).size}/${exact.size})")
+    // probing 4/16 lists of near-random vectors: expect most of top-k
+    assert(recall >= 0.4, s"recall $recall too low for nprobe=4/nlist=16")
+    assert(approx.count() === queries.count() * k)
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
