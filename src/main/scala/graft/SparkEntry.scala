@@ -25,10 +25,15 @@ object SparkEntry {
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
+  /** Flagship query; driver smoke-checks rows>0. Data dir defaults to the
+    * smoke scale factor but is env-overridable (no baked-in path policy).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SMOKE_DIR",
+      "/root/testdata/sf0.001")
     profile.Profiler.profile(
-      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"))
+      spark.read.parquet(s"$dir/lineitem.parquet"))
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -79,5 +79,31 @@ object TextQueries extends QueryPack {
     },
     Some(statsOracle))
 
-  override def queries: Seq[QueryDef] = Seq(statsQuery)
+  /** Corpus curation: the training-data filter pass — keep documents that
+    * clear the quality gates, are English, and fall inside token bounds.
+    * At 100 TB this is a single codegen'd projection + filter over the
+    * corpus (no shuffle); survivors flow straight into dedup.
+    */
+  private def curateQuery = QueryDef(
+    "text_curate_documents",
+    (s, dir) => {
+      val t = col("text")
+      Tables.load(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
+          TextAnalysis.qualityScore(t).as("quality_score"),
+          TextAnalysis.langId(t).as("lang_id"))
+        .filter(col("quality_score") >= 0.75 && col("lang_id") === "en" &&
+          col("n_tokens").between(20, 2000))
+        .orderBy("doc_id")
+    },
+    Some {
+      val full = statsOracle
+      val body = full.substring(0, full.lastIndexOf(" ORDER BY"))
+      s"SELECT doc_id, n_tokens, quality_score, lang_id FROM ($body) " +
+        "WHERE quality_score >= 0.75 AND lang_id = 'en' " +
+        "AND n_tokens BETWEEN 20 AND 2000 ORDER BY doc_id"
+    })
+
+  override def queries: Seq[QueryDef] = Seq(statsQuery, curateQuery)
 }
