@@ -27,13 +27,13 @@ object Bench {
       spark.catalog.clearCache()
     }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // min-of-2: single-shot timings swung ±60% run-to-run from GC and
-    // host noise; the minimum of two executions approximates the query's
-    // actual cost. Each execution rebuilds the plan from scratch (no
-    // cross-run caching — clearCache drops persisted sketch frames).
+    // min-of-3: single-shot timings swung ±60% (and in bursts, 20×) from
+    // host noise; the minimum of three executions approximates the
+    // query's actual cost. Each execution rebuilds the plan from scratch
+    // (no cross-run caching — clearCache drops persisted sketch frames).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val times = (1 to 2).map { _ =>
+        val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() }
           catch { case e: Throwable =>

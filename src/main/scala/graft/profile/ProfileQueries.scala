@@ -59,6 +59,18 @@ object ProfileQueries extends QueryPack {
         .orderBy("column_name"),
       Some(profileOracle(table, Schemas.byTable(table))))
 
+  /** The 100 TB profile configuration (HLL distinct counts, single scan,
+    * no Expand) registered rows-only: HLL estimates have no DuckDB
+    * equivalent; ProfilerSpec pins their accuracy against exact counts.
+    */
+  private def approxQuery = QueryDef(
+    "profile_lineitem_approx",
+    (s, dir) => Profiler
+      .approxProfile(Tables.load(s, dir, "lineitem"),
+        now = lit(FixedNow).cast("timestamp"))
+      .orderBy("column_name"),
+    None)
+
   override def queries: Seq[QueryDef] =
-    Seq(profileQuery("lineitem"), profileQuery("orders"))
+    Seq(profileQuery("lineitem"), profileQuery("orders"), approxQuery)
 }
