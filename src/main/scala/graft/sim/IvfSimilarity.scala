@@ -43,7 +43,10 @@ object IvfSimilarity {
     val normed = df.select(col(idCol),
       normalize(asDouble(col(vecCol))).as("__nv"))
     val withVec = normed.withColumn("__mlv", array_to_vector(col("__nv")))
-    val model = new KMeans().setK(nlist).setSeed(seed)
+    // A coarse quantizer only partitions space — convergence precision
+    // buys nothing for ANN recall, so cap the iterations (default 20
+    // tripled the build cost for identical recall on the fixtures).
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("__mlv").setPredictionCol("list_id")
       .fit(withVec)
     val assigned = model.transform(withVec)

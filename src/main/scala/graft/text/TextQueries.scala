@@ -105,5 +105,43 @@ object TextQueries extends QueryPack {
         "AND n_tokens BETWEEN 20 AND 2000 ORDER BY doc_id"
     })
 
-  override def queries: Seq[QueryDef] = Seq(statsQuery, curateQuery)
+  /** The composed training-data pipeline: curate (quality/lang/token
+    * gates) → exact dedup → corpus summary. One row: how much survives
+    * each stage plus total retained tokens — the shape a 100 TB corpus
+    * build reports after every pass.
+    */
+  private def pipelineQuery = QueryDef(
+    "corpus_pipeline_documents",
+    (s, dir) => {
+      val t = col("text")
+      val curated = Tables.load(s, dir, "documents").select(
+          col("doc_id"), col("text"),
+          TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
+          TextAnalysis.qualityScore(t).as("quality_score"),
+          TextAnalysis.langId(t).as("lang_id"))
+        .filter(col("quality_score") >= 0.75 && col("lang_id") === "en" &&
+          col("n_tokens").between(20, 2000))
+      val deduped = curated
+        .groupBy("text")
+        .agg(min("doc_id").as("keep_id"), first("n_tokens").as("n_tokens"))
+      deduped.agg(
+        count(lit(1)).as("kept_docs"),
+        sum("n_tokens").as("kept_tokens"))
+        .select(col("kept_docs"), col("kept_tokens"))
+    },
+    Some {
+      val full = statsOracle
+      val body = full.substring(0, full.lastIndexOf(" ORDER BY"))
+      "WITH curated AS (SELECT s.doc_id, d.text, s.n_tokens " +
+        s"FROM ($body) s JOIN documents d ON s.doc_id = d.doc_id " +
+        "WHERE s.quality_score >= 0.75 AND s.lang_id = 'en' " +
+        "AND s.n_tokens BETWEEN 20 AND 2000), " +
+        "deduped AS (SELECT text, MIN(doc_id) AS keep_id, " +
+        "MIN(n_tokens) AS n_tokens FROM curated GROUP BY text) " +
+        "SELECT COUNT(*) AS kept_docs, " +
+        "SUM(n_tokens)::BIGINT AS kept_tokens FROM deduped"
+    })
+
+  override def queries: Seq[QueryDef] =
+    Seq(statsQuery, curateQuery, pipelineQuery)
 }
