@@ -81,7 +81,7 @@ object Pii {
     val stringCols =
       df.schema.fields.filter(_.dataType == StringType).map(_.name)
     if (stringCols.isEmpty) return Map.empty
-    val aggs = stringCols.map(n =>
+    val aggs = stringCols.toSeq.map(n =>
       collect_set(detectType(col(n))).as(n))
     val row = df.limit(sampleRows).agg(aggs.head, aggs.tail: _*).head()
     val order = patterns.map(_._1).zipWithIndex.toMap
