@@ -22,7 +22,8 @@ object Bench {
     }
     warmDir.foreach { w =>
       SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, w).count() catch { case _: Throwable => () }
+        try fn(spark, w).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
       }
       spark.catalog.clearCache()
     }
@@ -35,7 +36,12 @@ object Bench {
       case (name, fn) =>
         val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() }
+          // toRdd.count(), not count(): Dataset.count() rewrites to a
+          // count-aggregate that short-circuits statically-1-row branches
+          // (a union of ungrouped aggregates never executes its
+          // aggregations), silently under-measuring report queries.
+          // Iterating the physical plan's rows forces full evaluation.
+          try { fn(spark, sfDir).queryExecution.toRdd.count() }
           catch { case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
               .linesIterator.take(1).mkString.take(200)
