@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through unprefixed: sbt's default
+// LoggedOutput decorates every line with "[info] ", which corrupts the
+// one-line JSON contract of graft.Bench / graft.Verify (the harness
+// parses raw stdout). StdoutOutput inherits the parent streams instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

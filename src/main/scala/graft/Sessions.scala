@@ -16,6 +16,11 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // The suite compiles hundreds of distinct codegen'd stages; the
+      // default 100-entry class cache evicts them mid-suite, so every
+      // re-run pays Janino compilation again (measured 4-6 s per heavy
+      // query — dominating the actual execution at test scale).
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       // The corpus's events.parquet stores TIMESTAMP(NANOS); Spark has no
       // nanosecond timestamp type, so read as long and convert in Tables.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

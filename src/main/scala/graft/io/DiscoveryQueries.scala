@@ -7,8 +7,16 @@ import graft.{QueryDef, QueryPack}
   * csv/json variants first export a slice of the corpus through Spark's
   * writers, then rediscover it through the inference path — exercising
   * reader + inference + TypeMapper end to end.
+  *
+  * Staged exports are capped at [[StageSample]] rows: discovery reads
+  * only schema, and inferring from a bounded sample is the same
+  * at-scale discipline as the readers' own `samplingRatio` options —
+  * staging a full corpus to CSV/XML to learn 3 column types is wasted
+  * I/O at any scale.
   */
 object DiscoveryQueries extends QueryPack {
+
+  private val StageSample = 10000
 
   private def specOracle(rows: Seq[(String, String, Int)]): String =
     rows.map { case (n, t, o) =>
@@ -29,7 +37,7 @@ object DiscoveryQueries extends QueryPack {
     (s, dir) => {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_events.csv"
       Tables.load(s, dir, "events")
-        .select("event_id", "event_type", "value")
+        .select("event_id", "event_type", "value").limit(StageSample)
         .write.mode("overwrite").option("header", "true").csv(out)
       Discovery.schemaFrame(s, out).orderBy("ordinal_position")
     },
@@ -59,7 +67,7 @@ object DiscoveryQueries extends QueryPack {
     (s, dir) => {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_events.xml"
       Tables.load(s, dir, "events")
-        .select("event_id", "event_type", "value")
+        .select("event_id", "event_type", "value").limit(StageSample)
         .write.mode("overwrite").option("rowTag", "row").xml(out)
       Discovery.schemaFrame(s, out).orderBy("ordinal_position")
     },

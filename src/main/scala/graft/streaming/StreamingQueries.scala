@@ -52,5 +52,33 @@ object StreamingQueries extends QueryPack {
       "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum " +
       "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"))
 
-  override def queries: Seq[QueryDef] = Seq(windowedQuery)
+  /** Gap-based sessionization via native `session_window` (the batch
+    * form; the streaming form adds only a watermark — see
+    * [[Sessionize.sessionStatsStream]], spec-pinned). The DuckDB oracle
+    * rebuilds sessions with the classic lag-gap + running-sum session id:
+    * identical semantics, so the hash gate pins the boundary rule (an
+    * event at exactly `last + gap` JOINS the session — spec-pinned).
+    */
+  private def sessionizeQuery = QueryDef(
+    "sessionize_events",
+    (s, dir) => Sessionize.sessionStats(
+        graft.io.Tables.load(s, dir, "events"),
+        "user_id", "ts", "value", "12 hours")
+      .orderBy("user_id", "session_start"),
+    Some(
+      """WITH x AS (SELECT user_id, ts::TIMESTAMP AS ts,
+        |  CAST(value AS DECIMAL(18,4)) AS v,
+        |  CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL OR
+        |    ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w > INTERVAL 12 HOUR
+        |  THEN 1 ELSE 0 END AS new_s FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 12 HOUR AS session_end,
+        |  COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS value_sum
+        |FROM y GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin.replace("\n", " ")))
+
+  override def queries: Seq[QueryDef] = Seq(windowedQuery, sessionizeQuery)
 }
