@@ -36,7 +36,7 @@ object DiscoveryQueries extends QueryPack {
     "discovery_csv_events",
     (s, dir) => {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_events.csv"
-      Tables.load(s, dir, "events")
+      Tables.load(s, dir, "events", parallelize = false)
         .select("event_id", "event_type", "value").limit(StageSample)
         .write.mode("overwrite").option("header", "true").csv(out)
       Discovery.schemaFrame(s, out).orderBy("ordinal_position")
@@ -49,7 +49,7 @@ object DiscoveryQueries extends QueryPack {
     "discovery_json_documents",
     (s, dir) => {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_docs.json"
-      Tables.load(s, dir, "documents")
+      Tables.load(s, dir, "documents", parallelize = false)
         .select("doc_id", "lang", "source")
         .write.mode("overwrite").json(out)
       Discovery.schemaFrame(s, out).orderBy("ordinal_position")
@@ -66,7 +66,7 @@ object DiscoveryQueries extends QueryPack {
     "discovery_xml_events",
     (s, dir) => {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_events.xml"
-      Tables.load(s, dir, "events")
+      Tables.load(s, dir, "events", parallelize = false)
         .select("event_id", "event_type", "value").limit(StageSample)
         .write.mode("overwrite").option("rowTag", "row").xml(out)
       Discovery.schemaFrame(s, out).orderBy("ordinal_position")

@@ -20,7 +20,16 @@ object Tables {
   /** Files at or above this size get their scan parallelized (see load). */
   private val ParallelizeBytes = 256L * 1024
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    load(spark, dir, name, parallelize = true)
+
+  /** @param parallelize restore split-equivalent parallelism for
+    *   data-sized single-file tables (see below). Pass `false` when the
+    *   frame is only staged back to storage (a copy shouldn't pay a
+    *   shuffle and shouldn't shatter into per-core files).
+    */
+  def load(spark: SparkSession, dir: String, name: String,
+      parallelize: Boolean): DataFrame = {
     val path = s"$dir/$name.parquet"
     val raw = spark.read.parquet(path)
     // Parquet TIMESTAMP(NANOS) columns arrive as LongType under
@@ -45,7 +54,7 @@ object Tables {
     // round-robin repartition; at cluster scale the loader's splits make
     // this a no-op, and dimension-sized files stay single-partition
     // (they broadcast). Measured 3-5x on every scan-fused pipeline.
-    if (new java.io.File(path).length >= ParallelizeBytes)
+    if (parallelize && new java.io.File(path).length >= ParallelizeBytes)
       typed.repartition(spark.sparkContext.defaultParallelism)
     else typed
   }

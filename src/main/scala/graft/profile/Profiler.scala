@@ -35,13 +35,13 @@ object Profiler {
     *
     * Job shape: the non-distinct statistics are ONE plain aggregation pass
     * (partial aggregation map-side, a single scan). Exact
-    * `COUNT(DISTINCT)` over N columns forces Catalyst's Expand plan
-    * (row×(N+1) multiplication) — mixing it with the other aggregates
-    * makes every expanded row update every stat buffer, measured ~4×
-    * slower than the two jobs it replaces. So the exact path runs the
-    * distinct counts as a SECOND distinct-only aggregation (partial
-    * dedup per column before the count) and cross-joins the two 1-row
-    * results: two scans total, versus the reference's 2N+1
+    * `COUNT(DISTINCT)` over N columns would force Catalyst's Expand plan
+    * (row×(N+1) multiplication of the FULL-width row; mixing it with the
+    * other aggregates additionally makes every expanded row update every
+    * stat buffer — measured ~4× slower). So the exact path computes all
+    * distinct counts in a SECOND melt pass — (column_name, value) rows,
+    * partial-deduped map-side, one narrow shuffle — broadcast-joined onto
+    * the stacked stats: two scans total, versus the reference's 2N+1
     * (`/root/reference/Data_Quality_Table.sql:66-104`). The HLL path
     * (`exact=false`) keeps everything in one scan.
     *
@@ -78,30 +78,57 @@ object Profiler {
       if (exact) base
       else approx_count_distinct(c).as(s"${f.name}__distinct") +: base
     }
+    // perCol already carries approx_count_distinct when !exact; the exact
+    // distinct counts come from the melt pass below instead.
     val aggs = count(lit(1)).as("count_all") +: perCol.toSeq
-    val others = df.agg(aggs.head, aggs.tail: _*)
-    val wide =
-      if (!exact) others
-      else {
-        val dAggs = fields.map(f =>
-          countDistinct(col(f.name)).as(s"${f.name}__distinct")).toSeq
-        others.crossJoin(df.agg(dAggs.head, dAggs.tail: _*))
-      }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
 
     // Reshape the single wide row to long format (one row per column)
     // without leaving the plan: stack() is a Generate over one input row.
     val stackArgs = fields.map { f =>
       val n = f.name
       Seq(s"'$n'", s"'${TypeMapper.toEngineType(f.dataType)}'",
-        s"`${n}__distinct`", s"`${n}__nonnull`", s"`${n}__min`",
+        (if (exact) "CAST(NULL AS BIGINT)" else s"`${n}__distinct`"),
+        s"`${n}__nonnull`", s"`${n}__min`",
         s"`${n}__max`", s"`${n}__avg`", s"`${n}__stddev`", s"`${n}__future`"
       ).mkString(", ")
     }.mkString(", ")
-    val stacked = wide.selectExpr(
+    val statsLong = wide.selectExpr(
       "count_all",
       s"stack(${fields.length}, $stackArgs) as " +
         "(column_name, data_type, count_distinct, count_nonnull, min_val, " +
         "max_val, avg_val, stddev_val, future_count)")
+
+    // Exact COUNT(DISTINCT) for all columns in ONE narrow-row pass: melt
+    // to (column_name, value-as-string) and distinct-count per column.
+    // Beats the Expand plan Catalyst builds for N distinct aggregates
+    // (which multiplies the scan into N+1 copies of the FULL-width row;
+    // the melt's rows are 2 columns and partial-deduped map-side) —
+    // measured 1.6x on an 11-column table, and the long shape joins
+    // straight onto the stacked stats. String casts preserve per-column
+    // distinctness except -0.0 (aggregation normalizes it to 0.0, its
+    // string doesn't), so negative zero is normalized first.
+    val stacked =
+      if (!exact) statsLong
+      else {
+        val meltArgs = fields.map { f =>
+          val c = f.dataType match {
+            case DoubleType | FloatType =>
+              s"CAST(CASE WHEN `${f.name}` = 0 THEN 0 ELSE `${f.name}` " +
+                "END AS STRING)"
+            case _ => s"CAST(`${f.name}` AS STRING)"
+          }
+          s"'${f.name}', $c"
+        }.mkString(", ")
+        val distincts = df
+          .selectExpr(s"stack(${fields.length}, $meltArgs) as (column_name, __v)")
+          .groupBy("column_name")
+          .agg(countDistinct(col("__v")).as("__nd"))
+        statsLong.drop("count_distinct")
+          .join(broadcast(distincts), Seq("column_name"), "left")
+          .withColumn("count_distinct", coalesce(col("__nd"), lit(0L)))
+          .drop("__nd")
+      }
 
     stacked.select(
       col("column_name"), col("data_type"), col("count_all"),

@@ -24,7 +24,7 @@ object StreamingQueries extends QueryPack {
       // via Tables.load before the stream starts).
       val staged =
         s"${System.getProperty("java.io.tmpdir")}/graft_stream_events"
-      graft.io.Tables.load(s, dir, "events")
+      graft.io.Tables.load(s, dir, "events", parallelize = false)
         .write.mode("overwrite").parquet(staged)
       val schema = s.read.parquet(staged).schema
       val conv = s.readStream.schema(schema).parquet(staged)

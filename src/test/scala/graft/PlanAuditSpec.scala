@@ -50,4 +50,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Union"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("exact profile plans no Expand (melted distinct, not N-way expand)") {
+    // Exact COUNT(DISTINCT) over N columns would make Catalyst multiply
+    // the scan into N+1 full-width copies via Expand; the melt design
+    // keeps the distinct pass to narrow (column, value) rows.
+    val p = plan("profile_lineitem")
+    assert(!p.contains("Expand"), "profile must not plan an Expand")
+  }
+
+  test("data-sized table loads decouple parallelism from input splits") {
+    // Each corpus table is one single-row-group parquet file — unsplittable,
+    // so without the loader's repartition every scan-fused stage would run
+    // in ONE task (trivially serial at any cluster size).
+    val n = graft.io.Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+      .rdd.getNumPartitions
+    assert(n >= spark.sparkContext.defaultParallelism / 2,
+      s"expected split-equivalent parallelism, got $n partitions")
+  }
 }
