@@ -161,4 +161,66 @@ object Dedup {
     jaccardOnPairsFromSets(pairs, sets, idCol)
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Connected components over near-dup pairs: (id, cluster) where
+    * `cluster` is the minimum id reachable through the pair graph — the
+    * step that turns pairwise matches into actionable dedup groups
+    * (survivor = the member equal to its cluster label).
+    *
+    * Distributed min-label propagation: each iteration is one hash join +
+    * one aggregation (labels pulled across undirected edges), run to
+    * fixpoint. Iterations are bounded by the cluster graph's diameter —
+    * near-dup graphs are clique-like, so convergence is fast; `maxIter`
+    * guards adversarial chains (hitting it raises rather than returning a
+    * half-propagated clustering). Each iteration's labels are persisted
+    * and the previous iteration's unpersisted — the standard iterative-
+    * algorithm memory discipline (GraphX does the same internally).
+    *
+    * @param pairs (id_a, id_b) near-dup pairs, any orientation
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("cluster", col("id"))
+      .persist()
+    // Labels only ever DECREASE (least of self and pulled minima), so
+    // sum(cluster) is a monotone convergence metric: fixpoint ⇔ the sum
+    // stops changing. One cheap aggregate per iteration instead of a
+    // self-join diff.
+    var prevSum = labels.agg(sum("cluster")).head.getLong(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val pulled = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("cluster").as("__pulled"))
+      val next = labels.join(pulled, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("__pulled"), col("cluster")))
+            .as("cluster"))
+        .persist()
+      val nextSum = next.agg(sum("cluster")).head.getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIter " +
+      "iterations — pathological chain structure; raise maxIter")
+    edges.unpersist()
+    labels
+  }
+
+  /** One row per cluster member with its survivor: (cluster, id,
+    * is_survivor). Survivor = minimum id in the cluster, the conventional
+    * deterministic keep rule.
+    */
+  def survivors(pairs: DataFrame): DataFrame =
+    clusters(pairs).select(col("cluster"), col("id"),
+      (col("id") === col("cluster")).as("is_survivor"))
 }

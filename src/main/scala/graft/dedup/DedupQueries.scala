@@ -29,6 +29,38 @@ object DedupQueries extends QueryPack {
       "md5(text) AS text_md5 FROM documents GROUP BY text " +
       "ORDER BY keep_id"))
 
+  /** Shared DuckDB CTE: 80-char-prefix-blocked candidate pairs with exact
+    * 3-shingle Jaccard (mirrors [[Dedup.wordShingles]] +
+    * [[Dedup.jaccardOnPairs]]).
+    */
+  private val jaccardPairsCte =
+    """d AS (SELECT doc_id, text, substr(text, 1, 80) AS blk,
+      |  list_distinct(CASE
+      |    WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN []::VARCHAR[]
+      |    WHEN len(regexp_split_to_array(trim(text), '\s+')) <= 3
+      |      THEN [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')]
+      |    ELSE list_transform(
+      |      generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+      |      i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+      |           regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+      |           regexp_split_to_array(trim(text), '\s+')[i+2])
+      |  END) AS sh FROM documents),
+      |jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |    greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS jaccard
+      |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id)"""
+      .stripMargin.replace("\n", " ")
+
+  /** Spark side of the same blocked-pair generator. */
+  private def blockedPairs(docs: org.apache.spark.sql.DataFrame) = {
+    val blocked = docs.select(col("doc_id"),
+      substring(col("text"), 1, 80).as("blk"))
+    blocked.as("a")
+      .join(blocked.as("b"), col("a.blk") === col("b.blk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+  }
+
   /** Prefix-blocked exact 3-shingle Jaccard: pairs sharing an 80-char
     * prefix block (cheap equality blocking — a hash join, no crossJoin),
     * verified with exact set Jaccard. Oracle recomputes shingling and
@@ -38,32 +70,38 @@ object DedupQueries extends QueryPack {
     "dedup_jaccard_blocked_documents",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val blocked = docs.select(col("doc_id"),
-        substring(col("text"), 1, 80).as("blk"))
-      val pairs = blocked.as("a")
-        .join(blocked.as("b"), col("a.blk") === col("b.blk") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      Dedup.jaccardOnPairs(pairs, docs, "doc_id", "text", shingleK = 3)
+      Dedup.jaccardOnPairs(blockedPairs(docs), docs, "doc_id", "text",
+          shingleK = 3)
         .orderBy("id_a", "id_b")
     },
-    Some(
-      """WITH d AS (SELECT doc_id, text, substr(text, 1, 80) AS blk,
-        |  list_distinct(CASE
-        |    WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN []::VARCHAR[]
-        |    WHEN len(regexp_split_to_array(trim(text), '\s+')) <= 3
-        |      THEN [array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')]
-        |    ELSE list_transform(
-        |      generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
-        |      i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
-        |           regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
-        |           regexp_split_to_array(trim(text), '\s+')[i+2])
-        |  END) AS sh FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |    greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS jaccard
-        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")))
+    Some(s"WITH $jaccardPairsCte SELECT id_a, id_b, jaccard FROM jp " +
+      "ORDER BY id_a, id_b"))
+
+  /** Near-dup clustering + survivor selection: blocked Jaccard pairs
+    * (≥ 0.8) → connected components via distributed min-label propagation
+    * → keep the minimum id per component. The oracle recomputes the
+    * components with a recursive reachability CTE — so the hash gate
+    * checks the full pipeline pairs→clusters→survivors.
+    */
+  private def clustersQuery = QueryDef(
+    "dedup_clusters_documents",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.jaccardOnPairs(blockedPairs(docs), docs, "doc_id",
+          "text", shingleK = 3)
+        .filter(col("jaccard") >= 0.8)
+        .select("id_a", "id_b")
+      Dedup.survivors(pairs).orderBy("cluster", "id")
+    },
+    Some(s"WITH RECURSIVE $jaccardPairsCte, " +
+      "pairs AS (SELECT id_a, id_b FROM jp WHERE jaccard >= 0.8), " +
+      "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+      "UNION ALL SELECT id_b, id_a FROM pairs), " +
+      "reach(id, r) AS (SELECT src, src FROM edges " +
+      "UNION SELECT e.src, reach.r FROM edges e " +
+      "JOIN reach ON e.dst = reach.id) " +
+      "SELECT MIN(r) AS cluster, id, (id = MIN(r)) AS is_survivor " +
+      "FROM reach GROUP BY id ORDER BY cluster, id"))
 
   /** Banded MinHash-LSH near-dup pipeline (rows-only check; semantics
     * pinned by DedupSpec against blocked ground truth).
@@ -148,6 +186,6 @@ object DedupQueries extends QueryPack {
     None)
 
   override def queries: Seq[QueryDef] = Seq(
-    exactQuery, jaccardQuery, minhashQuery, simhashQuery,
+    exactQuery, jaccardQuery, clustersQuery, minhashQuery, simhashQuery,
     embBlockedQuery, embLshQuery)
 }

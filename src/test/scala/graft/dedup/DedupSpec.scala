@@ -97,4 +97,44 @@ class DedupSpec extends SparkSpec {
     val df = Seq((1, "same"), (2, "same"), (3, "other")).toDF("id", "text")
     assert(Dedup.exact(df, Seq("text")).count() === 2)
   }
+
+  test("clusters: min-label propagation equals driver union-find on random graphs") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 12 + rng.nextInt(12)
+      val edges = (1 to n).map(_ =>
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // driver-side union-find ground truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+      assert(got === truth, s"trial $trial (n=$n, |E|=${edges.size})")
+    }
+  }
+
+  test("survivors marks exactly one survivor per cluster (the min id)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.survivors(pairs).as[(Long, Long, Boolean)].collect()
+    val byCluster = out.groupBy(_._1)
+    assert(byCluster.keySet === Set(1L, 10L))
+    byCluster.foreach { case (c, members) =>
+      assert(members.count(_._3) === 1)
+      assert(members.filter(_._3).head._2 === c)
+      assert(members.map(_._2).min === c)
+    }
+  }
 }
