@@ -90,4 +90,52 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(c))))
       .cast("binary"))
+
+  /** Append ALL document stats to `df`, evaluating each expensive scan of
+    * the text exactly once.
+    *
+    * The single-column functions above are composable but re-tokenize per
+    * use — a projection with all eight stats splits the text ~10 times per
+    * row. Here the tokenization and regex counts are aliased in one
+    * projection and every stat derives from those columns; CollapseProject
+    * keeps the stages separate because it refuses to duplicate non-cheap
+    * expressions referenced more than once. Same expressions → identical
+    * results (the DuckDB oracles are unchanged).
+    *
+    * Appends: n_tokens, n_tokens_bpe, punct_ratio, stopword_ratio,
+    * avg_token_len, quality_score, lang_id, fingerprint.
+    */
+  def withStats(df: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val s1 = df.select(col("*"),
+      tokens(t).as("__toks"),
+      length(regexp_replace(t, "\\s+", "")).as("__nonspace"),
+      regexp_count(t, lit("[^A-Za-z0-9\\s]")).as("__punct"),
+      regexp_count(t, lit(BpeishPattern)).as("__bpe"))
+    val stops = array(Stopwords.map(lit): _*)
+    val s2 = s1.select(col("*"),
+      size(col("__toks")).as("__ntok"),
+      size(filter(col("__toks"), tk => array_contains(stops, tk)))
+        .as("__stop"),
+      md5(concat_ws(" ", array_sort(array_distinct(col("__toks"))))
+        .cast("binary")).as("fingerprint"))
+    val punctR = col("__punct").cast("double") / greatest(length(t), lit(1))
+    val stopR = col("__stop").cast("double") / greatest(col("__ntok"), lit(1))
+    val avgTok =
+      col("__nonspace").cast("double") / greatest(col("__ntok"), lit(1))
+    val gates = Seq(
+      length(t).between(50, 5000), avgTok.between(3.0, 12.0),
+      punctR <= 0.1, stopR >= 0.05)
+    s2.select(col("*"),
+        col("__ntok").cast("long").as("n_tokens"),
+        col("__bpe").cast("long").as("n_tokens_bpe"),
+        punctR.as("punct_ratio"),
+        stopR.as("stopword_ratio"),
+        avgTok.as("avg_token_len"),
+        (gates.map(g => when(g, 1).otherwise(0)).reduce(_ + _)
+          .cast("double") / 4).as("quality_score"),
+        langId(t).as("lang_id"))
+      .drop("__toks", "__nonspace", "__punct", "__bpe", "__ntok", "__stop")
+  }
 }

@@ -63,20 +63,12 @@ object TextQueries extends QueryPack {
 
   private def statsQuery = QueryDef(
     "text_stats_documents",
-    (s, dir) => {
-      val t = col("text")
-      Tables.load(s, dir, "documents").select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
-        TextAnalysis.bpeishCount(t).cast("long").as("n_tokens_bpe"),
-        TextAnalysis.punctRatio(t).as("punct_ratio"),
-        TextAnalysis.stopwordRatio(t).as("stopword_ratio"),
-        TextAnalysis.avgTokenLen(t).as("avg_token_len"),
-        TextAnalysis.qualityScore(t).as("quality_score"),
-        TextAnalysis.langId(t).as("lang_id"),
-        TextAnalysis.fingerprint(t).as("fingerprint"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => TextAnalysis
+      .withStats(Tables.load(s, dir, "documents"), "text")
+      .select("doc_id", "n_tokens", "n_tokens_bpe", "punct_ratio",
+        "stopword_ratio", "avg_token_len", "quality_score", "lang_id",
+        "fingerprint")
+      .orderBy("doc_id"),
     Some(statsOracle))
 
   /** Corpus curation: the training-data filter pass — keep documents that
@@ -86,17 +78,12 @@ object TextQueries extends QueryPack {
     */
   private def curateQuery = QueryDef(
     "text_curate_documents",
-    (s, dir) => {
-      val t = col("text")
-      Tables.load(s, dir, "documents").select(
-          col("doc_id"),
-          TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
-          TextAnalysis.qualityScore(t).as("quality_score"),
-          TextAnalysis.langId(t).as("lang_id"))
-        .filter(col("quality_score") >= 0.75 && col("lang_id") === "en" &&
-          col("n_tokens").between(20, 2000))
-        .orderBy("doc_id")
-    },
+    (s, dir) => TextAnalysis
+      .withStats(Tables.load(s, dir, "documents"), "text")
+      .select("doc_id", "n_tokens", "quality_score", "lang_id")
+      .filter(col("quality_score") >= 0.75 && col("lang_id") === "en" &&
+        col("n_tokens").between(20, 2000))
+      .orderBy("doc_id"),
     Some {
       val full = statsOracle
       val body = full.substring(0, full.lastIndexOf(" ORDER BY"))
@@ -113,12 +100,9 @@ object TextQueries extends QueryPack {
   private def pipelineQuery = QueryDef(
     "corpus_pipeline_documents",
     (s, dir) => {
-      val t = col("text")
-      val curated = Tables.load(s, dir, "documents").select(
-          col("doc_id"), col("text"),
-          TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
-          TextAnalysis.qualityScore(t).as("quality_score"),
-          TextAnalysis.langId(t).as("lang_id"))
+      val curated = TextAnalysis
+        .withStats(Tables.load(s, dir, "documents"), "text")
+        .select("doc_id", "text", "n_tokens", "quality_score", "lang_id")
         .filter(col("quality_score") >= 0.75 && col("lang_id") === "en" &&
           col("n_tokens").between(20, 2000))
       val deduped = curated
