@@ -91,27 +91,63 @@ object FileDq {
 
   /** Z-score outlier rate per numeric column: strict |x−mean| > 3·σ_samp,
     * result = 1 − outliers/n (1.0 when the column is empty).
+    *
+    * Two scans: one for the moments, one for the outlier counts (the
+    * bounds must be known before counting). When a profile with raw
+    * moments already exists, [[zscoreChecksFromProfile]] skips scan one.
     */
   def zscoreChecks(df: DataFrame, numericCols: Seq[String]): DataFrame = {
-    import df.sparkSession.implicits._
     if (numericCols.isEmpty) return emptyReport(df)
     val statAggs = numericCols.flatMap { c =>
       Seq(avg(col(c)).as(s"${c}__m"), stddev_samp(col(c)).as(s"${c}__sd"),
         count(col(c)).as(s"${c}__n"))
     }
     val stats = df.agg(statAggs.head, statAggs.tail: _*).head()
-    val outAggs = numericCols.map { c =>
-      val m = stats.getAs[Any](s"${c}__m")
-      val sd = stats.getAs[Any](s"${c}__sd")
-      if (m == null || sd == null) lit(0L).as(c)
-      else sum(when(abs(col(c) -
-        lit(m.asInstanceOf[Double])) > lit(3.0) *
-        lit(sd.asInstanceOf[Double]), 1L).otherwise(0L))
-        .as(c)
+    val moments = numericCols.map { c =>
+      (c, Option(stats.getAs[Any](s"${c}__m")).map(_.asInstanceOf[Double]),
+        Option(stats.getAs[Any](s"${c}__sd")).map(_.asInstanceOf[Double]),
+        stats.getAs[Long](s"${c}__n"))
+    }
+    zscoreFromMoments(df, moments)
+  }
+
+  /** Z-score checks with the moments taken from a
+    * [[graft.profile.Profiler]] frame built with `withRaw = true` — ONE
+    * outlier-count scan instead of two (the stats scan already happened
+    * inside the profile pass).
+    */
+  def zscoreChecksFromProfile(df: DataFrame, profile: DataFrame)
+      : DataFrame = {
+    val rows = profile
+      .select("column_name", "data_type", "avg_raw", "stddev_raw",
+        "count_all", "count_nulls")
+      .collect()
+      .filter(r => Seq("NUMBER", "FLOAT")
+        .contains(r.getAs[String]("data_type")))
+    val moments = rows.toSeq.map { r =>
+      (r.getAs[String]("column_name"),
+        Option(r.getAs[Any]("avg_raw")).map(_.asInstanceOf[Double]),
+        Option(r.getAs[Any]("stddev_raw")).map(_.asInstanceOf[Double]),
+        r.getAs[Long]("count_all") - r.getAs[Long]("count_nulls"))
+    }
+    zscoreFromMoments(df, moments)
+  }
+
+  private def zscoreFromMoments(df: DataFrame,
+      moments: Seq[(String, Option[Double], Option[Double], Long)])
+      : DataFrame = {
+    import df.sparkSession.implicits._
+    if (moments.isEmpty) return emptyReport(df)
+    val outAggs = moments.map { case (c, m, sd, _) =>
+      (m, sd) match {
+        case (Some(mv), Some(sdv)) =>
+          sum(when(abs(col(c) - lit(mv)) > lit(3.0) * lit(sdv), 1L)
+            .otherwise(0L)).as(c)
+        case _ => lit(0L).as(c)
+      }
     }
     val outs = df.agg(outAggs.head, outAggs.tail: _*).head()
-    val rows = numericCols.map { c =>
-      val n = stats.getAs[Long](s"${c}__n")
+    val rows = moments.map { case (c, _, _, n) =>
       val outliers =
         if (outs.isNullAt(outs.fieldIndex(c))) 0L
         else outs.getAs[Long](c)
@@ -240,14 +276,21 @@ object FileDq {
 
   /** Full file-DQ report: basics (from a precomputed profile) +
     * consistency + accuracy, like the reference's `dq_checks` composition
-    * (`Data_Discovery_File.sql:307-311`).
+    * (`Data_Discovery_File.sql:307-311`). If the profile carries raw
+    * moments (`Profiler.profile(withRaw = true)`), the z-score pillar
+    * reuses them and saves a stats scan.
     */
   def report(df: DataFrame, profile: DataFrame,
-      maxFdPairs: Int = 64): DataFrame =
+      maxFdPairs: Int = 64): DataFrame = {
+    val zscore =
+      if (profile.columns.contains("avg_raw"))
+        zscoreChecksFromProfile(df, profile)
+      else zscoreChecks(df, numericCols(df))
     basicChecks(profile)
       .unionByName(fdConsistencyChecks(df, df.columns.toSeq, maxFdPairs))
-      .unionByName(zscoreChecks(df, numericCols(df)))
+      .unionByName(zscore)
       .unionByName(rareValueChecks(df, stringCols(df)))
+  }
 
   /** A14: pass/fail partitioning of a rules report
     * (`Data_Discovery_File.sql:379-405`) — rule counts per status, plus

@@ -109,7 +109,8 @@ object FileDqQueries extends QueryPack {
         // branches (completeness/uniqueness/validity) — without it the
         // profiling aggregation runs three times.
         val profile = Profiler.profile(df,
-          now = lit(DqQueries.FixedNow).cast("timestamp")).persist()
+          now = lit(DqQueries.FixedNow).cast("timestamp"),
+          withRaw = true).persist()
         FileDq.report(df, profile).orderBy("pillar", "col_name")
       },
       Some(reportOracle(table, Schemas.byTable(table))))
@@ -120,7 +121,8 @@ object FileDqQueries extends QueryPack {
     (s, dir) => {
       val df = Tables.load(s, dir, "events")
       val profile = Profiler.profile(df,
-        now = lit(DqQueries.FixedNow).cast("timestamp")).persist()
+        now = lit(DqQueries.FixedNow).cast("timestamp"),
+        withRaw = true).persist()
       FileDq.summary(FileDq.report(df, profile)).orderBy("status")
     },
     Some("SELECT status, COUNT(*) AS rules FROM (" +

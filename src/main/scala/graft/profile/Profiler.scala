@@ -50,9 +50,13 @@ object Profiler {
     *            literal in tests for determinism.
     * @param exact exact `COUNT(DISTINCT)` (oracle-parity) vs HLL approx
     *              (the 100 TB configuration).
+    * @param withRaw also emit unrounded `avg_raw`/`stddev_raw` columns —
+    *                for downstream consumers that need full-precision
+    *                moments (e.g. z-score bounds) without a second stats
+    *                scan of the table.
     */
   def profile(df: DataFrame, now: Column = current_timestamp(),
-              exact: Boolean = true): DataFrame = {
+              exact: Boolean = true, withRaw: Boolean = false): DataFrame = {
     val fields = df.schema.fields
     require(fields.nonEmpty, "cannot profile a zero-column table")
 
@@ -130,7 +134,7 @@ object Profiler {
           .drop("__nd")
       }
 
-    stacked.select(
+    val base = Seq(
       col("column_name"), col("data_type"), col("count_all"),
       col("count_distinct"),
       (col("count_all") - col("count_nonnull")).as("count_nulls"),
@@ -148,6 +152,11 @@ object Profiler {
       round(col("avg_val"), 4).as("avg_val"),
       round(col("stddev_val"), 4).as("stddev_val"),
       col("future_count"))
+    val raw =
+      if (withRaw) Seq(col("avg_val").as("avg_raw"),
+        col("stddev_val").as("stddev_raw"))
+      else Seq.empty
+    stacked.select(base ++ raw: _*)
   }
 
   /** 100 TB variant: HLL distinct counts, no Expand in the plan. */

@@ -84,6 +84,51 @@ class SessionizeSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("statefulSessions streaming: closed sessions emit via event-time timeout") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new Timestamp(t0.getTime + min * 60000L)
+    val src = Files.createTempDirectory("graft_fmgws_src").toString
+    // batch 1: user 1's first session (two events, 5 min apart)
+    Seq(Sessionize.SessionEvent(1L, t0, 1.0),
+      Sessionize.SessionEvent(1L, at(5), 2.0))
+      .toDF().coalesce(1).write.mode("append").parquet(src)
+    // batch 2: 2h later — first session's gap has passed
+    Seq(Sessionize.SessionEvent(1L, at(120), 4.0))
+      .toDF().coalesce(1).write.mode("append").parquet(src)
+    // batch 3: much later event advances the watermark past last+gap so
+    // the timeout for session 2 fires; this event's own session stays
+    // open (streams never see "the end"), which is the semantics under
+    // test: emission happens via watermark, not stream shutdown.
+    Seq(Sessionize.SessionEvent(2L, at(2000), 8.0))
+      .toDF().coalesce(1).write.mode("append").parquet(src)
+
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .withWatermark("ts", "0 seconds")
+      .as[Sessionize.SessionEvent]
+    val q = Sessionize.statefulSessions(stream, gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("fmgws_sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_fmgws_ckpt").toString)
+      .start()
+    q.awaitTermination(120000)
+
+    val out = spark.table("fmgws_sessions")
+      .as[Sessionize.Session].collect()
+      .map(s => (s.user_id, s.session_start, s.n_events,
+        math.round(s.value_sum * 1e4)))
+      .toSet
+    // session 1 closed when the 2h event arrived in-function; session 2
+    // closed by the event-time TIMEOUT when batch 3 moved the watermark
+    assert(out === Set(
+      (1L, t0, 2L, 30000L),
+      (1L, at(120), 1L, 40000L)))
+  }
+
   test("sessions are disjoint per user and gaps inside a session stay under the gap") {
     import spark.implicits._
     val events = Tables.load(spark, sf, "events")
