@@ -45,10 +45,20 @@ object IvfSimilarity {
     val withVec = normed.withColumn("__mlv", array_to_vector(col("__nv")))
     // A coarse quantizer only partitions space — convergence precision
     // buys nothing for ANN recall, so cap the iterations (default 20
-    // tripled the build cost for identical recall on the fixtures).
+    // tripled the build cost for identical recall on the fixtures) AND
+    // the training set: centroid quality needs a few hundred vectors per
+    // list, not the corpus, so at scale the fit reads a bounded sample
+    // (deterministic seed) while assignment still scans everything once.
+    val targetTrain = 512L * nlist
+    val total = withVec.count()
+    val train =
+      if (total > targetTrain)
+        withVec.sample(withReplacement = false,
+          targetTrain.toDouble / total, seed)
+      else withVec
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("__mlv").setPredictionCol("list_id")
-      .fit(withVec)
+      .fit(train)
     val assigned = model.transform(withVec)
       .select(col(idCol), col("list_id"), col("__nv"))
       .persist()
