@@ -21,6 +21,12 @@ object Sessions {
       // re-run pays Janino compilation again (measured 4-6 s per heavy
       // query — dominating the actual execution at test scale).
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // Register the graft native expressions as SQL functions
+      // (graft_dot/graft_cosine/graft_simhash64/graft_minhash_sig) so
+      // spark.sql scripts — the reference's whole user surface — can call
+      // them. Same hook a cluster deployment sets via --conf.
+      .config("spark.sql.extensions",
+        classOf[org.apache.spark.sql.graft.GraftExtensions].getName)
       // The corpus's events.parquet stores TIMESTAMP(NANOS); Spark has no
       // nanosecond timestamp type, so read as long and convert in Tables.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -32,5 +32,41 @@ object ExecQueries extends QueryPack {
       "UNION ALL SELECT 2, 'FAILED', true " +
       "UNION ALL SELECT 3, 'SUCCESS', false ORDER BY step"))
 
-  override def queries: Seq[QueryDef] = Seq(scriptQuery)
+  /** S8 + custom functions: the reference's users work in SQL text, so
+    * the engine's native expressions must be callable from `spark.sql`.
+    * This runs the embedding near-dup entirely as a SQL statement using
+    * the registered `graft_cosine` — and hash-matches the same DuckDB
+    * oracle as the Column-API variant (`dedup_embedding_blocked`),
+    * proving the two surfaces are equivalent.
+    */
+  private def sqlVectorQuery = QueryDef(
+    "sql_embedding_dedup",
+    (s, dir) => {
+      // idempotent — covers sessions built without the extensions conf
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      Tables.load(s, dir, "embeddings")
+        .createOrReplaceTempView("sql_embeddings")
+      s.sql(
+        """WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v,
+          |  label FROM sql_embeddings),
+          |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |  graft_cosine(a.v, b.v) AS cosine
+          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+          |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
+          |ORDER BY id_a, id_b""".stripMargin)
+    },
+    Some(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
+        |    sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0
+        |  ELSE list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) *
+        |     sqrt(list_dot_product(b.v, b.v))) END AS cosine
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")))
+
+  override def queries: Seq[QueryDef] = Seq(scriptQuery, sqlVectorQuery)
 }

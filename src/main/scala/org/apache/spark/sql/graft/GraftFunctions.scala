@@ -1,0 +1,79 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL registration for the graft native expressions.
+  *
+  * The reference's users drive everything through SQL text executed by
+  * `EXECUTION_ENGINE` (`/root/reference/Execution_Engine_Ingestion_
+  * Transformatio.sql:66`), so engine capabilities must be reachable from
+  * `spark.sql(...)` — not only the Scala Column API. Registering the
+  * codegen expressions as named SQL functions closes that surface:
+  *
+  *   - `graft_dot(array<double>, array<double>)` → double
+  *   - `graft_cosine(array<double>, array<double>)` → double
+  *   - `graft_simhash64(array<string>)` → bigint
+  *   - `graft_minhash_sig(array<string>, numHashes)` → array<bigint>
+  *     (numHashes must be an integer literal — it fixes codegen loop
+  *     bounds, like the built-in `approx_percentile` accuracy argument)
+  *
+  * Two hook-up paths:
+  *   - config `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`
+  *     (the canonical cluster deployment — set by `graft.Sessions`)
+  *   - [[GraftFunctions.register]] on an already-created session.
+  */
+object GraftFunctions {
+
+  private def binary(name: String, clazz: Class[_],
+      make: (Expression, Expression) => Expression)
+      : (FunctionIdentifier, ExpressionInfo, FunctionBuilder) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"$name expects 2 arguments")
+        make(args(0), args(1))
+      })
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] =
+    Seq(
+      binary("graft_dot", classOf[ArrayDot], ArrayDot(_, _)),
+      binary("graft_cosine", classOf[CosineSim], CosineSim(_, _)),
+      (FunctionIdentifier("graft_simhash64"),
+        new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "graft_simhash64 expects 1 argument")
+          SimHash64(args.head)
+        }),
+      (FunctionIdentifier("graft_minhash_sig"),
+        new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_minhash_sig expects 2 arguments")
+          val n = args(1) match {
+            case Literal(v: Int, IntegerType) => v
+            case other => throw new IllegalArgumentException(
+              "graft_minhash_sig: numHashes must be an integer literal, " +
+                s"got $other")
+          }
+          MinHashSig(args.head, n)
+        }))
+
+  /** Idempotent registration on an existing session (temp-function scope,
+    * overriding any previous registration of the same names).
+    */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point injecting the graft functions at
+  * session build time (works with plain `spark-submit --conf`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
+}
