@@ -74,6 +74,27 @@ class ProfilerSpec extends SparkSpec {
     assert(amount.isNullAt(amount.fieldIndex("stddev_val")))
   }
 
+  test("negative zero counts as one distinct value with zero (melt path)") {
+    // aggregation normalizes -0.0 == 0.0; the melted string-cast distinct
+    // must agree (it normalizes before casting)
+    val out = Profiler.profile(
+      df(Row(1L, "a", 0.0, t0), Row(2L, "b", -0.0, t0),
+        Row(3L, "c", 1.0, t0)), now = now)
+    assert(rowFor(out, "amount").getAs[Long]("count_distinct") == 2)
+  }
+
+  test("withRaw exposes unrounded moments alongside the rounded stats") {
+    val out = Profiler.profile(
+      df(Row(1L, "a", 1.0, t0), Row(2L, "b", 2.0, t0),
+        Row(3L, "c", 4.0, t0)), now = now, withRaw = true)
+    val amount = rowFor(out, "amount")
+    val raw = amount.getAs[Double]("avg_raw")
+    assert(raw == 7.0 / 3.0) // full precision
+    assert(amount.getAs[Double]("avg_val") == 2.3333) // rounded to 4
+    assert(amount.getAs[Double]("stddev_raw") ==
+      amount.getAs[Double]("stddev_raw")) // present and non-NaN
+  }
+
   test("approx profile keeps counts near-exact at small scale") {
     val out = Profiler.approxProfile(
       df((1 to 50).map(i => Row(i.toLong, s"n$i", i.toDouble, t0)): _*))
