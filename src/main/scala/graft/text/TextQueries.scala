@@ -126,6 +126,21 @@ object TextQueries extends QueryPack {
         "SUM(n_tokens)::BIGINT AS kept_tokens FROM deduped"
     })
 
+  /** Deterministic stratified corpus sample: ≤ 40 documents per language,
+    * selected by md5(doc_id) order so any engine picks the same rows
+    * (see [[graft.pipeline.Sampling]]).
+    */
+  private def sampleQuery = QueryDef(
+    "corpus_sample_documents",
+    (s, dir) => graft.pipeline.Sampling.stratifiedHead(
+        Tables.load(s, dir, "documents"), Seq("lang"), "doc_id", quota = 40)
+      .select("doc_id", "lang", "source")
+      .orderBy("lang", "doc_id"),
+    Some("SELECT doc_id, lang, source FROM (" +
+      "SELECT doc_id, lang, source, ROW_NUMBER() OVER (" +
+      "PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn " +
+      "FROM documents) WHERE rn <= 40 ORDER BY lang, doc_id"))
+
   override def queries: Seq[QueryDef] =
-    Seq(statsQuery, curateQuery, pipelineQuery)
+    Seq(statsQuery, curateQuery, pipelineQuery, sampleQuery)
 }
