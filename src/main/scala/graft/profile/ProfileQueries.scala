@@ -71,6 +71,36 @@ object ProfileQueries extends QueryPack {
       .orderBy("column_name"),
     None)
 
+  /** Percentile profile (median + p95 per numeric column): exact
+    * interpolated percentiles — Spark `percentile` and DuckDB
+    * `quantile_cont` share the (1−f)·a + f·b definition; rounded to 4 to
+    * absorb final-ulp differences. At 100 TB swap `percentile` for
+    * `approx_percentile` (t-digest) the same way the distinct counts swap
+    * to HLL.
+    */
+  private def quantileQuery(table: String): QueryDef = {
+    val numCols = Schemas.byTable(table).filter(_.numeric).map(_.name)
+    QueryDef(s"profile_quantiles_$table",
+      (s, dir) => {
+        val df = Tables.load(s, dir, table)
+        val aggs = numCols.flatMap(c => Seq(
+          round(expr(s"percentile(`$c`, 0.5)"), 4).as(s"${c}__p50"),
+          round(expr(s"percentile(`$c`, 0.95)"), 4).as(s"${c}__p95")))
+        val stackArgs = numCols
+          .map(c => s"'$c', `${c}__p50`, `${c}__p95`").mkString(", ")
+        df.agg(aggs.head, aggs.tail: _*)
+          .selectExpr(s"stack(${numCols.length}, $stackArgs) as " +
+            "(column_name, p50, p95)")
+          .orderBy("column_name")
+      },
+      Some(numCols.map { c =>
+        s"SELECT '$c' AS column_name, " +
+          s"ROUND(quantile_cont($c, 0.5), 4) AS p50, " +
+          s"ROUND(quantile_cont($c, 0.95), 4) AS p95 FROM $table"
+      }.mkString(" UNION ALL ") + " ORDER BY column_name"))
+  }
+
   override def queries: Seq[QueryDef] =
-    Seq(profileQuery("lineitem"), profileQuery("orders"), approxQuery)
+    Seq(profileQuery("lineitem"), profileQuery("orders"), approxQuery,
+      quantileQuery("lineitem"))
 }
