@@ -189,31 +189,43 @@ object Dedup {
     // Labels only ever DECREASE (least of self and pulled minima), so
     // sum(cluster) is a monotone convergence metric: fixpoint ⇔ the sum
     // stops changing. One cheap aggregate per iteration instead of a
-    // self-join diff.
-    var prevSum = labels.agg(sum("cluster")).head.getLong(0)
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val pulled = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min("cluster").as("__pulled"))
-      val next = labels.join(pulled, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("__pulled"), col("cluster")))
-            .as("cluster"))
-        .persist()
-      val nextSum = next.agg(sum("cluster")).head.getLong(0)
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      labels.unpersist()
-      labels = next
-      i += 1
-    }
-    require(converged, s"label propagation did not converge in $maxIter " +
-      "iterations — pathological chain structure; raise maxIter")
-    edges.unpersist()
-    labels
+    // self-join diff. SUM over zero rows is NULL → 0 (empty pair set =
+    // already converged on an empty clustering).
+    def sumOf(df: DataFrame): Long =
+      Option(df.agg(sum("cluster")).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    try {
+      var prevSum = sumOf(labels)
+      var converged = labels.isEmpty
+      var i = 0
+      while (!converged && i < maxIter) {
+        val pulled = edges
+          .join(labels.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(min("cluster").as("__pulled"))
+        val next = labels.join(pulled, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("__pulled"), col("cluster")))
+              .as("cluster"))
+          .persist()
+        val nextSum = sumOf(next)
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        labels.unpersist()
+        labels = next
+        i += 1
+      }
+      if (!converged) {
+        labels.unpersist()
+        throw new IllegalStateException(
+          s"label propagation did not converge in $maxIter iterations — " +
+            "pathological chain structure; raise maxIter")
+      }
+      // the returned frame STAYS persisted — it is the computed result;
+      // unpersisting here would force a full re-propagation on first use.
+      // Callers drop it with unpersist()/clearCache when done.
+      labels
+    } finally edges.unpersist(): Unit
   }
 
   /** One row per cluster member with its survivor: (cluster, id,

@@ -203,11 +203,13 @@ object FileDq {
     * Shuffle compression: the exploded rows carry xxhash64(key) and
     * xxhash64(value) as longs, not the raw (possibly wide) string values —
     * N·(N−1) pairs of a wide column would otherwise shuffle the column
-    * N−1 times. Distinct-count over 64-bit hashes equals the exact count
-    * unless two distinct values of one key collide (~m²/2⁶⁵ per key — at
-    * which point the groupwise nd could understate by 1); the check only
-    * compares nd against 1, so a flip needs the key's ONLY two distinct
-    * values to collide. Measured 4.6x with the hash + parallel explode.
+    * N−1 times. 64-bit hashing makes the check probabilistic in BOTH
+    * directions (each ~n²/2⁶⁵ per column pair): a value-side collision
+    * can understate a key's nd (flips failed→passed only when the key's
+    * sole two values collide), and a key-side collision merges two key
+    * groups (can flip a perfect dependency to failed when the merged
+    * values differ). Both are accepted for the shuffle savings — measured
+    * 4.6x with the hash + parallel explode.
     *
     * @param maxPairs hard cap on ordered pairs (N·(N−1) grows fast); the
     *                 number dropped is logged, never silent.

@@ -50,7 +50,7 @@ object DiscoveryQueries extends QueryPack {
     (s, dir) => {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_docs.json"
       Tables.load(s, dir, "documents", parallelize = false)
-        .select("doc_id", "lang", "source")
+        .select("doc_id", "lang", "source").limit(StageSample)
         .write.mode("overwrite").json(out)
       Discovery.schemaFrame(s, out).orderBy("ordinal_position")
     },

@@ -109,9 +109,11 @@ object Profiler {
     // (which multiplies the scan into N+1 copies of the FULL-width row;
     // the melt's rows are 2 columns and partial-deduped map-side) —
     // measured 1.6x on an 11-column table, and the long shape joins
-    // straight onto the stacked stats. String casts preserve per-column
-    // distinctness except -0.0 (aggregation normalizes it to 0.0, its
-    // string doesn't), so negative zero is normalized first.
+    // straight onto the stacked stats. The encoding must be INJECTIVE per
+    // column: -0.0 is normalized first (aggregation equates it with 0.0,
+    // its string doesn't), binary goes through hex (charset decoding is
+    // lossy), and nested types through to_json (their display cast joins
+    // elements ambiguously: array('a, b') and array('a', ' b') collide).
     val stacked =
       if (!exact) statsLong
       else {
@@ -120,6 +122,9 @@ object Profiler {
             case DoubleType | FloatType =>
               s"CAST(CASE WHEN `${f.name}` = 0 THEN 0 ELSE `${f.name}` " +
                 "END AS STRING)"
+            case BinaryType => s"hex(`${f.name}`)"
+            case _: ArrayType | _: StructType | _: MapType =>
+              s"to_json(`${f.name}`)"
             case _ => s"CAST(`${f.name}` AS STRING)"
           }
           s"'${f.name}', $c"

@@ -107,7 +107,12 @@ object Sessionize {
             cur.foreach { s =>
               if (streaming) {
                 state.update(s)
-                state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L)
+                // ceil to ms: flooring could fire the timeout up to 999µs
+                // BEFORE last+gap and split a session that an event at
+                // exactly last+gap should join (pinned boundary rule);
+                // firing ≤1ms late is always safe.
+                state.setTimeoutTimestamp(
+                  Math.floorDiv(s.lastUs + gapUs + 999L, 1000L))
               } else closed += finish(user, s, gapUs)
             }
             closed.result().iterator
@@ -120,8 +125,10 @@ object Sessionize {
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
   private def fromMicros(us: Long): Timestamp = {
-    val t = new Timestamp(us / 1000L)
-    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    // floor semantics so pre-epoch (negative) micros round toward -∞:
+    // truncating division would hand setNanos a negative value (throws)
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
     t
   }
 

@@ -54,17 +54,22 @@ object TextAnalysis {
 
   /** Gopher/C4-style quality gates: fraction of four rules passed.
     * Each gate is a hard boolean so the score is exactly k/4 — robust to
-    * cross-engine float drift.
+    * cross-engine float drift. The thresholds live ONLY here (the fused
+    * [[withStats]] path calls this same function with its precomputed
+    * ratio columns).
     */
-  def qualityScore(c: Column): Column = {
-    val lenOk = length(c).between(50, 5000)
-    val tokOk = avgTokenLen(c).between(3.0, 12.0)
-    val punctOk = punctRatio(c) <= 0.1
-    val stopOk = stopwordRatio(c) >= 0.05
-    (Seq(lenOk, tokOk, punctOk, stopOk)
-      .map(g => when(g, 1).otherwise(0))
-      .reduce(_ + _)).cast("double") / 4
-  }
+  def qualityGates(len: Column, avgTok: Column, punctR: Column,
+      stopR: Column): Seq[Column] = Seq(
+    len.between(50, 5000), avgTok.between(3.0, 12.0),
+    punctR <= 0.1, stopR >= 0.05)
+
+  def scoreFromGates(gates: Seq[Column]): Column =
+    gates.map(g => when(g, 1).otherwise(0))
+      .reduce(_ + _).cast("double") / 4
+
+  def qualityScore(c: Column): Column =
+    scoreFromGates(qualityGates(length(c), avgTokenLen(c), punctRatio(c),
+      stopwordRatio(c)))
 
   /** Marker-word / script language heuristic. CJK codepoints → zh;
     * else the language whose marker stopwords appear; default en.
@@ -87,9 +92,13 @@ object TextAnalysis {
     * design (near-dup prefilter); md5 is available in every engine so the
     * oracle can recompute it.
     */
-  def fingerprint(c: Column): Column =
-    md5(concat_ws(" ", array_sort(array_distinct(tokens(c))))
-      .cast("binary"))
+  def fingerprint(c: Column): Column = fingerprintFromTokens(tokens(c))
+
+  /** Fingerprint from a precomputed token-array column (shared by
+    * [[withStats]] so the hash recipe has one definition).
+    */
+  def fingerprintFromTokens(toks: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(toks))).cast("binary"))
 
   /** Append ALL document stats to `df`, evaluating each expensive scan of
     * the text exactly once.
@@ -118,23 +127,19 @@ object TextAnalysis {
       size(col("__toks")).as("__ntok"),
       size(filter(col("__toks"), tk => array_contains(stops, tk)))
         .as("__stop"),
-      md5(concat_ws(" ", array_sort(array_distinct(col("__toks"))))
-        .cast("binary")).as("fingerprint"))
+      fingerprintFromTokens(col("__toks")).as("fingerprint"))
     val punctR = col("__punct").cast("double") / greatest(length(t), lit(1))
     val stopR = col("__stop").cast("double") / greatest(col("__ntok"), lit(1))
     val avgTok =
       col("__nonspace").cast("double") / greatest(col("__ntok"), lit(1))
-    val gates = Seq(
-      length(t).between(50, 5000), avgTok.between(3.0, 12.0),
-      punctR <= 0.1, stopR >= 0.05)
     s2.select(col("*"),
         col("__ntok").cast("long").as("n_tokens"),
         col("__bpe").cast("long").as("n_tokens_bpe"),
         punctR.as("punct_ratio"),
         stopR.as("stopword_ratio"),
         avgTok.as("avg_token_len"),
-        (gates.map(g => when(g, 1).otherwise(0)).reduce(_ + _)
-          .cast("double") / 4).as("quality_score"),
+        scoreFromGates(qualityGates(length(t), avgTok, punctR, stopR))
+          .as("quality_score"),
         langId(t).as("lang_id"))
       .drop("__toks", "__nonspace", "__punct", "__bpe", "__ntok", "__stop")
   }

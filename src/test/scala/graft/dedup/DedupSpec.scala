@@ -126,6 +126,12 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("clusters of an empty pair set is an empty clustering, not a crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.clusters(empty).isEmpty)
+    assert(Dedup.survivors(empty).isEmpty)
+  }
+
   test("survivors marks exactly one survivor per cluster (the min id)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val out = Dedup.survivors(pairs).as[(Long, Long, Boolean)].collect()

@@ -95,6 +95,21 @@ class ProfilerSpec extends SparkSpec {
       amount.getAs[Double]("stddev_raw")) // present and non-NaN
   }
 
+  test("distinct encodings are injective for nested and binary columns") {
+    // display-cast would join array elements ambiguously: both rows below
+    // would render "[a, b]"; and charset-decoding binary is lossy
+    val sch = StructType(Seq(
+      StructField("arr", ArrayType(StringType)),
+      StructField("bin", BinaryType)))
+    val rows = Seq(
+      Row(Seq("a, b"), Array[Byte](0, -1)),
+      Row(Seq("a", " b"), Array[Byte](0, -2)))
+    val out = Profiler.profile(
+      spark.createDataFrame(rows.asJava, sch), now = now)
+    assert(rowFor(out, "arr").getAs[Long]("count_distinct") == 2)
+    assert(rowFor(out, "bin").getAs[Long]("count_distinct") == 2)
+  }
+
   test("approx profile keeps counts near-exact at small scale") {
     val out = Profiler.approxProfile(
       df((1 to 50).map(i => Row(i.toLong, s"n$i", i.toDouble, t0)): _*))
