@@ -64,5 +64,35 @@ object PipelineQueries extends QueryPack {
          |UNION ALL SELECT $oracleProj FROM src
          |ORDER BY event_id""".stripMargin.replace("\n", " ")))
 
-  override def queries: Seq[QueryDef] = Seq(latestQuery, mergeQuery)
+  /** Backward as-of join ([[AsofJoin]]): each purchase event paired with
+    * the same user's latest click at-or-before it. DuckDB's native
+    * `ASOF LEFT JOIN` is the oracle; both sides compare at µs (`ts::
+    * TIMESTAMP` truncates DuckDB's ns read the same way Spark's load
+    * does).
+    */
+  private def asofQuery = QueryDef(
+    "asof_clicks_before_purchase",
+    (s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val probe = events.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val build = events.filter(col("event_type") === "click")
+        .select("user_id", "ts")
+      AsofJoin.asof(probe, build, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_ts_us"),
+          unix_micros(col("asof_ts")).as("click_ts_us"))
+        .orderBy("event_id")
+    },
+    Some("WITH p AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts " +
+      "FROM events WHERE event_type = 'purchase'), " +
+      "c AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events " +
+      "WHERE event_type = 'click') " +
+      "SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_ts_us, " +
+      "epoch_us(c.ts) AS click_ts_us " +
+      "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts " +
+      "ORDER BY p.event_id"))
+
+  override def queries: Seq[QueryDef] =
+    Seq(latestQuery, mergeQuery, asofQuery)
 }
