@@ -81,18 +81,12 @@ object ProfileQueries extends QueryPack {
   private def quantileQuery(table: String): QueryDef = {
     val numCols = Schemas.byTable(table).filter(_.numeric).map(_.name)
     QueryDef(s"profile_quantiles_$table",
-      (s, dir) => {
-        val df = Tables.load(s, dir, table)
-        val aggs = numCols.flatMap(c => Seq(
-          round(expr(s"percentile(`$c`, 0.5)"), 4).as(s"${c}__p50"),
-          round(expr(s"percentile(`$c`, 0.95)"), 4).as(s"${c}__p95")))
-        val stackArgs = numCols
-          .map(c => s"'$c', `${c}__p50`, `${c}__p95`").mkString(", ")
-        df.agg(aggs.head, aggs.tail: _*)
-          .selectExpr(s"stack(${numCols.length}, $stackArgs) as " +
-            "(column_name, p50, p95)")
-          .orderBy("column_name")
-      },
+      (s, dir) => Profiler
+        .quantiles(Tables.load(s, dir, table), numCols,
+          ps = Seq(0.5, 0.95), names = Seq("p50", "p95"))
+        .select(col("column_name"),
+          round(col("p50"), 4).as("p50"), round(col("p95"), 4).as("p95"))
+        .orderBy("column_name"),
       Some(numCols.map { c =>
         s"SELECT '$c' AS column_name, " +
           s"ROUND(quantile_cont($c, 0.5), 4) AS p50, " +

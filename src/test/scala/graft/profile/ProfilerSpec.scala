@@ -110,6 +110,27 @@ class ProfilerSpec extends SparkSpec {
     assert(rowFor(out, "bin").getAs[Long]("count_distinct") == 2)
   }
 
+  test("sort-based quantiles interpolate like quantile_cont; all-null -> null row") {
+    val out = Profiler.quantiles(
+      df(Row(1L, "a", 10.0, t0), Row(2L, "b", 20.0, t0),
+        Row(3L, "c", 40.0, t0), Row(4L, "d", null, t0)),
+      cols = Seq("amount", "id"), ps = Seq(0.5, 0.75),
+      names = Seq("p50", "p75")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // amount values 10,20,40 (null dropped): p50 = 20; p75 -> idx 1.5 ->
+    // 20 + 0.5*(40-20) = 30
+    assert(out("amount").getDouble(1) === 20.0)
+    assert(out("amount").getDouble(2) === 30.0)
+    // id 1..4: p50 -> idx 1.5 -> 2.5
+    assert(out("id").getDouble(1) === 2.5)
+
+    val allNull = Profiler.quantiles(
+      df(Row(1L, "a", null, t0), Row(2L, "b", null, t0)),
+      cols = Seq("amount"), ps = Seq(0.5), names = Seq("p50")).collect()
+    assert(allNull.length === 1)
+    assert(allNull.head.isNullAt(1))
+  }
+
   test("approx profile keeps counts near-exact at small scale") {
     val out = Profiler.approxProfile(
       df((1 to 50).map(i => Row(i.toLong, s"n$i", i.toDouble, t0)): _*))
