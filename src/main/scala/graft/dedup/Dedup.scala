@@ -196,7 +196,10 @@ object Dedup {
         .map(_.asInstanceOf[Long]).getOrElse(0L)
     try {
       var prevSum = sumOf(labels)
-      var converged = labels.isEmpty
+      // sum != 0 proves non-empty without a second job; the isEmpty probe
+      // only runs in the (sum == 0) corner: empty input, or ids that
+      // legitimately sum to zero
+      var converged = prevSum == 0L && labels.isEmpty
       var i = 0
       while (!converged && i < maxIter) {
         val pulled = edges
