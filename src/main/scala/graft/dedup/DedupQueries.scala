@@ -33,7 +33,10 @@ object DedupQueries extends QueryPack {
     * 3-shingle Jaccard (mirrors [[Dedup.wordShingles]] +
     * [[Dedup.jaccardOnPairs]]).
     */
-  private val jaccardPairsCte =
+  private[graft] val jaccardPairsCte: String = jaccardPairsCteFor("documents")
+
+  /** Same CTE pair over any source relation exposing (doc_id, text). */
+  private[graft] def jaccardPairsCteFor(src: String): String =
     """d AS (SELECT doc_id, text, substr(text, 1, 80) AS blk,
       |  list_distinct(CASE
       |    WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN []::VARCHAR[]
@@ -44,15 +47,15 @@ object DedupQueries extends QueryPack {
       |      i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
       |           regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
       |           regexp_split_to_array(trim(text), '\s+')[i+2])
-      |  END) AS sh FROM documents),
+      |  END) AS sh FROM SRCREL),
       |jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  len(list_intersect(a.sh, b.sh))::DOUBLE /
       |    greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS jaccard
       |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id)"""
-      .stripMargin.replace("\n", " ")
+      .stripMargin.replace("\n", " ").replace("SRCREL", src)
 
   /** Spark side of the same blocked-pair generator. */
-  private def blockedPairs(docs: org.apache.spark.sql.DataFrame) = {
+  private[graft] def blockedPairs(docs: org.apache.spark.sql.DataFrame) = {
     val blocked = docs.select(col("doc_id"),
       substring(col("text"), 1, 80).as("blk"))
     blocked.as("a")

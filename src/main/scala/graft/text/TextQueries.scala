@@ -126,6 +126,62 @@ object TextQueries extends QueryPack {
         "SUM(n_tokens)::BIGINT AS kept_tokens FROM deduped"
     })
 
+  /** The COMPLETE training-data pass, end-to-end and hash-verified:
+    * curate (quality/language/token gates) → exact dedup (keep min id per
+    * text) → near-dup clustering over the survivors (blocked Jaccard ≥
+    * 0.8 → connected components) → drop non-survivor cluster members →
+    * corpus summary. The oracle rebuilds every stage in DuckDB including
+    * the recursive component search, so one hash checks the whole
+    * pipeline's composition, not just its pieces.
+    */
+  private def pipelineFullQuery = QueryDef(
+    "corpus_pipeline_full_documents",
+    (s, dir) => {
+      val curated = TextAnalysis
+        .withStats(Tables.load(s, dir, "documents"), "text")
+        .select("doc_id", "text", "n_tokens", "quality_score", "lang_id")
+        .filter(col("quality_score") >= 0.75 && col("lang_id") === "en" &&
+          col("n_tokens").between(20, 2000))
+      // persisted: read by the pair generator (both join sides via the
+      // shingle sets), the survivor anti-join, and the final summary
+      val kept = curated.groupBy("text")
+        .agg(min("doc_id").as("doc_id"), min("n_tokens").as("n_tokens"))
+        .persist()
+      val pairs = graft.dedup.Dedup.jaccardOnPairs(
+          graft.dedup.DedupQueries.blockedPairs(kept), kept, "doc_id",
+          "text", shingleK = 3)
+        .filter(col("jaccard") >= 0.8)
+        .select("id_a", "id_b")
+      val removed = graft.dedup.Dedup.survivors(pairs)
+        .filter(!col("is_survivor")).select(col("id").as("doc_id"))
+      kept.join(removed, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("kept_docs"),
+          sum("n_tokens").as("kept_tokens"))
+    },
+    Some {
+      val full = statsOracle
+      val body = full.substring(0, full.lastIndexOf(" ORDER BY"))
+      s"WITH RECURSIVE s AS ($body), " +
+        "curated AS (SELECT s.doc_id, d.text, s.n_tokens " +
+        "FROM s JOIN documents d ON s.doc_id = d.doc_id " +
+        "WHERE s.quality_score >= 0.75 AND s.lang_id = 'en' " +
+        "AND s.n_tokens BETWEEN 20 AND 2000), " +
+        "kept AS (SELECT MIN(doc_id) AS doc_id, text, " +
+        "MIN(n_tokens) AS n_tokens FROM curated GROUP BY text), " +
+        graft.dedup.DedupQueries.jaccardPairsCteFor("kept") + ", " +
+        "pairs AS (SELECT id_a, id_b FROM jp WHERE jaccard >= 0.8), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+        "UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach(id, r) AS (SELECT src, src FROM edges " +
+        "UNION SELECT e.src, reach.r FROM edges e " +
+        "JOIN reach ON e.dst = reach.id), " +
+        "removed AS (SELECT id FROM reach GROUP BY id " +
+        "HAVING id <> MIN(r)) " +
+        "SELECT COUNT(*) AS kept_docs, SUM(n_tokens)::BIGINT AS " +
+        "kept_tokens FROM kept WHERE doc_id NOT IN " +
+        "(SELECT id FROM removed)"
+    })
+
   /** Deterministic stratified corpus sample: ≤ 40 documents per language,
     * selected by md5(doc_id) order so any engine picks the same rows
     * (see [[graft.pipeline.Sampling]]).
@@ -142,5 +198,6 @@ object TextQueries extends QueryPack {
       "FROM documents) WHERE rn <= 40 ORDER BY lang, doc_id"))
 
   override def queries: Seq[QueryDef] =
-    Seq(statsQuery, curateQuery, pipelineQuery, sampleQuery)
+    Seq(statsQuery, curateQuery, pipelineQuery, pipelineFullQuery,
+      sampleQuery)
 }
