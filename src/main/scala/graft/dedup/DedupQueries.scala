@@ -72,7 +72,7 @@ object DedupQueries extends QueryPack {
   private def jaccardQuery = QueryDef(
     "dedup_jaccard_blocked_documents",
     (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.load(s, dir, "documents", parallelize = true)
       Dedup.jaccardOnPairs(blockedPairs(docs), docs, "doc_id", "text",
           shingleK = 3)
         .orderBy("id_a", "id_b")
@@ -89,7 +89,7 @@ object DedupQueries extends QueryPack {
   private def clustersQuery = QueryDef(
     "dedup_clusters_documents",
     (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.load(s, dir, "documents", parallelize = true)
       val pairs = Dedup.jaccardOnPairs(blockedPairs(docs), docs, "doc_id",
           "text", shingleK = 3)
         .filter(col("jaccard") >= 0.8)
@@ -112,7 +112,7 @@ object DedupQueries extends QueryPack {
   private def minhashQuery = QueryDef(
     "dedup_minhash_documents",
     (s, dir) => Dedup.nearDuplicates(
-        Tables.load(s, dir, "documents"), "doc_id", "text",
+        Tables.load(s, dir, "documents", parallelize = true), "doc_id", "text",
         shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)
       .orderBy("id_a", "id_b"),
     None)
@@ -124,7 +124,7 @@ object DedupQueries extends QueryPack {
   private def simhashQuery = QueryDef(
     "dedup_simhash_documents",
     (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.load(s, dir, "documents", parallelize = true)
       // persist: the fingerprint frame is exploded into 4 chunks and
       // self-joined — without it CollapseProject inlines the SimHash into
       // every chunk element and each join side (8 evals/doc; measured 24×).
@@ -177,8 +177,10 @@ object DedupQueries extends QueryPack {
 
   /** Embedding-cosine near-dup, sign-LSH bucketed (the 100 TB path;
     * hyperplanes are engine-side literals with no SQL equivalent, so this
-    * registers rows-only — recall is pinned against the blocked variant in
-    * DedupSpec).
+    * registers rows-only). Hash width auto-scales with corpus size so
+    * candidates stay O(n) — pinned in DedupSpec, along with recall ≥ 0.9
+    * at the cosine-0.95 design point and theory-conformance at this
+    * query's isotropic 0.3 tail (see EmbeddingDedup scaladoc).
     */
   private def embLshQuery = QueryDef(
     "dedup_embedding_lsh",

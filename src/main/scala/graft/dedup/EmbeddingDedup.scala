@@ -15,10 +15,26 @@ import graft.sim.Similarity
   *     (hash join, never a crossJoin). Correctness variant — the block key
   *     must be selective for this to scale; it is the oracle-checkable
   *     path, not the 100 TB default.
-  *   - [[cosinePairsLsh]]: random-hyperplane sign-LSH buckets (reusing
-  *     [[Similarity.lshIndex]]) with a per-bucket size bound, so candidate
-  *     fan-out stays linear in corpus size even under degenerate buckets.
-  *     This is the scale path: shuffle on a short (table, bucket) key.
+  *   - [[cosinePairsLsh]]: random-hyperplane sign-LSH buckets with a hash
+  *     width that SCALES with corpus size ([[Similarity.scaledBits]]) so
+  *     expected bucket size — and with it candidate fan-out — stays
+  *     constant per row: candidates ≈ tables·n·targetBucket/2 = O(n),
+  *     pinned ≤ 32·n by DedupSpec. (Round 3 shipped a fixed 4-bit width:
+  *     16 buckets per table swallow any corpus, candidates ≈ 64% of ALL
+  *     pairs — an all-pairs join in disguise. Never again: the spec
+  *     bound fails if the width stops scaling.)
+  *
+  * Operating envelope (same physics as the [[graft.sim.Similarity]] class
+  * doc): banded sign-LSH is a high-similarity detector. At the near-dup
+  * design point (cosine ≥ 0.9, θ ≤ 26°, p = 1−θ/π ≈ 0.86) recall with
+  * 8 tables × 8 bits is 1−(1−p⁸)⁸ ≈ 0.99 — pinned on planted twins in
+  * DedupSpec. At θ ≈ 72° (the fixture's cosine-0.3 tail of an isotropic
+  * cloud) per-pair recall is 1−(1−p⁸)⁸ ≈ 0.12 and THAT IS THE CEILING for
+  * O(n)-candidate LSH there (ρ = ln p₁ / ln p₂ ≈ 0.74 ⇒ Ω(n^1.74)
+  * candidate work for high recall); DedupSpec pins the measured recall to
+  * the analytic curve instead of wishing the physics away. For moderate-
+  * similarity mining use [[cosinePairsBlocked]] on a selective key or the
+  * IVF route ([[graft.sim.IvfSimilarity]]).
   *
   * Verification is exact cosine on candidate PAIRS only, in double
   * precision with a sequential fold (bit-identical to DuckDB's
@@ -57,17 +73,29 @@ object EmbeddingDedup {
       .filter(col("cosine") >= threshold)
   }
 
-  /** Near-dup pairs from sign-LSH buckets, cosine ≥ threshold.
+  /** Candidate pairs (id_a < id_b) from corpus-scaled sign-LSH buckets —
+    * public so the O(n) bound is directly testable.
     *
-    * @param maxBucket buckets larger than this are dropped (same
-    *                  degenerate-bucket guard as [[Dedup.lshCandidates]]).
+    * @param bits       hash width; 0 (default) = [[Similarity.scaledBits]]
+    *                   (expected bucket ≈ `targetBucket` rows at any n)
+    * @param maxBucket  degenerate-bucket guard (e.g. a zero-vector pileup
+    *                   hashing identically): buckets larger than this are
+    *                   dropped, not exploded quadratically. With scaled
+    *                   bits a healthy bucket sits near `targetBucket`, so
+    *                   the cap only fires on pathological data.
+    * @param corpusSize pass when known to skip the sizing count
     */
-  def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, tables: Int = 16, bits: Int = 4, dims: Int = 64,
-      maxBucket: Int = 256): DataFrame = {
-    val idx = Similarity.lshIndex(df, idCol, vecCol, tables, bits, dims)
-    // Materialized ANN index: without the persist the hyperplane hashing is
-    // re-derived on each side of the self-join (and under the window).
+  def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
+      tables: Int = 8, bits: Int = 0, dims: Int = 64,
+      targetBucket: Int = 32, maxBucket: Int = 256,
+      corpusSize: Option[Long] = None): DataFrame = {
+    val b =
+      if (bits > 0) bits
+      else Similarity.scaledBits(corpusSize.getOrElse(df.count()),
+        targetBucket)
+    val idx = Similarity.lshIndex(df, idCol, vecCol, tables, b, dims)
+    // Materialized ANN index: without the persist the hyperplane hashing
+    // is re-derived on each side of the self-join (and under the window).
     val bounded = idx.withColumn("__bucket_n",
         count(lit(1)).over(Window.partitionBy("table_idx", "bucket")))
       .filter(col("__bucket_n").between(2, maxBucket))
@@ -77,9 +105,17 @@ object EmbeddingDedup {
       col(idCol).as("id_a"))
     val right = bounded.select(col("table_idx"), col("bucket"),
       col(idCol).as("id_b"))
-    val cands = left.join(right, Seq("table_idx", "bucket"))
+    left.join(right, Seq("table_idx", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** Near-dup pairs from scaled sign-LSH buckets, cosine ≥ threshold. */
+  def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, tables: Int = 8, bits: Int = 0, dims: Int = 64,
+      maxBucket: Int = 256, corpusSize: Option[Long] = None): DataFrame = {
+    val cands = lshCandidatePairs(df, idCol, vecCol, tables, bits, dims,
+      maxBucket = maxBucket, corpusSize = corpusSize)
     cosineOnPairs(cands, df, idCol, vecCol)
       .filter(col("cosine") >= threshold)
   }

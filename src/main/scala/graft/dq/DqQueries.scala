@@ -60,7 +60,7 @@ object DqQueries extends QueryPack {
 
   private def profiled(table: String) =
     (s: org.apache.spark.sql.SparkSession, dir: String) =>
-      Profiler.profile(Tables.load(s, dir, table),
+      Profiler.profile(Tables.load(s, dir, table, parallelize = true),
         now = lit(FixedNow).cast("timestamp"))
 
   private def dqQuery(table: String): QueryDef =

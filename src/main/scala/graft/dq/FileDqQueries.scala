@@ -104,7 +104,7 @@ object FileDqQueries extends QueryPack {
   private def fileDqQuery(table: String): QueryDef =
     QueryDef(s"dq_file_$table",
       (s, dir) => {
-        val df = Tables.load(s, dir, table)
+        val df = Tables.load(s, dir, table, parallelize = true)
         // persist: the report union references the profile in three
         // branches (completeness/uniqueness/validity) — without it the
         // profiling aggregation runs three times.
@@ -119,7 +119,7 @@ object FileDqQueries extends QueryPack {
   private def summaryQuery = QueryDef(
     "dq_file_summary_events",
     (s, dir) => {
-      val df = Tables.load(s, dir, "events")
+      val df = Tables.load(s, dir, "events", parallelize = true)
       val profile = Profiler.profile(df,
         now = lit(DqQueries.FixedNow).cast("timestamp"),
         withRaw = true).persist()

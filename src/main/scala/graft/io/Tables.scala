@@ -17,16 +17,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Files at or above this size get their scan parallelized (see load). */
+  /** Files at or above this size get their scan parallelized when the
+    * caller opts in (see load).
+    */
   private val ParallelizeBytes = 256L * 1024
 
+  /** Fixed fan-out for the opt-in scan repartition. A literal, not
+    * `defaultParallelism`: double moments (avg/stddev) accumulate in
+    * partition order, so a core-count-dependent partition count would make
+    * oracle-compared aggregates host-dependent. 32 matches the driver's
+    * executor-thread count; on a real cluster the loader's file splits
+    * make the repartition a no-op anyway.
+    */
+  val ScanParallelism = 32
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    load(spark, dir, name, parallelize = true)
+    load(spark, dir, name, parallelize = false)
 
   /** @param parallelize restore split-equivalent parallelism for
-    *   data-sized single-file tables (see below). Pass `false` when the
-    *   frame is only staged back to storage (a copy shouldn't pay a
-    *   shuffle and shouldn't shatter into per-core files).
+    *   data-sized single-file tables (see below). Opt-IN, for pipelines
+    *   whose heavy compute is fused with the scan (profiling aggregates,
+    *   shingling/sketching, text stats) — measured 3-5x there. Leave it
+    *   off (default) for shuffle-bound relational queries (joins,
+    *   upserts, set ops): the exchange already spreads the work, and the
+    *   extra round-robin shuffle is a pure tax (measured +0.4-1.0s per
+    *   query at sf0.1), worst on small index-like tables (embeddings).
     */
   def load(spark: SparkSession, dir: String, name: String,
       parallelize: Boolean): DataFrame = {
@@ -55,7 +70,7 @@ object Tables {
     // this a no-op, and dimension-sized files stay single-partition
     // (they broadcast). Measured 3-5x on every scan-fused pipeline.
     if (parallelize && new java.io.File(path).length >= ParallelizeBytes)
-      typed.repartition(spark.sparkContext.defaultParallelism)
+      typed.repartition(ScanParallelism)
     else typed
   }
 

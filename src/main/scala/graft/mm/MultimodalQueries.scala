@@ -14,7 +14,7 @@ object MultimodalQueries extends QueryPack {
   private def pipelineQuery = QueryDef(
     "mm_decode_features_documents",
     (s, dir) => {
-      val media = Multimodal.synthesize(Tables.load(s, dir, "documents"))
+      val media = Multimodal.synthesize(Tables.load(s, dir, "documents", parallelize = true))
       val decoded = Multimodal.decodeAll(media)
       val feats = Multimodal.extractFeatures(media, dim = 16)
       decoded.toDF().join(feats.toDF(), "media_id")

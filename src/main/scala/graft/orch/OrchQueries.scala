@@ -21,7 +21,7 @@ object OrchQueries extends QueryPack {
     (s, dir) => {
       val out =
         s"${System.getProperty("java.io.tmpdir")}/graft_orch_events.csv"
-      Tables.load(s, dir, "events")
+      Tables.load(s, dir, "events", parallelize = true)
         .select("event_id", "event_type", "value")
         .write.mode("overwrite").option("header", "true").csv(out)
       val res = Ingestion.run(s,

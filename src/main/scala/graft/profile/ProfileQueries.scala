@@ -54,7 +54,7 @@ object ProfileQueries extends QueryPack {
   private def profileQuery(table: String): QueryDef =
     QueryDef(s"profile_$table",
       (s, dir) => Profiler
-        .profile(Tables.load(s, dir, table),
+        .profile(Tables.load(s, dir, table, parallelize = true),
           now = lit(FixedNow).cast("timestamp"))
         .orderBy("column_name"),
       Some(profileOracle(table, Schemas.byTable(table))))
@@ -66,7 +66,7 @@ object ProfileQueries extends QueryPack {
   private def approxQuery = QueryDef(
     "profile_lineitem_approx",
     (s, dir) => Profiler
-      .approxProfile(Tables.load(s, dir, "lineitem"),
+      .approxProfile(Tables.load(s, dir, "lineitem", parallelize = true),
         now = lit(FixedNow).cast("timestamp"))
       .orderBy("column_name"),
     None)
@@ -82,7 +82,7 @@ object ProfileQueries extends QueryPack {
     val numCols = Schemas.byTable(table).filter(_.numeric).map(_.name)
     QueryDef(s"profile_quantiles_$table",
       (s, dir) => Profiler
-        .quantiles(Tables.load(s, dir, table), numCols,
+        .quantiles(Tables.load(s, dir, table, parallelize = true), numCols,
           ps = Seq(0.5, 0.95), names = Seq("p50", "p95"))
         .select(col("column_name"),
           round(col("p50"), 4).as("p50"), round(col("p95"), 4).as("p95"))

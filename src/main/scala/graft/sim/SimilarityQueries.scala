@@ -56,6 +56,45 @@ object SimilarityQueries extends QueryPack {
     },
     None)
 
+  val GraphK = 5
+
+  /** Exact k-NN graph (top-k neighbours for EVERY corpus row) — the
+    * deliberately-quadratic baseline the LSH graph is measured against:
+    * Θ(n²) cosines plus an n²-row ranking shuffle.
+    */
+  private def knnBruteQuery = QueryDef(
+    "sim_knn_graph_brute",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", GraphK)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  $cosineSql AS cosine FROM e c, e q WHERE c.vec_id <> q.vec_id)
+         |SELECT query_id, rn AS rank, neighbor_id, cosine FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+         |WHERE rn <= $GraphK ORDER BY query_id, rank""".stripMargin
+        .replace("\n", " ")))
+
+  /** Approximate k-NN graph via the multi-probed, corpus-scaled LSH
+    * index — the batch shape where the index amortizes (O(n) candidates
+    * vs the brute graph's Θ(n²); recall vs the exact graph pinned in
+    * SimilaritySpec).
+    */
+  private def knnLshQuery = QueryDef(
+    "sim_knn_graph_lsh",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.lshKnnGraph(emb, "vec_id", "embedding", GraphK)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    },
+    None)
+
   /** IVF-probed approximate top-k (rows-only: KMeans centroids have no
     * SQL equivalent; recall pinned against brute force in SimilaritySpec).
     */
@@ -70,5 +109,6 @@ object SimilarityQueries extends QueryPack {
     },
     None)
 
-  override def queries: Seq[QueryDef] = Seq(bruteQuery, lshQuery, ivfQuery)
+  override def queries: Seq[QueryDef] =
+    Seq(bruteQuery, lshQuery, ivfQuery, knnBruteQuery, knnLshQuery)
 }

@@ -64,7 +64,7 @@ object TextQueries extends QueryPack {
   private def statsQuery = QueryDef(
     "text_stats_documents",
     (s, dir) => TextAnalysis
-      .withStats(Tables.load(s, dir, "documents"), "text")
+      .withStats(Tables.load(s, dir, "documents", parallelize = true), "text")
       .select("doc_id", "n_tokens", "n_tokens_bpe", "punct_ratio",
         "stopword_ratio", "avg_token_len", "quality_score", "lang_id",
         "fingerprint")
@@ -79,7 +79,7 @@ object TextQueries extends QueryPack {
   private def curateQuery = QueryDef(
     "text_curate_documents",
     (s, dir) => TextAnalysis
-      .withStats(Tables.load(s, dir, "documents"), "text")
+      .withStats(Tables.load(s, dir, "documents", parallelize = true), "text")
       .select("doc_id", "n_tokens", "quality_score", "lang_id")
       .filter(col("quality_score") >= 0.75 && col("lang_id") === "en" &&
         col("n_tokens").between(20, 2000))
@@ -101,7 +101,7 @@ object TextQueries extends QueryPack {
     "corpus_pipeline_documents",
     (s, dir) => {
       val curated = TextAnalysis
-        .withStats(Tables.load(s, dir, "documents"), "text")
+        .withStats(Tables.load(s, dir, "documents", parallelize = true), "text")
         .select("doc_id", "text", "n_tokens", "quality_score", "lang_id")
         .filter(col("quality_score") >= 0.75 && col("lang_id") === "en" &&
           col("n_tokens").between(20, 2000))
@@ -138,7 +138,7 @@ object TextQueries extends QueryPack {
     "corpus_pipeline_full_documents",
     (s, dir) => {
       val curated = TextAnalysis
-        .withStats(Tables.load(s, dir, "documents"), "text")
+        .withStats(Tables.load(s, dir, "documents", parallelize = true), "text")
         .select("doc_id", "text", "n_tokens", "quality_score", "lang_id")
         .filter(col("quality_score") >= 0.75 && col("lang_id") === "en" &&
           col("n_tokens").between(20, 2000))

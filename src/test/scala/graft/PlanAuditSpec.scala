@@ -23,7 +23,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("LSH pipelines never plan a cartesian product") {
     for (q <- Seq("dedup_minhash_documents", "dedup_simhash_documents",
-        "dedup_embedding_lsh", "sim_topk_lsh")) {
+        "dedup_embedding_lsh", "sim_topk_lsh", "sim_knn_graph_lsh")) {
       assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian")
     }
   }
@@ -62,10 +62,16 @@ class PlanAuditSpec extends SparkSpec {
   test("data-sized table loads decouple parallelism from input splits") {
     // Each corpus table is one single-row-group parquet file — unsplittable,
     // so without the loader's repartition every scan-fused stage would run
-    // in ONE task (trivially serial at any cluster size).
-    val n = graft.io.Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+    // in ONE task (trivially serial at any cluster size). Opt-in: heavy
+    // scan-fused pipelines pass parallelize = true; shuffle-bound queries
+    // keep the plain scan (the repartition there is a pure tax).
+    val n = graft.io.Tables.load(spark, "/root/testdata/sf0.01", "lineitem",
+        parallelize = true)
       .rdd.getNumPartitions
-    assert(n >= spark.sparkContext.defaultParallelism / 2,
-      s"expected split-equivalent parallelism, got $n partitions")
+    assert(n === graft.io.Tables.ScanParallelism,
+      s"expected pinned split-equivalent parallelism, got $n partitions")
+    val plain = graft.io.Tables.load(spark, "/root/testdata/sf0.01",
+      "lineitem").rdd.getNumPartitions
+    assert(plain === 1, s"default load must stay a plain scan, got $plain")
   }
 }

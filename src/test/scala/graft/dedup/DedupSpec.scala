@@ -73,24 +73,91 @@ class DedupSpec extends SparkSpec {
     assert(dAB <= 16)
   }
 
-  test("embedding cosine near-dup: LSH recalls blocked pairs, no cartesian") {
+  test("embedding LSH: planted near-dup twins recalled, candidates O(n)") {
+    // The fixture is an isotropic cloud with no true near-dups (max
+    // pairwise cosine ≈ 0.5), so the DESIGN operating point — near-dups at
+    // cosine ≥ 0.9 — is exercised by planting one jittered twin per
+    // vector: twin = v̂ + α·û with α = 0.33 ⇒ cosine ≈ 1/√(1+α²) ≈ 0.95.
+    val emb = graft.io.Tables.load(spark, sf, "embeddings")
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val rng = new scala.util.Random(11)
+    val offset = 100000L
+    def unit(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val twins = base.map { case (id, v) =>
+      val u = unit(Seq.fill(v.length)(rng.nextGaussian()))
+      val vhat = unit(v.map(_.toDouble))
+      (id + offset,
+        vhat.zip(u).map { case (a, b) => (a + 0.33 * b).toFloat })
+    }
+    val corpus = base.toSeq.toDF("vec_id", "embedding")
+      .unionByName(twins.toSeq.toDF("vec_id", "embedding"))
+    val n = base.length * 2L
+    // ground truth from EXACT cosine of each (v, twin) pair — the jitter
+    // scatters cosines ~0.93-0.97, so only verified-≥0.9 pairs count
+    val planted = EmbeddingDedup.cosineOnPairs(
+        base.map(b => (b._1, b._1 + offset)).toSeq.toDF("id_a", "id_b"),
+        corpus, "vec_id", "embedding")
+      .filter(col("cosine") >= 0.9)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(planted.size >= base.length * 9 / 10, "twin construction drifted")
+
+    val cands = EmbeddingDedup.lshCandidatePairs(corpus, "vec_id",
+      "embedding", corpusSize = Some(n))
+    assert(!cands.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+    // THE round-3 regression pin: candidate volume must stay linear in
+    // corpus size (fixed 4-bit buckets made it ~64% of ALL pairs).
+    val candCount = cands.count()
+    assert(candCount <= 32L * n,
+      s"candidate pairs $candCount exceed 32·n (n=$n) — bucket width " +
+        "stopped scaling with corpus size")
+
+    val found = EmbeddingDedup.cosinePairsLsh(corpus, "vec_id",
+        "embedding", threshold = 0.9, corpusSize = Some(n))
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val recall = (planted & found).size.toDouble / planted.size
+    // analytic: p = 1−acos(0.95)/π ≈ 0.9, recall = 1−(1−p⁸)⁸ ≈ 0.99
+    assert(recall >= 0.9,
+      s"recall $recall < 0.9 at the cosine-0.95 design point " +
+        s"(${(planted & found).size}/${planted.size})")
+    found.foreach { case (a, b) => assert(a < b) }
+  }
+
+  test("embedding LSH recall at the isotropic tail matches the theory") {
+    // At the fixture's cosine-0.3 tail (θ ≈ 72°, p ≈ 0.6 per bit) NO
+    // O(n)-candidate LSH can recall well — ρ = ln p₁/ln p₂ ≈ 0.74 bounds
+    // candidate work at n^1.74 for high recall. What IS checkable: the
+    // measured recall equals the analytic 1−(1−pᵇ)ᴸ per-pair collision
+    // curve. A machinery bug (wrong banding, broken bucket join) or a
+    // silent return to degenerate buckets (recall ≈ 1 at 64%-of-pairs
+    // cost) both blow the tolerance.
     val emb = graft.io.Tables.load(spark, sf, "embeddings")
     val truth = EmbeddingDedup.cosinePairsBlocked(emb, "vec_id",
         "embedding", "label", threshold = 0.3)
-      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
-    val found = EmbeddingDedup.cosinePairsLsh(emb, "vec_id", "embedding",
-      threshold = 0.3)
-    val plan = found.queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"),
-      "LSH pipeline must never plan a cartesian product")
-    val foundPairs =
-      found.as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+      .as[(Long, Long, Double)].collect()
     assert(truth.nonEmpty, "corpus should contain cosine>=0.3 pairs")
-    // sign-LSH at theta≈72deg is probabilistic; require >=70% recall of
-    // the blocked ground truth and exact-cosine precision by construction
-    val recall = (truth & foundPairs).size.toDouble / truth.size
-    assert(recall >= 0.7, s"LSH recall $recall below 0.7 (|truth|=${truth.size})")
-    foundPairs.foreach { case (a, b) => assert(a < b) }
+    val n = emb.count()
+    val tables = 8
+    val bits = graft.sim.Similarity.scaledBits(n, 32)
+    val predicted = truth.map { case (_, _, c) =>
+      val p = 1.0 - math.acos(math.min(1.0, c)) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p, bits), tables)
+    }.sum / truth.length
+    val found = EmbeddingDedup.cosinePairsLsh(emb, "vec_id", "embedding",
+        threshold = 0.3, tables = tables, corpusSize = Some(n))
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val truthPairs = truth.map(p => (p._1, p._2)).toSet
+    val measured = (truthPairs & found).size.toDouble / truthPairs.size
+    info(f"isotropic-tail recall: measured $measured%.3f vs " +
+      f"analytic $predicted%.3f (bits=$bits)")
+    assert(math.abs(measured - predicted) <= 0.15,
+      f"recall $measured%.3f deviates from the analytic collision " +
+        f"probability $predicted%.3f — LSH machinery or parameterization " +
+        "drifted")
   }
 
   test("exact dedup collapses identical texts") {

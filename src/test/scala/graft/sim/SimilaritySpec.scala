@@ -44,10 +44,53 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     val recall = (exact & got).size.toDouble / exact.size
     info(s"LSH recall@$k = $recall (${(exact & got).size}/${exact.size})")
-    assert(recall >= 0.5, s"recall $recall too low for 16 tables x 4 bits")
+    // the fixture's top-10 sit at cosine 0.35-0.5 (θ ≈ 60-70°) — the
+    // hard end of the LSH envelope; radius-2 probing measures ~0.85 here
+    assert(recall >= 0.55, s"recall $recall too low for probed scaled LSH")
     // the ANN path must be candidate-join based, not an all-pairs cross
     val plan = approx.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("LSH candidate volume is bounded and shrinks as buckets scale") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .persist()
+    val queries = emb.filter(col("vec_id") < 10)
+    val n = emb.count()
+    // default (auto-scaled bits): candidates per query stay a bounded
+    // fraction of the corpus — the round-3 degeneracy pin for the top-k
+    // path (fixed 4-bit buckets made this ≈ 0.64·n·q REGARDLESS of n)
+    val auto = Similarity.lshCandidates(emb, queries, "vec_id",
+      "embedding", corpusSize = Some(n)).count()
+    assert(auto <= (0.75 * n * 10).toLong,
+      s"$auto candidates for 10 queries exceeds 0.75·n per query")
+    // widening the hash must SHRINK candidates (buckets halve per bit) —
+    // this is the property that makes scaledBits keep volume O(n) as the
+    // corpus grows
+    val wide = Similarity.lshCandidates(emb, queries, "vec_id",
+      "embedding", bits = 12, corpusSize = Some(n)).count()
+    assert(wide < auto,
+      s"bits=12 candidates ($wide) not below auto-scaled ($auto)")
+    emb.unpersist(): Unit
+  }
+
+  test("LSH k-NN graph recalls the exact graph; candidates stay bounded") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .persist()
+    val k = 5
+    val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding",
+        k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshKnnGraph(emb, "vec_id", "embedding", k)
+    val got = approx.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(s"kNN-graph recall@$k = $recall (${(exact & got).size}/${exact.size})")
+    assert(recall >= 0.7, s"graph recall $recall below 0.7")
+    // every row got its k rows (candidates per row far exceed k here)
+    val n = emb.count()
+    assert(approx.count() === n * k)
+    emb.unpersist(): Unit
   }
 
   test("IVF top-k recall vs brute force is usable and probes lists only") {
