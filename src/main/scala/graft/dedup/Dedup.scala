@@ -189,17 +189,21 @@ object Dedup {
     // Labels only ever DECREASE (least of self and pulled minima), so
     // sum(cluster) is a monotone convergence metric: fixpoint ⇔ the sum
     // stops changing. One cheap aggregate per iteration instead of a
-    // self-join diff. SUM over zero rows is NULL → 0 (empty pair set =
-    // already converged on an empty clustering).
-    def sumOf(df: DataFrame): Long =
-      Option(df.agg(sum("cluster")).head.get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // self-join diff. The sum accumulates in DECIMAL(38,0): a Long sum
+    // can wrap on large/adversarial id values, and a wrapped-equal sum
+    // would silently report convergence on a not-yet-converged labeling.
+    // SUM over zero rows is NULL → 0 (empty pair set = already converged
+    // on an empty clustering).
+    def sumOf(df: DataFrame): BigDecimal =
+      Option(df.agg(sum(col("cluster").cast("decimal(38,0)"))).head.get(0))
+        .map(d => BigDecimal(d.asInstanceOf[java.math.BigDecimal]))
+        .getOrElse(BigDecimal(0))
     try {
       var prevSum = sumOf(labels)
       // sum != 0 proves non-empty without a second job; the isEmpty probe
       // only runs in the (sum == 0) corner: empty input, or ids that
       // legitimately sum to zero
-      var converged = prevSum == 0L && labels.isEmpty
+      var converged = prevSum == 0 && labels.isEmpty
       var i = 0
       while (!converged && i < maxIter) {
         val pulled = edges
@@ -233,9 +237,31 @@ object Dedup {
 
   /** One row per cluster member with its survivor: (cluster, id,
     * is_survivor). Survivor = minimum id in the cluster, the conventional
-    * deterministic keep rule.
+    * deterministic keep rule. Derives from [[clusters]] lazily — the
+    * caller owns the persisted label frame's lifecycle (see
+    * [[survivorsLocal]] for the self-releasing variant).
     */
   def survivors(pairs: DataFrame): DataFrame =
-    clusters(pairs).select(col("cluster"), col("id"),
+    survivorsOf(clusters(pairs))
+
+  private def survivorsOf(labels: DataFrame): DataFrame =
+    labels.select(col("cluster"), col("id"),
       (col("id") === col("cluster")).as("is_survivor"))
+
+  /** [[survivors]] materialized eagerly with the propagation cache
+    * released before returning — nothing persisted outlives the call.
+    * Right-sized for near-dup graphs, whose members are a small fraction
+    * of the corpus; for a graph too large to hold locally use
+    * [[clusters]] and manage the persisted frame (or checkpoint it)
+    * yourself.
+    */
+  def survivorsLocal(pairs: DataFrame): DataFrame = {
+    val labels = clusters(pairs)
+    try {
+      val out = survivorsOf(labels)
+      val rows = out.collect()
+      pairs.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    } finally { labels.unpersist(blocking = false); () }
+  }
 }

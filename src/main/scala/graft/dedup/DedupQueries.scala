@@ -94,7 +94,8 @@ object DedupQueries extends QueryPack {
           "text", shingleK = 3)
         .filter(col("jaccard") >= 0.8)
         .select("id_a", "id_b")
-      Dedup.survivors(pairs).orderBy("cluster", "id")
+      // survivorsLocal: the propagation cache is released inside the call
+      Dedup.survivorsLocal(pairs).orderBy("cluster", "id")
     },
     Some(s"WITH RECURSIVE $jaccardPairsCte, " +
       "pairs AS (SELECT id_a, id_b FROM jp WHERE jaccard >= 0.8), " +

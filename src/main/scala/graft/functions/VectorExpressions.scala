@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ArrayDot, ColumnShim, CosineSim}
+import org.apache.spark.sql.graft.{ArrayDot, ColumnShim, CosineSim, SortableDoubleBits}
 
 /** Public wrappers for the native vector expressions (implementation in
   * `org.apache.spark.sql.graft.VectorExpressionsImpl` — the Catalyst
@@ -22,4 +22,10 @@ object VectorExpressions {
   def cosine(a: Column, b: Column): Column =
     ColumnShim.column(CosineSim(ColumnShim.expression(a),
       ColumnShim.expression(b)))
+
+  /** Order-preserving long image of a double (Spark sort-order
+    * isomorphic, NaN above +Inf, -0.0 just below +0.0).
+    */
+  def doubleBits(v: Column): Column =
+    ColumnShim.column(SortableDoubleBits(ColumnShim.expression(v)))
 }

@@ -52,8 +52,19 @@ object AsofJoin {
         lit(null).cast(bType).as("__b"),
         struct(probeCols.map(col): _*).as("__pr")): _*)
 
+    // Tie-break: several build rows can share one (key, buildTime); the
+    // carried payload must not depend on shuffle order. When the payload
+    // struct is orderable (no maps inside) ties resolve toward the
+    // GREATEST payload — deterministic and engine-portable; otherwise
+    // the tie order is unspecified (documented, matching e.g. DuckDB's
+    // ASOF tie semantics for unorderable payloads).
+    val orderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(bType)
+    val ordering =
+      Seq(col("__t"), col("__side")) ++
+        (if (orderable) Seq(col("__b")) else Seq.empty)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = bSide.unionByName(pSide)
       .withColumn("__carried", last(col("__b"), ignoreNulls = true).over(w))

@@ -93,6 +93,22 @@ object PipelineQueries extends QueryPack {
       "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts " +
       "ORDER BY p.event_id"))
 
+  /** Skew-spread exact distinct rollup ([[Salting]]): per event_type,
+    * the exact distinct user count via two-level (key, salt) aggregation
+    * — the explicit-salting shape for keys too hot for AQE (one
+    * event_type holding more rows than an executor handles). The salt
+    * never changes the result — only the shuffle layout, pinned in
+    * PlanAuditSpec — so the oracle is a plain COUNT(DISTINCT).
+    */
+  private def saltedQuery = QueryDef(
+    "salted_agg_events",
+    (s, dir) => Salting.saltedDistinctCount(
+        Tables.load(s, dir, "events"), "event_type", "user_id",
+        buckets = 8)
+      .orderBy("event_type"),
+    Some("SELECT event_type, COUNT(DISTINCT user_id) AS distinct_count " +
+      "FROM events GROUP BY event_type ORDER BY event_type"))
+
   override def queries: Seq[QueryDef] =
-    Seq(latestQuery, mergeQuery, asofQuery)
+    Seq(latestQuery, mergeQuery, asofQuery, saltedQuery)
 }

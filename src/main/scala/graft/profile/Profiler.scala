@@ -168,63 +168,204 @@ object Profiler {
   def approxProfile(df: DataFrame, now: Column = current_timestamp())
       : DataFrame = profile(df, now, exact = false)
 
-  /** Exact interpolated percentiles for several columns at once, sort-
-    * based: melt to (column, value), rank within each column, and pick +
-    * interpolate the two bracketing ranks per requested percentile —
-    * `lo + frac·(hi − lo)`, the `quantile_cont` definition.
+  /** Exact interpolated percentiles for several columns at once by
+    * DISTRIBUTED SELECTION over ORDER-PRESERVING BIT BUCKETS: locate
+    * each requested rank's value without ranking — or even shuffling —
+    * the data.
     *
     * Spark's built-in exact `percentile` buffers a value→count map per
-    * column and merges those maps across partial aggregates; here the
-    * melt is first reduced to a per-value HISTOGRAM (partial aggregation
-    * shrinks low-cardinality columns to dozens of rows map-side), a
-    * cumulative count ranks each distinct value, and the value at rank r
-    * is the smallest value whose cumulative count reaches r. Only
-    * distinct values are ever sorted. Columns whose values are all null
-    * yield null percentiles. At 100 TB swap for `approx_percentile`
-    * (t-digest), like the HLL distinct path.
+    * column and merges those maps across partial aggregates — a memory
+    * hazard for high-cardinality doubles — and a histogram-then-rank
+    * rewrite still shuffles every distinct value. Selection instead does:
+    *
+    *  1. ONE counting pass: each value maps to a fixed bucket — the top
+    *     `prefixBits` bits of its sort-order-isomorphic bit image
+    *     ([[graft.functions.VectorExpressions.doubleBits]], three integer
+    *     ops, codegen'd; HDR-histogram style). Buckets are
+    *     data-independent and order-contiguous, so no boundary-estimation
+    *     pass exists at all, and the aggregation's groups are only the
+    *     buckets actually present (≤ a few thousand per column): the
+    *     shuffle is tiny regardless of row count. Every bucket boundary's
+    *     exact global rank falls out of the running sum driver-side, and
+    *     each requested rank `r = (n−1)·p` maps to a (bucket, local rank)
+    *     pair — `n` comes free from the same counts.
+    *  2. ONE selection job over a union of per-target branches: a
+    *     bucket's value interval is recovered exactly by inverting the
+    *     bit image, so each branch reads ONE column under a plain
+    *     double-range predicate — pushed to the parquet reader (row-group
+    *     min/max skipping at scale) — sorts only that bucket's slice, and
+    *     keeps the bracketing order statistics, interpolated as
+    *     `lo + frac·(hi − lo)` (the `quantile_cont` definition).
+    *
+    * No task ever sorts more than one bucket's slice and no full-volume
+    * shuffle exists anywhere. At 100 TB, raise `prefixBits` (each +1 bit
+    * halves the slice) or recurse the count-then-select step inside an
+    * oversized bucket (e.g. one value repeated everywhere);
+    * `approx_percentile` (t-digest) remains the documented swap when a
+    * bounded-error estimate is acceptable, like the HLL distinct path.
+    *
+    * `reuseScan` caches the projected double columns across the two
+    * passes (released before returning — quantiles is eager, so no cache
+    * outlives the call); with `reuseScan = false` both passes scan the
+    * source directly and the branch predicates push down — the shape for
+    * data too big to cache.
+    *
+    * Columns whose values are all null yield null percentiles. The
+    * result (one row per requested column) is materialized eagerly and
+    * returned as a local frame.
     *
     * Output: (column_name, p_0, p_1, …) — one row per requested column,
     * percentile columns named by `names`.
     */
   def quantiles(df: DataFrame, cols: Seq[String], ps: Seq[Double],
-      names: Seq[String]): DataFrame = {
+      names: Seq[String], prefixBits: Int = 20,
+      reuseScan: Boolean = true): DataFrame = {
     require(cols.nonEmpty && ps.nonEmpty && ps.length == names.length)
-    val stackArgs =
-      cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
-    val melted = df
-      .selectExpr(s"stack(${cols.length}, $stackArgs) as (column_name, __v)")
-      .filter(col("__v").isNotNull)
-    val hist = melted.groupBy("column_name", "__v")
-      .agg(count(lit(1)).as("__c"))
-    val counts = hist.groupBy("column_name").agg(sum("__c").as("__n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("column_name").orderBy("__v")
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val ranked = hist.withColumn("__cum", sum("__c").over(w))
-      .join(broadcast(counts), "column_name")
-    val aggs = ps.zipWithIndex.flatMap { case (p, i) =>
-      val idx = (col("__n") - 1) * lit(p)
-      Seq(
-        min(when(col("__cum") >= floor(idx) + 1, col("__v")))
-          .as(s"__lo$i"),
-        min(when(col("__cum") >= ceil(idx) + 1, col("__v")))
-          .as(s"__hi$i"),
-        first(idx - floor(idx)).as(s"__frac$i"))
+    require(prefixBits >= 1 && prefixBits <= 63, "prefixBits in [1, 63]")
+    val spark = df.sparkSession
+    val shift = 64 - prefixBits
+    val proj = df.select(cols.map(c => col(c).cast(DoubleType).as(c)): _*)
+    val work = if (reuseScan) proj.persist() else proj
+    try {
+      // Phase 1 — exact per-(column, bit-bucket) counts in one pass.
+      val counts: Map[String, Seq[(Long, Long)]] =
+        bucketCounts(work, cols, shift)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .groupBy(_._1)
+          .map { case (c, rs) =>
+            c -> rs.map(t => t._2 -> t._3).sortBy(_._1).toSeq
+          }
+
+      // Driver-side rank arithmetic (tiny): global rank r lives in the
+      // first bucket whose cumulative count reaches r; its local rank is
+      // r minus the preceding buckets' total.
+      def locate(cum: Seq[(Long, Long)], rank: Long): (Long, Long) = {
+        var before = 0L
+        for ((b, c) <- cum) {
+          if (before + c >= rank) return (b, rank - before)
+          before += c
+        }
+        throw new IllegalStateException(s"rank $rank beyond $cum")
+      }
+      val plans: Map[String, QuantilePlan] = cols.map { c =>
+        val cum = counts.getOrElse(c, Seq.empty)
+        val n = cum.map(_._2).sum
+        val tgts = if (n == 0) Seq.empty else ps.map { p =>
+          val idx = (n - 1) * p
+          val lo = locate(cum, math.floor(idx).toLong + 1)
+          val hi = locate(cum, math.ceil(idx).toLong + 1)
+          RankTarget(lo, hi, idx - math.floor(idx))
+        }
+        c -> QuantilePlan(n, tgts)
+      }.toMap
+
+      // Phase 2 — selection: per-target range scans, each sorted
+      // independently. The collected result is ≤ 2·cols·ps values.
+      val needed: Map[(String, Long), Set[Long]] = plans.toSeq
+        .flatMap { case (c, qp) =>
+          qp.targets.flatMap(t =>
+            Seq((c, t.lo._1) -> t.lo._2, (c, t.hi._1) -> t.hi._2))
+        }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val picked: Map[(String, Long, Long), Double] =
+        if (needed.isEmpty) Map.empty
+        else selectionFrame(work, needed, shift).collect()
+          .map(r => (r.getString(0), r.getLong(2), r.getLong(3)) ->
+            r.getDouble(1))
+          .toMap
+
+      val outRows = cols.map { c =>
+        val qp = plans(c)
+        val vals: Seq[Any] = qp.targets match {
+          case Seq() => names.map(_ => null)
+          case ts => ts.map { t =>
+            val lo = picked((c, t.lo._1, t.lo._2))
+            val hi = picked((c, t.hi._1, t.hi._2))
+            (lo + t.frac * (hi - lo)): java.lang.Double
+          }
+        }
+        org.apache.spark.sql.Row.fromSeq(c +: vals)
+      }
+      val schema = StructType(
+        StructField("column_name", StringType, nullable = false) +:
+          names.map(StructField(_, DoubleType, nullable = true)))
+      spark.createDataFrame(java.util.Arrays.asList(outRows: _*), schema)
+    } finally { if (reuseScan) work.unpersist(blocking = false); () }
+  }
+
+  private case class RankTarget(lo: (Long, Long), hi: (Long, Long),
+      frac: Double)
+  private case class QuantilePlan(n: Long, targets: Seq[RankTarget])
+
+  /** Exact per-(column, bucket) counts in one scan: each row explodes to
+    * (column, bucket-id) pairs — bucket assigned pre-explode by the bit
+    * image's top bits, null values mapped to a null bucket and dropped —
+    * and the aggregate's groups are only the buckets present, so the
+    * shuffle is tiny regardless of row count.
+    */
+  private def bucketCounts(df: DataFrame, cols: Seq[String],
+      shift: Int): DataFrame = {
+    import graft.functions.VectorExpressions.doubleBits
+    val entries = cols.map { c =>
+      struct(lit(c).as("column_name"),
+        shiftright(doubleBits(col(c)), shift).as("__bkt"))
     }
-    val agged = ranked.groupBy("column_name")
-      .agg(aggs.head, aggs.tail: _*)
-    val outCols = col("column_name") +: ps.indices.map { i =>
-      (col(s"__lo$i") +
-        col(s"__frac$i") * (col(s"__hi$i") - col(s"__lo$i")))
-        .as(names(i))
+    df.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.column_name").as("column_name"),
+        col("e.__bkt").as("__bkt"))
+      .filter(col("__bkt").isNotNull)
+      .groupBy("column_name", "__bkt").agg(count(lit(1)).as("__c"))
+  }
+
+  /** The exact double interval covered by bit-bucket `b`: invert the
+    * sort-isomorphic image at the bucket's edge longs. Total (the image
+    * is a bijection on longs), so membership in the interval IS
+    * membership in the bucket — except when an edge inverts to NaN
+    * (buckets at the top of the image) or to a zero (±0.0 compare equal
+    * as doubles though their images differ); those callers fall back to
+    * comparing images.
+    */
+  private def bucketInterval(b: Long, shift: Int): (Double, Double) = {
+    def inv(s: Long): Double = {
+      val bits = if (s >= 0L) s else s ^ java.lang.Long.MAX_VALUE
+      java.lang.Double.longBitsToDouble(bits)
     }
-    // columns with zero non-null values have no melted rows: restore them
-    // with null percentiles (matching the aggregate-function contract)
-    import df.sparkSession.implicits._
-    cols.toDF("column_name")
-      .join(agged, Seq("column_name"), "left")
-      .select(outCols: _*)
+    (inv(b << shift), inv((b << shift) | ((1L << shift) - 1)))
+  }
+
+  /** The selection job: a union of per-target branches, each scanning
+    * ONE column filtered to its bucket — a plain double-range predicate
+    * (pushable to the parquet reader) whenever the bucket's interval
+    * inverts cleanly, the bit-image comparison otherwise — then ranked
+    * within their (column, bucket) slice and filtered to the needed
+    * local ranks. Package-private so the plan spec can pin its shape:
+    * the row_number window partitions by (column_name, __bkt) — never a
+    * whole column.
+    */
+  private[graft] def selectionFrame(df: DataFrame,
+      needed: Map[(String, Long), Set[Long]], shift: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExpressions.doubleBits
+    val branches = needed.keys.toSeq.sorted.map { case (c, b) =>
+      val v = col(c)
+      val (vLo, vHi) = bucketInterval(b, shift)
+      val cleanEdges = !vLo.isNaN && !vHi.isNaN && vLo != 0.0 && vHi != 0.0
+      val pred =
+        if (cleanEdges) v.isNotNull && v >= lit(vLo) && v <= lit(vHi)
+        else shiftright(doubleBits(v), shift) === lit(b)
+      df.filter(pred).select(lit(c).as("column_name"),
+        v.as("__v"), lit(b).as("__bkt"))
+    }
+    val uni = branches.reduce(_ unionAll _)
+    val w = Window.partitionBy("column_name", "__bkt").orderBy("__v")
+    val rankWanted = needed
+      .map { case ((c, b), ranks) =>
+        col("column_name") === lit(c) && col("__bkt") === lit(b) &&
+          col("__rn").isInCollection(ranks)
+      }
+      .reduce(_ || _)
+    uni.withColumn("__rn", row_number().over(w).cast(LongType))
+      .filter(rankWanted)
   }
 }

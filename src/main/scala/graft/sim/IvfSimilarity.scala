@@ -16,10 +16,15 @@ import org.apache.spark.sql.functions._
   * dot product, probe the `nprobe` best lists via an equi-join on
   * `list_id`, exact-cosine only the candidates, window top-k.
   *
-  * Scale shape: training samples the corpus (KMeans| on a fraction),
-  * assignment is one scan, the probe join is a shuffle on a small int
-  * key whose fan-out is corpus/nlist · nprobe per query — never
-  * corpus × queries.
+  * Scale shape: `nlist` defaults to √n (the classical IVF balance point:
+  * probing `nprobe` lists then touches ~`nprobe·√n` candidates per
+  * query); training reads a bounded sample (~512 vectors per list,
+  * deterministic seed) while assignment scans everything once; the probe
+  * join is a shuffle on a small int key whose fan-out is
+  * corpus/nlist · nprobe per query — never corpus × queries. Centroid
+  * scoring embeds the centroids as literals up to [[JoinProbeThreshold]]
+  * lists and switches to a broadcast centroid-table join above it (a
+  * √n-sized literal array would blow codegen limits at real scale).
   */
 object IvfSimilarity {
 
@@ -32,14 +37,29 @@ object IvfSimilarity {
   }
 
   final case class IvfModel(centroids: Array[Array[Double]],
-      assigned: DataFrame)
+      assigned: DataFrame) {
+    /** Release the persisted inverted lists. The model is caller-owned:
+      * build once, probe many, close when done ([[topK]] does all three
+      * for the one-shot case).
+      */
+    def close(): Unit = { assigned.unpersist(blocking = false); () }
+  }
+
+  /** √n with a small-corpus floor — the default `nlist`. */
+  def autoNlist(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(math.max(n, 0L).toDouble)).toInt)
 
   /** Train the quantizer and build the inverted lists.
     * `assigned` = (idCol, list_id, __nv normalized vector), persisted —
-    * it is the ANN index.
+    * it is the ANN index; the caller owns its lifecycle (`model.close()`).
+    *
+    * @param totalRows corpus size when the caller already knows it;
+    *                  otherwise a column-pruned `count()` is taken, which
+    *                  for columnar sources collapses to a metadata count,
+    *                  not a data pass.
     */
   def build(df: DataFrame, idCol: String, vecCol: String, nlist: Int,
-      seed: Long = 42L): IvfModel = {
+      seed: Long = 42L, totalRows: Option[Long] = None): IvfModel = {
     val normed = df.select(col(idCol),
       normalize(asDouble(col(vecCol))).as("__nv"))
     val withVec = normed.withColumn("__mlv", array_to_vector(col("__nv")))
@@ -50,7 +70,7 @@ object IvfSimilarity {
     // list, not the corpus, so at scale the fit reads a bounded sample
     // (deterministic seed) while assignment still scans everything once.
     val targetTrain = 512L * nlist
-    val total = withVec.count()
+    val total = totalRows.getOrElse(df.count())
     val train =
       if (total > targetTrain)
         withVec.sample(withReplacement = false,
@@ -64,6 +84,12 @@ object IvfSimilarity {
       .persist()
     IvfModel(model.clusterCenters.map(_.toArray), assigned)
   }
+
+  /** Above this many lists, centroid scoring joins a broadcast centroid
+    * table instead of embedding √n-sized literal arrays in the plan
+    * (which would exceed codegen method limits long before real scale).
+    */
+  val JoinProbeThreshold = 128
 
   /** list ids of the `nprobe` centroids nearest to `vec` (normalized),
     * as an array column: score all centroids with the native dot, rank
@@ -79,15 +105,41 @@ object IvfSimilarity {
     transform(slice(array_sort(scored), 1, nprobe), s => s.getField("idx"))
   }
 
-  /** Approximate top-k of `queries` against `corpus`. */
-  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      seed: Long = 42L): DataFrame = {
-    val model = build(corpus, idCol, vecCol, nlist, seed)
+  /** Queries exploded to one row per probed list:
+    * (query_id, __qv, list_id).
+    */
+  private def probedQueries(queries: DataFrame, idCol: String,
+      vecCol: String, model: IvfModel, nprobe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
-        normalize(asDouble(col(vecCol))).as("__qv"))
-      .withColumn("list_id",
+      normalize(asDouble(col(vecCol))).as("__qv"))
+    if (model.centroids.length <= JoinProbeThreshold)
+      q.withColumn("list_id",
         explode(probeLists(col("__qv"), model.centroids, nprobe)))
+    else {
+      // broadcast the centroid table; rank lists per query and keep the
+      // best nprobe — queries are small by the topK contract, so the
+      // intermediate is |queries| × nlist narrow rows
+      val spark = queries.sparkSession
+      import spark.implicits._
+      val cents = spark.createDataset(
+          model.centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq)
+        .toDF("list_id", "__cv")
+      val wp = Window.partitionBy("query_id")
+        .orderBy(col("__cs").desc, col("list_id"))
+      q.crossJoin(broadcast(cents))
+        .withColumn("__cs", Similarity.dot(col("__qv"), col("__cv")))
+        .withColumn("__cr", row_number().over(wp))
+        .filter(col("__cr") <= nprobe)
+        .select(col("query_id"), col("__qv"), col("list_id"))
+    }
+  }
+
+  /** Approximate top-k of `queries` against a built index, lazily —
+    * compose further or materialize; the caller owns `model.close()`.
+    */
+  def probe(model: IvfModel, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val q = probedQueries(queries, idCol, vecCol, model, nprobe)
     val cands = q.join(
       model.assigned.select(col(idCol).as("neighbor_id"),
         col("list_id"), col("__nv")),
@@ -99,5 +151,25 @@ object IvfSimilarity {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** One-shot approximate top-k of `queries` against `corpus`: build,
+    * probe, materialize (≤ |queries|·k rows), release the index — no
+    * cached blocks outlive the call. `nlist = 0` (the default) derives
+    * √n from a column-pruned count. For build-once-query-many use
+    * [[build]] + [[probe]] and close the model yourself.
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 0, nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val n = corpus.count()
+    val lists = if (nlist > 0) nlist else autoNlist(n)
+    val model = build(corpus, idCol, vecCol, lists, seed, totalRows = Some(n))
+    try {
+      val out = probe(model, queries, idCol, vecCol, k, nprobe)
+      val rows = out.collect()
+      corpus.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    } finally model.close()
   }
 }

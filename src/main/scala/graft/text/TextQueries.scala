@@ -152,11 +152,17 @@ object TextQueries extends QueryPack {
           "text", shingleK = 3)
         .filter(col("jaccard") >= 0.8)
         .select("id_a", "id_b")
-      val removed = graft.dedup.Dedup.survivors(pairs)
+      // survivorsLocal releases the propagation cache inside the call;
+      // the 1-row summary is then materialized so `kept` can be released
+      // too — nothing persisted outlives the query build.
+      val removed = graft.dedup.Dedup.survivorsLocal(pairs)
         .filter(!col("is_survivor")).select(col("id").as("doc_id"))
-      kept.join(removed, Seq("doc_id"), "left_anti")
+      val out = kept.join(removed, Seq("doc_id"), "left_anti")
         .agg(count(lit(1)).as("kept_docs"),
           sum("n_tokens").as("kept_tokens"))
+      val rows = out.collect()
+      kept.unpersist(blocking = false)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     },
     Some {
       val full = statsOracle

@@ -266,3 +266,42 @@ case class MinHashSig(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
+
+/** Order-preserving bit image of a double: `doubleToLongBits` with the
+  * lower 63 bits flipped for negatives, so `s(a) < s(b) ⟺ a sorts before
+  * b` under Spark's double ordering EXACTLY — negatives ascend, -0.0 sits
+  * just below +0.0, NaN (canonicalized by `doubleToLongBits`) lands above
+  * +Infinity, matching Spark's NaN-greatest sort. Three integer ops,
+  * codegen'd.
+  *
+  * The top K bits of the image define 2^K fixed, data-independent,
+  * order-contiguous value buckets (HDR-histogram style) — the basis of
+  * [[graft.profile.Profiler.quantiles]]'s selection pass, which needs
+  * range buckets without a boundary-estimation pass.
+  */
+case class SortableDoubleBits(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_double_bits"
+
+  override def nullSafeEval(a: Any): Any = {
+    val b = java.lang.Double.doubleToLongBits(a.asInstanceOf[Double])
+    if (b >= 0L) b else b ^ java.lang.Long.MAX_VALUE
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val b = ctx.freshName("b")
+      s"""
+         |long $b = java.lang.Double.doubleToLongBits($a);
+         |${ev.value} = ($b >= 0L) ? $b : ($b ^ java.lang.Long.MAX_VALUE);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SortableDoubleBits = copy(child = newChild)
+}

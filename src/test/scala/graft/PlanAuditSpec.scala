@@ -59,6 +59,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Expand"), "profile must not plan an Expand")
   }
 
+  test("salted aggregation shuffles on (key, salt) before the final key") {
+    // the two-level shape: partial distinct state spreads a hot
+    // event_type over salt buckets, the final aggregate merges per key
+    val p = plan("salted_agg_events")
+    assert(p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") &&
+        l.contains("event_type") && l.contains("__salt")),
+      s"expected a (event_type, __salt) exchange:\n$p")
+  }
+
+  test("quantile selection sorts per (column, bucket), never per column") {
+    // eager builder: pin on the internal selection frame instead
+    val base = spark.range(1000).selectExpr("CAST(id AS DOUBLE) AS x")
+    val sel = graft.profile.Profiler.selectionFrame(base,
+      Map(("x", 263568L) -> Set(1L)), 44)
+    assert(!sel.queryExecution.executedPlan.toString
+      .matches("""(?s).*Window.*\[column_name#\d+\], \[__v.*"""),
+      "selection window must not partition by column_name alone")
+  }
+
   test("data-sized table loads decouple parallelism from input splits") {
     // Each corpus table is one single-row-group parquet file — unsplittable,
     // so without the loader's repartition every scan-fused stage would run

@@ -131,6 +131,69 @@ class ProfilerSpec extends SparkSpec {
     assert(allNull.head.isNullAt(1))
   }
 
+  test("selection quantiles match built-in percentile on 10k distinct") {
+    // 10k distinct doubles across several buckets: the selection path
+    // must interpolate exactly like Spark's built-in exact percentile.
+    val vals = spark.range(10000)
+      .selectExpr("id", "CAST(hash(id) AS DOUBLE) AS x")
+    val got = Profiler.quantiles(vals.toDF(),
+      cols = Seq("x", "id"), ps = Seq(0.5, 0.95),
+      names = Seq("p50", "p95"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exp = vals
+      .selectExpr("percentile(x, array(0.5, 0.95)) AS px",
+        "percentile(id, array(0.5, 0.95)) AS pid")
+      .collect().head
+    for ((c, k) <- Seq("x" -> "px", "id" -> "pid")) {
+      val e = exp.getSeq[Double](exp.fieldIndex(k))
+      assert(got(c).getDouble(1) === e.head, s"$c p50")
+      assert(got(c).getDouble(2) === e(1), s"$c p95")
+    }
+  }
+
+  test("quantile selection window partitions by (column, bucket)") {
+    // The selection job must never sort a whole column in one window
+    // partition — pin the (column_name, __bkt) partitioning on the plan.
+    val shift = 50 // prefixBits = 14: multi-value buckets at this scale
+    def bkt(v: Double): Long = {
+      val b = java.lang.Double.doubleToLongBits(v)
+      (if (b >= 0L) b else b ^ Long.MaxValue) >> shift
+    }
+    val base = spark.range(1000).selectExpr("CAST(id AS DOUBLE) AS x")
+    // two target buckets: the ones holding 100.0 and 600.0
+    val (b1, b2) = (bkt(100.0), bkt(600.0))
+    assert(b1 !== b2)
+    val sel = Profiler.selectionFrame(base,
+      Map(("x", b1) -> Set(5L), ("x", b2) -> Set(7L)), shift)
+    val p = sel.queryExecution.executedPlan.toString
+    val bucketWindow = p.linesIterator
+      .exists(l => l.contains("Window") &&
+        l.matches(""".*\[column_name#\d+, __bkt#\d+L?\].*"""))
+    assert(bucketWindow,
+      s"selection window must partition by (column_name, __bkt):\n$p")
+    // and it returns exactly the requested order statistics, computed
+    // independently here by the same bit-image bucketing
+    val rows = sel.collect()
+      .map(r => (r.getLong(r.fieldIndex("__bkt")), r.getLong(3)) ->
+        r.getDouble(r.fieldIndex("__v"))).toMap
+    def expected(b: Long, rank: Int): Double =
+      (0 until 1000).map(_.toDouble).filter(bkt(_) == b).sorted
+        .apply(rank - 1)
+    assert(rows((b1, 5L)) === expected(b1, 5))
+    assert(rows((b2, 7L)) === expected(b2, 7))
+  }
+
+  test("quantiles leaves no cached blocks behind") {
+    // cleared first: the session is shared across suites, so only THIS
+    // call's residue is meaningful
+    spark.catalog.clearCache()
+    Profiler.quantiles(
+      df(Row(1L, "a", 10.0, t0), Row(2L, "b", 20.0, t0)),
+      cols = Seq("amount"), ps = Seq(0.5), names = Seq("p50"))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "quantiles must unpersist its scan cache before returning")
+  }
+
   test("approx profile keeps counts near-exact at small scale") {
     val out = Profiler.approxProfile(
       df((1 to 50).map(i => Row(i.toLong, s"n$i", i.toDouble, t0)): _*))

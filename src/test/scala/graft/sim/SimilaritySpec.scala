@@ -109,7 +109,47 @@ class SimilaritySpec extends SparkSpec {
     // probing 4/16 lists of near-random vectors: expect most of top-k
     assert(recall >= 0.4, s"recall $recall too low for nprobe=4/nlist=16")
     assert(approx.count() === queries.count() * k)
-    val plan = approx.queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"))
+    // the one-shot topK releases its inverted-list index (cleared first:
+    // the session is shared across suites, so only THIS call's residue
+    // is meaningful)
+    spark.catalog.clearCache()
+    IvfSimilarity.topK(emb, queries, "vec_id", "embedding", k,
+      nlist = 16, nprobe = 4)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "IVF index must not outlive topK")
+    // the probe plan is candidate-join based, not an all-pairs cross
+    val model = IvfSimilarity.build(emb, "vec_id", "embedding", 16)
+    try {
+      val plan = IvfSimilarity.probe(model, queries, "vec_id", "embedding",
+        k).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"))
+    } finally model.close()
+  }
+
+  test("IVF join-probe path above the literal threshold returns top-k") {
+    // nlist > JoinProbeThreshold switches centroid scoring to the
+    // broadcast centroid-table join — the √n-scale path where literal
+    // arrays would blow codegen limits
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val model = IvfSimilarity.build(emb, "vec_id", "embedding",
+      IvfSimilarity.JoinProbeThreshold + 2)
+    try {
+      val perQuery = IvfSimilarity.probe(model, queries, "vec_id",
+          "embedding", 3)
+        .groupBy("query_id").count().as[(Long, Long)].collect()
+      assert(perQuery.length === 5)
+      // ~1-2 vectors per list at this scale: every query finds some
+      // neighbours, never more than k
+      assert(perQuery.forall { case (_, c) => c >= 1 && c <= 3 },
+        perQuery.mkString(", "))
+    } finally model.close()
+  }
+
+  test("auto nlist follows sqrt(n) with a floor") {
+    assert(IvfSimilarity.autoNlist(0) === 16)
+    assert(IvfSimilarity.autoNlist(200) === 16)
+    assert(IvfSimilarity.autoNlist(2000) === 45)
+    assert(IvfSimilarity.autoNlist(1000000) === 1000)
   }
 }
