@@ -225,17 +225,26 @@ object FileDq {
 
     // 128-bit fingerprint: two xxhash64 lanes, the second salted by an
     // extra literal column (multi-arg xxhash64 chains the lanes' state).
-    def fp128(c: Column): Column =
-      struct(xxhash64(c), xxhash64(c, lit("graft-fd-lane2")))
+    // Hashed ONCE PER COLUMN in a projection below the explode — a column
+    // appears in ~2·(N−1) pairs, and inlining the hash into each pair
+    // struct would recompute it that many times per row (hashing is the
+    // dominant cost for wide string columns).
+    val hashProj = cols.flatMap(c => Seq(
+      xxhash64(col(c).cast("string")).as(s"__h1_$c"),
+      xxhash64(col(c).cast("string"), lit("graft-fd-lane2"))
+        .as(s"__h2_$c"),
+      col(c).isNotNull.as(s"__nn_$c")))
+    val hashed = df.select(hashProj: _*)
+    def fp128(c: String): Column =
+      struct(col(s"__h1_$c").as("h1"), col(s"__h2_$c").as("h2"))
     val pairStructs = array(pairs.zipWithIndex.map { case ((c1, c2), i) =>
       struct(lit(i).as("pi"),
         // null when either side is null → pairwise dropna via one filter
         // (xxhash64 maps SQL NULL to the seed, never to NULL itself).
-        when(col(c1).isNotNull && col(c2).isNotNull,
-          fp128(col(c1).cast("string"))).as("k"),
-        fp128(col(c2).cast("string")).as("v"))
+        when(col(s"__nn_$c1") && col(s"__nn_$c2"), fp128(c1)).as("k"),
+        fp128(c2).as("v"))
     }: _*)
-    val exploded = df.select(explode(pairStructs).as("p"))
+    val exploded = hashed.select(explode(pairStructs).as("p"))
       .select(col("p.pi").as("pi"), col("p.k").as("k"), col("p.v").as("v"))
       .filter(col("k").isNotNull)
     val perKey = exploded.groupBy("pi", "k")

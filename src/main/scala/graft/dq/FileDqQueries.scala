@@ -101,30 +101,36 @@ object FileDqQueries extends QueryPack {
       " ORDER BY pillar, col_name"
   }
 
+  /** One report build shared by the full-report and summary queries: the
+    * source is persisted (the report's zscore/rare/FD branches plus the
+    * profile's two passes would otherwise re-scan it five times), the
+    * profile is persisted (three basic-check branches read it), and the
+    * report-sized result is materialized so both caches release before
+    * returning — nothing persisted outlives the build.
+    */
+  private def builtReport(s: org.apache.spark.sql.SparkSession,
+      dir: String, table: String): org.apache.spark.sql.DataFrame = {
+    val df = Tables.load(s, dir, table, parallelize = true).persist()
+    val profile = Profiler.profile(df,
+      now = lit(DqQueries.FixedNow).cast("timestamp"),
+      withRaw = true).persist()
+    try graft.util.Frames.localized(FileDq.report(df, profile))
+    finally {
+      profile.unpersist(blocking = false)
+      df.unpersist(blocking = false): Unit
+    }
+  }
+
   private def fileDqQuery(table: String): QueryDef =
     QueryDef(s"dq_file_$table",
-      (s, dir) => {
-        val df = Tables.load(s, dir, table, parallelize = true)
-        // persist: the report union references the profile in three
-        // branches (completeness/uniqueness/validity) — without it the
-        // profiling aggregation runs three times.
-        val profile = Profiler.profile(df,
-          now = lit(DqQueries.FixedNow).cast("timestamp"),
-          withRaw = true).persist()
-        FileDq.report(df, profile).orderBy("pillar", "col_name")
-      },
+      (s, dir) => builtReport(s, dir, table).orderBy("pillar", "col_name"),
       Some(reportOracle(table, Schemas.byTable(table))))
 
   /** A14: pass/fail rule counts over the events report. */
   private def summaryQuery = QueryDef(
     "dq_file_summary_events",
-    (s, dir) => {
-      val df = Tables.load(s, dir, "events", parallelize = true)
-      val profile = Profiler.profile(df,
-        now = lit(DqQueries.FixedNow).cast("timestamp"),
-        withRaw = true).persist()
-      FileDq.summary(FileDq.report(df, profile)).orderBy("status")
-    },
+    (s, dir) => FileDq.summary(builtReport(s, dir, "events"))
+      .orderBy("status"),
     Some("SELECT status, COUNT(*) AS rules FROM (" +
       reportOracle("events", Schemas.byTable("events")).stripSuffix(
         " ORDER BY pillar, col_name") +

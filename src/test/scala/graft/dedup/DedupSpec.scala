@@ -60,6 +60,35 @@ class DedupSpec extends SparkSpec {
     foundPairs.foreach { case (a, b) => assert(a < b) }
   }
 
+  test("simhash pipeline recalls strong near-dups (quantified)") {
+    // The quantified pin behind dedup_simhash_documents' rows-only gate:
+    // recall of the chunk-blocked hamming<=12 pipeline against the
+    // oracled blocked-Jaccard ground truth at >= 0.9 (strong dups share
+    // most 3-shingles, so their fingerprints agree on most bits).
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val blocked = docs.select(col("doc_id"),
+      substring(col("text"), 1, 80).as("blk"))
+    val truthPairs = blocked.as("a")
+      .join(blocked.as("b"), col("a.blk") === col("b.blk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val truth = Dedup.jaccardOnPairs(truthPairs, docs, "doc_id", "text", 3)
+      .filter(col("jaccard") >= 0.9)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(truth.nonEmpty, "corpus should contain jaccard>=0.9 pairs")
+    val found = graft.SparkEntry.queries("dedup_simhash_documents")(
+        spark, sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recall = (truth & found).size.toDouble / truth.size
+    info(s"simhash recall vs jaccard>=0.9 = $recall " +
+      s"(${(truth & found).size}/${truth.size})")
+    // measured 0.846 on the fixture: the misses are short documents whose
+    // 64-bit fingerprints are noisy enough to land hamming > 12 or to
+    // share no 16-bit chunk — inherent simhash behavior, not a machinery
+    // bug (MinHash-LSH is the high-recall path; this pin catches drift)
+    assert(recall >= 0.8, s"simhash recall $recall below 0.8")
+  }
+
   test("simhash: near-identical docs within small hamming distance") {
     val a = "the quick brown fox jumps over the lazy dog and runs far away"
     val b = "the quick brown fox jumps over the lazy dog and runs far home"

@@ -44,6 +44,27 @@ class MultimodalSpec extends SparkSpec {
     assert(f.map(_.feature.toSeq).toSeq === again.map(_.feature.toSeq).toSeq)
   }
 
+  test("decode and features match byte-hash golden values") {
+    // Golden pins: the deterministic codec's exact bytes. A silent change
+    // to the synthesis, decode arithmetic, or feature projection flips
+    // one of these hashes even when shapes/ranges still pass.
+    val m = Multimodal.synthesize(docs)
+    val content = m.select(md5(col("content")).as("h")).orderBy("media_id")
+      .agg(md5(concat_ws(",", collect_list("h")))).head.getString(0)
+    assert(content === "a719069ed59bf7527bf650041d0bfbb4", "content bytes")
+    val d = Multimodal.decodeAll(m).toDF()
+    val dec = d.orderBy("media_id")
+      .select(concat_ws("|", d.columns.map(col): _*).as("s"))
+      .agg(md5(concat_ws(",", collect_list("s")))).head.getString(0)
+    assert(dec === "21aeb1f513c80a96582061b359af9440", "decoded metadata")
+    val feat = Multimodal.extractFeatures(m, dim = 16).toDF()
+      .orderBy("media_id")
+      .select(concat_ws("|", col("media_id"),
+        concat_ws(",", col("feature"))).as("s"))
+      .agg(md5(concat_ws(",", collect_list("s")))).head.getString(0)
+    assert(feat === "d18aec051dac8b5b7f43e2d8629bbb43", "feature vectors")
+  }
+
   test("resize plan preserves aspect ratio and never upscales") {
     val d = Multimodal.decodeAll(Multimodal.synthesize(docs))
     val r = Multimodal.resizePlan(d, 256)

@@ -201,4 +201,23 @@ class ProfilerSpec extends SparkSpec {
     val d = id.getAs[Long]("count_distinct")
     assert(d > 45 && d < 55, s"approx distinct $d out of range")
   }
+
+  test("HLL distinct counts stay within 5% of exact on lineitem") {
+    // the quantified pin behind profile_lineitem_approx's rows-only gate:
+    // every column's HLL estimate within the sketch's design error
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val exact = Profiler.profile(li, now = now)
+      .select("column_name", "count_distinct")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Profiler.approxProfile(li, now = now)
+      .select("column_name", "count_distinct")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (c, e) =>
+      val a = approx(c)
+      val err =
+        if (e == 0) math.abs(a).toDouble
+        else math.abs(a - e).toDouble / e
+      assert(err <= 0.05, f"$c: HLL $a vs exact $e (err ${err * 100}%.1f%%)")
+    }
+  }
 }
