@@ -248,20 +248,62 @@ object Dedup {
     labels.select(col("cluster"), col("id"),
       (col("id") === col("cluster")).as("is_survivor"))
 
-  /** [[survivors]] materialized eagerly with the propagation cache
-    * released before returning — nothing persisted outlives the call.
-    * Right-sized for near-dup graphs, whose members are a small fraction
-    * of the corpus; for a graph too large to hold locally use
-    * [[clusters]] and manage the persisted frame (or checkpoint it)
-    * yourself.
+  /** Edge-count bound for the driver union-find fast path of
+    * [[survivorsLocal]]: a near-dup pair graph under ~1M edges is a few
+    * MB — union-find with path compression resolves it in milliseconds,
+    * where the distributed propagation pays several scheduled jobs per
+    * iteration. Same bounded-driver pattern as IVF quantizer training.
+    */
+  val LocalClusterEdges: Int = 1 << 20
+
+  /** [[survivors]] materialized eagerly with nothing persisted outliving
+    * the call. Pair graphs within [[LocalClusterEdges]] resolve by
+    * driver-side union-find (identical min-label semantics — it is the
+    * spec's ground-truth algorithm); larger graphs fall back to the
+    * distributed propagation. Ids are widened to long. Right-sized for
+    * near-dup graphs, whose members are a small fraction of the corpus;
+    * for a graph too large to hold locally use [[clusters]] and manage
+    * the persisted frame (or checkpoint it) yourself.
     */
   def survivorsLocal(pairs: DataFrame): DataFrame = {
-    val labels = clusters(pairs)
-    try {
-      val out = survivorsOf(labels)
-      val rows = out.collect()
-      pairs.sparkSession.createDataFrame(
-        java.util.Arrays.asList(rows: _*), out.schema)
-    } finally { labels.unpersist(blocking = false); () }
+    val spark = pairs.sparkSession
+    val edges = pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .limit(LocalClusterEdges + 1)
+      .collect()
+    if (edges.length <= LocalClusterEdges) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { e =>
+        val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = parent.keys.toSeq.sorted.map { id =>
+        val c = find(id)
+        org.apache.spark.sql.Row(c, id, id == c)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("is_survivor",
+          org.apache.spark.sql.types.BooleanType, nullable = false)))
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } else {
+      // graph exceeds the driver bound: distributed propagation (the
+      // probe rows above are discarded; the pair pipeline re-evaluates)
+      val labels = clusters(
+        pairs.select(col("id_a").cast("long"), col("id_b").cast("long")))
+      try {
+        val out = survivorsOf(labels)
+        val rows = out.collect()
+        spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), out.schema)
+      } finally { labels.unpersist(blocking = false); () }
+    }
   }
 }

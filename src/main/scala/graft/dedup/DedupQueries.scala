@@ -73,9 +73,13 @@ object DedupQueries extends QueryPack {
     "dedup_jaccard_blocked_documents",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents", parallelize = true)
-      Dedup.jaccardOnPairs(blockedPairs(docs), docs, "doc_id", "text",
-          shingleK = 3)
+      // caller-managed shingle cache: the pair-sized result materializes
+      // so the persisted set frame releases before returning
+      val sets = Dedup.shingleSets(docs, "doc_id", "text", 3).persist()
+      try graft.util.Frames.localized(
+          Dedup.jaccardOnPairsFromSets(blockedPairs(docs), sets, "doc_id"))
         .orderBy("id_a", "id_b")
+      finally { sets.unpersist(blocking = false); () }
     },
     Some(s"WITH $jaccardPairsCte SELECT id_a, id_b, jaccard FROM jp " +
       "ORDER BY id_a, id_b"))
@@ -90,12 +94,15 @@ object DedupQueries extends QueryPack {
     "dedup_clusters_documents",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents", parallelize = true)
-      val pairs = Dedup.jaccardOnPairs(blockedPairs(docs), docs, "doc_id",
-          "text", shingleK = 3)
-        .filter(col("jaccard") >= 0.8)
-        .select("id_a", "id_b")
-      // survivorsLocal: the propagation cache is released inside the call
-      Dedup.survivorsLocal(pairs).orderBy("cluster", "id")
+      val sets = Dedup.shingleSets(docs, "doc_id", "text", 3).persist()
+      try {
+        val pairs = Dedup
+          .jaccardOnPairsFromSets(blockedPairs(docs), sets, "doc_id")
+          .filter(col("jaccard") >= 0.8)
+          .select("id_a", "id_b")
+        // survivorsLocal releases the propagation cache inside the call
+        Dedup.survivorsLocal(pairs).orderBy("cluster", "id")
+      } finally { sets.unpersist(blocking = false); () }
     },
     Some(s"WITH RECURSIVE $jaccardPairsCte, " +
       "pairs AS (SELECT id_a, id_b FROM jp WHERE jaccard >= 0.8), " +

@@ -147,20 +147,22 @@ object TextQueries extends QueryPack {
       val kept = curated.groupBy("text")
         .agg(min("doc_id").as("doc_id"), min("n_tokens").as("n_tokens"))
         .persist()
-      val pairs = graft.dedup.Dedup.jaccardOnPairs(
-          graft.dedup.DedupQueries.blockedPairs(kept), kept, "doc_id",
-          "text", shingleK = 3)
+      val sets = graft.dedup.Dedup.shingleSets(kept, "doc_id", "text", 3)
+        .persist()
+      val pairs = graft.dedup.Dedup.jaccardOnPairsFromSets(
+          graft.dedup.DedupQueries.blockedPairs(kept), sets, "doc_id")
         .filter(col("jaccard") >= 0.8)
         .select("id_a", "id_b")
       // survivorsLocal releases the propagation cache inside the call;
-      // the 1-row summary is then materialized so `kept` can be released
-      // too — nothing persisted outlives the query build.
+      // the 1-row summary is then materialized so `kept` and the shingle
+      // cache release too — nothing persisted outlives the query build.
       val removed = graft.dedup.Dedup.survivorsLocal(pairs)
         .filter(!col("is_survivor")).select(col("id").as("doc_id"))
       val out = kept.join(removed, Seq("doc_id"), "left_anti")
         .agg(count(lit(1)).as("kept_docs"),
           sum("n_tokens").as("kept_tokens"))
       val rows = out.collect()
+      sets.unpersist(blocking = false)
       kept.unpersist(blocking = false)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     },

@@ -228,6 +228,22 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.survivors(empty).isEmpty)
   }
 
+  test("survivorsLocal (driver union-find) equals distributed survivors") {
+    val rng = new scala.util.Random(13)
+    val edges = (1 to 40).map(_ =>
+      (rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val pairs = edges.toDF("id_a", "id_b")
+    spark.catalog.clearCache()
+    val local = Dedup.survivorsLocal(pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    // the fast path leaves nothing in the session cache
+    assert(spark.sharedState.cacheManager.isEmpty)
+    val dist = Dedup.survivors(pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(local === dist)
+  }
+
   test("survivors marks exactly one survivor per cluster (the min id)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val out = Dedup.survivors(pairs).as[(Long, Long, Boolean)].collect()
