@@ -79,6 +79,27 @@ class PlanAuditSpec extends SparkSpec {
       "selection window must not partition by column_name alone")
   }
 
+  test("quantile selection pushes its bucket range to the parquet scan") {
+    // the reuseScan=false shape: each branch reads ONE column under its
+    // bucket's double-range predicate — row-group min/max skipping at
+    // scale depends on the filter actually reaching the reader
+    val df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select(graft.io.Schemas.byTable("lineitem").filter(_.numeric)
+        .map(c => org.apache.spark.sql.functions.col(c.name)
+          .cast("double").as(c.name)): _*)
+    val bkt = java.lang.Double.doubleToLongBits(10.0) >> 44
+    val sel = graft.profile.Profiler.selectionFrame(df,
+      Map(("l_quantity", bkt) -> Set(1L)), 44)
+    val scan = sel.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(scan.contains("GreaterThanOrEqual(l_quantity") &&
+      scan.contains("LessThanOrEqual(l_quantity"),
+      s"bucket range must push to the scan:\n$scan")
+    assert(sel.queryExecution.executedPlan.toString
+      .contains("ReadSchema: struct<l_quantity:double>"),
+      "the branch must read only its one column")
+  }
+
   test("data-sized table loads decouple parallelism from input splits") {
     // Each corpus table is one single-row-group parquet file — unsplittable,
     // so without the loader's repartition every scan-fused stage would run

@@ -151,6 +151,25 @@ class ProfilerSpec extends SparkSpec {
     }
   }
 
+  test("selection quantiles cross zero and negatives exactly") {
+    // exercises the bit-image edge logic: negative buckets (flipped
+    // lower bits), and the ±0.0 interval edges where the value-range
+    // predicate is ambiguous (-0.0 == 0.0 as doubles) and selection must
+    // fall back to comparing bit images
+    val vals = spark.range(2001)
+      .selectExpr("CAST(id - 1000 AS DOUBLE) / 8 AS x")
+    val got = Profiler.quantiles(vals.toDF(), cols = Seq("x"),
+      ps = Seq(0.1, 0.5, 0.9), names = Seq("p10", "p50", "p90"))
+      .collect().head
+    val exp = vals
+      .selectExpr("percentile(x, array(0.1, 0.5, 0.9)) AS p")
+      .collect().head.getSeq[Double](0)
+    assert(got.getDouble(1) === exp.head, "p10 (negative range)")
+    assert(got.getDouble(2) === exp(1), "p50 (zero crossing)")
+    assert(got.getDouble(3) === exp(2), "p90")
+    assert(got.getDouble(2) === 0.0)
+  }
+
   test("quantile selection window partitions by (column, bucket)") {
     // The selection job must never sort a whole column in one window
     // partition — pin the (column_name, __bkt) partitioning on the plan.
