@@ -20,6 +20,8 @@ import org.apache.spark.sql.types.IntegerType
   *   - `graft_minhash_sig(array<string>, numHashes)` → array<bigint>
   *     (numHashes must be an integer literal — it fixes codegen loop
   *     bounds, like the built-in `approx_percentile` accuracy argument)
+  *   - `graft_double_bits(double)` → bigint (sort-order-isomorphic bit
+  *     image; the basis of range-bucket selection in SQL scripts)
   *
   * Two hook-up paths:
   *   - config `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`
@@ -58,6 +60,13 @@ object GraftFunctions {
                 s"got $other")
           }
           MinHashSig(args.head, n)
+        }),
+      (FunctionIdentifier("graft_double_bits"),
+        new ExpressionInfo(classOf[SortableDoubleBits].getName,
+          "graft_double_bits"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "graft_double_bits expects 1 argument")
+          SortableDoubleBits(args.head)
         }))
 
   /** Idempotent registration on an existing session (temp-function scope,

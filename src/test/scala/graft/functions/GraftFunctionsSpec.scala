@@ -35,6 +35,20 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(viaSql(1)._2.forall(_ === 2147483647L)) // empty-set sentinel
   }
 
+  test("graft_double_bits is sort-order isomorphic from SQL text") {
+    import spark.implicits._
+    val vals = Seq(Double.NegativeInfinity, -2.0, -1.0, -0.0, 0.0, 1.0,
+      2.0, Double.PositiveInfinity, Double.NaN)
+    vals.toDF("x").createOrReplaceTempView("gf_bits")
+    val bits = spark.sql(
+      "SELECT x, graft_double_bits(x) AS b FROM gf_bits ORDER BY x, b")
+      .as[(Double, Long)].collect()
+    // Spark's double ordering (NaN greatest, -0.0 before 0.0) must equal
+    // the bit image's long ordering
+    assert(bits.map(_._2).toSeq === bits.map(_._2).sorted.toSeq)
+    assert(bits.last._1.isNaN)
+  }
+
   test("graft_minhash_sig rejects a non-literal numHashes") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_minhash_sig(array('x'), cast(rand()*4 as int))")
