@@ -1,8 +1,10 @@
 package graft
 
-/** Dev helper: time the named queries (min-of-3, same protocol as
-  * [[Bench]]) without running the whole suite. Usage:
+/** Dev helper: time the named queries (min-of-3 with an sf0.001 warm-up
+  * pass over the SAME queries — the [[Bench]] protocol scoped down)
+  * without running the whole suite. Usage:
   * `runMain graft.BenchOne q1 q2 …` with `SPARK_GRAFT_SF_DIR` set.
+  * Short-JVM numbers still read ~10-20% above a warm full-bench run.
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
@@ -10,6 +12,19 @@ object BenchOne {
     val spark = Sessions.local()
     val names =
       if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val warmDir = new java.io.File(sfDir).getParentFile match {
+      case null => None
+      case p =>
+        val w = new java.io.File(p, "sf0.001")
+        if (w.isDirectory && w.getPath != sfDir) Some(w.getPath) else None
+    }
+    warmDir.foreach { w =>
+      names.distinct.foreach { name =>
+        try SparkEntry.queries(name)(spark, w).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
+      }
+      spark.catalog.clearCache()
+    }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to 3).map { _ =>

@@ -273,9 +273,15 @@ object Dedup {
       .collect()
     if (edges.length <= LocalClusterEdges) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // iterative find (walk to root, then compress): a recursive find
+      // would recurse once per chain link and a ~1M-edge chain overflows
+      // the driver stack long before the edge bound does
       def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var r = x
+        while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val next = parent(c); parent(c) = r; c = next }
+        r
       }
       edges.foreach { e =>
         val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
@@ -298,12 +304,8 @@ object Dedup {
       // probe rows above are discarded; the pair pipeline re-evaluates)
       val labels = clusters(
         pairs.select(col("id_a").cast("long"), col("id_b").cast("long")))
-      try {
-        val out = survivorsOf(labels)
-        val rows = out.collect()
-        spark.createDataFrame(
-          java.util.Arrays.asList(rows: _*), out.schema)
-      } finally { labels.unpersist(blocking = false); () }
+      try graft.util.Frames.localized(survivorsOf(labels))
+      finally { labels.unpersist(blocking = false); () }
     }
   }
 }

@@ -223,15 +223,19 @@ object FileDq {
           s"pairs (${allPairs.size - pairs.size} dropped)")
     if (pairs.isEmpty) return emptyReport(df)
 
-    // 128-bit fingerprint: two xxhash64 lanes, the second salted by an
-    // extra literal column (multi-arg xxhash64 chains the lanes' state).
+    // 128-bit fingerprint: two xxhash64 lanes, the second RESEEDED by a
+    // leading salt argument. Order matters: multi-arg xxhash64 chains
+    // state left-to-right, so a TRAILING salt would make lane 2 a pure
+    // function of lane 1's state (every lane-1 collision would imply a
+    // lane-2 collision — still 64-bit resistance); a leading salt mixes
+    // the chain state BEFORE the value, giving an independent lane.
     // Hashed ONCE PER COLUMN in a projection below the explode — a column
     // appears in ~2·(N−1) pairs, and inlining the hash into each pair
     // struct would recompute it that many times per row (hashing is the
     // dominant cost for wide string columns).
     val hashProj = cols.flatMap(c => Seq(
       xxhash64(col(c).cast("string")).as(s"__h1_$c"),
-      xxhash64(col(c).cast("string"), lit("graft-fd-lane2"))
+      xxhash64(lit("graft-fd-lane2"), col(c).cast("string"))
         .as(s"__h2_$c"),
       col(c).isNotNull.as(s"__nn_$c")))
     val hashed = df.select(hashProj: _*)

@@ -39,15 +39,23 @@ object Salting {
       .drop("__salt")
   }
 
-  /** Two-level COUNT(DISTINCT valueCol) per key: exact, skew-spread. */
+  /** Two-level COUNT(DISTINCT valueCol) per key: exact, skew-spread,
+    * bounded buffers. The salt is the VALUE's hash, not a random draw:
+    * each distinct value then lands in exactly one (key, salt) bucket,
+    * so the per-bucket exact distinct counts SUM to the answer — no
+    * collected value arrays anywhere, and a hot key's distinct state
+    * spreads over `buckets` aggregation groups at both levels. (A random
+    * salt would scatter copies of one value across buckets, forcing a
+    * set-union merge whose final buffer holds every distinct value of
+    * the hot key — the exact memory hazard salting exists to avoid.)
+    */
   def saltedDistinctCount(df: DataFrame, key: String,
       valueCol: String, buckets: Int): DataFrame =
-    withSalt(df, buckets)
-      .groupBy(col(key), col("__salt"))
-      .agg(collect_set(col(valueCol)).as("__vals"))
+    df.groupBy(col(key),
+        pmod(xxhash64(col(valueCol)), lit(buckets.toLong)).as("__salt"))
+      .agg(countDistinct(col(valueCol)).as("__d"))
       .groupBy(col(key))
-      .agg(size(array_distinct(flatten(collect_list(col("__vals")))))
-        .cast("long").as("distinct_count"))
+      .agg(sum("__d").cast("long").as("distinct_count"))
 
   /** Generic two-level aggregate: partial over (key, salt), final over
     * key. Caller supplies both levels (they must compose, e.g.

@@ -256,11 +256,8 @@ object IvfSimilarity {
     val n = corpus.count()
     val lists = if (nlist > 0) nlist else autoNlist(n)
     val model = build(corpus, idCol, vecCol, lists, seed, totalRows = Some(n))
-    try {
-      val out = probe(model, queries, idCol, vecCol, k, nprobe)
-      val rows = out.collect()
-      corpus.sparkSession.createDataFrame(
-        java.util.Arrays.asList(rows: _*), out.schema)
-    } finally model.close()
+    try graft.util.Frames.localized(
+      probe(model, queries, idCol, vecCol, k, nprobe))
+    finally model.close()
   }
 }

@@ -149,22 +149,25 @@ object TextQueries extends QueryPack {
         .persist()
       val sets = graft.dedup.Dedup.shingleSets(kept, "doc_id", "text", 3)
         .persist()
-      val pairs = graft.dedup.Dedup.jaccardOnPairsFromSets(
-          graft.dedup.DedupQueries.blockedPairs(kept), sets, "doc_id")
-        .filter(col("jaccard") >= 0.8)
-        .select("id_a", "id_b")
       // survivorsLocal releases the propagation cache inside the call;
       // the 1-row summary is then materialized so `kept` and the shingle
-      // cache release too — nothing persisted outlives the query build.
-      val removed = graft.dedup.Dedup.survivorsLocal(pairs)
-        .filter(!col("is_survivor")).select(col("id").as("doc_id"))
-      val out = kept.join(removed, Seq("doc_id"), "left_anti")
-        .agg(count(lit(1)).as("kept_docs"),
-          sum("n_tokens").as("kept_tokens"))
-      val rows = out.collect()
-      sets.unpersist(blocking = false)
-      kept.unpersist(blocking = false)
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      // cache release too (even on failure) — nothing persisted outlives
+      // the query build.
+      try {
+        val pairs = graft.dedup.Dedup.jaccardOnPairsFromSets(
+            graft.dedup.DedupQueries.blockedPairs(kept), sets, "doc_id")
+          .filter(col("jaccard") >= 0.8)
+          .select("id_a", "id_b")
+        val removed = graft.dedup.Dedup.survivorsLocal(pairs)
+          .filter(!col("is_survivor")).select(col("id").as("doc_id"))
+        graft.util.Frames.localized(
+          kept.join(removed, Seq("doc_id"), "left_anti")
+            .agg(count(lit(1)).as("kept_docs"),
+              sum("n_tokens").as("kept_tokens")))
+      } finally {
+        sets.unpersist(blocking = false)
+        kept.unpersist(blocking = false): Unit
+      }
     },
     Some {
       val full = statsOracle

@@ -61,12 +61,14 @@ class PlanAuditSpec extends SparkSpec {
 
   test("salted aggregation shuffles on (key, salt) before the final key") {
     // the two-level shape: partial distinct state spreads a hot
-    // event_type over salt buckets, the final aggregate merges per key
+    // event_type over value-hash salt buckets, the final aggregate
+    // merges per key (Catalyst renames the computed salt to an internal
+    // grouping expression in the exchange)
     val p = plan("salted_agg_events")
     assert(p.linesIterator.exists(l =>
-      l.contains("Exchange hashpartitioning") &&
-        l.contains("event_type") && l.contains("__salt")),
-      s"expected a (event_type, __salt) exchange:\n$p")
+      l.contains("Exchange hashpartitioning") && l.contains("event_type") &&
+        (l.contains("__salt") || l.contains("_groupingexpression"))),
+      s"expected a (event_type, salt) exchange:\n$p")
   }
 
   test("quantile selection sorts per (column, bucket), never per column") {

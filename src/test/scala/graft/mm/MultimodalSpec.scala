@@ -47,22 +47,26 @@ class MultimodalSpec extends SparkSpec {
   test("decode and features match byte-hash golden values") {
     // Golden pins: the deterministic codec's exact bytes. A silent change
     // to the synthesis, decode arithmetic, or feature projection flips
-    // one of these hashes even when shapes/ranges still pass.
+    // one of these hashes even when shapes/ranges still pass. The rows
+    // are reduced through sort_array of per-row hashes — collect_list's
+    // cross-partition merge order is not guaranteed, so an order-
+    // sensitive golden would flake on a different fetch order.
     val m = Multimodal.synthesize(docs)
-    val content = m.select(md5(col("content")).as("h")).orderBy("media_id")
-      .agg(md5(concat_ws(",", collect_list("h")))).head.getString(0)
-    assert(content === "a719069ed59bf7527bf650041d0bfbb4", "content bytes")
+    val content = m.select(md5(col("content")).as("h"))
+      .agg(md5(concat_ws(",", sort_array(collect_list("h")))))
+      .head.getString(0)
+    assert(content === "6b0e6da91bd3d2418916f63768cf1da3", "content bytes")
     val d = Multimodal.decodeAll(m).toDF()
-    val dec = d.orderBy("media_id")
-      .select(concat_ws("|", d.columns.map(col): _*).as("s"))
-      .agg(md5(concat_ws(",", collect_list("s")))).head.getString(0)
-    assert(dec === "21aeb1f513c80a96582061b359af9440", "decoded metadata")
+    val dec = d.select(md5(concat_ws("|", d.columns.map(col): _*)).as("h"))
+      .agg(md5(concat_ws(",", sort_array(collect_list("h")))))
+      .head.getString(0)
+    assert(dec === "b3e2c66a025b7b3bcfde5775a23b25bb", "decoded metadata")
     val feat = Multimodal.extractFeatures(m, dim = 16).toDF()
-      .orderBy("media_id")
-      .select(concat_ws("|", col("media_id"),
-        concat_ws(",", col("feature"))).as("s"))
-      .agg(md5(concat_ws(",", collect_list("s")))).head.getString(0)
-    assert(feat === "d18aec051dac8b5b7f43e2d8629bbb43", "feature vectors")
+      .select(md5(concat_ws("|", col("media_id"),
+        concat_ws(",", col("feature")))).as("h"))
+      .agg(md5(concat_ws(",", sort_array(collect_list("h")))))
+      .head.getString(0)
+    assert(feat === "429eebc84ffa41c9d6874917f5086b3e", "feature vectors")
   }
 
   test("resize plan preserves aspect ratio and never upscales") {

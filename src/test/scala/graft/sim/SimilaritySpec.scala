@@ -126,6 +126,28 @@ class SimilaritySpec extends SparkSpec {
     } finally model.close()
   }
 
+  test("IVF recall holds at the SHIPPED auto-nlist configuration") {
+    // sim_topk_ivf runs with nlist = autoNlist(n) (√n), not the fixed 16
+    // of the pin above — the gate query's own configuration needs recall
+    // evidence or a regression in the √n regime stays invisible
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = 10
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = IvfSimilarity.topK(emb, queries, "vec_id", "embedding", k)
+    val got = approx.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    val lists = IvfSimilarity.autoNlist(emb.count())
+    info(s"IVF auto recall@$k (nlist=$lists) = $recall " +
+      s"(${(exact & got).size}/${exact.size})")
+    assert(recall >= 0.3,
+      s"recall $recall too low at the shipped auto config (nlist=$lists)")
+    assert(approx.count() === queries.count() * k)
+  }
+
   test("IVF join-probe path above the literal threshold returns top-k") {
     // nlist > JoinProbeThreshold switches centroid scoring to the
     // broadcast centroid-table join — the √n-scale path where literal
