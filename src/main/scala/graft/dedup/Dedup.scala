@@ -24,19 +24,33 @@ object Dedup {
   def exact(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
 
-  /** k-word shingles of a text column (k=1 → tokens). A doc shorter than
-    * k words yields its whole token sequence as one shingle.
+  /** Whitespace tokens of trimmed text (empty → empty array). */
+  private[graft] def tokensOf(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** k-word shingles from a MATERIALIZED token-array column. Callers must
+    * land the tokens in their own projection first (see [[shingleSets]]):
+    * this expression references `toks` ~5 times including inside the
+    * `transform` lambda, and higher-order functions evaluate interpreted —
+    * an inlined split() would re-tokenize the text once per emitted
+    * shingle (measured ~5× the cost of the whole shingling pass).
     */
-  def wordShingles(c: Column, k: Int): Column = {
-    val toks =
-      when(length(trim(c)) === 0, array().cast("array<string>"))
-        .otherwise(split(trim(c), "\\s+"))
+  def wordShinglesFromTokens(toks: Column, k: Int): Column = {
     val n = size(toks)
     when(n === 0, array().cast("array<string>"))
       .when(n <= k, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(1), n - (k - 1)),
         i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
+
+  /** k-word shingles of a text column (k=1 → tokens). A doc shorter than
+    * k words yields its whole token sequence as one shingle. Convenience
+    * form for tests/composition — hot paths go through
+    * [[wordShinglesFromTokens]] over a materialized token column.
+    */
+  def wordShingles(c: Column, k: Int): Column =
+    wordShinglesFromTokens(tokensOf(c), k)
 
   /** MinHash signature (array of `numHashes` longs) over a shingle array.
     * Universal-hash family h_i(x) = (a_i·x + b_i) mod P (P = 2³¹−1, so the
@@ -82,8 +96,15 @@ object Dedup {
     */
   def shingleSets(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int): DataFrame =
-    df.select(col(idCol),
-      array_distinct(wordShingles(col(textCol), shingleK)).as("__set"))
+    // two projections: tokens land as a real column so the shingle
+    // expression's many references (incl. the interpreted transform
+    // lambda) read an attribute instead of re-splitting the text per
+    // shingle; CollapseProject keeps the boundary because the token
+    // expression is non-cheap and referenced more than once
+    df.select(col(idCol), tokensOf(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        array_distinct(wordShinglesFromTokens(col("__toks"), shingleK))
+          .as("__set"))
 
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,

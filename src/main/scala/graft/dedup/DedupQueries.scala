@@ -136,8 +136,11 @@ object DedupQueries extends QueryPack {
       // persist: the fingerprint frame is exploded into 4 chunks and
       // self-joined — without it CollapseProject inlines the SimHash into
       // every chunk element and each join side (8 evals/doc; measured 24×).
-      val fps = docs.select(col("doc_id"),
-        SimHash.simhash64(Dedup.wordShingles(col("text"), 3)).as("fp"))
+      val fps = docs
+        .select(col("doc_id"), Dedup.tokensOf(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          SimHash.simhash64(
+            Dedup.wordShinglesFromTokens(col("__toks"), 3)).as("fp"))
         .persist()
       val chunks = fps.select(col("doc_id"), col("fp"),
         posexplode(array((0 until 4).map(i =>

@@ -109,6 +109,25 @@ object SimilarityQueries extends QueryPack {
     },
     None)
 
+  /** Per-label centroids (mean-pooled embeddings, [[EmbeddingAgg]]) —
+    * oracled exactly up to round(…,4): both engines widen float→double
+    * before averaging, and the 4-dp rounding absorbs the partition-order
+    * ulp drift of the double sums (same discipline as the profiler's
+    * oracled moments).
+    */
+  private def centroidQuery = QueryDef(
+    "emb_centroid_label",
+    (s, dir) => EmbeddingAgg.centroids(
+        Tables.load(s, dir, "embeddings"), "label", "embedding")
+      .select(col("label"), col("dim"),
+        round(col("centroid_v"), 4).as("centroid_v"), col("n_vecs"))
+      .orderBy("label", "dim"),
+    Some("SELECT label, dim, round(avg(CAST(v AS DOUBLE)), 4) AS " +
+      "centroid_v, count(*) AS n_vecs FROM (SELECT label, " +
+      "unnest(embedding) AS v, generate_subscripts(embedding, 1) AS dim " +
+      "FROM embeddings) GROUP BY label, dim ORDER BY label, dim"))
+
   override def queries: Seq[QueryDef] =
-    Seq(bruteQuery, lshQuery, ivfQuery, knnBruteQuery, knnLshQuery)
+    Seq(bruteQuery, lshQuery, ivfQuery, knnBruteQuery, knnLshQuery,
+      centroidQuery)
 }

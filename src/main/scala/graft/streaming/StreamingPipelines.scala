@@ -47,6 +47,24 @@ object StreamingPipelines {
         col("win.end").as("window_end"), col("event_type"), col("n"),
         col("value_sum"))
 
+  /** Bounded-state streaming deduplication: keep the first arrival of each
+    * key, dropping re-deliveries that land within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` evicts key state once the watermark
+    * passes it — the ONLY dedup form whose state stays bounded on an
+    * infinite stream (plain `dropDuplicates` keys state forever). The
+    * streaming counterpart of the batch [[graft.dedup.Dedup.exact]].
+    *
+    * @param tsCol     event-time column the watermark rides on
+    * @param watermark re-delivery horizon, e.g. "2 days": duplicates
+    *                  arriving later than this after the original may
+    *                  survive (at-least-once → effectively-once, bounded
+    *                  by the horizon)
+    */
+  def dedupStream(source: DataFrame, tsCol: String, watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    source.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Incremental SCD1: each micro-batch is merged into the parquet target
     * with the batch [[Scd1.merge]] (latest-per-key dedup inside the batch,
     * anti-join + union against the current target). Write is
@@ -82,6 +100,10 @@ object StreamingPipelines {
         ()
       }
       .start()
+
+  /** Recursive local-FS delete (sink re-staging in tests/queries). */
+  private[streaming] def deleteDir(f: java.io.File): Unit =
+    deleteRecursively(f)
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory)

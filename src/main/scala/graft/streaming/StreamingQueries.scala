@@ -80,5 +80,48 @@ object StreamingQueries extends QueryPack {
         |FROM y GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin.replace("\n", " ")))
 
-  override def queries: Seq[QueryDef] = Seq(windowedQuery, sessionizeQuery)
+  /** Streaming dedup through a REAL StreamingQuery: the staged source
+    * holds every event TWICE (union of the table with itself — an
+    * at-least-once redelivery); `dropDuplicatesWithinWatermark` on
+    * event_id collapses it back to exactly the original rows, which is
+    * what the DuckDB oracle aggregates. The catch-up run drains all files
+    * in one micro-batch (no maxFilesPerTrigger), so no duplicate can
+    * straddle a watermark advance. Deduped rows land in a parquet sink;
+    * the returned relation is the batch rollup of that sink.
+    */
+  private def dedupQuery = QueryDef(
+    "stream_dedup_events",
+    (s, dir) => {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val staged = s"$tmp/graft_stream_dedup_src"
+      val ev = graft.io.Tables.load(s, dir, "events", parallelize = false)
+      ev.union(ev).write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val src = s.readStream.schema(schema).parquet(staged)
+      val deduped = StreamingPipelines.dedupStream(
+        src, "ts", "2 days", Seq("event_id"))
+      val out = s"$tmp/graft_stream_dedup_out"
+      StreamingPipelines.deleteDir(new java.io.File(out))
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_stream_dedup_ckpt").toString
+      val q = deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .withColumn("value", col("value").cast("decimal(18,4)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value")).cast("double").as("value_sum"))
+        .orderBy("event_type")
+    },
+    Some("SELECT event_type, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum " +
+      "FROM events GROUP BY event_type ORDER BY event_type"))
+
+  override def queries: Seq[QueryDef] =
+    Seq(windowedQuery, sessionizeQuery, dedupQuery)
 }

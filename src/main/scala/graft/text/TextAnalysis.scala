@@ -100,6 +100,73 @@ object TextAnalysis {
   def fingerprintFromTokens(toks: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(toks))).cast("binary"))
 
+  /** Strict word n-grams: ONLY full k-token windows (a doc shorter than k
+    * tokens yields an empty array). Contrast with
+    * [[graft.dedup.Dedup.wordShingles]], which degrades short docs to one
+    * whole-text shingle — right for dedup/decontamination, wrong for
+    * repetition ratios (a 1-token doc would score top-gram mass 1.0).
+    */
+  def strictWordNgrams(toks: Column, k: Int): Column =
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+
+  /** Largest multiplicity of any element in `arr` (0 for empty): fold over
+    * the sorted array tracking the current and best run — O(d log d) per
+    * row instead of the O(d²) count-each-distinct formulation, and still a
+    * pure codegen'd expression (no shuffle, no UDF).
+    */
+  def maxRepeatCount(arr: Column): Column = {
+    val folded = aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      })
+    folded("best")
+  }
+
+  /** Gopher-style repetition signals over word bigrams, appended to `df`:
+    * `n_bigrams`, `dup_bigram_ratio` (1 − distinct/total),
+    * `top_bigram_mass` (most frequent bigram's share), and the
+    * `pass_repetition` gate (1 when dup ≤ [[MaxDupBigramRatio]] AND mass ≤
+    * [[MaxTopBigramMass]]). The mass rule only applies at ≥
+    * [[MinBigramsForMassGate]] bigrams: a clean n-bigram doc has mass 1/n,
+    * so below ~1/threshold bigrams the rule would flag EVERY short doc.
+    * One projection computes the bigram array; all four stats derive from
+    * it — a shuffle-free corpus sweep at any scale.
+    */
+  val MaxDupBigramRatio = 0.1
+  val MaxTopBigramMass = 0.15
+  val MinBigramsForMassGate = 20
+
+  def withRepetition(df: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    // tokenize once, then gram once: strictWordNgrams references its token
+    // array three times, so feed it a materialized column, not the split
+    // expression itself.
+    val s1 = df
+      .select(col("*"), tokens(col(textCol)).as("__toks"))
+      .select(col("*"), strictWordNgrams(col("__toks"), 2).as("__bi"))
+      .drop("__toks")
+    val n = size(col("__bi"))
+    val dup = when(n === 0, 0.0).otherwise(
+      lit(1.0) - size(array_distinct(col("__bi"))).cast("double") / n)
+    val mass = when(n === 0, 0.0).otherwise(
+      maxRepeatCount(col("__bi")).cast("double") / n)
+    s1.select(col("*"),
+        n.cast("long").as("n_bigrams"),
+        dup.as("dup_bigram_ratio"),
+        mass.as("top_bigram_mass"))
+      .withColumn("pass_repetition",
+        when(col("dup_bigram_ratio") <= MaxDupBigramRatio &&
+          (col("n_bigrams") < MinBigramsForMassGate ||
+            col("top_bigram_mass") <= MaxTopBigramMass), 1).otherwise(0))
+      .drop("__bi")
+  }
+
   /** Append ALL document stats to `df`, evaluating each expensive scan of
     * the text exactly once.
     *

@@ -208,7 +208,113 @@ object TextQueries extends QueryPack {
       "PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn " +
       "FROM documents) WHERE rn <= 40 ORDER BY lang, doc_id"))
 
+  /** Benchmark decontamination: corpus docs (doc_id % 100 ≥ 5) sharing
+    * any word 5-gram with the held-out eval slice (doc_id % 100 < 5).
+    * The eval gram set is broadcast (see [[Decontam]]) — matching is a
+    * map-side probe, the only shuffle is the groupBy over MATCHED grams.
+    */
+  private val DecontamN = 5
+
+  private def decontamQuery = QueryDef(
+    "decontam_overlap_documents",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents", parallelize = true)
+      // both gram frames persisted per the docGramArrays contract (the
+      // explode must read a materialized array column); the report is
+      // contamination-sized, so localize + release before returning
+      val corpusGrams = Decontam.docGramArrays(
+        docs.filter(col("doc_id") % 100 >= 5), "doc_id", "text",
+        DecontamN).persist()
+      val evalGrams = Decontam.docGramArrays(
+        docs.filter(col("doc_id") % 100 < 5), "doc_id", "text",
+        DecontamN).persist()
+      try graft.util.Frames.localized(
+        Decontam.overlapReportFromArrays(corpusGrams, evalGrams, "doc_id")
+          .orderBy("doc_id"))
+      finally {
+        corpusGrams.unpersist(blocking = false)
+        evalGrams.unpersist(blocking = false): Unit
+      }
+    },
+    Some {
+      val n = DecontamN
+      s"WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents), " +
+        "grams AS (SELECT doc_id, unnest(list_distinct(" +
+        "CASE WHEN len(t) = 0 THEN []::VARCHAR[] " +
+        s"WHEN len(t) <= $n THEN [array_to_string(t, ' ')] " +
+        s"ELSE list_transform(range(1, len(t) - ${n - 2}), " +
+        s"i -> array_to_string(t[i:i+${n - 1}], ' ')) END)) AS g " +
+        "FROM toks), " +
+        "ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 100 < 5), " +
+        "tot AS (SELECT doc_id, count(*) AS total_grams FROM grams " +
+        "WHERE doc_id % 100 >= 5 GROUP BY doc_id), " +
+        "hits AS (SELECT doc_id, count(*) AS matched_grams FROM grams " +
+        "WHERE doc_id % 100 >= 5 AND g IN (SELECT g FROM ev) " +
+        "GROUP BY doc_id) " +
+        "SELECT h.doc_id, h.matched_grams, t.total_grams, " +
+        "h.matched_grams::DOUBLE / t.total_grams AS contamination_ratio " +
+        "FROM hits h JOIN tot t USING (doc_id) ORDER BY doc_id"
+    })
+
+  /** Gopher-style repetition filter signals (duplicate-bigram fraction +
+    * top-bigram mass) — both raw IEEE divisions of exact integer counts,
+    * so the oracle comparison is bit-exact; the pass gate compares those
+    * identical doubles on both engines.
+    */
+  private def repetitionQuery = QueryDef(
+    "text_repetition_documents",
+    (s, dir) => TextAnalysis
+      .withRepetition(
+        Tables.load(s, dir, "documents", parallelize = true), "text")
+      .select("doc_id", "n_bigrams", "dup_bigram_ratio",
+        "top_bigram_mass", "pass_repetition")
+      .orderBy("doc_id"),
+    Some {
+      val bi = s"CASE WHEN len(t) < 2 THEN []::VARCHAR[] " +
+        "ELSE list_transform(range(1, len(t)), " +
+        "i -> array_to_string(t[i:i+1], ' ')) END"
+      val dup = "CASE WHEN len(bi) = 0 THEN 0.0 " +
+        "ELSE 1.0 - len(list_distinct(bi))::DOUBLE / len(bi) END"
+      val mass = "CASE WHEN len(bi) = 0 THEN 0.0 " +
+        "ELSE list_max(list_transform(list_distinct(bi), " +
+        "x -> len(list_filter(bi, y -> y = x))))::DOUBLE / len(bi) END"
+      s"WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents), " +
+        s"g AS (SELECT doc_id, $bi AS bi FROM toks) " +
+        "SELECT doc_id, len(bi) AS n_bigrams, " +
+        s"$dup AS dup_bigram_ratio, $mass AS top_bigram_mass, " +
+        s"CASE WHEN ($dup) <= ${TextAnalysis.MaxDupBigramRatio} " +
+        s"AND (len(bi) < ${TextAnalysis.MinBigramsForMassGate} " +
+        s"OR ($mass) <= ${TextAnalysis.MaxTopBigramMass}) " +
+        "THEN 1 ELSE 0 END AS pass_repetition " +
+        "FROM g ORDER BY doc_id"
+    })
+
+  /** Sequence packing ([[graft.pipeline.Packing]]): documents → 512-token
+    * packs within 16 hash shards. 512 is a power of two, so the
+    * pack-index division is exact in IEEE arithmetic on both engines and
+    * the floor assignment hash-matches bit-for-bit.
+    */
+  private val PackBudget = 512
+
+  private def packQuery = QueryDef(
+    "corpus_pack_documents",
+    (s, dir) => graft.pipeline.Packing.packs(
+        TextAnalysis.withStats(
+          Tables.load(s, dir, "documents", parallelize = true), "text")
+          .select("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", budget = PackBudget)
+      .orderBy("shard", "pack_id"),
+    Some(
+      s"WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents), " +
+        "d AS (SELECT doc_id::VARCHAR AS id, len(t)::BIGINT AS n, " +
+        "substring(md5(doc_id::VARCHAR), 1, 1) AS shard FROM toks), " +
+        "c AS (SELECT shard, id, n, SUM(n) OVER (PARTITION BY shard " +
+        "ORDER BY md5(id), id ROWS UNBOUNDED PRECEDING) AS cum FROM d) " +
+        s"SELECT shard, CAST(floor((cum - n) / $PackBudget) AS BIGINT) " +
+        "AS pack_id, COUNT(*) AS n_docs, SUM(n)::BIGINT AS pack_tokens " +
+        "FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id"))
+
   override def queries: Seq[QueryDef] =
     Seq(statsQuery, curateQuery, pipelineQuery, pipelineFullQuery,
-      sampleQuery)
+      sampleQuery, decontamQuery, repetitionQuery, packQuery)
 }

@@ -96,4 +96,28 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(byBatch.nonEmpty)
     byBatch.foreach(r => assert(r.getLong(1) === 2))
   }
+
+  test("streaming dedup collapses redelivered events to the batch distinct") {
+    val events = Tables.load(spark, sf, "events")
+    val src = tmpDir("graft_stream_dedup_src")
+    // at-least-once redelivery: every event staged twice
+    events.union(events).write.mode("overwrite").parquet(src)
+
+    val stream = spark.readStream.schema(events.schema).parquet(src)
+    val out = tmpDir("graft_stream_dedup_out")
+    val q = StreamingPipelines
+      .dedupStream(stream, "ts", "2 days", Seq("event_id"))
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("graft_stream_dedup_ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val deduped = spark.read.parquet(out)
+    assert(deduped.count() === events.count())
+    assert(deduped.select("event_id").distinct().count() ===
+      events.count())
+  }
 }

@@ -1,0 +1,52 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DecontamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("planted contamination is flagged with exact gram counts") {
+    // eval doc shares exactly one 5-gram window with corpus doc 10;
+    // corpus doc 11 is clean.
+    val eval = docs(1L -> "alpha beta gamma delta epsilon zeta")
+    val corpus = docs(
+      10L -> "xx alpha beta gamma delta epsilon yy",
+      11L -> "one two three four five six seven")
+    val out = Decontam.overlapReport(corpus, eval, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 10 has 3 distinct 5-grams; only "alpha beta gamma delta
+    // epsilon" appears in the eval set (eval contributes its two 5-gram
+    // windows).
+    assert(out.toSeq == Seq((10L, 1L, 3L)))
+  }
+
+  test("short docs contaminate via their whole text (wordShingles rule)") {
+    val eval = docs(1L -> "tiny fragment")
+    val corpus = docs(20L -> "tiny fragment") // < n tokens → one gram
+    val out = Decontam.overlapReport(corpus, eval, "doc_id", "text", 5)
+      .collect()
+    assert(out.length == 1 &&
+      out(0).getLong(1) == 1L && out(0).getLong(2) == 1L)
+  }
+
+  test("disjoint corpora produce an empty report") {
+    val eval = docs(1L -> "alpha beta gamma delta epsilon")
+    val corpus = docs(30L -> "one two three four five six")
+    assert(Decontam.overlapReport(corpus, eval, "doc_id", "text", 5)
+      .count() == 0L)
+  }
+
+  test("eval gram set joins broadcast (no corpus-side gram shuffle)") {
+    val eval = docs(1L -> "alpha beta gamma delta epsilon")
+    val corpus = docs(10L -> "alpha beta gamma delta epsilon zeta")
+    val plan = Decontam.overlapReport(corpus, eval, "doc_id", "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast probe of the eval gram set, got:\n$plan")
+  }
+}
