@@ -314,7 +314,84 @@ object TextQueries extends QueryPack {
         "AS pack_id, COUNT(*) AS n_docs, SUM(n)::BIGINT AS pack_tokens " +
         "FROM c GROUP BY shard, pack_id ORDER BY shard, pack_id"))
 
+  /** Decontamination composed into the corpus pass: curate (quality/
+    * lang/token gates, excluding the eval slice) → drop docs with ≥ 10%
+    * of their 5-grams in the eval set → exact dedup → summary. One hash
+    * verifies the full composition, including the broadcast gram probe
+    * and the threshold boundary (the ratio is an IEEE division of exact
+    * integer counts on both engines).
+    */
+  private val ContamThreshold = 0.1
+
+  private def decontamPipelineQuery = QueryDef(
+    "corpus_decontam_pipeline_documents",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents", parallelize = true)
+      // persisted: read by the gram builder AND the final anti-join/dedup
+      // (withStats is the expensive full-text pass — don't run it twice)
+      val curated = TextAnalysis.withStats(docs, "text")
+        .select("doc_id", "text", "n_tokens", "quality_score", "lang_id")
+        .filter(col("quality_score") >= 0.75 && col("lang_id") === "en" &&
+          col("n_tokens").between(20, 2000) && col("doc_id") % 100 >= 5)
+        .persist()
+      val corpusGrams = Decontam.docGramArrays(
+        curated, "doc_id", "text", DecontamN).persist()
+      val evalGrams = Decontam.docGramArrays(
+        docs.filter(col("doc_id") % 100 < 5), "doc_id", "text",
+        DecontamN).persist()
+      try {
+        val contaminated = Decontam
+          .overlapReportFromArrays(corpusGrams, evalGrams, "doc_id")
+          .filter(col("contamination_ratio") >= ContamThreshold)
+          .select("doc_id")
+        val deduped = curated
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .groupBy("text")
+          .agg(min("doc_id").as("doc_id"), min("n_tokens").as("n_tokens"))
+        graft.util.Frames.localized(
+          deduped.agg(count(lit(1)).as("kept_docs"),
+            sum("n_tokens").as("kept_tokens")))
+      } finally {
+        corpusGrams.unpersist(blocking = false)
+        evalGrams.unpersist(blocking = false)
+        curated.unpersist(blocking = false): Unit
+      }
+    },
+    Some {
+      val full = statsOracle
+      val body = full.substring(0, full.lastIndexOf(" ORDER BY"))
+      val n = DecontamN
+      s"WITH s AS ($body), " +
+        "curated AS (SELECT s.doc_id, d.text, s.n_tokens " +
+        "FROM s JOIN documents d ON s.doc_id = d.doc_id " +
+        "WHERE s.quality_score >= 0.75 AND s.lang_id = 'en' " +
+        "AND s.n_tokens BETWEEN 20 AND 2000 AND s.doc_id % 100 >= 5), " +
+        s"toks AS (SELECT doc_id, $tokensSql AS t FROM documents), " +
+        "grams AS (SELECT doc_id, unnest(list_distinct(" +
+        "CASE WHEN len(t) = 0 THEN []::VARCHAR[] " +
+        s"WHEN len(t) <= $n THEN [array_to_string(t, ' ')] " +
+        s"ELSE list_transform(range(1, len(t) - ${n - 2}), " +
+        s"i -> array_to_string(t[i:i+${n - 1}], ' ')) END)) AS g " +
+        "FROM toks), " +
+        "ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 100 < 5), " +
+        "cg AS (SELECT g.doc_id, g.g FROM grams g " +
+        "JOIN curated c ON g.doc_id = c.doc_id), " +
+        "tot AS (SELECT doc_id, count(*) AS total FROM cg GROUP BY 1), " +
+        "hits AS (SELECT doc_id, count(*) AS matched FROM cg " +
+        "WHERE g IN (SELECT g FROM ev) GROUP BY 1), " +
+        "contaminated AS (SELECT h.doc_id FROM hits h " +
+        "JOIN tot t USING (doc_id) " +
+        s"WHERE h.matched::DOUBLE / t.total >= $ContamThreshold), " +
+        "clean AS (SELECT * FROM curated WHERE doc_id NOT IN " +
+        "(SELECT doc_id FROM contaminated)), " +
+        "deduped AS (SELECT text, MIN(doc_id) AS doc_id, " +
+        "MIN(n_tokens) AS n_tokens FROM clean GROUP BY text) " +
+        "SELECT COUNT(*) AS kept_docs, " +
+        "SUM(n_tokens)::BIGINT AS kept_tokens FROM deduped"
+    })
+
   override def queries: Seq[QueryDef] =
     Seq(statsQuery, curateQuery, pipelineQuery, pipelineFullQuery,
-      sampleQuery, decontamQuery, repetitionQuery, packQuery)
+      sampleQuery, decontamQuery, repetitionQuery, packQuery,
+      decontamPipelineQuery)
 }
