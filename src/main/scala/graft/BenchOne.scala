@@ -1,22 +1,41 @@
 package graft
 
-/** Dev tool: time individual registered queries (min-of-3, same
-  * measurement discipline as [[Bench]]) without paying for the full
-  * suite. Usage: `sbt "runMain graft.BenchOne q1 [q2 ...]"`; the scale
-  * directory comes from SPARK_GRAFT_SF_DIR (default sf0.1).
+/** Dev helper: time the named queries (min-of-3 with an sf0.001 warm-up
+  * pass over the SAME queries — the [[Bench]] protocol scoped down)
+  * without running the whole suite; `--explain` also prints each query's
+  * formatted physical plan before timing. Usage:
+  * `runMain graft.BenchOne [--explain] q1 q2 …` with `SPARK_GRAFT_SF_DIR`
+  * set (no names → all registered queries). Short-JVM numbers still read
+  * ~10-20% above a warm full-bench run.
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: BenchOne [--explain] <queryName>...")
     val explain = args.contains("--explain")
-    val names = args.filterNot(_ == "--explain")
-    val sfDir =
-      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val named = args.toSeq.filterNot(_ == "--explain")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
+    val names =
+      if (named.nonEmpty) named else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
-      val fn = SparkEntry.queries.getOrElse(name,
-        sys.error(s"unknown query '$name'; known: " +
-          SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
+      require(SparkEntry.queries.contains(name),
+        s"unknown query '$name'; known: " +
+          SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+    }
+    val warmDir = new java.io.File(sfDir).getParentFile match {
+      case null => None
+      case p =>
+        val w = new java.io.File(p, "sf0.001")
+        if (w.isDirectory && w.getPath != sfDir) Some(w.getPath) else None
+    }
+    warmDir.foreach { w =>
+      names.distinct.foreach { name =>
+        try SparkEntry.queries(name)(spark, w).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
+      }
+      spark.catalog.clearCache()
+    }
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
       if (explain) fn(spark, sfDir).explain("formatted")
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

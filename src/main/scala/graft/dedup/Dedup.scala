@@ -24,10 +24,13 @@ object Dedup {
   def exact(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
 
-  /** Whitespace tokens of trimmed text (empty → empty array). */
+  /** Whitespace tokens of trimmed text (empty → empty array). ONE
+    * definition project-wide — [[graft.text.TextAnalysis.tokens]] — so
+    * shingle/dedup semantics can never drift from the text stats and the
+    * shared DuckDB `tokensSql` oracle that mirrors it.
+    */
   private[graft] def tokensOf(c: Column): Column =
-    when(length(trim(c)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(c), "\\s+"))
+    graft.text.TextAnalysis.tokens(c)
 
   /** k-word shingles from a MATERIALIZED token-array column. Callers must
     * land the tokens in their own projection first (see [[shingleSets]]):

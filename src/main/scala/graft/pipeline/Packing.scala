@@ -25,10 +25,11 @@ object Packing {
 
   /** One row per pack: (shard, pack_id, n_docs, pack_tokens).
     *
-    * @param tokenCol exact per-doc token count (integer column)
-    * @param budget   target tokens per pack
-    * @param shards   hash-shard fan-out (hex-prefix width 1 → 16,
-    *                 2 → 256); pick ≥ cluster parallelism at scale
+    * @param tokenCol      exact per-doc token count (integer column)
+    * @param budget        target tokens per pack
+    * @param shardHexChars md5-prefix width driving the shard fan-out
+    *                      (1 → 16 shards, 2 → 256); pick a width whose
+    *                      fan-out ≥ cluster parallelism at scale
     */
   def packs(df: DataFrame, idCol: String, tokenCol: String,
       budget: Int, shardHexChars: Int = 1): DataFrame = {

@@ -16,36 +16,49 @@ import graft.{QueryDef, QueryPack}
   */
 object StreamingQueries extends QueryPack {
 
+  /** Fresh temp dirs for a streaming run (staging/checkpoint/sink),
+    * deleted when `f` returns — a fixed shared path would let concurrent
+    * sessions clobber each other's staged source mid-stream, and leaked
+    * checkpoints would accumulate across bench/verify cycles. Callers
+    * localize their (report-sized) result before returning so nothing
+    * reads the deleted dirs lazily.
+    */
+  private def withTempDirs[A](prefixes: String*)(f: Seq[String] => A): A = {
+    val dirs = prefixes
+      .map(p => java.nio.file.Files.createTempDirectory(p).toString)
+    try f(dirs)
+    finally dirs.foreach(d =>
+      StreamingPipelines.deleteDir(new java.io.File(d)))
+  }
+
   private def windowedQuery = QueryDef(
     "stream_windowed_events",
-    (s, dir) => {
-      // FileStreamSource needs a DIRECTORY; stage the events table into
-      // one (this also normalizes the nanos-as-long ts to a µs timestamp
-      // via Tables.load before the stream starts).
-      val staged =
-        s"${System.getProperty("java.io.tmpdir")}/graft_stream_events"
-      graft.io.Tables.load(s, dir, "events", parallelize = false)
-        .write.mode("overwrite").parquet(staged)
-      val schema = s.read.parquet(staged).schema
-      val conv = s.readStream.schema(schema).parquet(staged)
-        // decimal sum: result must not depend on accumulation order
-        .withColumn("value", col("value").cast("decimal(18,4)"))
-      val out = StreamingPipelines.windowedEventStats(conv, "ts",
-        window = "1 day", watermark = "2 days")
-      val name = "graft_stream_windowed"
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_stream_ckpt").toString
-      val q = out.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      q.awaitTermination()
-      s.table(name).select(
-        col("window_start").cast("string").as("window_start"),
-        col("event_type"), col("n"),
-        col("value_sum").cast("double").as("value_sum"))
-        .orderBy("window_start", "event_type")
+    (s, dir) => withTempDirs("graft_stream_src", "graft_stream_ckpt") {
+      case Seq(staged, ckpt) =>
+        // FileStreamSource needs a DIRECTORY; stage the events table into
+        // one (this also normalizes the nanos-as-long ts to a µs
+        // timestamp via Tables.load before the stream starts).
+        graft.io.Tables.load(s, dir, "events", parallelize = false)
+          .write.mode("overwrite").parquet(staged)
+        val schema = s.read.parquet(staged).schema
+        val conv = s.readStream.schema(schema).parquet(staged)
+          // decimal sum: result must not depend on accumulation order
+          .withColumn("value", col("value").cast("decimal(18,4)"))
+        val out = StreamingPipelines.windowedEventStats(conv, "ts",
+          window = "1 day", watermark = "2 days")
+        val name = "graft_stream_windowed"
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.awaitTermination()
+        graft.util.Frames.localized(
+          s.table(name).select(
+            col("window_start").cast("string").as("window_start"),
+            col("event_type"), col("n"),
+            col("value_sum").cast("double").as("value_sum"))
+            .orderBy("window_start", "event_type"))
     },
     Some("SELECT date_trunc('day', ts)::TIMESTAMP::VARCHAR AS window_start, " +
       "event_type, COUNT(*) AS n, " +
@@ -91,32 +104,30 @@ object StreamingQueries extends QueryPack {
     */
   private def dedupQuery = QueryDef(
     "stream_dedup_events",
-    (s, dir) => {
-      val tmp = System.getProperty("java.io.tmpdir")
-      val staged = s"$tmp/graft_stream_dedup_src"
-      val ev = graft.io.Tables.load(s, dir, "events", parallelize = false)
-      ev.union(ev).write.mode("overwrite").parquet(staged)
-      val schema = s.read.parquet(staged).schema
-      val src = s.readStream.schema(schema).parquet(staged)
-      val deduped = StreamingPipelines.dedupStream(
-        src, "ts", "2 days", Seq("event_id"))
-      val out = s"$tmp/graft_stream_dedup_out"
-      StreamingPipelines.deleteDir(new java.io.File(out))
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_stream_dedup_ckpt").toString
-      val q = deduped.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(out)
-        .withColumn("value", col("value").cast("decimal(18,4)"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(col("value")).cast("double").as("value_sum"))
-        .orderBy("event_type")
+    (s, dir) => withTempDirs("graft_stream_dedup_src",
+      "graft_stream_dedup_out", "graft_stream_dedup_ckpt") {
+      case Seq(staged, out, ckpt) =>
+        val ev = graft.io.Tables.load(s, dir, "events",
+          parallelize = false)
+        ev.union(ev).write.mode("overwrite").parquet(staged)
+        val schema = s.read.parquet(staged).schema
+        val src = s.readStream.schema(schema).parquet(staged)
+        val deduped = StreamingPipelines.dedupStream(
+          src, "ts", "2 days", Seq("event_id"))
+        val q = deduped.writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.util.Frames.localized(
+          s.read.parquet(out)
+            .withColumn("value", col("value").cast("decimal(18,4)"))
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n"),
+              sum(col("value")).cast("double").as("value_sum"))
+            .orderBy("event_type"))
     },
     Some("SELECT event_type, COUNT(*) AS n, " +
       "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum " +

@@ -61,6 +61,12 @@ object Decontam {
     * anywhere in the eval set; callers threshold the ratio (or the raw
     * count) to drop or audit documents.
     */
+  /** Convenience composition for tests/small frames — it does NOT persist
+    * the gram frames, so it takes the slow path the [[docGramArrays]]
+    * scaladoc warns about. Production callers persist both array frames
+    * and use [[overlapReportFromArrays]] (see the registered
+    * `decontam_overlap_documents` query for the pattern).
+    */
   def overlapReport(corpus: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 5): DataFrame =
     overlapReportFromArrays(docGramArrays(corpus, idCol, textCol, n),
