@@ -65,6 +65,23 @@ object StreamingPipelines {
     source.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Watermarked stream-stream interval join: left rows match right rows
+    * with the same `equi` key whose right timestamp is within
+    * `[leftTs, leftTs + lookback]` — i.e. the left event happened in the
+    * `lookback` window BEFORE the right one (attribution joins:
+    * clicks-before-purchase). The two-sided time bound in the join
+    * condition plus both watermarks is what lets Spark evict join state —
+    * the only stream-stream join form with bounded memory on an infinite
+    * stream. Both inputs must use distinct column names.
+    */
+  def intervalJoin(left: DataFrame, leftTs: String, right: DataFrame,
+      rightTs: String, equi: org.apache.spark.sql.Column,
+      lookback: String, watermark: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        equi && col(leftTs) >= col(rightTs) - expr(s"INTERVAL $lookback")
+          && col(leftTs) <= col(rightTs))
+
   /** Incremental SCD1: each micro-batch is merged into the parquet target
     * with the batch [[Scd1.merge]] (latest-per-key dedup inside the batch,
     * anti-join + union against the current target). Write is

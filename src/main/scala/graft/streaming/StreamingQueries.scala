@@ -31,9 +31,32 @@ object StreamingQueries extends QueryPack {
       StreamingPipelines.deleteDir(new java.io.File(d)))
   }
 
+  /** Run `f` with `spark.sql.shuffle.partitions` temporarily lowered:
+    * every stateful operator commits one state store PER partition PER
+    * micro-batch (a stream-stream join commits four), so at this corpus
+    * size the fixed commit overhead of 32 partitions dwarfs the work —
+    * measured 2.6s for an EMPTY watermark-advance batch. Streaming state
+    * partitioning is sized to throughput, not to the session's batch
+    * shuffle width; on a real cluster this is the same knob, just larger.
+    * The builder restores the session value before returning.
+    */
+  private def withShufflePartitions[A](
+      s: org.apache.spark.sql.SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
+  /** State-partition width for the registered streaming queries' corpus
+    * scale (see [[withShufflePartitions]]).
+    */
+  private val StatePartitions = 8
+
   private def windowedQuery = QueryDef(
     "stream_windowed_events",
-    (s, dir) => withTempDirs("graft_stream_src", "graft_stream_ckpt") {
+    (s, dir) => withShufflePartitions(s, StatePartitions) {
+      withTempDirs("graft_stream_src", "graft_stream_ckpt") {
       case Seq(staged, ckpt) =>
         // FileStreamSource needs a DIRECTORY; stage the events table into
         // one (this also normalizes the nanos-as-long ts to a µs
@@ -59,6 +82,7 @@ object StreamingQueries extends QueryPack {
             col("event_type"), col("n"),
             col("value_sum").cast("double").as("value_sum"))
             .orderBy("window_start", "event_type"))
+      }
     },
     Some("SELECT date_trunc('day', ts)::TIMESTAMP::VARCHAR AS window_start, " +
       "event_type, COUNT(*) AS n, " +
@@ -104,8 +128,9 @@ object StreamingQueries extends QueryPack {
     */
   private def dedupQuery = QueryDef(
     "stream_dedup_events",
-    (s, dir) => withTempDirs("graft_stream_dedup_src",
-      "graft_stream_dedup_out", "graft_stream_dedup_ckpt") {
+    (s, dir) => withShufflePartitions(s, StatePartitions) {
+      withTempDirs("graft_stream_dedup_src",
+        "graft_stream_dedup_out", "graft_stream_dedup_ckpt") {
       case Seq(staged, out, ckpt) =>
         val ev = graft.io.Tables.load(s, dir, "events",
           parallelize = false)
@@ -128,11 +153,68 @@ object StreamingQueries extends QueryPack {
             .agg(count(lit(1)).as("n"),
               sum(col("value")).cast("double").as("value_sum"))
             .orderBy("event_type"))
+      }
     },
     Some("SELECT event_type, COUNT(*) AS n, " +
       "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum " +
       "FROM events GROUP BY event_type ORDER BY event_type"))
 
+  /** Stream-stream interval join through a REAL StreamingQuery: clicks
+    * joined to purchases by the same user within the 12 hours BEFORE the
+    * purchase (the attribution shape), both sides watermarked so join
+    * state stays bounded. The AvailableNow catch-up drains the corpus, so
+    * the emitted pairs equal the batch interval join — which is exactly
+    * what the DuckDB oracle computes (inclusive bounds on both engines).
+    */
+  private def intervalJoinQuery = QueryDef(
+    "stream_interval_join_events",
+    (s, dir) => withShufflePartitions(s, StatePartitions) {
+      withTempDirs("graft_stream_ij_src", "graft_stream_ij_out",
+        "graft_stream_ij_ckpt") {
+      case Seq(staged, out, ckpt) =>
+        // stage only the two joined event types and the columns the join
+        // reads — at any scale the attribution source is the filtered
+        // click/purchase firehose, not the full event stream
+        graft.io.Tables.load(s, dir, "events", parallelize = false)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select("user_id", "ts", "event_type", "value")
+          .write.mode("overwrite").parquet(staged)
+        val schema = s.read.parquet(staged).schema
+        def src = s.readStream.schema(schema).parquet(staged)
+        val clicks = src.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("value").cast("decimal(18,4)").as("click_value"))
+        val purchases = src.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"),
+            col("ts").as("purchase_ts"))
+        val joined = StreamingPipelines.intervalJoin(
+          clicks, "click_ts", purchases, "purchase_ts",
+          col("user_id") === col("p_user_id"),
+          lookback = "12 HOURS", watermark = "1 DAY")
+        val q = joined.writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.util.Frames.localized(
+          s.read.parquet(out)
+            .groupBy("user_id")
+            .agg(count(lit(1)).as("n_pairs"),
+              sum(col("click_value")).cast("double")
+                .as("click_value_sum"))
+            .orderBy("user_id"))
+      }
+    },
+    Some("SELECT c.user_id, COUNT(*) AS n_pairs, " +
+      "CAST(SUM(CAST(c.value AS DECIMAL(18,4))) AS DOUBLE) AS " +
+      "click_value_sum FROM events c JOIN events p " +
+      "ON c.user_id = p.user_id AND c.event_type = 'click' " +
+      "AND p.event_type = 'purchase' " +
+      "AND c.ts BETWEEN p.ts - INTERVAL 12 HOUR AND p.ts " +
+      "GROUP BY c.user_id ORDER BY c.user_id"))
+
   override def queries: Seq[QueryDef] =
-    Seq(windowedQuery, sessionizeQuery, dedupQuery)
+    Seq(windowedQuery, sessionizeQuery, dedupQuery, intervalJoinQuery)
 }

@@ -120,4 +120,39 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(deduped.select("event_id").distinct().count() ===
       events.count())
   }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val events = Tables.load(spark, sf, "events")
+    val src = tmpDir("graft_stream_ij_src")
+    events.write.mode("overwrite").parquet(src)
+    val schema = events.schema
+
+    def stream = spark.readStream.schema(schema).parquet(src)
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+    val out = tmpDir("graft_stream_ij_out")
+    val q = StreamingPipelines.intervalJoin(
+        clicks, "click_ts", purchases, "purchase_ts",
+        col("user_id") === col("p_user_id"),
+        lookback = "12 HOURS", watermark = "1 DAY")
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("graft_stream_ij_ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(out).count()
+    val batch = events.filter(col("event_type") === "click").as("c")
+      .join(events.filter(col("event_type") === "purchase").as("p"),
+        col("c.user_id") === col("p.user_id") &&
+          col("c.ts") >= col("p.ts") - expr("INTERVAL 12 HOURS") &&
+          col("c.ts") <= col("p.ts"))
+      .count()
+    assert(streamed === batch)
+    assert(streamed > 0)
+  }
 }
