@@ -47,6 +47,45 @@ class PackingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("packs equal an independent driver-side greedy reference") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(23)
+    (1 to 5).foreach { trial =>
+      val budget = 256
+      val docs = (1 to 100 + rnd.nextInt(200))
+        .map(i => (i.toLong, 1 + rnd.nextInt(120)))
+      // reference: same rule, computed serially on the driver — shard by
+      // first md5 hex char, lay docs end-to-end in (md5, id) order, a doc
+      // belongs to the pack where it starts
+      val expected = docs
+        .map { case (id, n) => (md5hex(id.toString), id.toString, n) }
+        .groupBy(_._1.take(1))
+        .toSeq
+        .flatMap { case (shard, rows) =>
+          var cum = 0L
+          rows.sortBy(r => (r._1, r._2)).map { case (_, _, n) =>
+            val pack = cum / budget
+            cum += n
+            ((shard, pack), n)
+          }
+        }
+        .groupBy(_._1)
+        .map { case ((shard, pack), rows) =>
+          (shard, pack, rows.size.toLong, rows.map(_._2.toLong).sum)
+        }
+        .toSet
+      val got = Packing.packs(docs.toDF("doc_id", "n_tokens"),
+          "doc_id", "n_tokens", budget)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+        .toSet
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("shard windows parallelize: one sort per shard, no global window") {
     val plan = Packing.packs(corpus(100), "doc_id", "n_tokens", 512)
       .queryExecution.executedPlan.toString

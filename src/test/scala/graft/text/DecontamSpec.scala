@@ -41,6 +41,37 @@ class DecontamSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("report equals an independent driver-side n-gram reference") {
+    def grams(text: String, n: Int): Set[String] = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.isEmpty) Set.empty
+      else if (toks.size <= n) Set(toks.mkString(" "))
+      else toks.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val rnd = new scala.util.Random(31)
+    def doc(len: Int): String =
+      Seq.fill(len)(s"w${rnd.nextInt(12)}").mkString(" ")
+    (1 to 5).foreach { trial =>
+      val n = 3
+      val evalDocs = (1 to 10).map(i => (i.toLong, doc(4 + rnd.nextInt(8))))
+      val corpusDocs =
+        (11 to 40).map(i => (i.toLong, doc(2 + rnd.nextInt(10))))
+      val evalSet = evalDocs.flatMap(d => grams(d._2, n)).toSet
+      val expected = corpusDocs.flatMap { case (id, text) =>
+        val g = grams(text, n)
+        val m = g.count(evalSet.contains)
+        if (m > 0) Some((id, m.toLong, g.size.toLong)) else None
+      }.toSet
+      val got = Decontam.overlapReport(
+          corpusDocs.toDF("doc_id", "text"),
+          evalDocs.toDF("doc_id", "text"), "doc_id", "text", n)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("eval gram set joins broadcast (no corpus-side gram shuffle)") {
     val eval = docs(1L -> "alpha beta gamma delta epsilon")
     val corpus = docs(10L -> "alpha beta gamma delta epsilon zeta")
