@@ -80,15 +80,24 @@ object Decontam {
     * through the explode as a carried column, so totals need no second
     * scan and no re-join against a second gram computation.
     */
+  /** @param broadcastEval true (default) broadcasts the distinct eval
+    *   gram set — the right shape while eval suites are MBs against a TB
+    *   corpus (map-side probe, zero corpus-gram shuffle). Set false when
+    *   the eval set outgrows a broadcast (e.g. decontaminating against
+    *   another whole corpus): both sides then hash-partition on the gram
+    *   key — one shuffle of each side's distinct grams, still never an
+    *   all-pairs comparison.
+    */
   def overlapReportFromArrays(corpusArrays: DataFrame,
-      evalArrays: DataFrame, idCol: String): DataFrame = {
+      evalArrays: DataFrame, idCol: String,
+      broadcastEval: Boolean = true): DataFrame = {
     val evalSet = evalArrays
       .select(explode(col("__grams")).as("gram")).distinct()
     corpusArrays
       .select(col(idCol),
         size(col("__grams")).cast("long").as("total_grams"),
         explode(col("__grams")).as("gram"))
-      .join(broadcast(evalSet), "gram")
+      .join(if (broadcastEval) broadcast(evalSet) else evalSet, "gram")
       .groupBy(col(idCol), col("total_grams"))
       .agg(count(lit(1)).as("matched_grams"))
       .select(col(idCol), col("matched_grams"), col("total_grams"),

@@ -21,6 +21,30 @@ class EmbeddingAggSpec extends SparkSpec {
       ("b", 1L, 10.0, 1L), ("b", 2L, 0.0, 1L)))
   }
 
+  test("centroids equal a driver-side reference on random groups") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(120)(
+      (s"g${rnd.nextInt(4)}", Array.fill(6)(rnd.nextFloat())))
+    val expected = rows.groupBy(_._1).flatMap { case (g, vs) =>
+      (0 until 6).map { d =>
+        val col = vs.map(_._2(d).toDouble)
+        (g, (d + 1).toLong, col.sum / col.size, vs.size.toLong)
+      }
+    }.toSet
+    val got = EmbeddingAgg.centroids(
+        rows.toDF("label", "embedding"), "label", "embedding")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+      .toSet
+    // compare up to double round-off (summation order differs)
+    def canon(s: Set[(String, Long, Double, Long)]) =
+      s.map { case (g, d, v, n) =>
+        (g, d, math.round(v * 1e9).toDouble / 1e9, n)
+      }
+    assert(canon(got) == canon(expected))
+  }
+
   test("centroid aggregation partial-aggregates before the exchange") {
     val df = Seq(("a", Seq(1.0f, 2.0f))).toDF("label", "embedding")
     val plan = EmbeddingAgg.centroids(df, "label", "embedding")

@@ -72,6 +72,27 @@ class DecontamSpec extends SparkSpec {
     }
   }
 
+  test("shuffle-join scale path returns the identical report") {
+    val rnd = new scala.util.Random(47)
+    def doc(len: Int): String =
+      Seq.fill(len)(s"w${rnd.nextInt(10)}").mkString(" ")
+    val eval = (1 to 8).map(i => (i.toLong, doc(6))).toDF("doc_id", "text")
+    val corpus =
+      (11 to 40).map(i => (i.toLong, doc(8))).toDF("doc_id", "text")
+    val cArr = Decontam.docGramArrays(corpus, "doc_id", "text", 3).persist()
+    val eArr = Decontam.docGramArrays(eval, "doc_id", "text", 3).persist()
+    try {
+      def rows(bc: Boolean) = Decontam
+        .overlapReportFromArrays(cArr, eArr, "doc_id", broadcastEval = bc)
+        .orderBy("doc_id").collect().toSeq
+      assert(rows(true) == rows(false))
+      assert(rows(true).nonEmpty)
+    } finally {
+      cArr.unpersist(blocking = false)
+      eArr.unpersist(blocking = false): Unit
+    }
+  }
+
   test("eval gram set joins broadcast (no corpus-side gram shuffle)") {
     val eval = docs(1L -> "alpha beta gamma delta epsilon")
     val corpus = docs(10L -> "alpha beta gamma delta epsilon zeta")
