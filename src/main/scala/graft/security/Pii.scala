@@ -67,6 +67,28 @@ object Pii {
     when(c.isNull, c).otherwise(masked)
   }
 
+  /** Scrub order for free text: most-specific patterns first, so the
+    * generic PHONE digit matcher can't partially consume an Aadhaar or
+    * card number it would otherwise split. (Detection priority above is
+    * the reference's VALUE-typing order; in-text replacement needs
+    * specificity order instead.)
+    */
+  val scrubOrder: Seq[String] =
+    Seq("EMAIL", "AADHAAR", "CREDIT_CARD", "PHONE")
+
+  /** In-text PII scrub for free-text corpora (the pre-training scrub):
+    * every occurrence of each pattern is replaced with its bracketed type
+    * token, e.g. `[EMAIL]`. A pure regexp_replace chain — codegen'd,
+    * shuffle-free, linear over the corpus at any scale. The patterns
+    * avoid lookaround, so the same chain runs on RE2-based engines.
+    */
+  def scrubText(c: Column): Column = {
+    val byType = patterns.toMap
+    scrubOrder.foldLeft(c) { (acc, tpe) =>
+      regexp_replace(acc, byType(tpe), s"[$tpe]")
+    }
+  }
+
   /** Sampled per-column detection: scan `sampleRows` rows once and collect
     * the set of PII types seen per string column
     * (`/root/reference/Data_Security.sql:49-58`; the reference further

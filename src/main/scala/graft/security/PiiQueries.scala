@@ -102,5 +102,40 @@ object PiiQueries extends QueryPack {
         "GROUP BY column_name ORDER BY column_name"
     })
 
-  override def queries: Seq[QueryDef] = Seq(maskQuery, detectQuery)
+  /** In-text scrub over a synthesized free-text "ticket" built from the
+    * PII columns — the pre-training corpus scrub ([[Pii.scrubText]]),
+    * oracled by running the identical regexp_replace chain in DuckDB
+    * (the patterns avoid lookaround, so Java regex and RE2 replace the
+    * same spans). `n_redactions` pins that every planted PII item was
+    * actually caught.
+    */
+  private def scrubQuery = QueryDef(
+    "pii_scrub_text_customer",
+    (s, dir) => synth(Tables.load(s, dir, "customer"))
+      .select(col("c_custkey"),
+        concat(lit("Reach user at "), col("email"), lit(" or call "),
+          col("phone"), lit("; id "), col("aadhaar"), lit("; card "),
+          col("card"), lit(".")).as("ticket"))
+      .select(col("c_custkey"), Pii.scrubText(col("ticket")).as("scrubbed"))
+      .withColumn("n_redactions",
+        regexp_count(col("scrubbed"),
+          lit("\\[(EMAIL|AADHAAR|CREDIT_CARD|PHONE)\\]")).cast("long"))
+      .orderBy("c_custkey"),
+    Some {
+      val scrubbed = Pii.scrubOrder.foldLeft("ticket") { (acc, tpe) =>
+        val pat = Pii.patterns.toMap.apply(tpe).replace("'", "''")
+        s"regexp_replace($acc, '$pat', '[$tpe]', 'g')"
+      }
+      s"WITH sy AS ($synthSql), " +
+        "t AS (SELECT c_custkey, 'Reach user at ' || email || " +
+        "' or call ' || phone || '; id ' || aadhaar || '; card ' || " +
+        "card || '.' AS ticket FROM sy) " +
+        s"SELECT c_custkey, $scrubbed AS scrubbed, " +
+        s"len(regexp_extract_all($scrubbed, " +
+        "'\\[(EMAIL|AADHAAR|CREDIT_CARD|PHONE)\\]'))::BIGINT " +
+        "AS n_redactions FROM t ORDER BY c_custkey"
+    })
+
+  override def queries: Seq[QueryDef] =
+    Seq(maskQuery, detectQuery, scrubQuery)
 }

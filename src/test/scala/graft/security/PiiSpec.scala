@@ -70,4 +70,16 @@ class PiiSpec extends SparkSpec {
     assert(masked.select("PII_MASKING_TYPE").as[String].head() ===
       "{'contact': 'EMAIL'}")
   }
+
+  test("scrubText replaces embedded PII with type tokens, leaves prose") {
+    def scrub(s: String): String =
+      Seq(s).toDF("t").select(Pii.scrubText(col("t"))).as[String].head()
+    assert(scrub("mail bob@x.io and card 1234-5678-9012-3456 now") ===
+      "mail [EMAIL] and card [CREDIT_CARD] now")
+    // aadhaar shape caught BEFORE the loose phone pattern can split it
+    assert(scrub("id 1234 5678 9012 end") === "id [AADHAAR] end")
+    assert(scrub("call 5551234567") === "call [PHONE]")
+    assert(scrub("no sensitive content here") ===
+      "no sensitive content here")
+  }
 }
