@@ -390,8 +390,37 @@ object TextQueries extends QueryPack {
         "SUM(n_tokens)::BIGINT AS kept_tokens FROM deduped"
     })
 
+  /** Document chunking ([[Chunking]]): 32-token windows, 8-token overlap
+    * (stride 24). Both engines compute chunk counts in exact integer
+    * arithmetic and slice the same materialized token arrays, so the
+    * chunk texts hash-match verbatim.
+    */
+  private val ChunkSize = 32
+  private val ChunkOverlap = 8
+
+  private def chunkQuery = QueryDef(
+    "corpus_chunk_documents",
+    (s, dir) => Chunking.chunk(
+        Tables.load(s, dir, "documents", parallelize = true),
+        "doc_id", "text", ChunkSize, ChunkOverlap)
+      .orderBy("doc_id", "chunk_idx"),
+    Some {
+      val stride = ChunkSize - ChunkOverlap
+      s"WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents), " +
+        "c AS (SELECT doc_id, t, CASE WHEN len(t) = 0 THEN []::BIGINT[] " +
+        "ELSE range(0, greatest(1, CAST(floor(" +
+        s"(len(t) - $ChunkOverlap + ${stride - 1})::DOUBLE / $stride) " +
+        "AS BIGINT))) END AS idxs FROM toks), " +
+        "x AS (SELECT doc_id, t, unnest(idxs) AS i FROM c) " +
+        s"SELECT doc_id, i AS chunk_idx, " +
+        s"len(t[1 + i*$stride : i*$stride + $ChunkSize])::BIGINT " +
+        "AS chunk_n_tokens, " +
+        s"array_to_string(t[1 + i*$stride : i*$stride + $ChunkSize], ' ') " +
+        "AS chunk_text FROM x ORDER BY doc_id, chunk_idx"
+    })
+
   override def queries: Seq[QueryDef] =
     Seq(statsQuery, curateQuery, pipelineQuery, pipelineFullQuery,
       sampleQuery, decontamQuery, repetitionQuery, packQuery,
-      decontamPipelineQuery)
+      decontamPipelineQuery, chunkQuery)
 }

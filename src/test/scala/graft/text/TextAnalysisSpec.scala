@@ -43,6 +43,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getInt(3) == 0)
   }
 
+  test("chunking: exact windows, overlap, short and empty docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks
+      (2L, "a b c"), // shorter than one chunk
+      (3L, "")) // no chunks
+      .toDF("doc_id", "text")
+    val out = Chunking.chunk(docs, "doc_id", "text", size = 8, overlap = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1: stride 6 → chunks at tokens 1-8 and 7-10
+    assert(out.toSeq == Seq(
+      (1L, 0L, 8L, (1 to 8).map(i => s"t$i").mkString(" ")),
+      (1L, 1L, 4L, (7 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, 0L, 3L, "a b c")))
+  }
+
+  test("chunking covers every token at least once on random docs") {
+    val rnd = new scala.util.Random(5)
+    val docs = (1 to 30)
+      .map(i => (i.toLong, Seq.fill(1 + rnd.nextInt(100))("w").zipWithIndex
+        .map { case (_, j) => s"w$j" }.mkString(" ")))
+      .toDF("doc_id", "text")
+    // distinct tokens reassembled from the chunks == the doc's tokens
+    val reassembled = Chunking.chunk(docs, "doc_id", "text", 16, 4)
+      .select(col("doc_id"),
+        explode(split(col("chunk_text"), " ")).as("tok"))
+      .groupBy("doc_id").agg(countDistinct("tok").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    docs.collect().foreach { r =>
+      val id = r.getLong(0)
+      val n = r.getString(1).split(" ").length
+      assert(reassembled(id) == n.toLong, s"doc $id")
+    }
+  }
+
   test("repetition stats: clean and empty docs pass with zero ratios") {
     val out = TextAnalysis.withRepetition(
         Seq("one two three four", "", "solo").toDF("text"), "text")
