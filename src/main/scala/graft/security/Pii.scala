@@ -67,14 +67,18 @@ object Pii {
     when(c.isNull, c).otherwise(masked)
   }
 
-  /** Scrub order for free text: most-specific patterns first, so the
-    * generic PHONE digit matcher can't partially consume an Aadhaar or
-    * card number it would otherwise split. (Detection priority above is
-    * the reference's VALUE-typing order; in-text replacement needs
-    * specificity order instead.)
+  /** Scrub order for free text: longest/most-specific patterns first, so
+    * a shorter pattern can't partially consume a value and leak the
+    * remainder. CREDIT_CARD (16 digits) must precede AADHAAR (12): the
+    * card pattern allows space separators, so AADHAAR-first would eat the
+    * first 12 digits of a space-separated card and leave its last 4
+    * unredacted. The reverse is safe — 12 digits can never match the
+    * 16-digit card pattern. PHONE (the loosest digit matcher) runs last.
+    * (Detection priority above is the reference's VALUE-typing order;
+    * in-text replacement needs specificity order instead.)
     */
   val scrubOrder: Seq[String] =
-    Seq("EMAIL", "AADHAAR", "CREDIT_CARD", "PHONE")
+    Seq("EMAIL", "CREDIT_CARD", "AADHAAR", "PHONE")
 
   /** In-text PII scrub for free-text corpora (the pre-training scrub):
     * every occurrence of each pattern is replaced with its bracketed type

@@ -106,8 +106,10 @@ object PiiQueries extends QueryPack {
     * PII columns — the pre-training corpus scrub ([[Pii.scrubText]]),
     * oracled by running the identical regexp_replace chain in DuckDB
     * (the patterns avoid lookaround, so Java regex and RE2 replace the
-    * same spans). `n_redactions` pins that every planted PII item was
-    * actually caught.
+    * same spans). The oracle proves engine parity only — a regex that
+    * missed its planted value would miss it identically in both engines —
+    * so the catch-everything guarantee is pinned in `PiiSpec` against
+    * literal expectations (zero residual digits, exactly 4 redactions).
     */
   private def scrubQuery = QueryDef(
     "pii_scrub_text_customer",

@@ -79,8 +79,8 @@ object Decontam {
     * The corpus is shingled exactly once: the per-doc total rides
     * through the explode as a carried column, so totals need no second
     * scan and no re-join against a second gram computation.
-    */
-  /** @param broadcastEval true (default) broadcasts the distinct eval
+    *
+    * @param broadcastEval true (default) broadcasts the distinct eval
     *   gram set — the right shape while eval suites are MBs against a TB
     *   corpus (map-side probe, zero corpus-gram shuffle). Set false when
     *   the eval set outgrows a broadcast (e.g. decontaminating against

@@ -76,10 +76,30 @@ class PiiSpec extends SparkSpec {
       Seq(s).toDF("t").select(Pii.scrubText(col("t"))).as[String].head()
     assert(scrub("mail bob@x.io and card 1234-5678-9012-3456 now") ===
       "mail [EMAIL] and card [CREDIT_CARD] now")
+    // a SPACE-separated card must be one [CREDIT_CARD], not an [AADHAAR]
+    // that eats 12 digits and leaks the last 4 (scrub-order pin)
+    assert(scrub("card 1234 5678 9012 3456 end") ===
+      "card [CREDIT_CARD] end")
     // aadhaar shape caught BEFORE the loose phone pattern can split it
     assert(scrub("id 1234 5678 9012 end") === "id [AADHAAR] end")
     assert(scrub("call 5551234567") === "call [PHONE]")
     assert(scrub("no sensitive content here") ===
       "no sensitive content here")
+  }
+
+  test("scrubbed ticket retains zero digits and exactly 4 redactions") {
+    // shape of the pii_scrub_text_customer ticket: if any pattern stops
+    // matching its planted value, digits survive and this fails (the
+    // oracle alone can't catch that — both engines would drift together)
+    val ticket = "Reach user at user7@example.com or call 5550000049; " +
+      "id 0091 0119 0133; card 0161-0203-0217-0259."
+    val out = Seq(ticket).toDF("t")
+      .select(Pii.scrubText(col("t")).as("s"))
+      .select(col("s"),
+        regexp_count(col("s"),
+          lit("\\[(EMAIL|AADHAAR|CREDIT_CARD|PHONE)\\]")).as("n"))
+      .as[(String, Int)].head()
+    assert(!out._1.exists(_.isDigit), out._1)
+    assert(out._2 === 4)
   }
 }

@@ -28,7 +28,7 @@ class StreamingPipelinesSpec extends SparkSpec {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", tmpDir("graft_stream_ckpt"))
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query timed out")
 
     val streamed = spark.table("win_stats")
       .select("window_start", "event_type", "n", "value_sum")
@@ -62,7 +62,7 @@ class StreamingPipelinesSpec extends SparkSpec {
     val q = StreamingPipelines.incrementalScd1(stream, target,
       keys = Seq("user_id"), orderCol = "ts",
       tieBreakers = Seq("event_id"), checkpoint = tmpDir("graft_scd1_ckpt"))
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query timed out")
 
     val streamedFinal = spark.read.parquet(target)
       .select("user_id", "event_id").collect()
@@ -86,7 +86,7 @@ class StreamingPipelinesSpec extends SparkSpec {
       events.schema).parquet(src)
     val q = StreamingPipelines.profileStream(stream, results,
       checkpoint = tmpDir("graft_prof_ckpt"))
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query timed out")
 
     val prof = spark.read.parquet(results)
     assert(prof.columns.contains("batch_id"))
@@ -113,7 +113,7 @@ class StreamingPipelinesSpec extends SparkSpec {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query timed out")
 
     val deduped = spark.read.parquet(out)
     assert(deduped.count() === events.count())
@@ -143,7 +143,7 @@ class StreamingPipelinesSpec extends SparkSpec {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query timed out")
 
     val streamed = spark.read.parquet(out).count()
     val batch = events.filter(col("event_type") === "click").as("c")
