@@ -117,4 +117,26 @@ class PlanAuditSpec extends SparkSpec {
       "lineitem").rdd.getNumPartitions
     assert(plain === 1, s"default load must stay a plain scan, got $plain")
   }
+
+  test("corpus sweeps (repetition, scrub, chunking) plan no aggregation exchange") {
+    // these are single-projection corpus passes: the only exchanges
+    // allowed are the parallelize repartition (round-robin) and the
+    // final output sort (range) — a HASH exchange appearing here means
+    // the operator stopped being a linear sweep
+    for (q <- Seq("text_repetition_documents", "pii_scrub_text_customer",
+        "corpus_chunk_documents")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q plans an aggregation/join exchange:\n$p")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("packing shuffles once on the shard key, never a global sort") {
+    val p = plan("corpus_pack_documents")
+    assert(p.contains("hashpartitioning(shard"),
+      "pack windows must partition by shard")
+    // a window over an un-partitioned frame would plan SinglePartition
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
