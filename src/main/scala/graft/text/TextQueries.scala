@@ -419,8 +419,35 @@ object TextQueries extends QueryPack {
         "AS chunk_text FROM x ORDER BY doc_id, chunk_idx"
     })
 
+  /** Domain mixing ([[graft.pipeline.Mixing]]): each source contributes
+    * documents in md5(doc_id) order until its 600-token budget is
+    * exhausted (overflow-by-one greedy, same convention as packing).
+    * Exact integer cumsum on both engines → verbatim hash match.
+    */
+  private val MixBudget = 600L
+
+  private def mixQuery = QueryDef(
+    "corpus_mix_documents",
+    (s, dir) => graft.pipeline.Mixing.byTokenBudget(
+        Tables.load(s, dir, "documents", parallelize = true)
+          .select(col("doc_id"), col("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long")
+              .as("n_tokens")),
+        "source", "doc_id", "n_tokens",
+        budgets = Map.empty, defaultBudget = MixBudget)
+      .select("source", "doc_id", "n_tokens")
+      .orderBy("source", "doc_id"),
+    Some(
+      s"WITH toks AS (SELECT doc_id, source, len($tokensSql)::BIGINT " +
+        "AS n FROM documents), " +
+        "c AS (SELECT doc_id, source, n, SUM(n) OVER (" +
+        "PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM toks) " +
+        "SELECT source, doc_id, n AS n_tokens FROM c " +
+        s"WHERE cum - n < $MixBudget ORDER BY source, doc_id"))
+
   override def queries: Seq[QueryDef] =
     Seq(statsQuery, curateQuery, pipelineQuery, pipelineFullQuery,
       sampleQuery, decontamQuery, repetitionQuery, packQuery,
-      decontamPipelineQuery, chunkQuery)
+      decontamPipelineQuery, chunkQuery, mixQuery)
 }
