@@ -36,9 +36,11 @@ object Mixing {
     val w = Window.partitionBy(sourceCol)
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__n", col(tokenCol).cast("long"))
-      .withColumn("__cum", sum(col("__n")).over(w))
-      .filter(col("__cum") - col("__n") < budget)
-      .drop("__n", "__cum")
+    // compute the working columns in a projection of our own making so a
+    // caller frame that happens to contain __n/__cum is never clobbered
+    val n = col(tokenCol).cast("long")
+    df.select(col("*"), (sum(n).over(w) - n).as("__graft_mix_cum"))
+      .filter(col("__graft_mix_cum") < budget)
+      .drop("__graft_mix_cum")
   }
 }

@@ -431,7 +431,7 @@ object TextQueries extends QueryPack {
     (s, dir) => graft.pipeline.Mixing.byTokenBudget(
         Tables.load(s, dir, "documents", parallelize = true)
           .select(col("doc_id"), col("source"),
-            size(TextAnalysis.tokens(col("text"))).cast("long")
+            TextAnalysis.tokenCount(col("text")).cast("long")
               .as("n_tokens")),
         "source", "doc_id", "n_tokens",
         budgets = Map.empty, defaultBudget = MixBudget)

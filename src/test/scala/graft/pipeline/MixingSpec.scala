@@ -28,7 +28,8 @@ class MixingSpec extends SparkSpec {
       .flatMap { case (src, rows) =>
         val budget = budgets.getOrElse(src, default)
         var cum = 0L
-        rows.sortBy(r => (md5hex(r._1.toString), r._1.toString))
+        // tie-break on the NUMERIC id, matching the operator + oracle
+        rows.sortBy(r => (md5hex(r._1.toString), r._1))
           .flatMap { case (id, _, n) =>
             val keep = cum < budget
             cum += n
