@@ -34,4 +34,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 128 GiB box (TESTDATA.md config); 8g forced GC thrash on the wide
   // Expand aggregates and made bench timings swing ±60%.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // The 62-query suite compiles thousands of Janino classes (the session
+  // pins 4096 in the codegen cache); the JVM's default 240 MB code cache
+  // fills mid-suite, at which point the JIT stops compiling and
+  // alphabetically-late queries run partly interpreted — measured as a
+  // diffuse +0.3-1.0s drift on the dq/profile block that single-query
+  // isolation runs never reproduced.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -8,6 +8,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Optional comma-separated query-name filter for foreground isolation
+    // runs (reproducing a single query's time without the whole suite).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = Sessions.local()
     // Warm-up at the smallest scale factor (if present): triggers codegen
     // compilation + JIT for every query plan shape, so the timed loop
@@ -20,8 +24,11 @@ object Bench {
         val w = new java.io.File(p, "sf0.001")
         if (w.isDirectory && w.getPath != sfDir) Some(w.getPath) else None
     }
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.contains(n))
+    }
     warmDir.foreach { w =>
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, w).queryExecution.toRdd.count()
         catch { case _: Throwable => () }
       }
@@ -32,9 +39,16 @@ object Bench {
     // host noise; the minimum of three executions approximates the
     // query's actual cost. Each execution rebuilds the plan from scratch
     // (no cross-run caching — clearCache drops persisted sketch frames).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val results = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val times = (1 to 3).map { _ =>
+          // Stabilize: collect garbage left by the PREVIOUS query before
+          // starting the clock, so a heap full of dead shuffle/broadcast
+          // metadata from earlier suite entries doesn't tax this query's
+          // measured run with old-gen GC pauses (the r4 driver bench showed
+          // diffuse +0.4-1.1s drift on profile/dq queries that a clean
+          // foreground run did not reproduce).
+          System.gc()
           val t0 = System.nanoTime()
           // toRdd.count(), not count(): Dataset.count() rewrites to a
           // count-aggregate that short-circuits statically-1-row branches
@@ -59,12 +73,20 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }
+    // 2-decimal seconds: the harness captures only the last 2000 chars of
+    // output, and 62 queries at full double precision overflowed that
+    // window (BENCH_r04 "parsed": null). Centisecond resolution keeps the
+    // whole line inside the capture with room for suite growth.
+    def sec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = results.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }
       .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
-      .mkString("{", ",", "}")
+    val errJson =
+      if (errors.isEmpty) ""
+      else "\"errors\":" + errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+        .mkString("{", ",", "},")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,$errJson"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

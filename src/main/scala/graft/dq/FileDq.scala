@@ -248,11 +248,17 @@ object FileDq {
         when(col(s"__nn_$c1") && col(s"__nn_$c2"), fp128(c1)).as("k"),
         fp128(c2).as("v"))
     }: _*)
+    // Flat long columns for the aggregation, not the struct: struct
+    // grouping keys fall off Spark's vectorized/primitive hash-map fast
+    // path into the generic UnsafeRow one. The struct only exists to
+    // carry the null-signal through the explode; unpack it right after.
     val exploded = hashed.select(explode(pairStructs).as("p"))
-      .select(col("p.pi").as("pi"), col("p.k").as("k"), col("p.v").as("v"))
-      .filter(col("k").isNotNull)
-    val perKey = exploded.groupBy("pi", "k")
-      .agg(countDistinct("v").as("nd"))
+      .filter(col("p.k").isNotNull)
+      .select(col("p.pi").as("pi"),
+        col("p.k.h1").as("kh1"), col("p.k.h2").as("kh2"),
+        col("p.v.h1").as("vh1"), col("p.v.h2").as("vh2"))
+    val perKey = exploded.groupBy("pi", "kh1", "kh2")
+      .agg(countDistinct("vh1", "vh2").as("nd"))
     val perPair = perKey.groupBy("pi")
       .agg(sum(when(col("nd") > 1, 1L).otherwise(0L)).as("bad"))
 
