@@ -69,4 +69,75 @@ class MixingSpec extends SparkSpec {
       .orderBy("source", "doc_id").collect().toSeq
     assert(a == b)
   }
+
+  // ---- hash-threshold prefilter (mega-source scale path) ----
+
+  test("prefilter selects IDENTICAL rows on a mega-source fixture") {
+    val rnd = new scala.util.Random(41)
+    // mega source: 20k docs dwarfing its budget; two normal sources
+    val df = ((1 to 20000).map(i =>
+        (i.toLong, "commoncrawl", 1L + rnd.nextInt(40))) ++
+      (30001 to 30200).map(i => (i.toLong, "wiki", 1L + rnd.nextInt(40))) ++
+      (40001 to 40050).map(i => (i.toLong, "books", 1L + rnd.nextInt(40))))
+      .toDF("doc_id", "source", "n_tokens")
+    val budgets = Map("commoncrawl" -> 2000L, "wiki" -> 1500L)
+    val exact = Mixing.byTokenBudget(df, "source", "doc_id", "n_tokens",
+        budgets, 800L, prefilter = Some(false))
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    val fast = Mixing.byTokenBudget(df, "source", "doc_id", "n_tokens",
+        budgets, 800L, prefilter = Some(true))
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    assert(fast === exact)
+    assert(fast.count(_._1 == "commoncrawl") > 0)
+    assert(fast.count(_._1 == "wiki") > 0)
+  }
+
+  test("prefilter bounds the mega-source window input") {
+    // parquet-backed: a purely local relation would be folded at plan
+    // time (ConvertToLocalRelation) and hide the threshold filter
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mixing_pf").toString
+    (1 to 20000).map(i => (i.toLong, "cc", 20L))
+      .toDF("doc_id", "source", "n_tokens")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val budget = 2000L // selects ~100 docs of 400k tokens
+    val f = StratumPrefilter.Margin * budget / (20000L * 20L).toDouble
+    val survivors = df.filter(
+      StratumPrefilter.hashPrefix(col("doc_id")) <
+        lit(StratumPrefilter.hexThreshold(f))).count()
+    val expectedDocs = budget / 20L // 100
+    assert(survivors >= expectedDocs,
+      s"prefilter must cover the budget ($survivors < $expectedDocs)")
+    assert(survivors <= 8 * StratumPrefilter.Margin * expectedDocs,
+      s"window input not bounded: $survivors of 20000 rows survived")
+    val plan = Mixing.byTokenBudget(df, "source", "doc_id", "n_tokens",
+        Map.empty, budget, prefilter = Some(true))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("substring(md5"),
+      "threshold filter missing from the engaged physical plan")
+    val defPlan = Mixing.byTokenBudget(df, "source", "doc_id", "n_tokens",
+        Map.empty, budget)
+      .queryExecution.executedPlan.toString
+    assert(!defPlan.contains("substring(md5"),
+      "small input should keep the plain single-window plan")
+  }
+
+  test("rescue path: a survivor token shortfall falls back to exact") {
+    val df = (1 to 5000).map(i => (i.toLong, "cc", 10L))
+      .toDF("doc_id", "source", "n_tokens")
+    val exact = Mixing.byTokenBudget(df, "source", "doc_id", "n_tokens",
+        Map.empty, 900L, prefilter = Some(false))
+      .select("doc_id").as[Long].collect().toSet
+    // margin 0 -> zero survivors -> the source is unsafe -> full rescue
+    val viaRescue = Mixing.prefilteredMix(df, "source", "doc_id",
+        "n_tokens", Map.empty, 900L, margin = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaRescue === exact)
+    // margin 0.5 -> survivor mass ~450 < 900 budget -> also rescued
+    val viaPartial = Mixing.prefilteredMix(df, "source", "doc_id",
+        "n_tokens", Map.empty, 900L, margin = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaPartial === exact)
+  }
 }

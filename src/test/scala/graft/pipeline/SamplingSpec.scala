@@ -40,4 +40,73 @@ class SamplingSpec extends SparkSpec {
     assert(picked !== (1L to 10L).toSet,
       "md5 order should differ from natural id order")
   }
+
+  // ---- hash-threshold prefilter (mega-stratum scale path) ----
+
+  test("prefilter selects IDENTICAL rows on a skewed fixture") {
+    // one mega stratum (20k rows) + two small ones
+    val df = ((1L to 20000L).map(i => (i, "mega")) ++
+      (30001L to 30020L).map(i => (i, "tiny")) ++
+      (40001L to 40300L).map(i => (i, "mid"))).toDF("id", "grp")
+    val exact = Sampling
+      .stratifiedHead(df, Seq("grp"), "id", 25, prefilter = Some(false))
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    val fast = Sampling
+      .stratifiedHead(df, Seq("grp"), "id", 25, prefilter = Some(true))
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    assert(fast === exact)
+    assert(fast.count(_._1 == "mega") === 25)
+    assert(fast.count(_._1 == "tiny") === 20) // under quota: all kept
+  }
+
+  test("prefilter bounds the mega-stratum window input") {
+    val n = 20000L
+    val quota = 25
+    // parquet-backed: a purely local relation would be folded at plan
+    // time (ConvertToLocalRelation) and hide the threshold filter
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sampling_pf").toString
+    (1L to n).map(i => (i, "mega")).toDF("id", "grp")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val f = StratumPrefilter.Margin * quota / n
+    val survivors = df.filter(
+      StratumPrefilter.hashPrefix(col("id")) <
+        lit(StratumPrefilter.hexThreshold(f))).count()
+    // expected Margin*quota = 100; Chernoff keeps it well inside [quota, 8x]
+    assert(survivors >= quota,
+      s"prefilter must keep at least the quota ($survivors < $quota)")
+    assert(survivors <= 8 * StratumPrefilter.Margin * quota,
+      s"window input not bounded: $survivors of $n rows survived")
+    // and the engaged plan actually carries the threshold filter
+    val plan = Sampling
+      .stratifiedHead(df, Seq("grp"), "id", quota, prefilter = Some(true))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("substring(md5"),
+      "threshold filter missing from the engaged physical plan")
+    // ... and the default small-input path does NOT pay for it
+    val defPlan = Sampling.stratifiedHead(df, Seq("grp"), "id", quota)
+      .queryExecution.executedPlan.toString
+    assert(!defPlan.contains("substring(md5"),
+      "small input should keep the plain single-window plan")
+  }
+
+  test("rescue path: a survivor shortfall falls back to the exact head") {
+    val df = ((1L to 5000L).map(i => (i, "mega")) ++
+      (9001L to 9010L).map(i => (i, "tiny"))).toDF("id", "grp")
+    val exact = Sampling
+      .stratifiedHead(df, Seq("grp"), "id", 25, prefilter = Some(false))
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    // margin 0 -> zero survivors for the filtered stratum -> rescue MUST
+    // re-run it unfiltered (deterministic worst case)
+    val viaRescue = Sampling
+      .prefilteredHead(df, Seq("grp"), "id", 25, margin = 0.0)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    assert(viaRescue === exact)
+    // tiny margin: partial survivors, still short of quota -> same result
+    val viaPartial = Sampling
+      .prefilteredHead(df, Seq("grp"), "id", 25, margin = 0.2)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    assert(viaPartial === exact)
+  }
 }
