@@ -197,7 +197,8 @@ object DedupQueries extends QueryPack {
     "dedup_embedding_lsh",
     (s, dir) => EmbeddingDedup.cosinePairsLsh(
         graft.io.Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.3)
+        "vec_id", "embedding", threshold = 0.3,
+        corpusSize = Some(graft.io.Tables.rowCount(s, dir, "embeddings")))
       .orderBy("id_a", "id_b"),
     None)
 

@@ -43,10 +43,27 @@ object Tables {
     *   extra round-robin shuffle is a pure tax (measured +0.4-1.0s per
     *   query at sf0.1), worst on small index-like tables (embeddings).
     */
+  /** Inferred-schema cache keyed by path + mtime + size: a parquet read
+    * with a user-supplied schema skips the footer-inference Spark job, so
+    * repeat loads of the immutable corpus tables (every query loads ≥ 1)
+    * build their plans with ZERO jobs. A rewritten file changes the key.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, dir: String, name: String,
       parallelize: Boolean): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val raw = spark.read.parquet(path)
+    val f = new java.io.File(path)
+    val key = s"$path:${f.lastModified}:${f.length}"
+    val raw = schemaCache.get(key) match {
+      case null =>
+        val df = spark.read.parquet(path)
+        schemaCache.put(key, df.schema)
+        df
+      case known => spark.read.schema(known).parquet(path)
+    }
     // Parquet TIMESTAMP(NANOS) columns arrive as LongType under
     // spark.sql.legacy.parquet.nanosAsLong (Spark has no ns timestamp type);
     // restore the declared temporal type at µs precision. Truncation, not
@@ -72,6 +89,30 @@ object Tables {
     if (parallelize && new java.io.File(path).length >= ParallelizeBytes)
       typed.repartition(ScanParallelism)
     else typed
+  }
+
+  /** Exact row count from parquet footer metadata — NO Spark job. The
+    * sizing input for index builds (LSH hash width, IVF nlist): an ANN
+    * query should not pay a count jobs before its real work. On a
+    * catalog-backed cluster deployment the same number comes from table
+    * statistics; here it is the sum of the footers' row-group counts,
+    * which parquet stores exactly.
+    */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet"))
+      else Array(root)
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
   }
 
   /** Resolve a 1/2/3-part name to its final segment (db/schema prefixes are

@@ -247,13 +247,16 @@ object IvfSimilarity {
   /** One-shot approximate top-k of `queries` against `corpus`: build,
     * probe, materialize (≤ |queries|·k rows), release the index — no
     * cached blocks outlive the call. `nlist = 0` (the default) derives
-    * √n from a column-pruned count. For build-once-query-many use
-    * [[build]] + [[probe]] and close the model yourself.
+    * √n from `corpusSize` (pass it from catalog/footer statistics —
+    * [[graft.io.Tables.rowCount]] — to keep sizing jobless; a
+    * column-pruned count() runs only as the fallback). For
+    * build-once-query-many use [[build]] + [[probe]] and close the
+    * model yourself.
     */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 0, nprobe: Int = 4,
-      seed: Long = 42L): DataFrame = {
-    val n = corpus.count()
+      seed: Long = 42L, corpusSize: Option[Long] = None): DataFrame = {
+    val n = corpusSize.getOrElse(corpus.count())
     val lists = if (nlist > 0) nlist else autoNlist(n)
     val model = build(corpus, idCol, vecCol, lists, seed, totalRows = Some(n))
     try graft.util.Frames.localized(

@@ -49,8 +49,10 @@ object SimilarityQueries extends QueryPack {
     "sim_topk_lsh",
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
+      // footer-statistics sizing: no count job before the real work
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < QueryIds),
-          "vec_id", "embedding", K)
+          "vec_id", "embedding", K,
+          corpusSize = Some(Tables.rowCount(s, dir, "embeddings")))
         .select("query_id", "rank", "neighbor_id", "cosine")
         .orderBy("query_id", "rank")
     },
@@ -89,7 +91,8 @@ object SimilarityQueries extends QueryPack {
     "sim_knn_graph_lsh",
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      Similarity.lshKnnGraph(emb, "vec_id", "embedding", GraphK)
+      Similarity.lshKnnGraph(emb, "vec_id", "embedding", GraphK,
+          corpusSize = Some(Tables.rowCount(s, dir, "embeddings")))
         .select("query_id", "rank", "neighbor_id", "cosine")
         .orderBy("query_id", "rank")
     },
@@ -103,7 +106,8 @@ object SimilarityQueries extends QueryPack {
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       IvfSimilarity.topK(emb, emb.filter(col("vec_id") < QueryIds),
-          "vec_id", "embedding", K)
+          "vec_id", "embedding", K,
+          corpusSize = Some(Tables.rowCount(s, dir, "embeddings")))
         .select("query_id", "rank", "neighbor_id", "cosine")
         .orderBy("query_id", "rank")
     },
