@@ -283,19 +283,30 @@ object Dedup {
   /** [[survivors]] materialized eagerly with nothing persisted outliving
     * the call. Pair graphs within [[LocalClusterEdges]] resolve by
     * driver-side union-find (identical min-label semantics — it is the
-    * spec's ground-truth algorithm); larger graphs fall back to the
-    * distributed propagation. Ids are widened to long. Right-sized for
-    * near-dup graphs, whose members are a small fraction of the corpus;
-    * for a graph too large to hold locally use [[clusters]] and manage
-    * the persisted frame (or checkpoint it) yourself.
+    * spec's ground-truth algorithm) and return as a local frame; larger
+    * graphs fall back to the distributed propagation and return a
+    * DISTRIBUTED frame (an eager localCheckpoint: materialized so the
+    * propagation cache can release, but its rows never funnel through
+    * the driver — a graph past the edge bound has cluster memberships
+    * past any sane driver heap too). Callers that KNOW their survivor
+    * set is small may collect the result themselves. Ids are widened to
+    * long.
     */
-  def survivorsLocal(pairs: DataFrame): DataFrame = {
+  def survivorsLocal(pairs: DataFrame): DataFrame =
+    survivorsLocal(pairs, LocalClusterEdges)
+
+  /** Bound-parameterized body; the small bound is a test seam (the
+    * big-graph path must be provably collect-free without materializing
+    * 2²⁰ real edges in a spec).
+    */
+  private[dedup] def survivorsLocal(pairs: DataFrame,
+      maxLocalEdges: Int): DataFrame = {
     val spark = pairs.sparkSession
     val edges = pairs
       .select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .limit(LocalClusterEdges + 1)
+      .limit(maxLocalEdges + 1)
       .collect()
-    if (edges.length <= LocalClusterEdges) {
+    if (edges.length <= maxLocalEdges) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       // iterative find (walk to root, then compress): a recursive find
       // would recurse once per chain link and a ~1M-edge chain overflows
@@ -325,10 +336,13 @@ object Dedup {
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     } else {
       // graph exceeds the driver bound: distributed propagation (the
-      // probe rows above are discarded; the pair pipeline re-evaluates)
+      // probe rows above are discarded; the pair pipeline re-evaluates).
+      // Materialize WITHOUT localizing — an eager checkpoint pins the
+      // result on the executors so the propagation cache releases, and
+      // no row of a driver-overflowing membership set ever collects.
       val labels = clusters(
         pairs.select(col("id_a").cast("long"), col("id_b").cast("long")))
-      try graft.util.Frames.localized(survivorsOf(labels))
+      try survivorsOf(labels).localCheckpoint(true)
       finally { labels.unpersist(blocking = false); () }
     }
   }

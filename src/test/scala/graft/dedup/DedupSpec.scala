@@ -244,6 +244,31 @@ class DedupSpec extends SparkSpec {
     assert(local === dist)
   }
 
+  test("survivorsLocal past the edge bound stays DISTRIBUTED (no collect)") {
+    // bound seam = 2 edges: the 4-edge graph must take the distributed
+    // fallback, return the same clustering, and return it as a
+    // checkpointed distributed frame — NOT a local relation funneled
+    // through the driver (the round-4 hazard: a >2^20-edge graph's
+    // membership set localized via Frames.localized).
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L))
+      .toDF("id_a", "id_b")
+    spark.catalog.clearCache()
+    val viaFallback = Dedup.survivorsLocal(pairs, maxLocalEdges = 2)
+    val plan = viaFallback.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"),
+      s"big-graph fallback must checkpoint distributed, got:\n$plan")
+    // nothing of the propagation stays in the SQL cache after the call
+    // (it unpersists with blocking=false — poll briefly); checked BEFORE
+    // the ground-truth call below, whose labels are caller-owned
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (!spark.sharedState.cacheManager.isEmpty &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+    assert(spark.sharedState.cacheManager.isEmpty)
+    assert(viaFallback.as[(Long, Long, Boolean)].collect().toSet ===
+      Dedup.survivors(pairs).as[(Long, Long, Boolean)].collect().toSet)
+    spark.catalog.clearCache()
+  }
+
   test("survivors marks exactly one survivor per cluster (the min id)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val out = Dedup.survivors(pairs).as[(Long, Long, Boolean)].collect()
