@@ -86,7 +86,13 @@ object Bench {
       else "\"errors\":" + errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
         .mkString("{", ",", "},")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,$errJson"sf":${jstr(sfDir)}}""")
+    // "sf" as the bare scale factor when the dir is sfX.Y-shaped (saves
+    // ~25 chars of the 2000-char capture window); the path otherwise
+    val sfJson = {
+      val base = new java.io.File(sfDir).getName
+      if (base.matches("sf[0-9.]+")) base.drop(2) else jstr(sfDir)
+    }
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,$errJson"sf":$sfJson}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

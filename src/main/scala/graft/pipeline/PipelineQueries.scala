@@ -109,6 +109,33 @@ object PipelineQueries extends QueryPack {
     Some("SELECT event_type, COUNT(DISTINCT user_id) AS distinct_count " +
       "FROM events GROUP BY event_type ORDER BY event_type"))
 
+  /** Skew-spread JOIN ([[Salting.saltedJoin]]): events (big, skewed — a
+    * handful of event_types hold everything) against a small per-type
+    * dimension, joined on (event_type, salt) so one hot type spreads over
+    * `buckets` tasks instead of one. The random salt never changes the
+    * JOIN RESULT — each big-side row matches exactly its replica of the
+    * dim row — so the oracle is the plain join; the salted shuffle layout
+    * is pinned in PlanAuditSpec.
+    */
+  private def saltedJoinQuery = QueryDef(
+    "salted_join_events",
+    (s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val dim = events.groupBy("event_type")
+        .agg(count(lit(1)).as("type_events"))
+      Salting.saltedJoin(events, dim, Seq("event_type"), buckets = 8)
+        .groupBy("event_type", "type_events")
+        .agg(count(lit(1)).as("joined_rows"),
+          sum("event_id").cast("long").as("sum_event_id"))
+        .orderBy("event_type")
+    },
+    Some("WITH dim AS (SELECT event_type, COUNT(*) AS type_events " +
+      "FROM events GROUP BY event_type) " +
+      "SELECT e.event_type, d.type_events, COUNT(*) AS joined_rows, " +
+      "SUM(e.event_id)::BIGINT AS sum_event_id " +
+      "FROM events e JOIN dim d ON e.event_type = d.event_type " +
+      "GROUP BY e.event_type, d.type_events ORDER BY e.event_type"))
+
   override def queries: Seq[QueryDef] =
-    Seq(latestQuery, mergeQuery, asofQuery, saltedQuery)
+    Seq(latestQuery, mergeQuery, asofQuery, saltedQuery, saltedJoinQuery)
 }

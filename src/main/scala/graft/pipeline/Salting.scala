@@ -34,8 +34,15 @@ object Salting {
       buckets: Int, joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"salting supports inner/left joins, not $joinType")
+    // SHUFFLE_HASH hint: callers reach for saltedJoin exactly when the
+    // other side is too big to broadcast — but at test scale Catalyst
+    // would broadcast it anyway, silently turning the operator into a
+    // no-op whose (key, salt) spreading never exercises. The hint pins
+    // the shuffle-join shape the operator exists for (a broadcastable
+    // side needs no salting — use a plain join).
     withSalt(big, buckets)
-      .join(replicated(small, buckets), keys :+ "__salt", joinType)
+      .join(replicated(small, buckets).hint("SHUFFLE_HASH"),
+        keys :+ "__salt", joinType)
       .drop("__salt")
   }
 

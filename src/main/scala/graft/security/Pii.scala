@@ -80,17 +80,33 @@ object Pii {
   val scrubOrder: Seq[String] =
     Seq("EMAIL", "CREDIT_CARD", "AADHAAR", "PHONE")
 
+  /** Final scrub catch-all: any digit run (digits with space/dash
+    * separators) of ~12+ characters that survived the typed patterns.
+    * Every typed pattern is \b-bounded with bounded group sizes, so a
+    * contiguous run LONGER than a pattern's maximum span (e.g. a 16-digit
+    * card embedded in a 17+-digit run, or any ≥19-digit identifier)
+    * matches nothing and would otherwise pass through UNREDACTED — the
+    * residual class a catch-everything pre-training scrub must close.
+    * Trades precision for recall by design (a 13-digit product id also
+    * redacts): the right default for corpus scrubbing.
+    */
+  val LongDigitRunPattern = "\\d[\\d\\s-]{10,}\\d"
+
   /** In-text PII scrub for free-text corpora (the pre-training scrub):
     * every occurrence of each pattern is replaced with its bracketed type
-    * token, e.g. `[EMAIL]`. A pure regexp_replace chain — codegen'd,
-    * shuffle-free, linear over the corpus at any scale. The patterns
-    * avoid lookaround, so the same chain runs on RE2-based engines.
+    * token, e.g. `[EMAIL]`; [[LongDigitRunPattern]] then sweeps long
+    * digit runs no typed pattern spans into `[NUMBER]` (typed tokens
+    * carry no digits, so the sweep can never bridge across them). A pure
+    * regexp_replace chain — codegen'd, shuffle-free, linear over the
+    * corpus at any scale. The patterns avoid lookaround, so the same
+    * chain runs on RE2-based engines.
     */
   def scrubText(c: Column): Column = {
     val byType = patterns.toMap
-    scrubOrder.foldLeft(c) { (acc, tpe) =>
+    val typed = scrubOrder.foldLeft(c) { (acc, tpe) =>
       regexp_replace(acc, byType(tpe), s"[$tpe]")
     }
+    regexp_replace(typed, LongDigitRunPattern, "[NUMBER]")
   }
 
   /** Sampled per-column detection: scan `sampleRows` rows once and collect

@@ -124,10 +124,12 @@ object PiiQueries extends QueryPack {
           lit("\\[(EMAIL|AADHAAR|CREDIT_CARD|PHONE)\\]")).cast("long"))
       .orderBy("c_custkey"),
     Some {
-      val scrubbed = Pii.scrubOrder.foldLeft("ticket") { (acc, tpe) =>
+      val typed = Pii.scrubOrder.foldLeft("ticket") { (acc, tpe) =>
         val pat = Pii.patterns.toMap.apply(tpe).replace("'", "''")
         s"regexp_replace($acc, '$pat', '[$tpe]', 'g')"
       }
+      val scrubbed = s"regexp_replace($typed, " +
+        s"'${Pii.LongDigitRunPattern}', '[NUMBER]', 'g')"
       s"WITH sy AS ($synthSql), " +
         "t AS (SELECT c_custkey, 'Reach user at ' || email || " +
         "' or call ' || phone || '; id ' || aadhaar || '; card ' || " +

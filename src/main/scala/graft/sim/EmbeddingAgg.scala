@@ -19,14 +19,25 @@ import org.apache.spark.sql.functions._
 object EmbeddingAgg {
 
   /** Per-`groupCol` centroid, one row per (group, dim): `dim` is 1-based,
-    * `centroid_v` the mean of that dimension (float→double before
-    * summation), `n_vecs` the group's vector count.
+    * `centroid_v` the mean of that dimension, `n_vecs` the group's
+    * vector count.
+    *
+    * The mean is ONE IEEE division of an exact DECIMAL(38,12) sum — not
+    * a running double average: double sums accumulate in partition order,
+    * so the low bits would vary run-to-run, and a mean landing within an
+    * ulp of a rounding boundary could flip a downstream rounded digit
+    * nondeterministically (a flaky oracle compare, found in round-4
+    * advice). The decimal sum is partition-order-independent; the 1e-12
+    * quantization is far below any embedding's float precision.
     */
   def centroids(df: DataFrame, groupCol: String, vecCol: String)
       : DataFrame =
     df.select(col(groupCol),
         posexplode(col(vecCol)).as(Seq("__pos", "__v")))
       .groupBy(col(groupCol), (col("__pos") + 1).cast("long").as("dim"))
-      .agg(avg(col("__v").cast("double")).as("centroid_v"),
+      .agg(sum(col("__v").cast("double").cast("decimal(38,12)")).as("__s"),
         count(lit(1)).as("n_vecs"))
+      .select(col(groupCol), col("dim"),
+        (col("__s").cast("double") / col("n_vecs")).as("centroid_v"),
+        col("n_vecs"))
 }

@@ -114,10 +114,10 @@ object SimilarityQueries extends QueryPack {
     None)
 
   /** Per-label centroids (mean-pooled embeddings, [[EmbeddingAgg]]) —
-    * oracled exactly up to round(…,4): both engines widen float→double
-    * before averaging, and the 4-dp rounding absorbs the partition-order
-    * ulp drift of the double sums (same discipline as the profiler's
-    * oracled moments).
+    * oracled exactly: both engines sum the widened doubles as
+    * DECIMAL(38,12) (partition-order-independent) and take ONE IEEE
+    * division, so the mean is bit-stable and no rounding has to absorb
+    * accumulation drift. round(…,4) is kept only as presentation.
     */
   private def centroidQuery = QueryDef(
     "emb_centroid_label",
@@ -126,10 +126,12 @@ object SimilarityQueries extends QueryPack {
       .select(col("label"), col("dim"),
         round(col("centroid_v"), 4).as("centroid_v"), col("n_vecs"))
       .orderBy("label", "dim"),
-    Some("SELECT label, dim, round(avg(CAST(v AS DOUBLE)), 4) AS " +
-      "centroid_v, count(*) AS n_vecs FROM (SELECT label, " +
-      "unnest(embedding) AS v, generate_subscripts(embedding, 1) AS dim " +
-      "FROM embeddings) GROUP BY label, dim ORDER BY label, dim"))
+    Some("SELECT label, dim, " +
+      "round(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,12))) " +
+      "AS DOUBLE) / count(*), 4) AS centroid_v, count(*) AS n_vecs " +
+      "FROM (SELECT label, unnest(embedding) AS v, " +
+      "generate_subscripts(embedding, 1) AS dim FROM embeddings) " +
+      "GROUP BY label, dim ORDER BY label, dim"))
 
   override def queries: Seq[QueryDef] =
     Seq(bruteQuery, lshQuery, ivfQuery, knnBruteQuery, knnLshQuery,

@@ -37,7 +37,18 @@ object StreamingPipelines {
     */
   def windowedEventStats(events: DataFrame, tsCol: String,
       window: String = "1 hour", watermark: String = "2 hours"): DataFrame =
-    events.withWatermark(tsCol, watermark)
+    windowedEventStatsWatermarked(
+      events.withWatermark(tsCol, watermark), tsCol, window)
+
+  /** [[windowedEventStats]] for an input that ALREADY carries a
+    * watermark — the composition form: chaining stateful operators
+    * (e.g. [[dedupStream]] → windowed agg) in one StreamingQuery
+    * inherits the upstream watermark, and redefining it downstream is an
+    * AnalysisException under multiple-stateful-operator support.
+    */
+  def windowedEventStatsWatermarked(events: DataFrame, tsCol: String,
+      window: String): DataFrame =
+    events
       .groupBy(
         org.apache.spark.sql.functions.window(col(tsCol), window)
           .as("win"),

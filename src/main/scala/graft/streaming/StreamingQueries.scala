@@ -31,40 +31,43 @@ object StreamingQueries extends QueryPack {
       StreamingPipelines.deleteDir(new java.io.File(d)))
   }
 
-  /** Run `f` with `spark.sql.shuffle.partitions` temporarily lowered:
-    * every stateful operator commits one state store PER partition PER
-    * micro-batch (a stream-stream join commits four), so at this corpus
-    * size the fixed commit overhead of 32 partitions dwarfs the work —
-    * measured 2.6s for an EMPTY watermark-advance batch. Streaming state
-    * partitioning is sized to throughput, not to the session's batch
-    * shuffle width; on a real cluster this is the same knob, just larger.
-    * The builder restores the session value before returning.
+  /** Run `build` against a DEDICATED session (same SparkContext, shared
+    * state and extensions; fresh SQL conf) whose
+    * `spark.sql.shuffle.partitions` is streaming-sized: every stateful
+    * operator commits one state store PER partition PER micro-batch (a
+    * stream-stream join commits four), so at this corpus size the fixed
+    * commit overhead of 32 partitions dwarfs the work — measured 2.6s
+    * for an EMPTY watermark-advance batch. Streaming state partitioning
+    * is sized to throughput, not the session's batch shuffle width; on a
+    * real cluster this is the same knob, just larger. Session isolation
+    * (not set-and-restore on the caller's session) means a batch query
+    * running CONCURRENTLY in the caller's session can never observe the
+    * override, and overlapping streams can never restore a stale value.
     */
-  private def withShufflePartitions[A](
-      s: org.apache.spark.sql.SparkSession, n: Int)(f: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try f finally s.conf.set(key, prev)
+  private def withStreamSession[A](s: org.apache.spark.sql.SparkSession)(
+      build: org.apache.spark.sql.SparkSession => A): A = {
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    build(iso)
   }
 
   /** State-partition width for the registered streaming queries' corpus
-    * scale (see [[withShufflePartitions]]).
+    * scale (see [[withStreamSession]]).
     */
   private val StatePartitions = 8
 
   private def windowedQuery = QueryDef(
     "stream_windowed_events",
-    (s, dir) => withShufflePartitions(s, StatePartitions) {
+    (s, dir) => withStreamSession(s) { iso =>
       withTempDirs("graft_stream_src", "graft_stream_ckpt") {
       case Seq(staged, ckpt) =>
         // FileStreamSource needs a DIRECTORY; stage the events table into
         // one (this also normalizes the nanos-as-long ts to a µs
         // timestamp via Tables.load before the stream starts).
-        graft.io.Tables.load(s, dir, "events", parallelize = false)
+        graft.io.Tables.load(iso, dir, "events", parallelize = false)
           .write.mode("overwrite").parquet(staged)
-        val schema = s.read.parquet(staged).schema
-        val conv = s.readStream.schema(schema).parquet(staged)
+        val schema = iso.read.parquet(staged).schema
+        val conv = iso.readStream.schema(schema).parquet(staged)
           // decimal sum: result must not depend on accumulation order
           .withColumn("value", col("value").cast("decimal(18,4)"))
         val out = StreamingPipelines.windowedEventStats(conv, "ts",
@@ -77,7 +80,7 @@ object StreamingQueries extends QueryPack {
           .start()
         q.awaitTermination()
         graft.util.Frames.localized(
-          s.table(name).select(
+          iso.table(name).select(
             col("window_start").cast("string").as("window_start"),
             col("event_type"), col("n"),
             col("value_sum").cast("double").as("value_sum"))
@@ -128,15 +131,15 @@ object StreamingQueries extends QueryPack {
     */
   private def dedupQuery = QueryDef(
     "stream_dedup_events",
-    (s, dir) => withShufflePartitions(s, StatePartitions) {
+    (s, dir) => withStreamSession(s) { iso =>
       withTempDirs("graft_stream_dedup_src",
         "graft_stream_dedup_out", "graft_stream_dedup_ckpt") {
       case Seq(staged, out, ckpt) =>
-        val ev = graft.io.Tables.load(s, dir, "events",
+        val ev = graft.io.Tables.load(iso, dir, "events",
           parallelize = false)
         ev.union(ev).write.mode("overwrite").parquet(staged)
-        val schema = s.read.parquet(staged).schema
-        val src = s.readStream.schema(schema).parquet(staged)
+        val schema = iso.read.parquet(staged).schema
+        val src = iso.readStream.schema(schema).parquet(staged)
         val deduped = StreamingPipelines.dedupStream(
           src, "ts", "2 days", Seq("event_id"))
         val q = deduped.writeStream.format("parquet")
@@ -147,7 +150,7 @@ object StreamingQueries extends QueryPack {
           .start()
         q.awaitTermination()
         graft.util.Frames.localized(
-          s.read.parquet(out)
+          iso.read.parquet(out)
             .withColumn("value", col("value").cast("decimal(18,4)"))
             .groupBy("event_type")
             .agg(count(lit(1)).as("n"),
@@ -168,19 +171,19 @@ object StreamingQueries extends QueryPack {
     */
   private def intervalJoinQuery = QueryDef(
     "stream_interval_join_events",
-    (s, dir) => withShufflePartitions(s, StatePartitions) {
+    (s, dir) => withStreamSession(s) { iso =>
       withTempDirs("graft_stream_ij_src", "graft_stream_ij_out",
         "graft_stream_ij_ckpt") {
       case Seq(staged, out, ckpt) =>
         // stage only the two joined event types and the columns the join
         // reads — at any scale the attribution source is the filtered
         // click/purchase firehose, not the full event stream
-        graft.io.Tables.load(s, dir, "events", parallelize = false)
+        graft.io.Tables.load(iso, dir, "events", parallelize = false)
           .filter(col("event_type").isin("click", "purchase"))
           .select("user_id", "ts", "event_type", "value")
           .write.mode("overwrite").parquet(staged)
-        val schema = s.read.parquet(staged).schema
-        def src = s.readStream.schema(schema).parquet(staged)
+        val schema = iso.read.parquet(staged).schema
+        def src = iso.readStream.schema(schema).parquet(staged)
         val clicks = src.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts").as("click_ts"),
             col("value").cast("decimal(18,4)").as("click_value"))
@@ -199,7 +202,7 @@ object StreamingQueries extends QueryPack {
           .start()
         q.awaitTermination()
         graft.util.Frames.localized(
-          s.read.parquet(out)
+          iso.read.parquet(out)
             .groupBy("user_id")
             .agg(count(lit(1)).as("n_pairs"),
               sum(col("click_value")).cast("double")
@@ -215,6 +218,60 @@ object StreamingQueries extends QueryPack {
       "AND c.ts BETWEEN p.ts - INTERVAL 12 HOUR AND p.ts " +
       "GROUP BY c.user_id ORDER BY c.user_id"))
 
+  /** COMPOSED streaming pipeline — dedup chained into a windowed
+    * aggregation inside ONE StreamingQuery (two stateful operators,
+    * append mode): the staged source redelivers every event twice,
+    * `dropDuplicatesWithinWatermark` collapses it back, and the tumbling
+    * daily aggregation emits each window once its end passes the event
+    * watermark. Append mode only releases CLOSED windows — after the
+    * AvailableNow catch-up (plus the final no-data batch that advances
+    * the watermark to max(ts) − delay), that is every window with
+    * `window_end ≤ max(ts) − 2 days`; the last two days stay in state,
+    * exactly as they would mid-stream. The oracle applies the same
+    * cutoff analytically, so ONE hash pins the whole composition:
+    * dedup semantics, window arithmetic, AND the append-mode emission
+    * rule.
+    */
+  private def pipelineQuery = QueryDef(
+    "stream_pipeline_events",
+    (s, dir) => withStreamSession(s) { iso =>
+      withTempDirs("graft_stream_pipe_src", "graft_stream_pipe_out",
+        "graft_stream_pipe_ckpt") {
+      case Seq(staged, out, ckpt) =>
+        val ev = graft.io.Tables.load(iso, dir, "events",
+          parallelize = false)
+        ev.union(ev).write.mode("overwrite").parquet(staged)
+        val schema = iso.read.parquet(staged).schema
+        val src = iso.readStream.schema(schema).parquet(staged)
+          .withColumn("value", col("value").cast("decimal(18,4)"))
+        val composed = StreamingPipelines.windowedEventStatsWatermarked(
+          StreamingPipelines.dedupStream(src, "ts", "2 days",
+            Seq("event_id")),
+          "ts", window = "1 day")
+        val q = composed.writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.util.Frames.localized(
+          iso.read.parquet(out)
+            .select(col("window_start").cast("string").as("window_start"),
+              col("event_type"), col("n"),
+              col("value_sum").cast("double").as("value_sum"))
+            .orderBy("window_start", "event_type"))
+      }
+    },
+    Some("WITH m AS (SELECT MAX(ts::TIMESTAMP) AS mx FROM events) " +
+      "SELECT date_trunc('day', ts)::TIMESTAMP::VARCHAR AS window_start, " +
+      "event_type, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum " +
+      "FROM events, m " +
+      "WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= mx - INTERVAL 2 DAY " +
+      "GROUP BY 1, 2 ORDER BY window_start, event_type"))
+
   override def queries: Seq[QueryDef] =
-    Seq(windowedQuery, sessionizeQuery, dedupQuery, intervalJoinQuery)
+    Seq(windowedQuery, sessionizeQuery, dedupQuery, intervalJoinQuery,
+      pipelineQuery)
 }

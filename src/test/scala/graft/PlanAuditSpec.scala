@@ -71,6 +71,18 @@ class PlanAuditSpec extends SparkSpec {
       s"expected a (event_type, salt) exchange:\n$p")
   }
 
+  test("salted join shuffles the big side on (key, salt)") {
+    // the skew-spread join shape: the hot event_type's rows scatter over
+    // salt buckets on the BIG side, the dim side replicates x buckets —
+    // the join key in the exchange must carry the salt
+    val p = plan("salted_join_events")
+    assert(p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("event_type") &&
+        l.contains("__salt")),
+      s"expected a (event_type, __salt) exchange:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("quantile selection sorts per (column, bucket), never per column") {
     // eager builder: pin on the internal selection frame instead
     val base = spark.range(1000).selectExpr("CAST(id AS DOUBLE) AS x")

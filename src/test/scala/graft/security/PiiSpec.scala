@@ -87,6 +87,22 @@ class PiiSpec extends SparkSpec {
       "no sensitive content here")
   }
 
+  test("long digit runs beyond any typed pattern's span still redact") {
+    def scrub(s: String): String =
+      Seq(s).toDF("t").select(Pii.scrubText(col("t"))).as[String].head()
+    // 17 digits: too long for the 16-digit card pattern, too long for
+    // PHONE's max span -> previously leaked verbatim
+    assert(!scrub("card 12345678901234567 leaked").exists(_.isDigit))
+    // 22-digit identifier
+    assert(!scrub("id=1234567890123456789012;").exists(_.isDigit))
+    // a card inside a longer space-separated run: the typed pattern takes
+    // the card; the 3-digit remnant is not PII and survives by design
+    assert(scrub("acct 1234 5678 9012 3456 789") === "acct [CREDIT_CARD] 789")
+    // short numbers (< the catch-all's floor, not phone-shaped) survive:
+    // years, quantities, small ids must NOT be over-redacted
+    assert(scrub("built in 2024, v3") === "built in 2024, v3")
+  }
+
   test("scrubbed ticket retains zero digits and exactly 4 redactions") {
     // shape of the pii_scrub_text_customer ticket: if any pattern stops
     // matching its planted value, digits survive and this fails (the
