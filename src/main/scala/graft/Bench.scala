@@ -77,8 +77,13 @@ object Bench {
     // output, and 62 queries at full double precision overflowed that
     // window (BENCH_r04 "parsed": null). Centisecond resolution keeps the
     // whole line inside the capture with room for suite growth.
-    def sec(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // trailing zeros stripped ("1.20"→"1.2", "2.00"→"2"): ~40 chars of
+    // the 2000-char window back, still valid JSON numbers
+    def sec(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    }
     val qs = results.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }
       .mkString("{", ",", "}")
     val errJson =

@@ -202,7 +202,47 @@ object DedupQueries extends QueryPack {
       .orderBy("id_a", "id_b"),
     None)
 
+  /** SemDeDup over embeddings, end-to-end and exactly oracled: blocked
+    * cosine near-dup pairs → connected clusters (min-label propagation /
+    * union-find) → ONE surviving representative per semantic cluster —
+    * the embedding-curation composition (SemDeDup, Abbas et al. 2023:
+    * cluster semantically-duplicate points, keep one). Threshold is the
+    * fixture-calibrated 0.3 (see [[embBlockedQuery]]); the oracle
+    * recomputes cosines AND the components with a recursive reachability
+    * CTE, so one hash pins pair math, clustering and survivor choice.
+    * At 100 TB the pair stage swaps to the LSH variant unchanged
+    * (survivors are pair-source-agnostic).
+    */
+  private def semdedupQuery = QueryDef(
+    "corpus_semdedup_embeddings",
+    (s, dir) => {
+      val pairs = EmbeddingDedup.cosinePairsBlocked(
+          graft.io.Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", threshold = 0.3)
+        .select("id_a", "id_b")
+      Dedup.survivorsLocal(pairs).orderBy("cluster", "id")
+    },
+    Some(
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |  label FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
+        |    sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0
+        |  ELSE list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) *
+        |     sqrt(list_dot_product(b.v, b.v))) END AS cosine
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |pairs AS (SELECT id_a, id_b FROM p WHERE cosine >= 0.3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (SELECT src, src FROM edges
+        |  UNION SELECT e2.src, reach.r FROM edges e2
+        |  JOIN reach ON e2.dst = reach.id)
+        |SELECT MIN(r) AS cluster, id, (id = MIN(r)) AS is_survivor
+        |FROM reach GROUP BY id ORDER BY cluster, id""".stripMargin
+        .replace("\n", " ")))
+
   override def queries: Seq[QueryDef] = Seq(
     exactQuery, jaccardQuery, clustersQuery, minhashQuery, simhashQuery,
-    embBlockedQuery, embLshQuery)
+    embBlockedQuery, embLshQuery, semdedupQuery)
 }

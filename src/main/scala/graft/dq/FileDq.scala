@@ -165,17 +165,30 @@ object FileDq {
   /** Rare-value mass per string column: shares < 1% of non-null values.
     * One melt + one shuffle for every column together; the rare mass is
     * Σrare_counts / total (single division — order-independent).
+    *
+    * @param totals per-column NON-NULL row counts when the caller already
+    *               holds them (the profile's `count_all − count_nulls`):
+    *               the per-column total then rides in as a literal map
+    *               lookup instead of a `sum over (partition by col_name)`
+    *               window — one fewer shuffle+sort over the value-count
+    *               frame. Absent, the window computes it.
     */
-  def rareValueChecks(df: DataFrame, stringCols: Seq[String]): DataFrame = {
+  def rareValueChecks(df: DataFrame, stringCols: Seq[String],
+      totals: Option[Map[String, Long]] = None): DataFrame = {
     if (stringCols.isEmpty) return emptyReport(df)
     val stackExpr = s"stack(${stringCols.length}, " +
       stringCols.map(c => s"'$c', `$c`").mkString(", ") +
       ") AS (col_name, value)"
     val melted = df.selectExpr(stackExpr).filter(col("value").isNotNull)
     val counts = melted.groupBy("col_name", "value").count()
-    val w = Window.partitionBy("col_name")
-    val shares = counts
-      .withColumn("total", sum("count").over(w))
+    val withTotal = totals match {
+      case Some(m) =>
+        counts.withColumn("total", element_at(typedLit(m), col("col_name")))
+      case None =>
+        val w = Window.partitionBy("col_name")
+        counts.withColumn("total", sum("count").over(w))
+    }
+    val shares = withTotal
       .withColumn("share", col("count").cast("double") / col("total"))
     val perCol = shares.groupBy("col_name").agg(
       (lit(1.0) - coalesce(sum(when(col("share") < 0.01, col("count"))),
@@ -309,10 +322,18 @@ object FileDq {
       if (profile.columns.contains("avg_raw"))
         zscoreChecksFromProfile(df, profile)
       else zscoreChecks(df, numericCols(df))
+    // Per-column non-null totals from the (tiny, persisted) profile feed
+    // the rare-value pillar so it skips its window shuffle; same bounded
+    // collect the z-score pillar already does.
+    val totals = profile.select("column_name", "count_all", "count_nulls")
+      .collect()
+      .map(r => r.getAs[String]("column_name") ->
+        (r.getAs[Long]("count_all") - r.getAs[Long]("count_nulls")))
+      .toMap
     basicChecks(profile)
       .unionByName(fdConsistencyChecks(df, df.columns.toSeq, maxFdPairs))
       .unionByName(zscore)
-      .unionByName(rareValueChecks(df, stringCols(df)))
+      .unionByName(rareValueChecks(df, stringCols(df), Some(totals)))
   }
 
   /** A14: pass/fail partitioning of a rules report
