@@ -77,14 +77,19 @@ object Bench {
     // output, and 62 queries at full double precision overflowed that
     // window (BENCH_r04 "parsed": null). Centisecond resolution keeps the
     // whole line inside the capture with room for suite growth.
-    // trailing zeros stripped ("1.20"→"1.2", "2.00"→"2"): ~40 chars of
-    // the 2000-char window back, still valid JSON numbers
-    def sec(v: Double): String = {
-      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // Per-query values at 1 decimal, trailing zeros stripped ("1.0"→"1"):
+    // ±0.05s resolution is ample for per-query regression tracking, and
+    // 65 full-precision entries overflowed the harness's 2000-char tail
+    // capture (a truncated line parses as null — the r4 failure mode).
+    // The total keeps 2 decimals.
+    def fmt(v: Double, dp: Int): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${dp}f",
+        Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
     }
-    val qs = results.map { case (k, v) => s"${jstr(k)}:${sec(v)}" }
+    def sec(v: Double): String = fmt(v, 2)
+    val qs = results.map { case (k, v) => s"${jstr(k)}:${fmt(v, 1)}" }
       .mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""

@@ -83,6 +83,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dq file report plans no Window (rare totals ride in from the profile)") {
+    // the rare-value pillar's per-column total comes from the profile's
+    // count_all - count_nulls as a literal map — a regression back to
+    // sum-over-column would reintroduce a shuffle+sort per report
+    val p = plan("dq_file_events")
+    assert(!p.contains("Window"),
+      "dq_file report must not plan a Window")
+  }
+
   test("quantile selection sorts per (column, bucket), never per column") {
     // eager builder: pin on the internal selection frame instead
     val base = spark.range(1000).selectExpr("CAST(id AS DOUBLE) AS x")
