@@ -100,7 +100,9 @@ object Bench {
     // ~25 chars of the 2000-char capture window); the path otherwise
     val sfJson = {
       val base = new java.io.File(sfDir).getName
-      if (base.matches("sf[0-9.]+")) base.drop(2) else jstr(sfDir)
+      // anchored numeric shape: "sf1." or "sf0.1.2" must NOT emit an
+      // invalid JSON number (an unparseable line is the r4 failure mode)
+      if (base.matches("sf[0-9]+(\\.[0-9]+)?")) base.drop(2) else jstr(sfDir)
     }
     println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,$errJson"sf":$sfJson}""")
     spark.stop()

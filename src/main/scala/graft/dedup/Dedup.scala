@@ -291,6 +291,13 @@ object Dedup {
     * past any sane driver heap too). Callers that KNOW their survivor
     * set is small may collect the result themselves. Ids are widened to
     * long.
+    *
+    * Checkpoint lifecycle: the fallback's executor-held blocks release
+    * when the returned frame becomes unreachable (ContextCleaner; NOT
+    * `spark.catalog.clearCache()`, which only drops the SQL cache). A
+    * long-lived service holding many big survivor frames should drop its
+    * references promptly — or use [[clusters]] + [[survivors]] and own
+    * the persisted frame's lifecycle explicitly.
     */
   def survivorsLocal(pairs: DataFrame): DataFrame =
     survivorsLocal(pairs, LocalClusterEdges)

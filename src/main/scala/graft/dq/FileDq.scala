@@ -179,6 +179,11 @@ object FileDq {
     val stackExpr = s"stack(${stringCols.length}, " +
       stringCols.map(c => s"'$c', `$c`").mkString(", ") +
       ") AS (col_name, value)"
+    // a column missing from a supplied totals map would make element_at
+    // yield null → every share null → rare sum coalesces to 0 → the
+    // column silently "passes" — the worst DQ failure mode. Fail loudly.
+    totals.foreach(m => require(stringCols.forall(m.contains),
+      s"totals missing columns: ${stringCols.filterNot(m.contains).mkString(", ")}"))
     val melted = df.selectExpr(stackExpr).filter(col("value").isNotNull)
     val counts = melted.groupBy("col_name", "value").count()
     val withTotal = totals match {

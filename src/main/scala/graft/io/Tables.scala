@@ -55,14 +55,25 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String,
       parallelize: Boolean): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val f = new java.io.File(path)
-    val key = s"$path:${f.lastModified}:${f.length}"
-    val raw = schemaCache.get(key) match {
-      case null =>
+    // Hadoop FileSystem status, NOT java.io.File: on a non-local store
+    // (s3a://, hdfs://) File.lastModified/length are 0 for every path —
+    // the key would collapse to path-only and a table rewrite would keep
+    // serving the stale cached schema. An unstat-able path skips the
+    // cache entirely. Bounded: the corpus is a fixed table set; clear()
+    // guards the pathological many-distinct-paths caller.
+    val key = try {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val st = hp.getFileSystem(spark.sessionState.newHadoopConf())
+        .getFileStatus(hp)
+      Some(s"$path:${st.getModificationTime}:${st.getLen}")
+    } catch { case _: java.io.IOException => None }
+    if (schemaCache.size > 256) schemaCache.clear()
+    val raw = key.flatMap(k => Option(schemaCache.get(k))) match {
+      case None =>
         val df = spark.read.parquet(path)
-        schemaCache.put(key, df.schema)
+        key.foreach(schemaCache.put(_, df.schema))
         df
-      case known => spark.read.schema(known).parquet(path)
+      case Some(known) => spark.read.schema(known).parquet(path)
     }
     // Parquet TIMESTAMP(NANOS) columns arrive as LongType under
     // spark.sql.legacy.parquet.nanosAsLong (Spark has no ns timestamp type);

@@ -19,14 +19,9 @@ import org.apache.spark.sql.functions._
   * (CommonCrawl ≫ budget is the NORMAL case in a training mix) would
   * sort entirely in one window task, so above
   * [[StratumPrefilter.AutoEngageBytes]] (or on request) the selection
-  * runs the hash-threshold prefilter: one counting pass takes each
-  * source's row/token totals, rows above a per-source md5-prefix
-  * threshold — a `Margin·budget/tokenSum` slice that is an exact ORDER
-  * PREFIX of the source — are dropped before the window, and any source
-  * whose surviving slice does not provably reach its budget is re-run
-  * unfiltered and unioned back. The selected rows are IDENTICAL to the
-  * unfiltered window's (pinned in `MixingSpec`); the mega-source sort
-  * input drops from its full corpus to ≈ `Margin·budget/avgTokens` rows.
+  * runs the [[StratumPrefilter]] engine — selection-identical by
+  * construction, pinned in `MixingSpec` along with survivor bounds and
+  * the rescue path.
   */
 object Mixing {
 
@@ -52,6 +47,29 @@ object Mixing {
       defaultBudget, StratumPrefilter.Margin)
   }
 
+  /** Proportional mixing: budgets derived from target WEIGHT fractions of
+    * a total token budget — how a training mix is actually specified
+    * ("60% web, 20% code, 20% books"). Weights are normalized over the
+    * map (they need not sum to 1); sources absent from `weights` get
+    * weight 0 (excluded) — list every source you want in the mix.
+    * Delegates to [[byTokenBudget]], so the prefilter and exactness
+    * guarantees carry over unchanged.
+    */
+  def byWeights(df: DataFrame, sourceCol: String, idCol: String,
+      tokenCol: String, weights: Map[String, Double], totalTokens: Long,
+      prefilter: Option[Boolean] = None): DataFrame = {
+    require(weights.nonEmpty, "weights must name at least one source")
+    require(weights.values.forall(_ >= 0) && weights.values.sum > 0,
+      "weights must be non-negative and not all zero")
+    require(totalTokens > 0, "totalTokens must be positive")
+    val norm = weights.values.sum
+    val budgets = weights.map { case (src, w) =>
+      src -> math.round(totalTokens * (w / norm))
+    }
+    byTokenBudget(df, sourceCol, idCol, tokenCol, budgets,
+      defaultBudget = 0L, prefilter = prefilter)
+  }
+
   private def budgetCol(sourceCol: String, budgets: Map[String, Long],
       defaultBudget: Long): Column =
     coalesce(
@@ -75,64 +93,20 @@ object Mixing {
       .drop("__graft_mix_cum")
   }
 
-  /** `margin` is a test seam (rescue-path coverage needs a margin small
+  /** [[StratumPrefilter.select]] instantiated for budget mixing: a
+    * source's weight is its TOKEN SUM and its need is its budget.
+    * `margin` is a test seam (rescue-path coverage needs a margin small
     * enough to guarantee a survivor shortfall); production callers go
     * through [[byTokenBudget]], which passes [[StratumPrefilter.Margin]].
     */
   private[pipeline] def prefilteredMix(df: DataFrame, sourceCol: String,
       idCol: String, tokenCol: String, budgets: Map[String, Long],
-      defaultBudget: Long, margin: Double): DataFrame = {
-    import StratumPrefilter._
-    val skey = col(sourceCol).cast("string")
-    val totals = df.groupBy(skey.as("__graft_sp_sk"))
-      .agg(sum(col(tokenCol).cast("long")).as("__graft_sp_tok")).collect()
-    def budgetOf(src: String): Long = budgets.getOrElse(src, defaultBudget)
-    // Sources worth filtering: expected survivor token mass is
-    // margin·budget, so only sources holding more than that get a
-    // threshold (null-keyed sources never do — map keys can't be null —
-    // and therefore keep every row, which is trivially exact).
-    val thr = totals.iterator.flatMap { r =>
-      Option(r.getAs[String]("__graft_sp_sk")).flatMap { src =>
-        val tok = r.getAs[Long]("__graft_sp_tok")
-        val f = margin * budgetOf(src) / tok.toDouble
-        if (tok > 0 && f < 1.0) Some(src -> hexThreshold(f)) else None
-      }
-    }.toMap
-    if (thr.isEmpty) return exactMix(df, sourceCol, idCol, tokenCol,
-      budgets, defaultBudget)
-
-    val surv = df.filter(hashPrefix(col(idCol)) < thresholdCol(skey, thr))
-    val w = Window.partitionBy(sourceCol)
-      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val n = col(tokenCol).cast("long")
-    val cum = surv.select(col("*"), (sum(n).over(w) - n).as("__graft_mix_cum"),
-      skey.as("__graft_sp_sk"))
-
-    // A filtered source is safe exactly when its surviving token mass
-    // REACHES the budget: the survivors are an order prefix, so the
-    // greedy cut then falls inside the slice. A shortfall — including
-    // zero survivors, invisible in `cum` — reruns unfiltered. All lazily
-    // in-plan via a broadcast join of the (normally empty) unsafe set.
-    import df.sparkSession.implicits._
-    val candidates = thr.keys.toSeq.toDF("__graft_sp_sk")
-    val unsafe = candidates
-      .join(cum.groupBy("__graft_sp_sk")
-          .agg(sum(col(tokenCol).cast("long")).as("__graft_sp_stok")),
-        Seq("__graft_sp_sk"), "left")
-      .filter(coalesce(col("__graft_sp_stok"), lit(0L)) <
-        element_at(typedLit(thr.keys.map(s => s -> budgetOf(s)).toMap),
-          col("__graft_sp_sk")))
-      .select("__graft_sp_sk")
-    val safe = cum.join(broadcast(unsafe), Seq("__graft_sp_sk"), "left_anti")
-      .filter(col("__graft_mix_cum") < budgetCol(sourceCol, budgets,
+      defaultBudget: Long, margin: Double): DataFrame =
+    StratumPrefilter.select(df,
+      skey = col(sourceCol).cast("string"),
+      weightAgg = sum(col(tokenCol).cast("long")),
+      needOf = src => budgets.getOrElse(src, defaultBudget),
+      idCol = idCol, margin = margin,
+      exactSelect = d => exactMix(d, sourceCol, idCol, tokenCol, budgets,
         defaultBudget))
-      .drop("__graft_mix_cum", "__graft_sp_sk")
-    val rescued = exactMix(
-      df.withColumn("__graft_sp_sk", skey)
-        .join(broadcast(unsafe), Seq("__graft_sp_sk"), "left_semi")
-        .drop("__graft_sp_sk"),
-      sourceCol, idCol, tokenCol, budgets, defaultBudget)
-    safe.unionByName(rescued)
-  }
 }

@@ -24,11 +24,18 @@ import org.apache.spark.sql.functions._
   * per-stratum thresholds.
   *
   * Exactness is not probabilistic: a stratum is USED from the filtered
-  * window only when the survivor slice provably contains the selection
-  * cut (enough rows / enough tokens, checked per stratum); any shortfall
-  * stratum — possible only via extreme hash skew — is re-run unfiltered
-  * and unioned back. Selection-equivalence is pinned in `SamplingSpec`
-  * and `MixingSpec` on a skewed fixture.
+  * selection only when the survivor slice provably contains the selection
+  * cut (its surviving weight reaches the stratum's need, checked per
+  * stratum); any shortfall stratum — possible only via extreme hash
+  * skew — is re-run unfiltered and unioned back, all in the same lazy
+  * plan. Selection-equivalence is pinned in `SamplingSpec`/`MixingSpec`
+  * on skewed fixtures, including the rescue path via a margin seam.
+  *
+  * Driver memory is bounded by design: only the [[MaxThresholdStrata]]
+  * HEAVIEST strata receive thresholds (a distributed top-K, collected),
+  * because mega-strata are by definition few — a 10M-distinct-strata
+  * corpus keeps every small stratum on the exact path at zero driver
+  * cost, which is also where the prefilter had nothing to win.
   */
 private[pipeline] object StratumPrefilter {
 
@@ -43,6 +50,12 @@ private[pipeline] object StratumPrefilter {
     * counting pass keeps small-input plans unchanged).
     */
   val AutoEngageBytes: Long = 1L << 30
+
+  /** Cap on thresholded strata (and so on the driver-side map and the
+    * literal in the plan): the top-K by weight. Everything smaller
+    * keeps every row — exact, and small enough to sort cheaply.
+    */
+  val MaxThresholdStrata = 1024
 
   /** The 64-bit hash image the threshold compares against: the first 16
     * hex chars of md5(id) — the same leading bytes the selection order
@@ -71,4 +84,65 @@ private[pipeline] object StratumPrefilter {
     if (byStratum.isEmpty) lit("g")
     else coalesce(
       element_at(typedLit(byStratum), stratum.cast("string")), lit("g"))
+
+  /** The shared prefiltered-selection scaffold (one implementation for
+    * sampling AND mixing — the two differ only in WEIGHT and NEED).
+    *
+    * @param skey        string stratum key (null ⇒ never thresholded)
+    * @param weightAgg   per-stratum weight aggregate over input rows
+    *                    (row count for quota sampling, token sum for
+    *                    budget mixing) — reused for the survivor safety
+    *                    pass
+    * @param needOf      a stratum's needed weight (quota / token budget)
+    * @param exactSelect the exact windowed selection, applied to the
+    *                    survivor slice (safe strata) and to the rescued
+    *                    strata's full rows
+    */
+  def select(df: DataFrame, skey: Column, weightAgg: Column,
+      needOf: String => Long, idCol: String, margin: Double,
+      exactSelect: DataFrame => DataFrame): DataFrame = {
+    // counting pass, bounded: thresholds only for the heaviest strata
+    val weighted = df.groupBy(skey.as("__graft_sp_sk"))
+      .agg(weightAgg.as("__graft_sp_w"))
+      .orderBy(col("__graft_sp_w").desc)
+      .limit(MaxThresholdStrata)
+      .collect()
+    val thr = weighted.iterator.flatMap { r =>
+      Option(r.getAs[String]("__graft_sp_sk")).flatMap { sk =>
+        if (r.isNullAt(r.fieldIndex("__graft_sp_w"))) None
+        else {
+          val w = r.getAs[Long]("__graft_sp_w")
+          val f = margin * needOf(sk) / w.toDouble
+          if (w > 0 && f < 1.0) Some(sk -> hexThreshold(f)) else None
+        }
+      }
+    }.toMap
+    if (thr.isEmpty) return exactSelect(df)
+
+    val surv = df.filter(hashPrefix(col(idCol)) < thresholdCol(skey, thr))
+    // A thresholded stratum is safe exactly when its surviving weight
+    // REACHES its need: survivors are an order prefix, so the selection
+    // cut then falls inside the slice. A shortfall — including zero
+    // survivors, invisible in any survivor-side frame — is caught by
+    // left-joining the (driver-known, bounded) candidate set. All lazily
+    // in-plan via broadcast joins of the normally-empty unsafe set.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val candidates = thr.keys.toSeq.toDF("__graft_sp_sk")
+    val needMap = typedLit(thr.keys.map(s => s -> needOf(s)).toMap)
+    val survWeights = surv.groupBy(skey.as("__graft_sp_sk"))
+      .agg(weightAgg.as("__graft_sp_sw"))
+    val unsafe = candidates
+      .join(survWeights, Seq("__graft_sp_sk"), "left")
+      .filter(coalesce(col("__graft_sp_sw"), lit(0L)) <
+        element_at(needMap, col("__graft_sp_sk")))
+      .select("__graft_sp_sk")
+    def restrict(base: DataFrame, joinType: String): DataFrame =
+      base.withColumn("__graft_sp_sk", skey)
+        .join(broadcast(unsafe), Seq("__graft_sp_sk"), joinType)
+        .drop("__graft_sp_sk")
+    val safe = exactSelect(restrict(surv, "left_anti"))
+    val rescued = exactSelect(restrict(df, "left_semi"))
+    safe.unionByName(rescued)
+  }
 }

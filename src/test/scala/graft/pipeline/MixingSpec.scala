@@ -140,4 +140,23 @@ class MixingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(viaPartial === exact)
   }
+
+  test("byWeights: proportional budgets, unlisted sources excluded") {
+    val df = corpus(400, 4, seed = 23)
+    // weights 3:1 over s0/s1; s2/s3 unlisted -> excluded entirely
+    val got = Mixing.byWeights(df, "source", "doc_id", "n_tokens",
+      Map("s0" -> 3.0, "s1" -> 1.0), totalTokens = 400L)
+    val bySrc = got.groupBy("source")
+      .agg(sum("n_tokens").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(!bySrc.contains("s2") && !bySrc.contains("s3"))
+    // each budget respected with at most one-doc overflow (max doc = 50)
+    assert(bySrc("s0") < 300L + 50L)
+    assert(bySrc("s1") < 100L + 50L)
+    // equivalence with the explicit-budget form
+    val explicit = Mixing.byTokenBudget(df, "source", "doc_id",
+        "n_tokens", Map("s0" -> 300L, "s1" -> 100L), 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.select("doc_id").as[Long].collect().toSet === explicit)
+  }
 }
