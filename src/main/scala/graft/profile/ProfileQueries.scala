@@ -94,7 +94,21 @@ object ProfileQueries extends QueryPack {
       }.mkString(" UNION ALL ") + " ORDER BY column_name"))
   }
 
+  /** The 100 TB percentile configuration (t-digest, one scan) registered
+    * rows-only — like the HLL profile, the sketch has no DuckDB
+    * equivalent; ProfilerSpec pins each estimate inside an exact-quantile
+    * rank window.
+    */
+  private def quantileApproxQuery = QueryDef(
+    "profile_quantiles_approx",
+    (s, dir) => Profiler
+      .approxQuantiles(Tables.load(s, dir, "lineitem", parallelize = true),
+        Schemas.byTable("lineitem").filter(_.numeric).map(_.name),
+        ps = Seq(0.5, 0.95), names = Seq("p50", "p95"))
+      .orderBy("column_name"),
+    None)
+
   override def queries: Seq[QueryDef] =
     Seq(profileQuery("lineitem"), profileQuery("orders"), approxQuery,
-      quantileQuery("lineitem"))
+      quantileQuery("lineitem"), quantileApproxQuery)
 }

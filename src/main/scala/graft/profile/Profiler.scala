@@ -220,6 +220,34 @@ object Profiler {
     * Output: (column_name, p_0, p_1, …) — one row per requested column,
     * percentile columns named by `names`.
     */
+  /** 100 TB percentile configuration: t-digest `approx_percentile` for
+    * every requested column in ONE single-scan aggregation — the
+    * documented swap for [[quantiles]]'s exact distributed selection,
+    * the same trade the HLL path makes for distinct counts. Rank error
+    * is bounded by n/`accuracy`; the estimate is an actual data value
+    * near the rank (no interpolation), so `ProfilerSpec` pins it inside
+    * an exact-quantile rank window rather than by value equality.
+    * Output shape matches [[quantiles]]: (column_name, names…).
+    */
+  def approxQuantiles(df: DataFrame, cols: Seq[String], ps: Seq[Double],
+      names: Seq[String], accuracy: Int = 10000): DataFrame = {
+    require(cols.nonEmpty, "no columns requested")
+    require(ps.nonEmpty && ps.length == names.length,
+      "ps and names must align")
+    val aggs = cols.flatMap { c =>
+      ps.zip(names).map { case (p, nm) =>
+        expr(s"approx_percentile(CAST(`$c` AS DOUBLE), $p, $accuracy)")
+          .as(s"${c}__$nm")
+      }
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      (s"'$c'" +: names.map(nm => s"`${c}__$nm`")).mkString(", ")
+    }.mkString(", ")
+    wide.selectExpr(s"stack(${cols.length}, $stackArgs) as " +
+      s"(column_name, ${names.mkString(", ")})")
+  }
+
   def quantiles(df: DataFrame, cols: Seq[String], ps: Seq[Double],
       names: Seq[String], prefixBits: Int = 20,
       reuseScan: Boolean = true): DataFrame = {

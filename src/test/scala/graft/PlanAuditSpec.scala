@@ -23,7 +23,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("LSH pipelines never plan a cartesian product") {
     for (q <- Seq("dedup_minhash_documents", "dedup_simhash_documents",
-        "dedup_embedding_lsh", "sim_topk_lsh", "sim_knn_graph_lsh")) {
+        "dedup_embedding_lsh", "sim_topk_lsh", "sim_knn_graph_lsh",
+        "corpus_semdedup_embeddings")) {
       assert(!plan(q).contains("CartesianProduct"), s"$q plans a cartesian")
     }
   }

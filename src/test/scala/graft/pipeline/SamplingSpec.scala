@@ -109,4 +109,42 @@ class SamplingSpec extends SparkSpec {
       .select("grp", "id").as[(String, Long)].collect().toSet
     assert(viaPartial === exact)
   }
+
+  test("prefilter engine: selection equality over randomized skew/margins") {
+    // property-style sweep beyond the fixed fixtures: random stratum
+    // size mixes (incl. heavy skew), quotas and margins — every
+    // configuration must select EXACTLY the unfiltered head (rescue
+    // covers shortfalls), for both the quota and the token-budget
+    // instantiations of the shared engine.
+    val rnd = new scala.util.Random(97)
+    for (case_ <- 1 to 6) {
+      val nStrata = 1 + rnd.nextInt(5)
+      val rows = (0 until nStrata).flatMap { g =>
+        val size = if (g == 0) 2000 + rnd.nextInt(3000)
+                   else 1 + rnd.nextInt(200)
+        (0 until size).map(i =>
+          (g.toLong * 100000 + i, s"g$g", 1L + rnd.nextInt(30)))
+      }
+      val df = rows.toDF("id", "grp", "tok")
+      val quota = 1 + rnd.nextInt(40)
+      val margin = Seq(0.0, 0.5, 2.0, 4.0)(rnd.nextInt(4))
+      val exactS = Sampling
+        .stratifiedHead(df, Seq("grp"), "id", quota, Some(false))
+        .select("id").as[Long].collect().toSet
+      val fastS = Sampling
+        .prefilteredHead(df, Seq("grp"), "id", quota, margin)
+        .select("id").as[Long].collect().toSet
+      assert(fastS === exactS,
+        s"case $case_: sampling mismatch (quota=$quota margin=$margin)")
+      val budget = 50L + rnd.nextInt(2000)
+      val exactM = Mixing.byTokenBudget(df, "grp", "id", "tok",
+          Map.empty, budget, Some(false))
+        .select("id").as[Long].collect().toSet
+      val fastM = Mixing.prefilteredMix(df, "grp", "id", "tok",
+          Map.empty, budget, margin)
+        .select("id").as[Long].collect().toSet
+      assert(fastM === exactM,
+        s"case $case_: mixing mismatch (budget=$budget margin=$margin)")
+    }
+  }
 }

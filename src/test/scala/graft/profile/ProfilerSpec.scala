@@ -242,4 +242,29 @@ class ProfilerSpec extends SparkSpec {
       assert(err <= 0.08, f"$c: HLL $a vs exact $e (err ${err * 100}%.1f%%)")
     }
   }
+
+  test("approx quantiles land inside an exact-quantile rank window") {
+    // t-digest guarantees rank error <= n/accuracy; with accuracy 10000
+    // the estimate must sit between the exact p±0.1 quantiles — a
+    // principled pin that survives any tie/interpolation detail
+    val li = graft.io.Tables.load(spark, "/root/testdata/sf0.001",
+      "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val exact = Profiler.quantiles(li, cols,
+        ps = Seq(0.4, 0.6, 0.85, 0.99),
+        names = Seq("lo50", "hi50", "lo95", "hi95"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = Profiler.approxQuantiles(li, cols,
+        ps = Seq(0.5, 0.95), names = Seq("p50", "p95"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    cols.foreach { c =>
+      val e = exact(c); val a = approx(c)
+      def d(r: org.apache.spark.sql.Row, f: String) =
+        r.getAs[Double](f)
+      assert(d(a, "p50") >= d(e, "lo50") && d(a, "p50") <= d(e, "hi50"),
+        s"$c p50 ${d(a, "p50")} outside [${d(e, "lo50")}, ${d(e, "hi50")}]")
+      assert(d(a, "p95") >= d(e, "lo95") && d(a, "p95") <= d(e, "hi95"),
+        s"$c p95 ${d(a, "p95")} outside [${d(e, "lo95")}, ${d(e, "hi95")}]")
+    }
+  }
 }
