@@ -20,12 +20,12 @@ object Discovery {
   final case class FileDefinition(fileName: String, fileType: String,
       fileSize: String, columns: Seq[ColumnDef])
 
-  /** S2: pluggable readers for formats without a built-in Spark source
-    * (the reference's `pd.read_excel` branch, `:325-327`). A registered
-    * reader takes precedence over the built-in dispatch for its extension;
-    * Excel stays unregistered here (no Excel library ships in this
-    * environment, and the corpus has no Excel fixtures) — registering one
-    * is a one-liner for a deployment that bundles e.g. a POI-based source.
+  /** S2: pluggable readers for formats without a built-in Spark source.
+    * A registered reader takes precedence over the built-in dispatch for
+    * its extension — the integration point for a deployment that bundles
+    * e.g. a POI-based source for legacy .xls. Modern .xlsx needs no
+    * plug-in: [[Xlsx]] covers the reference's `pd.read_excel` branch
+    * (`:325-327`) with a self-contained OOXML reader.
     */
   private val pluggable =
     scala.collection.concurrent.TrieMap[String, (SparkSession, String) => DataFrame]()
@@ -39,8 +39,9 @@ object Discovery {
 
   /** Extension-dispatched distributed load
     * (`Data_Discovery_File.sql:317-349`). Returns (df, fileType).
-    * Excel raises unless a pluggable reader is registered, like the
-    * reference's unsupported branch.
+    * .xlsx reads through the built-in [[Xlsx]] reader (reported as
+    * "excel" like the reference); legacy .xls raises unless a pluggable
+    * reader is registered.
     */
   def load(spark: SparkSession, path: String): (DataFrame, String) = {
     val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
@@ -49,10 +50,13 @@ object Discovery {
       case "csv" =>
         (spark.read.option("header", "true").option("inferSchema", "true")
           .csv(path), "csv")
-      case "xls" | "xlsx" =>
+      case "xlsx" =>
+        // the reference reports both Excel flavors as 'excel' (`:327`)
+        (Xlsx.read(spark, path), "excel")
+      case "xls" =>
         throw new IllegalArgumentException(
-          "Excel needs a pluggable reader (registerReader(\"xlsx\", …)); " +
-            "no built-in Spark source")
+          "legacy .xls (BIFF) needs a pluggable reader " +
+            "(registerReader(\"xls\", …)); the built-in reader covers .xlsx")
       case "json" =>
         // NDJSON first (Spark native), whole-file fallback (`:329-337`)
         val lines = spark.read.json(path)

@@ -75,6 +75,36 @@ object DiscoveryQueries extends QueryPack {
       ("event_id", "NUMBER", 1), ("event_type", "VARCHAR", 2),
       ("value", "FLOAT", 3)))))
 
+  /** S2 (`pd.read_excel`, `Data_Discovery_File.sql:325-327`): stage a
+    * deterministic events slice as a REAL .xlsx workbook through
+    * [[Xlsx.write]], read it back through the built-in discovery branch,
+    * and oracle the VALUES straight from the events table — pinning zip
+    * packaging, worksheet XML parsing, shared-string resolution and
+    * pandas-style column typing (long / string / double) end to end,
+    * with no file dependence in the oracle. `Double.toString` text
+    * round-trips exactly, so the hash compare is verbatim.
+    */
+  private val XlsxRows = 300L
+
+  private def xlsxQuery = QueryDef(
+    "discovery_xlsx_events",
+    (s, dir) => {
+      val out =
+        s"${System.getProperty("java.io.tmpdir")}/graft_events.xlsx"
+      val rows = Tables.load(s, dir, "events", parallelize = false)
+        .select("event_id", "event_type", "value")
+        .filter(org.apache.spark.sql.functions.col("event_id") <= XlsxRows)
+        .orderBy("event_id").collect()
+        .map(r => Seq[Any](r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSeq
+      Xlsx.write(out, Seq("event_id", "event_type", "value"), rows)
+      val (df, fileType) = Discovery.load(s, out)
+      require(fileType == "excel", s"xlsx must report 'excel', got $fileType")
+      df.orderBy("event_id")
+    },
+    Some("SELECT event_id, event_type, value FROM events " +
+      s"WHERE event_id <= $XlsxRows ORDER BY event_id"))
+
   /** S9: catalog scan as a relation, with the reference's CASE
     * length/precision dispatch (`Data_Quality_Table.sql:38-54`). Oracle =
     * literal expected rows from the corpus schema spec (NUMBER→38,
@@ -98,6 +128,6 @@ object DiscoveryQueries extends QueryPack {
     })
 
   override def queries: Seq[QueryDef] =
-    Seq(parquetQuery, csvQuery, jsonQuery, xmlQuery,
+    Seq(parquetQuery, csvQuery, jsonQuery, xmlQuery, xlsxQuery,
       catalogQuery("customer"), catalogQuery("lineitem"))
 }

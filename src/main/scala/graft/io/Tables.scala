@@ -47,10 +47,21 @@ object Tables {
     * with a user-supplied schema skips the footer-inference Spark job, so
     * repeat loads of the immutable corpus tables (every query loads ≥ 1)
     * build their plans with ZERO jobs. A rewritten file changes the key.
+    * Access-ordered LRU capped at [[SchemaCacheMax]]: the hot corpus
+    * tables stay resident while one-off paths age out individually — no
+    * wholesale flush that would re-trigger inference jobs for every
+    * live table at once.
     */
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      org.apache.spark.sql.types.StructType]()
+  private[io] val SchemaCacheMax = 256
+  private[io] val schemaCache:
+      java.util.Map[String, org.apache.spark.sql.types.StructType] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String,
+          org.apache.spark.sql.types.StructType](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String,
+            org.apache.spark.sql.types.StructType]): Boolean =
+          size() > SchemaCacheMax
+      })
 
   def load(spark: SparkSession, dir: String, name: String,
       parallelize: Boolean): DataFrame = {
@@ -67,7 +78,6 @@ object Tables {
         .getFileStatus(hp)
       Some(s"$path:${st.getModificationTime}:${st.getLen}")
     } catch { case _: java.io.IOException => None }
-    if (schemaCache.size > 256) schemaCache.clear()
     val raw = key.flatMap(k => Option(schemaCache.get(k))) match {
       case None =>
         val df = spark.read.parquet(path)
@@ -102,14 +112,28 @@ object Tables {
     else typed
   }
 
-  /** Exact row count from parquet footer metadata — NO Spark job. The
-    * sizing input for index builds (LSH hash width, IVF nlist): an ANN
-    * query should not pay a count jobs before its real work. On a
-    * catalog-backed cluster deployment the same number comes from table
-    * statistics; here it is the sum of the footers' row-group counts,
-    * which parquet stores exactly.
+  /** Files up to this count have their footers read on the driver
+    * (concurrently, ForkJoin common pool — a listing this size completes
+    * in well under a second). A 100 TB table is ~10⁵ files; a driver
+    * footer loop there is a stall, so past the bound the footer reads
+    * ship as ONE metadata-only Spark job over the file list — each task
+    * opens footers, no data pages are touched.
     */
-  def rowCount(spark: SparkSession, dir: String, name: String): Long = {
+  private[io] val FooterDriverBound = 1024
+
+  /** Exact row count from parquet footer metadata — NO Spark job at or
+    * below [[FooterDriverBound]] files, one metadata-only job above it.
+    * The sizing input for index builds (LSH hash width, IVF nlist): an
+    * ANN query should not pay a count job before its real work. On a
+    * catalog-backed cluster deployment the same number comes from table
+    * statistics before either path runs; here it is the sum of the
+    * footers' row-group counts, which parquet stores exactly.
+    */
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    rowCount(spark, dir, name, FooterDriverBound)
+
+  private[io] def rowCount(spark: SparkSession, dir: String, name: String,
+      driverBound: Int): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
     val fs = root.getFileSystem(conf)
@@ -118,12 +142,31 @@ object Tables {
         fs.listStatus(root).map(_.getPath)
           .filter(p => p.getName.endsWith(".parquet"))
       else Array(root)
-    files.map { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(f, conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    def footerCount(p: org.apache.hadoop.fs.Path,
+        c: org.apache.hadoop.conf.Configuration): Long = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, c))
       try r.getRecordCount finally r.close()
-    }.sum
+    }
+    if (files.length <= driverBound)
+      java.util.Arrays.stream(files).parallel()
+        .mapToLong(footerCount(_, conf)).sum()
+    else {
+      // Hadoop Configuration is not serializable; ship its entries and
+      // rebuild per partition so non-local filesystems (s3a://, hdfs://)
+      // keep their credentials/endpoint settings in the tasks.
+      import scala.jdk.CollectionConverters._
+      val entries = conf.iterator().asScala
+        .map(e => e.getKey -> e.getValue).toArray
+      val paths = files.map(_.toString).toSeq
+      spark.sparkContext
+        .parallelize(paths, math.min(256, 1 + paths.length / 64))
+        .mapPartitions { it =>
+          val c = new org.apache.hadoop.conf.Configuration(false)
+          entries.foreach { case (k, v) => c.set(k, v) }
+          it.map(s => footerCount(new org.apache.hadoop.fs.Path(s), c))
+        }.fold(0L)(_ + _)
+    }
   }
 
   /** Resolve a 1/2/3-part name to its final segment (db/schema prefixes are

@@ -446,8 +446,45 @@ object TextQueries extends QueryPack {
         "SELECT source, doc_id, n AS n_tokens FROM c " +
         s"WHERE cum - n < $MixBudget ORDER BY source, doc_id"))
 
+  /** Proportional mixing ([[graft.pipeline.Mixing.byWeights]]): budgets
+    * derived as weight fractions of a 1000-token total over a
+    * non-divisible weight vector {3, 1.5, 1.5, 1} (norm 7), so
+    * `math.round` lands both up (1000·3/7 = 428.57 → 429, 1000/7 =
+    * 142.86 → 143) and down (1000·1.5/7 = 214.29 → 214). The oracle
+    * inlines those budgets as HAND-DERIVED literals — if the Scala
+    * weight→budget derivation drifted, the selection would hash-mismatch.
+    * Unlisted sources get weight 0 (excluded), pinning the
+    * list-every-source contract.
+    */
+  private val MixWeights = Map(
+    "src0" -> 3.0, "src1" -> 1.5, "src2" -> 1.5, "src3" -> 1.0)
+  private val MixWeightTotal = 1000L
+
+  private def mixWeightedQuery = QueryDef(
+    "corpus_mix_weighted_documents",
+    (s, dir) => graft.pipeline.Mixing.byWeights(
+        Tables.load(s, dir, "documents", parallelize = true)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).cast("long")
+              .as("n_tokens")),
+        "source", "doc_id", "n_tokens",
+        weights = MixWeights, totalTokens = MixWeightTotal)
+      .select("source", "doc_id", "n_tokens")
+      .orderBy("source", "doc_id"),
+    Some(
+      s"WITH toks AS (SELECT doc_id, source, len($tokensSql)::BIGINT " +
+        "AS n FROM documents), " +
+        "c AS (SELECT doc_id, source, n, SUM(n) OVER (" +
+        "PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM toks) " +
+        "SELECT source, doc_id, n AS n_tokens FROM c " +
+        "WHERE cum - n < CASE source " +
+        "WHEN 'src0' THEN 429 WHEN 'src1' THEN 214 " +
+        "WHEN 'src2' THEN 214 WHEN 'src3' THEN 143 ELSE 0 END " +
+        "ORDER BY source, doc_id"))
+
   override def queries: Seq[QueryDef] =
     Seq(statsQuery, curateQuery, pipelineQuery, pipelineFullQuery,
       sampleQuery, decontamQuery, repetitionQuery, packQuery,
-      decontamPipelineQuery, chunkQuery, mixQuery)
+      decontamPipelineQuery, chunkQuery, mixQuery, mixWeightedQuery)
 }

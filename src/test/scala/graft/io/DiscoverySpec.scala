@@ -30,7 +30,8 @@ class DiscoverySpec extends SparkSpec {
       Discovery.load(spark, "/tmp/nope.avro")
     }
     intercept[IllegalArgumentException] {
-      Discovery.load(spark, "/tmp/nope.xlsx")
+      // legacy BIFF .xls stays pluggable-only (built-in covers .xlsx)
+      Discovery.load(spark, "/tmp/nope.xls")
     }
   }
 

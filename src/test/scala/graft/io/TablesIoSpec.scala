@@ -20,6 +20,39 @@ class TablesIoSpec extends SparkSpec {
     assert(Tables.rowCount(spark, dir, "t") === 300L)
   }
 
+  test("rowCount above the driver bound distributes footer reads " +
+      "as one metadata job and agrees with the driver path") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tables_rcd").toString
+    import spark.implicits._
+    (1L to 300L).toDF("id").repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    // driverBound = 1 forces the >bound (distributed) path on a 3-file
+    // table; it must agree exactly with the driver-side footer sum.
+    assert(Tables.rowCount(spark, dir, "t", driverBound = 1) === 300L)
+    assert(Tables.rowCount(spark, dir, "t", driverBound = 1) ===
+      Tables.rowCount(spark, dir, "t"))
+  }
+
+  test("schema cache is a capped LRU: eldest untouched entry ages out, " +
+      "a touched entry survives, no wholesale flush") {
+    val st = new org.apache.spark.sql.types.StructType()
+    val keys = (0 until Tables.SchemaCacheMax + 10).map(i => s"lru_k$i")
+    Tables.schemaCache.clear()
+    keys.foreach(Tables.schemaCache.put(_, st))
+    // Touch the eldest survivor so access order (not insert order) rules.
+    val touched = keys(10)
+    assert(Tables.schemaCache.get(touched) ne null)
+    Tables.schemaCache.put("lru_extra", st)
+    assert(Tables.schemaCache.size() === Tables.SchemaCacheMax,
+      "cache must stay at its cap, not flush to zero")
+    assert(Tables.schemaCache.get(touched) ne null,
+      "recently-accessed entry must survive the next eviction")
+    assert(Tables.schemaCache.get(keys(11)) eq null,
+      "the eldest untouched entry is the one evicted")
+    Tables.schemaCache.clear()
+  }
+
   test("schema cache invalidates when the table file is rewritten") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_tables_sc").toString
