@@ -9,11 +9,16 @@ import org.apache.spark.sql.functions._
   * stage: partition iterator → fixed-size batches → vectorized-ish work →
   * row iterator, never materializing a partition in memory).
   *
-  * The decode step is a DETERMINISTIC STUB ([[FakeCodec]]): real
-  * image/audio codecs aren't available in this environment, so the codec
-  * derives plausible metadata/features from the bytes alone. Everything
-  * around it — schema, batching, partitioning, feature shape — is real
-  * and is what survives swapping in a real codec.
+  * The decode seam is split in two: header metadata
+  * (width/height/channels) parses REAL format bytes via [[ImageHeaders]]
+  * (PNG IHDR / JPEG SOFn — pure JVM, no codec library), while pixel
+  * decoding and feature extraction stay behind the DETERMINISTIC STUB
+  * ([[FakeCodec]]) because no image/audio codec ships in this
+  * environment. [[HeaderCodec]] (the default) composes the two: real
+  * headers when the payload is a parseable image stream, stub fallback
+  * otherwise. Everything around the seam — schema, batching,
+  * partitioning, feature shape — is real and survives swapping in a
+  * full codec.
   */
 object Multimodal {
 
@@ -59,26 +64,61 @@ object Multimodal {
       }
   }
 
-  /** Synthesize a media table from `documents` (text bytes as payload) —
-    * the corpus carries no real media; the plumbing is the subject.
+  /** The shipped codec: REAL header parsing for image payloads
+    * ([[ImageHeaders]] — an image's geometry never needs a pixel
+    * decode), stub fallback for everything else, stub features (per the
+    * environment brief: feature extraction needs a real model/codec).
+    */
+  object HeaderCodec extends MediaCodec {
+    def decode(m: Media): Decoded =
+      ImageHeaders.parse(m.content) match {
+        case Some((w, h, ch)) =>
+          Decoded(m.media_id, m.kind, w, h, ch,
+            duration_ms = 0L, n_frames = 1)
+        case None => FakeCodec.decode(m)
+      }
+    def features(m: Media, dim: Int): Array[Float] =
+      FakeCodec.features(m, dim)
+  }
+
+  /** Deterministic geometry for synthesized image payloads — the
+    * synthesis writes it into a REAL PNG IHDR, the decode reads it back
+    * out of the bytes (spec-pinned round trip).
+    */
+  private[mm] def synthGeometry(id: Long): (Int, Int, Int) = (
+    16 + math.floorMod(id, 2048).toInt,
+    16 + math.floorMod(id / 7, 2048).toInt,
+    Seq(0, 2, 3, 4, 6)(math.floorMod(id, 5).toInt))
+
+  /** Synthesize a media table from `documents` — the corpus carries no
+    * real media, so text bytes stand in for the payload. Image rows get
+    * a genuine PNG signature + IHDR (real CRC) prepended with geometry
+    * derived from the id, so the default decode path exercises actual
+    * format parsing, not just the stub.
     */
   def synthesize(docs: DataFrame): Dataset[Media] = {
     import docs.sparkSession.implicits._
-    docs.select(
-        col("doc_id").as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-        element_at(array(lit("png"), lit("wav"), lit("mp4")),
-          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
-        col("text").cast("binary").as("content"))
-      .as[Media]
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val slot = math.floorMod(id, 3).toInt
+        val kind = Seq("image", "audio", "video")(slot)
+        val format = Seq("png", "wav", "mp4")(slot)
+        val payload = text.getBytes("UTF-8")
+        val content =
+          if (kind == "image") {
+            val (w, h, colorType) = synthGeometry(id)
+            ImageHeaders.pngHeader(w, h, colorType) ++ payload
+          } else payload
+        Media(id, kind, format, content)
+      }
   }
 
   /** Batched per-partition decode — the mapInPandas shape: group the
     * partition iterator into `batchSize` slices, decode each slice, emit
     * rows lazily (constant memory per executor thread).
     */
-  def decodeAll(media: Dataset[Media], codec: MediaCodec = FakeCodec,
+  def decodeAll(media: Dataset[Media], codec: MediaCodec = HeaderCodec,
       batchSize: Int = 64): Dataset[Decoded] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -88,7 +128,7 @@ object Multimodal {
 
   /** Batched feature extraction (stub embedding per media row). */
   def extractFeatures(media: Dataset[Media], dim: Int = 16,
-      codec: MediaCodec = FakeCodec, batchSize: Int = 64)
+      codec: MediaCodec = HeaderCodec, batchSize: Int = 64)
       : Dataset[Feature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>

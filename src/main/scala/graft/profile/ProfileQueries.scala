@@ -51,6 +51,19 @@ object ProfileQueries extends QueryPack {
     selects.mkString(" UNION ALL ") + " ORDER BY column_name"
   }
 
+  /** [[profileOracle]] wrapped with the streaming audit log's `batch_id`
+    * column: an AvailableNow catch-up drains the whole staged corpus in
+    * ONE micro-batch, so the incremental profile is batch 0 and must
+    * equal the batch profile of the full input (the convergence claim
+    * `stream_profile_events` gates).
+    */
+  private[graft] def profileOracleWithBatch(table: String): String = {
+    val inner = profileOracle(table, Schemas.byTable(table))
+      .stripSuffix(" ORDER BY column_name")
+    s"SELECT p.*, CAST(0 AS BIGINT) AS batch_id FROM ($inner) p " +
+      "ORDER BY column_name"
+  }
+
   private def profileQuery(table: String): QueryDef =
     QueryDef(s"profile_$table",
       (s, dir) => Profiler

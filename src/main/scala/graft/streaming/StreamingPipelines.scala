@@ -153,16 +153,21 @@ object StreamingPipelines {
   /** Per-micro-batch profile of a stream using the batch Profiler; each
     * batch's per-column stats land in `resultsPath` tagged with the batch
     * id (an incremental DQ audit log).
+    *
+    * @param now injectable clock for the future-date pillar (same seam as
+    *            [[graft.profile.Profiler.profile]]) — a fixed literal
+    *            keeps an oracle-compared run deterministic.
     */
   def profileStream(source: DataFrame, resultsPath: String,
-      checkpoint: String, trigger: Trigger = Trigger.AvailableNow())
+      checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
+      now: org.apache.spark.sql.Column = current_timestamp())
       : StreamingQuery =
     source.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.profile.Profiler.profile(batch)
+        graft.profile.Profiler.profile(batch, now = now)
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(resultsPath)
         ()

@@ -275,7 +275,38 @@ object StreamingQueries extends QueryPack {
       "WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= mx - INTERVAL 2 DAY " +
       "GROUP BY 1, 2 ORDER BY window_start, event_type"))
 
+  /** Incremental-profile gate ([[StreamingPipelines.profileStream]]):
+    * the events table staged as a file-stream source, profiled per
+    * micro-batch by the BATCH [[graft.profile.Profiler]] through
+    * foreachBatch into an append sink tagged with the batch id. The
+    * AvailableNow catch-up drains the corpus in one micro-batch, so the
+    * audit log holds exactly batch 0 — which must equal the batch
+    * profile of the full staged input, computed independently by the
+    * DuckDB oracle. Pins the foreachBatch plumbing, the batch-id
+    * tagging, and the incremental→batch convergence the scaladoc
+    * claims.
+    */
+  private def profileQuery = QueryDef(
+    "stream_profile_events",
+    (s, dir) => withStreamSession(s) { iso =>
+      withTempDirs("graft_stream_prof_src", "graft_stream_prof_out",
+        "graft_stream_prof_ckpt") {
+      case Seq(staged, out, ckpt) =>
+        graft.io.Tables.load(iso, dir, "events", parallelize = false)
+          .write.mode("overwrite").parquet(staged)
+        val schema = iso.read.parquet(staged).schema
+        val src = iso.readStream.schema(schema).parquet(staged)
+        val q = StreamingPipelines.profileStream(src, out, ckpt,
+          now = lit(graft.profile.ProfileQueries.FixedNow)
+            .cast("timestamp"))
+        q.awaitTermination()
+        graft.util.Frames.localized(
+          iso.read.parquet(out).orderBy("column_name"))
+      }
+    },
+    Some(graft.profile.ProfileQueries.profileOracleWithBatch("events")))
+
   override def queries: Seq[QueryDef] =
     Seq(windowedQuery, sessionizeQuery, dedupQuery, intervalJoinQuery,
-      pipelineQuery)
+      pipelineQuery, profileQuery)
 }

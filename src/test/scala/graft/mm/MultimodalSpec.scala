@@ -55,18 +55,94 @@ class MultimodalSpec extends SparkSpec {
     val content = m.select(md5(col("content")).as("h"))
       .agg(md5(concat_ws(",", sort_array(collect_list("h")))))
       .head.getString(0)
-    assert(content === "6b0e6da91bd3d2418916f63768cf1da3", "content bytes")
+    assert(content === "218a3094dd6b098724cd62c631bfad64", "content bytes")
     val d = Multimodal.decodeAll(m).toDF()
     val dec = d.select(md5(concat_ws("|", d.columns.map(col): _*)).as("h"))
       .agg(md5(concat_ws(",", sort_array(collect_list("h")))))
       .head.getString(0)
-    assert(dec === "b3e2c66a025b7b3bcfde5775a23b25bb", "decoded metadata")
+    assert(dec === "d32f83ffe9328fdfb9cc67f009dc83b2", "decoded metadata")
     val feat = Multimodal.extractFeatures(m, dim = 16).toDF()
       .select(md5(concat_ws("|", col("media_id"),
         concat_ws(",", col("feature")))).as("h"))
       .agg(md5(concat_ws(",", sort_array(collect_list("h")))))
       .head.getString(0)
-    assert(feat === "429eebc84ffa41c9d6874917f5086b3e", "feature vectors")
+    assert(feat === "25eac26675073445320b1d994b05bf99", "feature vectors")
+  }
+
+  test("PNG IHDR parses to hand-computed geometry (real-format golden)") {
+    // Hand-built bytes: signature 89 50 4E 47 0D 0A 1A 0A, IHDR length
+    // 13, width 0x0000_0140 = 320, height 0x0000_00F0 = 240, bit depth
+    // 8, color type 6 (RGBA → 4 channels).
+    val fixture: Array[Byte] = Array(
+      0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, // signature
+      0x00, 0x00, 0x00, 0x0d, // IHDR data length 13
+      'I', 'H', 'D', 'R',
+      0x00, 0x00, 0x01, 0x40, // width 320
+      0x00, 0x00, 0x00, 0xf0, // height 240
+      0x08, 0x06, 0x00, 0x00, 0x00, // depth 8, color 6, d/f/i
+      0x00, 0x00, 0x00, 0x00 // CRC (not validated by the parser)
+    ).map(_.toByte)
+    assert(ImageHeaders.parse(fixture) === Some((320, 240, 4)))
+    // the builder emits the same geometry (and a REAL CRC)
+    assert(ImageHeaders.parse(ImageHeaders.pngHeader(320, 240, 6)) ===
+      Some((320, 240, 4)))
+    // grayscale color type 0 → 1 channel
+    assert(ImageHeaders.parse(ImageHeaders.pngHeader(7, 9, 0)) ===
+      Some((7, 9, 1)))
+    // truncated / corrupted signature → no parse
+    assert(ImageHeaders.parse(fixture.take(20)) === None)
+    assert(ImageHeaders.parse(fixture.drop(1)) === None)
+  }
+
+  test("JPEG SOF0 parses to hand-computed geometry after skipping " +
+      "APP segments (real-format golden)") {
+    // Hand-built: SOI FFD8, APP0 len 16 (JFIF), SOF0 FFC0 len 17,
+    // precision 8, height 0x0100 = 256, width 0x0180 = 384, 3 components.
+    val fixture: Array[Byte] = Array(
+      0xff, 0xd8, // SOI
+      0xff, 0xe0, 0x00, 0x10, // APP0, length 16
+      'J', 'F', 'I', 'F', 0x00, 0x01, 0x01, 0x00,
+      0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+      0xff, 0xc0, 0x00, 0x11, // SOF0, length 17
+      0x08, // precision
+      0x01, 0x00, // height 256
+      0x01, 0x80, // width 384
+      0x03, // components
+      0x01, 0x11, 0x00, 0x02, 0x11, 0x00, 0x03, 0x11, 0x00
+    ).map(_.toByte)
+    assert(ImageHeaders.parse(fixture) === Some((384, 256, 3)))
+    assert(ImageHeaders.parse(ImageHeaders.jpegHeader(384, 256, 3)) ===
+      Some((384, 256, 3)))
+    // grayscale single-component
+    assert(ImageHeaders.parse(ImageHeaders.jpegHeader(64, 32, 1)) ===
+      Some((64, 32, 1)))
+    // SOS before any SOF → reject rather than misread entropy data
+    val noSof = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0x00, 0x00)
+      .map(_.toByte)
+    assert(ImageHeaders.parse(noSof) === None)
+  }
+
+  test("synthesized image payloads decode through REAL PNG parsing to " +
+      "the synthesis geometry; non-images fall back to the stub") {
+    val m = Multimodal.synthesize(docs)
+    val decoded = Multimodal.decodeAll(m).collect()
+      .map(d => d.media_id -> d).toMap
+    val media = m.collect()
+    assert(media.nonEmpty)
+    media.foreach { mm =>
+      val d = decoded(mm.media_id)
+      if (mm.kind == "image") {
+        val (w, h, colorType) = Multimodal.synthGeometry(mm.media_id)
+        // the geometry travels THROUGH the bytes: parse must agree
+        assert(ImageHeaders.parse(mm.content) ===
+          Some((w, h, Map(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)(colorType))))
+        assert((d.width, d.height) === (w, h))
+        assert(d.n_frames === 1 && d.duration_ms === 0L)
+      } else {
+        // no image header → byte-identical to the stub decode
+        assert(d === Multimodal.FakeCodec.decode(mm))
+      }
+    }
   }
 
   test("resize plan preserves aspect ratio and never upscales") {
