@@ -73,15 +73,15 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    // 2-decimal seconds: the harness captures only the last 2000 chars of
-    // output, and 62 queries at full double precision overflowed that
-    // window (BENCH_r04 "parsed": null). Centisecond resolution keeps the
-    // whole line inside the capture with room for suite growth.
-    // Per-query values at 1 decimal, trailing zeros stripped ("1.0"→"1"):
-    // ±0.05s resolution is ample for per-query regression tracking, and
-    // 65 full-precision entries overflowed the harness's 2000-char tail
-    // capture (a truncated line parses as null — the r4 failure mode).
-    // The total keeps 2 decimals.
+    // The harness captures only the last 2000 chars of output, and a
+    // truncated line parses as null (the r4 failure mode). At 68+
+    // queries even 1-decimal per-query entries overflow, so the line is
+    // BUDGETED: entries ranked by |delta| vs the committed sidecar's
+    // last run (new/changed queries first — the ones a reader actually
+    // wants on stdout) are included greedily while the line stays under
+    // LineBudget; the remainder is summarized as "queries_omitted"
+    // (noise-stable repeats, full precision always in
+    // BENCH_DETAIL.json). The total keeps 2 decimals.
     def fmt(v: Double, dp: Int): String = {
       val s = String.format(java.util.Locale.ROOT, s"%.${dp}f",
         Double.box(v))
@@ -89,8 +89,6 @@ object Bench {
       else s
     }
     def sec(v: Double): String = fmt(v, 2)
-    val qs = results.map { case (k, v) => s"${jstr(k)}:${fmt(v, 1)}" }
-      .mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else "\"errors\":" + errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
@@ -104,8 +102,46 @@ object Bench {
       // invalid JSON number (an unparseable line is the r4 failure mode)
       if (base.matches("sf[0-9]+(\\.[0-9]+)?")) base.drop(2) else jstr(sfDir)
     }
-    val line =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,$errJson"sf":$sfJson}"""
+    // Prior per-query times from the committed sidecar (the previous
+    // bench run) — the delta reference for the line budget.
+    val baseline: Map[String, Double] = try {
+      val f = new java.io.File("BENCH_DETAIL.json")
+      if (!f.isFile) Map.empty
+      else {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+          .map(_.group(1)).toSeq
+          .flatMap(q => """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(q)
+            .map(m => m.group(1) -> m.group(2).toDouble))
+          .toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+    val LineBudget = 1800 // of the 2000-char tail, minus sbt's footer
+    def render(entries: Seq[(String, Double)], omitted: Int): String = {
+      val qs = entries.sortBy(_._1)
+        .map { case (k, v) => s"${jstr(k)}:${fmt(v, 1)}" }
+        .mkString("{", ",", "}")
+      val om = if (omitted > 0) s""""queries_omitted":$omitted,""" else ""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
+        s""""queries":$qs,$om$errJson"sf":$sfJson}"""
+    }
+    // Rank: unseen queries first, then by |delta| desc, name as
+    // tie-break; include greedily while the rendered line fits.
+    val ranked = results.sortBy { case (k, v) =>
+      (-baseline.get(k).map(b => (v - b).abs).getOrElse(Double.MaxValue), k)
+    }
+    val fixedLen = render(Nil, results.size).length
+    var used = fixedLen
+    val shown = Seq.newBuilder[(String, Double)]
+    var nShown = 0
+    ranked.foreach { case (k, v) =>
+      val cost = jstr(k).length + 1 + fmt(v, 1).length + 1
+      if (used + cost <= LineBudget) {
+        shown += ((k, v)); used += cost; nShown += 1
+      }
+    }
+    val line = render(shown.result(), results.size - nShown)
     println(line)
     // Full-precision sidecar: the stdout line must fit the harness's
     // 2000-char tail capture (which caps both precision and, eventually,
@@ -113,7 +149,9 @@ object Bench {
     // per-query times for round-over-round comparison regardless of the
     // line's budget. Written to the working directory (the repo root
     // under the driver), never parsed by the harness.
-    try {
+    // Full runs only: a filtered isolation run must not clobber the
+    // committed full-suite sidecar (it is the delta baseline above).
+    if (only.isEmpty) try {
       val detail = results.map { case (k, v) => s"${jstr(k)}:${fmt(v, 3)}" }
         .mkString("{", ",", "}")
       val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Scaling-evidence harness: times the scale-claim operators across
+  * synthesized corpus multiples (tools/make_scale_corpus.py) so the
+  * scaladoc claims ("prefilter bounds the window input", "t-digest wins
+  * past the exact selection's crossover", "LSH candidates grow O(n) while
+  * brute grows O(n^2)") are measured numbers, not assertions.
+  *
+  * Protocol mirrors [[Bench]]: one warm-up pass per probe at sf0.001
+  * (codegen + JIT), then min-of-3 per (probe, scale) with a pre-run GC
+  * and a post-run clearCache. The quadratic brute-force kNN foil runs
+  * only up to x3 — its x10 cost (~100x the x1 time) is predictable from
+  * the fitted exponent and would dominate the probe's wall clock for no
+  * information.
+  *
+  * Usage:
+  *   runMain graft.ScaleProbe x1=/root/testdata/sf0.1 \
+  *     x3=/tmp/graft_scale/x3 x10=/tmp/graft_scale/x10 [only=p1,p2]
+  *
+  * Output: one `SCALEPROBE {json}` line per (probe, scale) measurement.
+  */
+object ScaleProbe {
+
+  /** The registered mix selection with the [[graft.pipeline.StratumPrefilter]]
+    * forced on/off — the auto-engage bound (1 GiB optimizer estimate) is
+    * sized for real corpora, so probe scales exercise both paths
+    * explicitly through the public override.
+    */
+  private def mixProbe(prefilter: Boolean)(
+      s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Mixing.byTokenBudget(
+        graft.io.Tables.load(s, dir, "documents", parallelize = true)
+          .select(col("doc_id"), col("source"),
+            graft.text.TextAnalysis.tokenCount(col("text")).cast("long")
+              .as("n_tokens")),
+        "source", "doc_id", "n_tokens",
+        budgets = Map.empty, defaultBudget = 600L,
+        prefilter = Some(prefilter))
+      .select("source", "doc_id", "n_tokens")
+
+  /** (name, scale-label filter — None = every scale, fn). */
+  private def probes: Seq[(String, Option[Set[String]],
+      (SparkSession, String) => DataFrame)] = Seq(
+    ("quantiles_exact", None, SparkEntry.queries("profile_quantiles_lineitem")),
+    ("quantiles_tdigest", None, SparkEntry.queries("profile_quantiles_approx")),
+    ("dedup_minhash", None, SparkEntry.queries("dedup_minhash_documents")),
+    ("knn_lsh", None, SparkEntry.queries("sim_knn_graph_lsh")),
+    ("knn_brute", Some(Set("x1", "x3")),
+      SparkEntry.queries("sim_knn_graph_brute")),
+    ("pipeline_full", None,
+      SparkEntry.queries("corpus_pipeline_full_documents")),
+    ("mix_prefilter_off", None, mixProbe(prefilter = false) _),
+    ("mix_prefilter_on", None, mixProbe(prefilter = true) _))
+
+  def main(args: Array[String]): Unit = {
+    val scales = args.toSeq.filterNot(_.startsWith("only="))
+      .map { a =>
+        val Array(label, dir) = a.split("=", 2)
+        (label, dir)
+      }
+    require(scales.nonEmpty, "usage: ScaleProbe label=dir ... [only=p1,p2]")
+    val only = args.find(_.startsWith("only="))
+      .map(_.drop(5).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = probes.filter { case (n, _, _) => only.forall(_.contains(n)) }
+    val spark = Sessions.local()
+    val warmDir = "/root/testdata/sf0.001"
+    selected.foreach { case (_, _, fn) =>
+      try fn(spark, warmDir).queryExecution.toRdd.count()
+      catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
+    selected.foreach { case (name, labelFilter, fn) =>
+      scales.foreach { case (label, dir) =>
+        if (labelFilter.forall(_.contains(label))) {
+          val times = (1 to 3).map { _ =>
+            System.gc()
+            val t0 = System.nanoTime()
+            fn(spark, dir).queryExecution.toRdd.count()
+            spark.catalog.clearCache()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"""SCALEPROBE {"probe":"$name","scale":"$label",""" +
+            f""""min":${times.min}%.3f,"runs":[""" +
+            times.map(t => f"$t%.3f").mkString(",") + "]}")
+        }
+      }
+    }
+    spark.stop()
+  }
+}
