@@ -216,7 +216,8 @@ object FileDq {
   /** Pairwise functional-dependency consistency for every ordered column
     * pair: 1.0 when each value of c1 maps to exactly one value of c2
     * (nulls dropped pairwise). All pairs run in ONE job: per-row explode
-    * of (pair_idx, key, value) then two aggregations.
+    * of (pair_idx, key, value) then one keyed aggregation (plus a tiny
+    * per-pair rollup).
     *
     * Shuffle compression: the exploded rows carry 128-bit fingerprints
     * (two independently-salted xxhash64 longs) of key and value, not the
@@ -275,10 +276,19 @@ object FileDq {
       .select(col("p.pi").as("pi"),
         col("p.k.h1").as("kh1"), col("p.k.h2").as("kh2"),
         col("p.v.h1").as("vh1"), col("p.v.h2").as("vh2"))
+    // "nd > 1" needs only inequality evidence, not the distinct count:
+    // a key maps to ≥2 distinct 128-bit values iff EITHER hash lane
+    // varies, i.e. min ≠ max on vh1 or on vh2. countDistinct would plan
+    // a second exchange (dedupe on all five columns, then re-group on
+    // the key); four primitive min/max aggregates keep ONE exchange and
+    // stay on the hash-map fast path. Map-side partials collapse each
+    // partition's key to 4 longs before the shuffle.
     val perKey = exploded.groupBy("pi", "kh1", "kh2")
-      .agg(countDistinct("vh1", "vh2").as("nd"))
+      .agg(min("vh1").as("v1lo"), max("vh1").as("v1hi"),
+        min("vh2").as("v2lo"), max("vh2").as("v2hi"))
     val perPair = perKey.groupBy("pi")
-      .agg(sum(when(col("nd") > 1, 1L).otherwise(0L)).as("bad"))
+      .agg(sum(when(col("v1lo") =!= col("v1hi") ||
+          col("v2lo") =!= col("v2hi"), 1L).otherwise(0L)).as("bad"))
 
     val pairName = element_at(
       map(pairs.zipWithIndex.flatMap { case ((c1, c2), i) =>
