@@ -85,18 +85,28 @@ object Tables {
         df
       case Some(known) => spark.read.schema(known).parquet(path)
     }
-    // Parquet TIMESTAMP(NANOS) columns arrive as LongType under
-    // spark.sql.legacy.parquet.nanosAsLong (Spark has no ns timestamp type);
-    // restore the declared temporal type at µs precision. Truncation, not
-    // rounding — matches how engines narrow timestamps.
+    // Normalize every declared temporal column to TIMESTAMP (with local
+    // time zone) regardless of how the corpus writer encoded it:
+    //  - TIMESTAMP(NANOS) arrives as LongType under
+    //    spark.sql.legacy.parquet.nanosAsLong (Spark has no ns timestamp
+    //    type); restore µs precision by truncation — `div`, not `/`:
+    //    column `/` is IEEE double division, which cannot represent
+    //    ~1.7e18 ns exactly (53-bit mantissa).
+    //  - Naive TIMESTAMP(MICROS) (isAdjustedToUTC=false) infers as
+    //    TIMESTAMP_NTZ in Spark 4; cast to TIMESTAMP under the session's
+    //    UTC zone — value-identical wall clock, and keeps every temporal
+    //    function (unix_micros, watermarks, window()) on the one type the
+    //    whole engine is written against.
     val temporal = Schemas.byTable.get(name)
       .map(_.filter(_.temporal).map(_.name).toSet).getOrElse(Set.empty)
     val typed = raw.schema.fields.foldLeft(raw) { (df, f) =>
       if (temporal(f.name) && f.dataType == LongType)
-        // `div`, not `/`: column `/` is IEEE double division, which cannot
-        // represent ~1.7e18 ns exactly (53-bit mantissa).
         df.withColumn(f.name,
           expr(s"timestamp_micros(`${f.name}` div 1000)"))
+      else if (temporal(f.name) &&
+          f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        df.withColumn(f.name,
+          col(f.name).cast(org.apache.spark.sql.types.TimestampType))
       else df
     }
     // A production table scan parallelizes via file splits; each corpus
