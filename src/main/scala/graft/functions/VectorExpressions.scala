@@ -28,4 +28,14 @@ object VectorExpressions {
     */
   def doubleBits(v: Column): Column =
     ColumnShim.column(SortableDoubleBits(ColumnShim.expression(v)))
+
+  /** Misra–Gries heavy-hitters aggregate over a string column:
+    * `array<struct<value,count>>`, top `k` by (count desc, value asc),
+    * at most `capacity` counters of summary state per partition. See
+    * [[org.apache.spark.sql.graft.TopKSketch]] for the regime guarantees.
+    */
+  def approxTopK(v: Column, capacity: Int, k: Int): Column =
+    ColumnShim.column(org.apache.spark.sql.graft.TopKSketch(
+      ColumnShim.expression(v), capacity, k)
+      .toAggregateExpression())
 }

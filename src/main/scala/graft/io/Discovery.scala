@@ -66,6 +66,10 @@ object Discovery {
       case "xml" =>
         (spark.read.option("rowTag", "row").xml(path), "xml")
       case "parquet" => (spark.read.parquet(path), "parquet")
+      // Beyond the reference's pandas formats: ORC is the other columnar
+      // format a Spark-native lakehouse ingests, and the reader ships in
+      // Spark core — same split/pushdown machinery as parquet.
+      case "orc" => (spark.read.orc(path), "orc")
       case other =>
         throw new IllegalArgumentException(
           s"Unsupported file format: .$other")

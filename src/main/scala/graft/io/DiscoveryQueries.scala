@@ -105,6 +105,33 @@ object DiscoveryQueries extends QueryPack {
     Some("SELECT event_id, event_type, value FROM events " +
       s"WHERE event_id <= $XlsxRows ORDER BY event_id"))
 
+  /** ORC ingestion end to end: stage an events slice as a real ORC file
+    * (Spark's built-in writer), read it back through the discovery
+    * branch, and oracle the VALUES from the events table — the same
+    * staging pattern as the xlsx gate. Columnar-to-columnar, so types
+    * survive exactly (no text round-trip caveats).
+    */
+  private val OrcRows = 400L
+
+  private def orcQuery = QueryDef(
+    "discovery_orc_events",
+    (s, dir) => {
+      // directory carries the extension (a parquet-style multi-part
+      // "file"); the staged subset is keyed, not limit()-ed — limit
+      // without order is nondeterministic and would break the oracle
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_events.orc"
+      Tables.load(s, dir, "events", parallelize = false)
+        .select("event_id", "event_type", "value")
+        .filter(org.apache.spark.sql.functions.col("event_id") <= OrcRows)
+        .coalesce(1)
+        .write.mode("overwrite").orc(out)
+      val (df, fileType) = Discovery.load(s, out)
+      require(fileType == "orc", s"orc must report 'orc', got $fileType")
+      df.orderBy("event_id")
+    },
+    Some("SELECT event_id, event_type, value FROM events " +
+      s"WHERE event_id <= $OrcRows ORDER BY event_id"))
+
   /** S9: catalog scan as a relation, with the reference's CASE
     * length/precision dispatch (`Data_Quality_Table.sql:38-54`). Oracle =
     * literal expected rows from the corpus schema spec (NUMBER→38,
@@ -128,6 +155,6 @@ object DiscoveryQueries extends QueryPack {
     })
 
   override def queries: Seq[QueryDef] =
-    Seq(parquetQuery, csvQuery, jsonQuery, xmlQuery, xlsxQuery,
+    Seq(parquetQuery, csvQuery, jsonQuery, xmlQuery, xlsxQuery, orcQuery,
       catalogQuery("customer"), catalogQuery("lineitem"))
 }

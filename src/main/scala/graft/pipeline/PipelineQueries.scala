@@ -136,6 +136,107 @@ object PipelineQueries extends QueryPack {
       "FROM events e JOIN dim d ON e.event_type = d.event_type " +
       "GROUP BY e.event_type, d.type_events ORDER BY e.event_type"))
 
+  /** SCD2 history build: the events change log historized per user in
+    * one window pass. Interval bounds emitted as µs longs (same
+    * representation rule as every ts column here); the oracle mirrors
+    * the lead() with the identical (ts_us, event_id) tie-break.
+    */
+  private def scd2HistoryQuery = QueryDef(
+    "scd2_history_events",
+    (s, dir) => {
+      val events = Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      Scd2.historize(events, Seq("user_id"), "ts",
+          tieBreakers = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"),
+          unix_micros(col(Scd2.ValidFrom)).as("valid_from_us"),
+          unix_micros(col(Scd2.ValidTo)).as("valid_to_us"),
+          col(Scd2.IsCurrent).as("is_current"))
+        .orderBy("user_id", "valid_from_us", "event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, value,
+           |  epoch_us(ts) AS valid_from_us,
+           |  LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+           |    ORDER BY epoch_us(ts), event_id) AS valid_to_us,
+           |  (LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+           |    ORDER BY epoch_us(ts), event_id) IS NULL) AS is_current
+           |FROM events
+           |ORDER BY user_id, valid_from_us, event_id""".stripMargin))
+
+  /** SCD2 merge: pre-split history + post-split batch. Only the latest
+    * batch row per user is considered; it versions the user iff
+    * event_type or value differs null-safely from the current version
+    * (the no-op rule — an identical redelivery must NOT grow history).
+    * The oracle replays the same decomposition in CTEs.
+    */
+  private def scd2MergeQuery = QueryDef(
+    "scd2_merge_events",
+    (s, dir) => {
+      val events = Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val split = lit(SplitTs).cast("timestamp")
+      val target = Scd2.historize(events.filter(col("ts") < split),
+        Seq("user_id"), "ts", tieBreakers = Seq("event_id"))
+      val source = events.filter(col("ts") >= split)
+      Scd2.merge(target, source, Seq("user_id"), "ts",
+          attrs = Seq("event_type", "value"),
+          tieBreakers = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"),
+          unix_micros(col(Scd2.ValidFrom)).as("valid_from_us"),
+          unix_micros(col(Scd2.ValidTo)).as("valid_to_us"),
+          col(Scd2.IsCurrent).as("is_current"))
+        .orderBy("user_id", "valid_from_us", "event_id")
+    },
+    Some(
+      s"""WITH hist AS (
+         |  SELECT event_id, user_id, event_type, value,
+         |    epoch_us(ts) AS valid_from_us,
+         |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS valid_to_us
+         |  FROM events WHERE ts < TIMESTAMP '$SplitTs'),
+         |histf AS (
+         |  SELECT *, (valid_to_us IS NULL) AS is_current FROM hist),
+         |src AS (
+         |  SELECT event_id, user_id, event_type, value,
+         |    epoch_us(ts) AS ts_us
+         |  FROM events WHERE ts >= TIMESTAMP '$SplitTs'),
+         |latest AS (
+         |  SELECT * FROM src QUALIFY ROW_NUMBER() OVER
+         |    (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC)
+         |    = 1),
+         |cur AS (SELECT * FROM histf WHERE is_current),
+         |changed AS (
+         |  SELECT l.* FROM latest l LEFT JOIN cur c
+         |    ON l.user_id = c.user_id
+         |  WHERE c.user_id IS NULL
+         |    OR l.event_type IS DISTINCT FROM c.event_type
+         |    OR l.value IS DISTINCT FROM c.value),
+         |noncur AS (
+         |  SELECT event_id, user_id, event_type, value, valid_from_us,
+         |    valid_to_us, is_current
+         |  FROM histf WHERE NOT is_current),
+         |closed AS (
+         |  SELECT c.event_id, c.user_id, c.event_type, c.value,
+         |    c.valid_from_us, ch.ts_us AS valid_to_us,
+         |    FALSE AS is_current
+         |  FROM cur c JOIN changed ch ON c.user_id = ch.user_id),
+         |untouched AS (
+         |  SELECT event_id, user_id, event_type, value, valid_from_us,
+         |    valid_to_us, is_current
+         |  FROM cur WHERE user_id NOT IN (SELECT user_id FROM changed)),
+         |newrows AS (
+         |  SELECT event_id, user_id, event_type, value,
+         |    ts_us AS valid_from_us, CAST(NULL AS BIGINT) AS valid_to_us,
+         |    TRUE AS is_current
+         |  FROM changed)
+         |SELECT * FROM noncur UNION ALL SELECT * FROM closed
+         |UNION ALL SELECT * FROM untouched UNION ALL
+         |SELECT * FROM newrows
+         |ORDER BY user_id, valid_from_us, event_id""".stripMargin))
+
   override def queries: Seq[QueryDef] =
-    Seq(latestQuery, mergeQuery, asofQuery, saltedQuery, saltedJoinQuery)
+    Seq(latestQuery, mergeQuery, asofQuery, saltedQuery, saltedJoinQuery,
+      scd2HistoryQuery, scd2MergeQuery)
 }

@@ -121,7 +121,42 @@ object ProfileQueries extends QueryPack {
       .orderBy("column_name"),
     None)
 
+  /** Heavy-hitters profiling: top-10 l_partkey by frequency. The exact
+    * relational form (groupBy + total-order limit) and the Misra–Gries
+    * native aggregate ([[org.apache.spark.sql.graft.TopKSketch]]) are
+    * registered against the SAME oracle: at capacity 32768 ≥ #distinct
+    * parts the summary is provably exact, so the gate hash-pins the
+    * aggregate's whole update/merge/serialize/eval path. The sub-capacity
+    * sketch regime (the actual 100 TB configuration, where a fixed 32k
+    * counters profile an unbounded column) is spec-pinned against exact
+    * counts in `TopKSketchSpec`. Tie-breaks are on the STRING value in
+    * both engines (ASCII byte order) so boundary ties hash-match.
+    */
+  private val TopKOracle =
+    "SELECT CAST(l_partkey AS VARCHAR) AS value, COUNT(*) AS cnt " +
+      "FROM lineitem GROUP BY 1 ORDER BY cnt DESC, value LIMIT 10"
+
+  private def topkExactQuery = QueryDef(
+    "profile_topk_lineitem",
+    (s, dir) => Tables.load(s, dir, "lineitem", parallelize = true)
+      .groupBy(col("l_partkey").cast("string").as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("value"))
+      .limit(10),
+    Some(TopKOracle))
+
+  private def topkSketchQuery = QueryDef(
+    "profile_topk_sketch_lineitem",
+    (s, dir) => Tables.load(s, dir, "lineitem", parallelize = true)
+      .agg(graft.functions.VectorExpressions.approxTopK(
+        col("l_partkey").cast("string"), 32768, 10).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.value").as("value"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("value")),
+    Some(TopKOracle))
+
   override def queries: Seq[QueryDef] =
     Seq(profileQuery("lineitem"), profileQuery("orders"), approxQuery,
-      quantileQuery("lineitem"), quantileApproxQuery)
+      quantileQuery("lineitem"), quantileApproxQuery, topkExactQuery,
+      topkSketchQuery)
 }

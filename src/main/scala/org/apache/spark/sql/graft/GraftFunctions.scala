@@ -22,6 +22,9 @@ import org.apache.spark.sql.types.IntegerType
   *     bounds, like the built-in `approx_percentile` accuracy argument)
   *   - `graft_double_bits(double)` → bigint (sort-order-isomorphic bit
   *     image; the basis of range-bucket selection in SQL scripts)
+  *   - `graft_topk(string, capacity, k)` → array<struct<value,count>>
+  *     (Misra–Gries heavy hitters; capacity/k must be integer literals —
+  *     they fix the summary size)
   *
   * Two hook-up paths:
   *   - config `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`
@@ -67,6 +70,19 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 1, "graft_double_bits expects 1 argument")
           SortableDoubleBits(args.head)
+        }),
+      (FunctionIdentifier("graft_topk"),
+        new ExpressionInfo(classOf[TopKSketch].getName, "graft_topk"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3,
+            "graft_topk expects (value, capacity, k)")
+          def intLit(e: Expression, what: String): Int = e match {
+            case Literal(v: Int, IntegerType) => v
+            case other => throw new IllegalArgumentException(
+              s"graft_topk: $what must be an integer literal, got $other")
+          }
+          TopKSketch(args.head, intLit(args(1), "capacity"),
+            intLit(args(2), "k"))
         }))
 
   /** Idempotent registration on an existing session (temp-function scope,
