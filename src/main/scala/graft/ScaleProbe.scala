@@ -53,7 +53,15 @@ object ScaleProbe {
     ("pipeline_full", None,
       SparkEntry.queries("corpus_pipeline_full_documents")),
     ("mix_prefilter_off", None, mixProbe(prefilter = false) _),
-    ("mix_prefilter_on", None, mixProbe(prefilter = true) _))
+    ("mix_prefilter_on", None, mixProbe(prefilter = true) _),
+    // r6 additions: the SCD2 merge (keyed joins — should track the
+    // window+join constant) and the Misra–Gries aggregate (single scan,
+    // fixed summary state — should be the flattest data-sized probe;
+    // the scaled corpus keeps l_partkey's distinct count constant, so
+    // the capacity-exact regime holds at every scale)
+    ("scd2_merge", None, SparkEntry.queries("scd2_merge_events")),
+    ("topk_sketch", None,
+      SparkEntry.queries("profile_topk_sketch_lineitem")))
 
   def main(args: Array[String]): Unit = {
     val scales = args.toSeq.filterNot(_.startsWith("only="))

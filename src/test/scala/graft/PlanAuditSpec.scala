@@ -84,6 +84,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("scd2 merge keeps keyed joins only (anti for untouched, no cartesian)") {
+    // the SCD2 decomposition: latest-per-key window, latest×current
+    // keyed join for the change test, anti-join for untouched current
+    // rows, unions of already-keyed frames — a cartesian anywhere means
+    // the null-safe attr diff fell out of the join condition
+    val p = plan("scd2_merge_events")
+    assert(p.contains("LeftAnti"), "untouched-current must stay an anti-join")
+    assert(p.contains("Union"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("topk sketch aggregates in one pass (partial + final, no shuffle of rows)") {
+    // the Misra–Gries aggregate must plan like any agg: partial
+    // ObjectHashAggregate per partition, ONE exchange of summaries,
+    // final merge — never a per-value shuffle like the exact groupBy
+    val p = plan("profile_topk_sketch_lineitem")
+    assert(p.contains("ObjectHashAggregate"),
+      s"graft_topk should use object agg buffers:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(value"),
+      "sketch path must not shuffle per distinct value")
+  }
+
   test("dq file report plans no Window (rare totals ride in from the profile)") {
     // the rare-value pillar's per-column total comes from the profile's
     // count_all - count_nulls as a literal map — a regression back to

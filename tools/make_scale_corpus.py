@@ -103,6 +103,26 @@ def scale_lineitem(con, src, out, mult):
     print(f"lineitem: {n} -> {n * mult}")
 
 
+def scale_events(con, src, out, mult):
+    """Copy k offsets event_id AND user_id: the corpus grows by adding
+    USERS (per-user history length stays constant — how an event stream
+    actually grows), so keyed-window operators (SCD2, sessionize) see
+    constant per-key work and more keys. ts/type/value distributions are
+    identical at every scale."""
+    n, maxu, maxe = con.execute(
+        f"SELECT count(*), max(user_id), max(event_id) "
+        f"FROM read_parquet('{src}/events.parquet')").fetchone()
+    parts = [
+        f"SELECT event_id + {(maxe + 1) * k} AS event_id, ts, "
+        f"user_id + {(maxu + 1) * k} AS user_id, event_type, value, props "
+        f"FROM read_parquet('{src}/events.parquet')"
+        for k in range(mult)]
+    con.execute(
+        f"COPY ({' UNION ALL '.join(parts)}) TO '{out}/events.parquet' "
+        f"(FORMAT parquet)")
+    print(f"events: {n} -> {n * mult}")
+
+
 def main():
     src, out, mult = sys.argv[1], sys.argv[2], int(sys.argv[3])
     import os
@@ -111,6 +131,7 @@ def main():
     scale_documents(con, src, out, mult)
     scale_embeddings(src, out, mult)
     scale_lineitem(con, src, out, mult)
+    scale_events(con, src, out, mult)
 
 
 if __name__ == "__main__":
