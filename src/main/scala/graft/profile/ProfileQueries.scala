@@ -155,8 +155,32 @@ object ProfileQueries extends QueryPack {
       .orderBy(col("cnt").desc, col("value")),
     Some(TopKOracle))
 
+  /** Grouped percentiles — per-source length distribution, the curation
+    * report a corpus QA pass starts from ("is the code slice's p95 doc
+    * length drifting?"). Spark's exact `percentile` and DuckDB's
+    * `quantile_cont` share the lo + frac·(hi − lo) interpolation, so the
+    * oracle matches at round(…,4). Scale note: exact grouped percentile
+    * sorts WITHIN each (source) group after one keyed exchange — fine
+    * while groups fit a task (sources are few); the unbounded-group swap
+    * is `approx_percentile` grouped (same t-digest trade as
+    * `profile_quantiles_approx`), one line away.
+    */
+  private def groupedQuantileQuery = QueryDef(
+    "profile_quantiles_by_source",
+    (s, dir) => Tables.load(s, dir, "documents", parallelize = true)
+      .groupBy(col("source"))
+      .agg(
+        round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+        round(expr("percentile(n_chars, 0.95)"), 4).as("p95_chars"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source"),
+    Some("SELECT source, " +
+      "ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_chars, " +
+      "ROUND(quantile_cont(n_chars, 0.95), 4) AS p95_chars, " +
+      "COUNT(*) AS n_docs FROM documents GROUP BY source ORDER BY source"))
+
   override def queries: Seq[QueryDef] =
     Seq(profileQuery("lineitem"), profileQuery("orders"), approxQuery,
       quantileQuery("lineitem"), quantileApproxQuery, topkExactQuery,
-      topkSketchQuery)
+      topkSketchQuery, groupedQuantileQuery)
 }
