@@ -24,6 +24,18 @@ object DiscoveryQueries extends QueryPack {
         s"$o AS ordinal_position"
     }.mkString(" UNION ALL ") + " ORDER BY ordinal_position"
 
+  /** Per-process staging path: `name.ext` → `name_<pid>.ext` under
+    * java.io.tmpdir. Two gate JVMs on one host (bench + verify, or
+    * parallel CI lanes) must never interleave a write and a read on the
+    * SAME staged file — with a shared fixed name that shows up as a
+    * ZipException or a wrong-rows hash mismatch in an otherwise green
+    * run. One file per (process, name), overwritten per run, so /tmp
+    * growth stays bounded.
+    */
+  private def stagePath(name: String, ext: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/${name}_" +
+      s"${ProcessHandle.current().pid()}.$ext"
+
   private def parquetQuery = QueryDef(
     "discovery_parquet_lineitem",
     (s, dir) => Discovery.schemaFrame(s, s"$dir/lineitem.parquet")
@@ -35,7 +47,7 @@ object DiscoveryQueries extends QueryPack {
   private def csvQuery = QueryDef(
     "discovery_csv_events",
     (s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_events.csv"
+      val out = stagePath("graft_events", "csv")
       Tables.load(s, dir, "events", parallelize = false)
         .select("event_id", "event_type", "value").limit(StageSample)
         .write.mode("overwrite").option("header", "true").csv(out)
@@ -48,7 +60,7 @@ object DiscoveryQueries extends QueryPack {
   private def jsonQuery = QueryDef(
     "discovery_json_documents",
     (s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_docs.json"
+      val out = stagePath("graft_docs", "json")
       Tables.load(s, dir, "documents", parallelize = false)
         .select("doc_id", "lang", "source").limit(StageSample)
         .write.mode("overwrite").json(out)
@@ -65,7 +77,7 @@ object DiscoveryQueries extends QueryPack {
   private def xmlQuery = QueryDef(
     "discovery_xml_events",
     (s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_events.xml"
+      val out = stagePath("graft_events", "xml")
       Tables.load(s, dir, "events", parallelize = false)
         .select("event_id", "event_type", "value").limit(StageSample)
         .write.mode("overwrite").option("rowTag", "row").xml(out)
@@ -90,7 +102,7 @@ object DiscoveryQueries extends QueryPack {
     "discovery_xlsx_events",
     (s, dir) => {
       val out =
-        s"${System.getProperty("java.io.tmpdir")}/graft_events.xlsx"
+        stagePath("graft_events", "xlsx")
       val rows = Tables.load(s, dir, "events", parallelize = false)
         .select("event_id", "event_type", "value")
         .filter(org.apache.spark.sql.functions.col("event_id") <= XlsxRows)
@@ -119,7 +131,7 @@ object DiscoveryQueries extends QueryPack {
       // directory carries the extension (a parquet-style multi-part
       // "file"); the staged subset is keyed, not limit()-ed — limit
       // without order is nondeterministic and would break the oracle
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_events.orc"
+      val out = stagePath("graft_events", "orc")
       Tables.load(s, dir, "events", parallelize = false)
         .select("event_id", "event_type", "value")
         .filter(org.apache.spark.sql.functions.col("event_id") <= OrcRows)

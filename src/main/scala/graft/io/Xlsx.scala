@@ -126,7 +126,12 @@ object Xlsx {
     f.createXMLStreamReader(zip.getInputStream(zip.getEntry(entry)))
   }
 
-  /** `<si>` items; rich-text runs concatenate their `<t>` pieces. */
+  /** `<si>` items; rich-text runs concatenate their `<t>` pieces.
+    * Phonetic runs (`<rPh>`, furigana hints) carry their OWN `<t>`
+    * elements that are NOT part of the cell value — pandas/openpyxl
+    * exclude them, so concatenating would corrupt strings from
+    * workbooks with phonetic guides.
+    */
   private def parseSharedStrings(zip: ZipFile, entry: String)
       : IndexedSeq[String] = {
     val r = staxReader(zip, entry)
@@ -134,13 +139,15 @@ object Xlsx {
     val cur = new StringBuilder
     var inSi = false
     var inT = false
+    var phoneticDepth = 0
     try {
       while (r.hasNext) {
         r.next() match {
           case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
             r.getLocalName match {
               case "si" => inSi = true; cur.clear()
-              case "t" if inSi => inT = true
+              case "rPh" if inSi => phoneticDepth += 1
+              case "t" if inSi && phoneticDepth == 0 => inT = true
               case _ =>
             }
           case javax.xml.stream.XMLStreamConstants.CHARACTERS if inT =>
@@ -148,6 +155,7 @@ object Xlsx {
           case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
             r.getLocalName match {
               case "si" => inSi = false; out += cur.result()
+              case "rPh" if inSi => phoneticDepth -= 1
               case "t"  => inT = false
               case _ =>
             }

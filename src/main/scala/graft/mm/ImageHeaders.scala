@@ -77,6 +77,9 @@ object ImageHeaders {
           return if (w > 0 && h > 0 && comps > 0) Some((w, h, comps))
           else None
         case _ =>
+          // the segment length is TWO bytes at j+1/j+2 — the j+1 bound
+          // above only covers the marker byte itself
+          if (j + 2 >= b.length) return None
           val len = be16(b, j + 1)
           if (len < 2) return None
           i = j + 1 + len

@@ -46,6 +46,7 @@ object Scd2 {
     */
   def historize(df: DataFrame, keys: Seq[String], orderCol: String,
       tieBreakers: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "historize needs at least one key column")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((orderCol +: tieBreakers).map(c => col(c).asc): _*)
     df.withColumn(ValidFrom, col(orderCol))
@@ -63,6 +64,10 @@ object Scd2 {
   def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
       orderCol: String, attrs: Seq[String],
       tieBreakers: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "SCD2 merge needs at least one key column")
+    require(attrs.nonEmpty,
+      "SCD2 merge needs at least one tracked attribute (attrs) — with " +
+        "none, no redelivery could ever constitute a change")
     val srcCols = source.columns.toSeq
     val latest = Scd1.latestPerKey(source, keys, orderCol, tieBreakers)
     val current = target.filter(col(IsCurrent))

@@ -83,6 +83,25 @@ class XlsxSpec extends SparkSpec {
     assert(row.getLong(2) === 42L)
   }
 
+  test("phonetic runs (rPh) are excluded from shared-string values") {
+    // Excel stores furigana hints as <rPh> runs with their own <t>
+    // elements INSIDE <si>; pandas/openpyxl exclude them from the value
+    val p = tmp("graft_xlsx_rph.xlsx")
+    val ns = "xmlns=\"http://schemas.openxmlformats.org/" +
+      "spreadsheetml/2006/main\""
+    Xlsx.writeRaw(p, Seq(
+      "xl/sharedStrings.xml" ->
+        (s"""<?xml version="1.0"?><sst $ns>""" +
+          """<si><t>value</t><rPh sqref="A2"><t>furigana</t></rPh>""" +
+          "</si></sst>"),
+      "xl/worksheets/sheet1.xml" ->
+        (s"""<?xml version="1.0"?><worksheet $ns><sheetData>""" +
+          """<row><c t="inlineStr"><is><t>h</t></is></c></row>""" +
+          """<row r="2"><c r="A2" t="s"><v>0</v></c></row>""" +
+          "</sheetData></worksheet>")))
+    assert(Xlsx.read(spark, p).collect().head.getString(0) === "value")
+  }
+
   test("missing header cell is named like pandas (Unnamed: N)") {
     val p = tmp("graft_xlsx_unnamed.xlsx")
     val ns = "xmlns=\"http://schemas.openxmlformats.org/" +

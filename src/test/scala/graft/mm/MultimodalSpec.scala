@@ -120,6 +120,12 @@ class MultimodalSpec extends SparkSpec {
     val noSof = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0x00, 0x00)
       .map(_.toByte)
     assert(ImageHeaders.parse(noSof) === None)
+    // truncated buffer ending right after a fill byte + marker code:
+    // the 2-byte segment length is out of bounds — must be None, not
+    // an ArrayIndexOutOfBoundsException crashing the decode task
+    val truncated = Array(0xff, 0xd8, 0xff, 0xff, 0xe0, 0x00)
+      .map(_.toByte)
+    assert(ImageHeaders.parse(truncated) === None)
   }
 
   test("synthesized image payloads decode through REAL PNG parsing to " +

@@ -13,7 +13,7 @@ per-row statistics and *relative* structure match the original corpus:
   Jaccard ~ 0), so the near-duplicate pair population replicates
   per-copy — duplicate DENSITY stays constant as the corpus grows, like
   a real crawl, instead of every row gaining mult-1 artificial twins.
-- embeddings: copy k adds deterministic gaussian noise (sigma=0.07/dim,
+- embeddings: copy k adds deterministic gaussian noise (per-component sigma=0.07,
   seed=k) and renormalizes: cos(v, v') ~ 0.87, i.e. perturbed copies
   stay in their source's cluster region (labels preserved) without
   being near-duplicates of it, so LSH/IVF bucket occupancy scales the
@@ -34,9 +34,12 @@ import pyarrow.parquet as pq
 
 
 def scale_documents(con, src, out, mult):
-    n = con.execute(
-        f"SELECT count(*) FROM read_parquet('{src}/documents.parquet')"
-    ).fetchone()[0]
+    # offset by max(doc_id)+1, not row count: sparse ids would collide
+    # between copies under an n-based offset (lineitem/events do the same)
+    n, stride = con.execute(
+        f"SELECT count(*), max(doc_id) + 1 "
+        f"FROM read_parquet('{src}/documents.parquet')"
+    ).fetchone()
     parts = []
     for k in range(mult):
         if k == 0:
@@ -47,7 +50,7 @@ def scale_documents(con, src, out, mult):
             # append digit(s) k to every token; recompute n_chars to keep
             # the corpus invariant n_chars == len(text)
             parts.append(
-                f"SELECT doc_id + {n * k} AS doc_id, "
+                f"SELECT doc_id + {stride * k} AS doc_id, "
                 f"regexp_replace(text, '(\\S+)', '\\1{k}', 'g') AS text, "
                 f"lang, source, "
                 f"len(regexp_replace(text, '(\\S+)', '\\1{k}', 'g'))::BIGINT "
@@ -73,7 +76,7 @@ def scale_embeddings(src, out, mult):
             rng = np.random.RandomState(1000 + k)
             v = emb + rng.randn(n, dim).astype(np.float32) * 0.07
             v = v / np.linalg.norm(v, axis=1, keepdims=True)
-        ids.append(vec_id + n * k)
+        ids.append(vec_id + (int(vec_id.max()) + 1) * k)
         labels.append(label)
         vecs.append(v.astype(np.float32))
     out_t = pa.table({
