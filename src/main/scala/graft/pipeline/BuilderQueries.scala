@@ -101,6 +101,50 @@ object BuilderQueries extends QueryPack {
       "UNION ALL SELECT 'except', (SELECT COUNT(*) FROM " +
       "(SELECT k FROM a EXCEPT SELECT k FROM b)) ORDER BY op"))
 
+  /** Co-located bucketed join — the §4 shuffle-elimination story as a
+    * registered, plan-pinned query. Both fact sides are written
+    * `bucketBy(8, orderkey)` into the session warehouse, so the join
+    * needs NO Exchange on either side (pinned in `PlanAuditSpec`): each
+    * task merge-joins bucket i of lineitem with bucket i of orders. On a
+    * 100 TB lakehouse this is the difference between re-shuffling both
+    * fact tables per query and amortizing ONE bucketed write across
+    * every subsequent orderkey join; the same table layout backs
+    * repeated SCD merges and as-of joins on the key. MERGE hint pins
+    * sort-merge (broadcast would dodge the exchange question at test
+    * scale); per-process table names for the same reason the discovery
+    * staging paths carry the pid.
+    */
+  private def bucketedJoinQuery = QueryDef(
+    "join_bucketed_revenue",
+    (s, dir) => {
+      val pid = ProcessHandle.current().pid()
+      val lt = s"graft_li_bucketed_$pid"
+      val ot = s"graft_ord_bucketed_$pid"
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount"))
+        .write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").format("parquet").saveAsTable(lt)
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").format("parquet").saveAsTable(ot)
+      s.table(lt).hint("merge")
+        .join(s.table(ot),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("line_cnt"))
+        .orderBy("o_orderstatus")
+    },
+    Some("SELECT o_orderstatus, " +
+      "SUM((l_extendedprice * (1.0 - l_discount))::DECIMAL(18,4))::DOUBLE " +
+      "AS revenue, COUNT(*) AS line_cnt FROM lineitem " +
+      "JOIN orders ON l_orderkey = o_orderkey " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus"))
+
   override def queries: Seq[QueryDef] =
-    Seq(joinAggQuery, monthlyQuery, revenueQuery, setOpsQuery)
+    Seq(joinAggQuery, monthlyQuery, revenueQuery, setOpsQuery,
+      bucketedJoinQuery)
 }

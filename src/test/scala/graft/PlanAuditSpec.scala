@@ -84,6 +84,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("bucketed join reads co-located buckets with NO exchange on the keys") {
+    // the §4 shuffle-elimination pin: both sides bucketBy(8, orderkey),
+    // so the sort-merge join must consume bucket i ⋈ bucket i directly —
+    // any hashpartitioning exchange on the join keys means bucketing
+    // metadata was lost and both fact tables re-shuffle per query
+    val p = plan("join_bucketed_revenue")
+    assert(p.contains("SortMergeJoin"), s"expected a merge join:\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"scan must report bucketed reading:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"join keys must not be re-shuffled:\n$p")
+  }
+
   test("scd2 merge keeps keyed joins only (anti for untouched, no cartesian)") {
     // the SCD2 decomposition: latest-per-key window, latest×current
     // keyed join for the change test, anti-join for untouched current
