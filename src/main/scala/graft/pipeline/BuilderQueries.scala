@@ -120,6 +120,26 @@ object BuilderQueries extends QueryPack {
       val pid = ProcessHandle.current().pid()
       val lt = s"graft_li_bucketed_$pid"
       val ot = s"graft_ord_bucketed_$pid"
+      // per-pid tables stop cross-JVM interleaving, but dead pids'
+      // copies would otherwise accumulate in the warehouse forever;
+      // reap siblings untouched for an hour (a LIVE concurrent gate
+      // rewrites its tables every run, so it is never that stale)
+      try {
+        val wh = new java.io.File(
+          new java.net.URI(s.conf.get("spark.sql.warehouse.dir")))
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
+        Option(wh.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.matches("graft_(li|ord)_bucketed_\\d+")
+            && !f.getName.endsWith(s"_$pid")
+            && f.lastModified() < cutoff)
+          .foreach { dead =>
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+              f.delete(): Unit
+            }
+            rm(dead)
+          }
+      } catch { case _: Exception => () } // cleanup is best-effort
       Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice"),
           col("l_discount"))
