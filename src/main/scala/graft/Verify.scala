@@ -14,8 +14,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // drop persisted sketch/index frames between queries
+      // drop persisted sketch/index frames between queries; run deferred
+      // teardown (streaming state-store unload) so it can't tax the next
+      // query's GC
       spark.catalog.clearCache()
+      util.DeferredCleanup.drain()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -72,12 +72,12 @@ object Tables {
     // serving the stale cached schema. An unstat-able path skips the
     // cache entirely. Bounded: the corpus is a fixed table set; clear()
     // guards the pathological many-distinct-paths caller.
-    val key = try {
+    val stat: Option[org.apache.hadoop.fs.FileStatus] = try {
       val hp = new org.apache.hadoop.fs.Path(path)
-      val st = hp.getFileSystem(spark.sessionState.newHadoopConf())
-        .getFileStatus(hp)
-      Some(s"$path:${st.getModificationTime}:${st.getLen}")
+      Some(hp.getFileSystem(spark.sessionState.newHadoopConf())
+        .getFileStatus(hp))
     } catch { case _: java.io.IOException => None }
+    val key = stat.map(st => s"$path:${st.getModificationTime}:${st.getLen}")
     val raw = key.flatMap(k => Option(schemaCache.get(k))) match {
       case None =>
         val df = spark.read.parquet(path)
@@ -117,7 +117,13 @@ object Tables {
     // round-robin repartition; at cluster scale the loader's splits make
     // this a no-op, and dimension-sized files stay single-partition
     // (they broadcast). Measured 3-5x on every scan-fused pipeline.
-    if (parallelize && new java.io.File(path).length >= ParallelizeBytes)
+    // The size gate reuses the Hadoop FileStatus fetched for the cache
+    // key — java.io.File.length() is 0 for every non-local path (s3a://,
+    // hdfs://, even file:// URIs), which would silently disable the gate
+    // off-localhost. Directory tables (multi-part) skip the repartition:
+    // their file splits already parallelize the scan.
+    if (parallelize &&
+        stat.exists(st => st.isFile && st.getLen >= ParallelizeBytes))
       typed.repartition(ScanParallelism)
     else typed
   }

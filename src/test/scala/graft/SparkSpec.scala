@@ -8,7 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
-  override def afterAll(): Unit = super.afterAll()
+  override def afterAll(): Unit = {
+    // Deferred teardown from any streams this suite ran (state-store
+    // unload) — keeps finished streams' state maps from taxing later
+    // suites' GC (the r6 scalatest win: 17 → 13 min).
+    util.DeferredCleanup.drain()
+    super.afterAll()
+  }
 }
 
 object SparkSpec {

@@ -53,6 +53,37 @@ class TablesIoSpec extends SparkSpec {
     Tables.schemaCache.clear()
   }
 
+  test("parallelize gate engages through a Hadoop FS path " +
+      "(file:// URI java.io.File cannot stat)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tables_par").toString
+    import spark.implicits._
+    // single data-sized FILE (the corpus shape: `name.parquet` is a
+    // plain file, not a writer-output directory): write one part, then
+    // move the part file up as `t.parquet`
+    (1L to 40000L).map(i => (i, ("x" * 64) + i))
+      .toDF("id", "pad").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/staged")
+    val part = new java.io.File(s"$dir/staged")
+      .listFiles.filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/t.parquet"))
+    assert(new java.io.File(s"$dir/t.parquet").length >= 256L * 1024,
+      "fixture must be one data-sized parquet file")
+    // file: URI — resolvable by Hadoop's FileSystem, NOT by
+    // java.io.File (File("file:/...").length() == 0). The gate must
+    // still engage: it reads the Hadoop FileStatus, not the File API.
+    val uriDir = s"file:$dir"
+    assert(Tables.load(spark, uriDir, "t", parallelize = true)
+      .rdd.getNumPartitions === Tables.ScanParallelism,
+      "gate must engage via Hadoop FileStatus on a file:// URI")
+    // dimension-sized file stays single-partition
+    Seq((1L, "a")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/small.parquet")
+    assert(Tables.load(spark, uriDir, "small", parallelize = true)
+      .rdd.getNumPartitions < Tables.ScanParallelism)
+  }
+
   test("schema cache invalidates when the table file is rewritten") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_tables_sc").toString
