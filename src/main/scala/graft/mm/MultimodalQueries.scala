@@ -5,9 +5,22 @@ import org.apache.spark.sql.functions._
 import graft.{QueryDef, QueryPack}
 import graft.io.Tables
 
-/** Registered multimodal pipeline query (rows-only: the fake codec's
-  * hash-derived values have no SQL oracle; determinism and invariants are
-  * pinned by MultimodalSpec).
+/** Registered multimodal pipeline query.
+  *
+  * Every kind flows through the full decode+feature pipeline (synthesize
+  * → batched mapPartitions decode → batched feature extraction → join),
+  * but the RETURNED relation is the image lane — the REAL half of the
+  * decode seam, where width/height/channels are parsed from genuine PNG
+  * bytes ([[ImageHeaders]]) whose geometry the synthesizer derived
+  * arithmetically from the doc id ([[Multimodal.synthGeometry]]). That
+  * makes the oracle pure SQL: DuckDB recomputes the expected geometry
+  * from `doc_id` directly, so the hash gate pins the whole round trip —
+  * geometry → IHDR bytes (real CRC) → distributed parse → result — with
+  * no fixture file in the loop. The audio/video lanes stay behind the
+  * deterministic stub codec (hash-derived, no SQL oracle) and are pinned
+  * by MultimodalSpec goldens; the post-decode filter cannot prune their
+  * decode work (mapPartitions is opaque to Catalyst), so the registered
+  * query still exercises all three lanes' plumbing.
   */
 object MultimodalQueries extends QueryPack {
 
@@ -18,12 +31,23 @@ object MultimodalQueries extends QueryPack {
       val decoded = Multimodal.decodeAll(media)
       val feats = Multimodal.extractFeatures(media, dim = 16)
       decoded.toDF().join(feats.toDF(), "media_id")
+        .filter(col("kind") === "image")
         .select(col("media_id"), col("kind"), col("width"), col("height"),
           col("channels"), col("n_frames"),
           size(col("feature")).as("feat_dim"))
         .orderBy("media_id")
     },
-    None)
+    // The synthesized image geometry inverted analytically: doc_id%3==0
+    // rows are images; width/height/channels follow synthGeometry (the
+    // PNG color-type table 0/2/3/4/6 → 1/3/1/2/4 channels); a parsed
+    // still image is 1 frame; the stub feature vector is 16 wide.
+    Some("SELECT doc_id AS media_id, 'image' AS kind, " +
+      "CAST(16 + doc_id % 2048 AS INT) AS width, " +
+      "CAST(16 + (doc_id // 7) % 2048 AS INT) AS height, " +
+      "CAST(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1 " +
+      "WHEN 3 THEN 2 ELSE 4 END AS INT) AS channels, " +
+      "CAST(1 AS INT) AS n_frames, CAST(16 AS INT) AS feat_dim " +
+      "FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id"))
 
   override def queries: Seq[QueryDef] = Seq(pipelineQuery)
 }

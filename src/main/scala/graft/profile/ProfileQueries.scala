@@ -73,16 +73,65 @@ object ProfileQueries extends QueryPack {
       Some(profileOracle(table, Schemas.byTable(table))))
 
   /** The 100 TB profile configuration (HLL distinct counts, single scan,
-    * no Expand) registered rows-only: HLL estimates have no DuckDB
-    * equivalent; ProfilerSpec pins their accuracy against exact counts.
+    * no Expand): since r7 it is ORACLED on everything DuckDB can
+    * reproduce — 10 of the 12 profile stats are exact regardless of the
+    * distinct-count estimator, so the gate hashes those and folds the
+    * two HLL-derived columns into one `distinct_sane` boolean
+    * (0 < estimate ≤ 1.15 × count_all; the 1.15 headroom covers the
+    * rsd-0.05 sketch's worst case on a distinct≈count_all column, where
+    * a legitimate estimate may overshoot the row count). The estimator's
+    * ±8% PRECISION stays pinned against exact counts in ProfilerSpec —
+    * a value-level HLL oracle would need the exact melt pass inside this
+    * query, destroying the single-scan plan the operator exists to
+    * demonstrate (ruling per r6 verdict #8).
     */
   private def approxQuery = QueryDef(
     "profile_lineitem_approx",
     (s, dir) => Profiler
       .approxProfile(Tables.load(s, dir, "lineitem", parallelize = true),
         now = lit(FixedNow).cast("timestamp"))
+      .select(col("column_name"), col("data_type"), col("count_all"),
+        col("count_nulls"), col("null_ratio"), col("min_val"),
+        col("max_val"), col("avg_val"), col("stddev_val"),
+        col("future_count"),
+        ((col("count_nulls") === col("count_all") &&
+          col("count_distinct") === 0L) ||
+          (col("count_distinct") >= 1L &&
+            col("count_distinct") <= col("count_all") * 1.15))
+          .as("distinct_sane"))
       .orderBy("column_name"),
-    None)
+    Some(approxProfileOracle("lineitem", Schemas.byTable("lineitem"))))
+
+  /** DuckDB side of [[approxQuery]]: the exact-stat columns of
+    * [[profileOracle]] plus `TRUE AS distinct_sane` — the literal the
+    * Spark-side sanity bound must reproduce.
+    */
+  private def approxProfileOracle(table: String, cols: Seq[ColSpec])
+      : String = {
+    val selects = cols.map { c =>
+      val q = c.name
+      val minMax =
+        if (c.numeric)
+          s"MIN($q)::DOUBLE AS min_val, MAX($q)::DOUBLE AS max_val, " +
+            s"ROUND(AVG($q::DOUBLE), 4) AS avg_val, " +
+            s"ROUND(STDDEV_SAMP($q::DOUBLE), 4) AS stddev_val"
+        else
+          "NULL::DOUBLE AS min_val, NULL::DOUBLE AS max_val, " +
+            "NULL::DOUBLE AS avg_val, NULL::DOUBLE AS stddev_val"
+      val future =
+        if (c.temporal)
+          s"CAST(SUM(CASE WHEN $q > TIMESTAMP '$FixedNow' THEN 1 ELSE 0 " +
+            "END) AS BIGINT) AS future_count"
+        else "NULL::BIGINT AS future_count"
+      s"SELECT '$q' AS column_name, '${c.engineType}' AS data_type, " +
+        "COUNT(*) AS count_all, " +
+        s"COUNT(*) - COUNT($q) AS count_nulls, " +
+        s"(COUNT(*) - COUNT($q))::DOUBLE / GREATEST(COUNT(*), 1) " +
+        "AS null_ratio, " +
+        s"$minMax, $future, TRUE AS distinct_sane FROM $table"
+    }
+    selects.mkString(" UNION ALL ") + " ORDER BY column_name"
+  }
 
   /** Percentile profile (median + p95 per numeric column): exact
     * interpolated percentiles — Spark `percentile` and DuckDB
@@ -107,19 +156,63 @@ object ProfileQueries extends QueryPack {
       }.mkString(" UNION ALL ") + " ORDER BY column_name"))
   }
 
-  /** The 100 TB percentile configuration (t-digest, one scan) registered
-    * rows-only — like the HLL profile, the sketch has no DuckDB
-    * equivalent; ProfilerSpec pins each estimate inside an exact-quantile
-    * rank window.
+  /** The 100 TB percentile configuration (t-digest, one scan): since r7
+    * the gate is the RANK-WINDOW GUARANTEE itself, driver-hashed. The
+    * sketch's estimates aren't DuckDB-reproducible, but its contract is
+    * relational: `approx_percentile(c, p, acc)` must return an actual
+    * data value whose exact rank lies within ±n/acc of p·n. The query
+    * runs the production single-scan sketch, then one cheap comparison
+    * pass counts each estimate's rank bracket [count(<v)+1, count(≤v)]
+    * and emits per column whether p50/p95 land inside their windows —
+    * which the oracle pins as literal TRUE. This is ProfilerSpec's pin
+    * promoted into the driver gate (r6 verdict #8); the spec keeps the
+    * tighter per-estimate diagnostics.
     */
   private def quantileApproxQuery = QueryDef(
     "profile_quantiles_approx",
-    (s, dir) => Profiler
-      .approxQuantiles(Tables.load(s, dir, "lineitem", parallelize = true),
-        Schemas.byTable("lineitem").filter(_.numeric).map(_.name),
-        ps = Seq(0.5, 0.95), names = Seq("p50", "p95"))
-      .orderBy("column_name"),
-    None)
+    (s, dir) => {
+      val numCols = Schemas.byTable("lineitem").filter(_.numeric).map(_.name)
+      val acc = 1000
+      val df = Tables.load(s, dir, "lineitem", parallelize = true)
+      val est = Profiler
+        .approxQuantiles(df, numCols, ps = Seq(0.5, 0.95),
+          names = Seq("p50", "p95"), accuracy = acc)
+        .collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+        .toMap // 11 rows — report-sized driver state
+      // one comparison pass: per (column, percentile) the estimate's
+      // rank bracket endpoints + the column's non-null count
+      val aggs = numCols.flatMap { c =>
+        val (p50, p95) = est(c)
+        Seq(
+          sum(when(col(c) < p50, 1L).otherwise(0L)).as(s"${c}__lt50"),
+          sum(when(col(c) <= p50, 1L).otherwise(0L)).as(s"${c}__le50"),
+          sum(when(col(c) < p95, 1L).otherwise(0L)).as(s"${c}__lt95"),
+          sum(when(col(c) <= p95, 1L).otherwise(0L)).as(s"${c}__le95"),
+          count(col(c)).as(s"${c}__n"))
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      def ok(c: String, p: Double, lt: Long, le: Long, n: Long): Boolean = {
+        // Spark's documented bound: the returned value's exact rank is
+        // within floor((p ± 1/acc)·n) of the target; the value's rank
+        // bracket is [lt+1, le] (ties widen it).
+        val lo = math.floor((p - 1.0 / acc) * n)
+        val hi = math.ceil((p + 1.0 / acc) * n)
+        le >= lo && (lt + 1) <= hi
+      }
+      import s.implicits._
+      numCols.map { c =>
+        val i = numCols.indexOf(c) * 5
+        val (lt50, le50, lt95, le95, n) = (row.getLong(i), row.getLong(i + 1),
+          row.getLong(i + 2), row.getLong(i + 3), row.getLong(i + 4))
+        (c, ok(c, 0.5, lt50, le50, n), ok(c, 0.95, lt95, le95, n))
+      }.toDF("column_name", "p50_rank_ok", "p95_rank_ok")
+        .orderBy("column_name")
+    },
+    Some(Schemas.byTable("lineitem").filter(_.numeric).map(_.name).map { c =>
+      s"SELECT '$c' AS column_name, TRUE AS p50_rank_ok, " +
+        "TRUE AS p95_rank_ok"
+    }.mkString(" UNION ALL ") + " ORDER BY column_name"))
 
   /** Heavy-hitters profiling: top-10 l_partkey by frequency. The exact
     * relational form (groupBy + total-order limit) and the Misra–Gries
