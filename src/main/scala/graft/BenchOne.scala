@@ -41,7 +41,10 @@ object BenchOne {
         val t0 = System.nanoTime()
         fn(spark, sfDir).queryExecution.toRdd.count()
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // post-timing teardown, same boundary as Bench
+        util.DeferredCleanup.drain()
+        dt
       }
       println(f"BENCHONE $name min=${times.min}%.3f runs=" +
         times.map(t => f"$t%.3f").mkString(","))

@@ -61,7 +61,60 @@ object ScaleProbe {
     // the capacity-exact regime holds at every scale)
     ("scd2_merge", None, SparkEntry.queries("scd2_merge_events")),
     ("topk_sketch", None,
-      SparkEntry.queries("profile_topk_sketch_lineitem")))
+      SparkEntry.queries("profile_topk_sketch_lineitem")),
+    // r7 additions (r6 verdict #7): the remaining scale-claim operators
+    // that landed after the probe first ran.
+    //
+    // Bucketed join vs its shuffling foil: the registered query's first
+    // run at each scale stages the buckets (BucketedStage memoizes per
+    // corpus), so min-of-3 reports the amortized JOIN-ONLY cost; the
+    // foil runs the identical sort-merge join + aggregation off the raw
+    // tables, paying both fact-side exchanges every time. The gap —
+    // and how it widens with scale — is the §4 shuffle-elimination
+    // story in numbers.
+    ("join_bucketed", None, SparkEntry.queries("join_bucketed_revenue")),
+    ("join_shuffled_smj", None, shuffledJoinProbe _),
+    // keyed-window operators over the users-grow events corpus:
+    // constant per-key work, more keys → expect flat-ish exponents
+    ("sessionize", None, SparkEntry.queries("sessionize_events")),
+    ("asof_join", None,
+      SparkEntry.queries("asof_clicks_before_purchase")),
+    // the SKETCH regime of graft_topk (capacity 64 << distinct
+    // l_partkey): fixed summaries regardless of scale — the actual
+    // 100 TB configuration, vs the capacity-exact gate regime above
+    ("topk_sketch_subcap", None, topkSubcapProbe _))
+
+  /** The bucketed join's foil: same join/aggregate off the raw parquet
+    * tables — both fact sides shuffle on the key every run.
+    */
+  private def shuffledJoinProbe(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.io.Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .hint("merge")
+      .join(graft.io.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+        count(lit(1)).as("line_cnt"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** graft_topk with capacity 64 — far below l_partkey's distinct count
+    * at every probe scale, so the Misra–Gries summaries stay fixed-size
+    * while the data grows.
+    */
+  private def topkSubcapProbe(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.io.Tables.load(s, dir, "lineitem", parallelize = true)
+      .agg(graft.functions.VectorExpressions.approxTopK(
+        col("l_partkey").cast("string"), 64, 10).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.value").as("value"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("value"))
+  }
 
   def main(args: Array[String]): Unit = {
     val scales = args.toSeq.filterNot(_.startsWith("only="))
@@ -88,7 +141,9 @@ object ScaleProbe {
             val t0 = System.nanoTime()
             fn(spark, dir).queryExecution.toRdd.count()
             spark.catalog.clearCache()
-            (System.nanoTime() - t0) / 1e9
+            val dt = (System.nanoTime() - t0) / 1e9
+            graft.util.DeferredCleanup.drain() // same boundary as Bench
+            dt
           }
           println(f"""SCALEPROBE {"probe":"$name","scale":"$label",""" +
             f""""min":${times.min}%.3f,"runs":[""" +

@@ -23,9 +23,9 @@ object Discovery {
   /** S2: pluggable readers for formats without a built-in Spark source.
     * A registered reader takes precedence over the built-in dispatch for
     * its extension — the integration point for a deployment that bundles
-    * e.g. a POI-based source for legacy .xls. Modern .xlsx needs no
-    * plug-in: [[Xlsx]] covers the reference's `pd.read_excel` branch
-    * (`:325-327`) with a self-contained OOXML reader.
+    * e.g. a full POI-based source. Neither Excel flavor needs a plug-in:
+    * [[Xlsx]] (OOXML) and [[Biff]] (legacy BIFF8 .xls) cover the
+    * reference's `pd.read_excel` branch (`:325-327`) end to end.
     */
   private val pluggable =
     scala.collection.concurrent.TrieMap[String, (SparkSession, String) => DataFrame]()
@@ -39,9 +39,8 @@ object Discovery {
 
   /** Extension-dispatched distributed load
     * (`Data_Discovery_File.sql:317-349`). Returns (df, fileType).
-    * .xlsx reads through the built-in [[Xlsx]] reader (reported as
-    * "excel" like the reference); legacy .xls raises unless a pluggable
-    * reader is registered.
+    * Both Excel flavors read through built-in readers ([[Xlsx]] for
+    * OOXML, [[Biff]] for BIFF8) and report "excel" like the reference.
     */
   def load(spark: SparkSession, path: String): (DataFrame, String) = {
     val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
@@ -54,9 +53,7 @@ object Discovery {
         // the reference reports both Excel flavors as 'excel' (`:327`)
         (Xlsx.read(spark, path), "excel")
       case "xls" =>
-        throw new IllegalArgumentException(
-          "legacy .xls (BIFF) needs a pluggable reader " +
-            "(registerReader(\"xls\", …)); the built-in reader covers .xlsx")
+        (Biff.read(spark, path), "excel")
       case "json" =>
         // NDJSON first (Spark native), whole-file fallback (`:329-337`)
         val lines = spark.read.json(path)

@@ -32,9 +32,42 @@ object DiscoveryQueries extends QueryPack {
     * run. One file per (process, name), overwritten per run, so /tmp
     * growth stays bounded.
     */
-  private def stagePath(name: String, ext: String): String =
+  private def stagePath(name: String, ext: String): String = {
+    reapStaleStaging()
     s"${System.getProperty("java.io.tmpdir")}/${name}_" +
       s"${ProcessHandle.current().pid()}.$ext"
+  }
+
+  /** Per-pid staging is bounded per PROCESS but would accumulate across
+    * dead pids (one csv/json/xml/xlsx/orc set per JVM ever run). Reap
+    * sibling stagings from other pids untouched for an hour — a live
+    * concurrent gate rewrites its files every run, so it is never that
+    * stale. Runs once per JVM, on the first staging request; recursive
+    * because the csv/json/xml/orc writers stage DIRECTORIES.
+    */
+  @volatile private var reaped = false
+  private def reapStaleStaging(): Unit = {
+    if (reaped) return
+    reaped = true
+    try {
+      val pid = ProcessHandle.current().pid()
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter { f =>
+          f.getName
+            .matches("graft_[a-z]+_\\d+\\.(csv|json|xml|xlsx|xls|orc)") &&
+            !f.getName.contains(s"_$pid.") && f.lastModified() < cutoff
+        }
+        .foreach { dead =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(): Unit
+          }
+          rm(dead)
+        }
+    } catch { case _: Exception => () } // cleanup is best-effort
+  }
 
   private def parquetQuery = QueryDef(
     "discovery_parquet_lineitem",
@@ -117,6 +150,36 @@ object DiscoveryQueries extends QueryPack {
     Some("SELECT event_id, event_type, value FROM events " +
       s"WHERE event_id <= $XlsxRows ORDER BY event_id"))
 
+  /** Legacy `.xls` (BIFF8) end to end — the other half of the
+    * reference's `pd.read_excel` dispatch (`:325-327`): the same events
+    * slice staged as a real BIFF8 workbook in an OLE2 container through
+    * [[Biff.write]], read back through the built-in discovery branch,
+    * values oracled straight from the events table. Pins the compound
+    * file (FAT/directory), SST resolution (LABELSST), RK integer
+    * packing, IEEE NUMBER cells, and pandas-style integral-column
+    * typing. `Double.toString` text round-trips exactly via IEEE bits,
+    * so the hash compare is verbatim.
+    */
+  private val XlsRows = 300L
+
+  private def xlsQuery = QueryDef(
+    "discovery_xls_events",
+    (s, dir) => {
+      val out = stagePath("graft_events", "xls")
+      val rows = Tables.load(s, dir, "events", parallelize = false)
+        .select("event_id", "event_type", "value")
+        .filter(org.apache.spark.sql.functions.col("event_id") <= XlsRows)
+        .orderBy("event_id").collect()
+        .map(r => Seq[Any](r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSeq
+      Biff.write(out, Seq("event_id", "event_type", "value"), rows)
+      val (df, fileType) = Discovery.load(s, out)
+      require(fileType == "excel", s"xls must report 'excel', got $fileType")
+      df.orderBy("event_id")
+    },
+    Some("SELECT event_id, event_type, value FROM events " +
+      s"WHERE event_id <= $XlsRows ORDER BY event_id"))
+
   /** ORC ingestion end to end: stage an events slice as a real ORC file
     * (Spark's built-in writer), read it back through the discovery
     * branch, and oracle the VALUES from the events table — the same
@@ -167,6 +230,6 @@ object DiscoveryQueries extends QueryPack {
     })
 
   override def queries: Seq[QueryDef] =
-    Seq(parquetQuery, csvQuery, jsonQuery, xmlQuery, xlsxQuery, orcQuery,
-      catalogQuery("customer"), catalogQuery("lineitem"))
+    Seq(parquetQuery, csvQuery, jsonQuery, xmlQuery, xlsxQuery, xlsQuery,
+      orcQuery, catalogQuery("customer"), catalogQuery("lineitem"))
 }

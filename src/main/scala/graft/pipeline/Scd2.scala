@@ -28,10 +28,14 @@ import org.apache.spark.sql.functions._
   * new partitions are unions of the SAME keyed frames (no re-shuffle), and
   * nothing ever funnels through the driver.
   *
-  * Feed contract (documented, asserted nowhere): batch order values must
-  * not precede the current rows' valid_from — i.e. feeds are appended in
-  * event-time order per key, the same assumption the reference's
-  * CREATED_AT-latest MERGE makes.
+  * Feed contract: batch order values must not precede the current rows'
+  * valid_from — i.e. feeds are appended in event-time order per key, the
+  * same assumption the reference's CREATED_AT-latest MERGE makes. Since
+  * r7 the contract is ENFORCED, not just documented: the closing path
+  * raises a task error naming the offending key instead of silently
+  * writing an inverted interval (valid_to < valid_from) into history —
+  * a `raise_error` branch inside the close expression, so the happy
+  * path costs one codegen'd comparison and no extra pass.
   */
 object Scd2 {
 
@@ -93,7 +97,17 @@ object Scd2 {
       (keys.map(col) :+ col(orderCol).as("__close_at")): _*)
 
     val closed = current.join(closeAt, keys)
-      .withColumn(ValidTo, col("__close_at"))
+      .withColumn(ValidTo,
+        when(col("__close_at") < col(ValidFrom),
+          raise_error(format_string(
+            "SCD2 feed contract violated: batch order value %s precedes " +
+              "current valid_from %s for key (%s) — feeds must arrive in " +
+              "event-time order per key",
+            col("__close_at").cast("string"),
+            col(ValidFrom).cast("string"),
+            concat_ws(",", keys.map(k => col(k).cast("string")): _*)))
+            .cast(target.schema(ValidTo).dataType))
+          .otherwise(col("__close_at")))
       .withColumn(IsCurrent, lit(false))
       .drop("__close_at")
     val untouchedCurrent = current.join(changedKeys, keys, "left_anti")

@@ -29,10 +29,16 @@ class DiscoverySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Discovery.load(spark, "/tmp/nope.avro")
     }
-    intercept[IllegalArgumentException] {
-      // legacy BIFF .xls stays pluggable-only (built-in covers .xlsx)
-      Discovery.load(spark, "/tmp/nope.xls")
+    // .xls is built-in since r7 (graft.io.Biff) — but a file that is not
+    // an OLE2 compound file must fail with a clear signature error, not
+    // a garbage parse
+    val bogus = s"${System.getProperty("java.io.tmpdir")}/graft_bogus.xls"
+    java.nio.file.Files.write(java.nio.file.Paths.get(bogus),
+      Array.fill[Byte](600)(0x41))
+    val e = intercept[IllegalArgumentException] {
+      Discovery.load(spark, bogus)
     }
+    assert(e.getMessage.contains("OLE2"))
   }
 
   test("xml round-trip discovers the same schema (S4)") {

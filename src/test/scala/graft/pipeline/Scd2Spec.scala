@@ -86,6 +86,25 @@ class Scd2Spec extends SparkSpec {
     assert(hist(twice) === hist(once))
   }
 
+  test("merge fails loudly on an out-of-order batch instead of writing " +
+      "an inverted interval") {
+    // current version of key 1 starts at t=20; a batch claiming t=5 with
+    // a CHANGED attr would close that version at valid_to=5 < valid_from
+    val target = Scd2.historize(log((1, 20L, "b")), Seq("k"), "t")
+    val bad = Scd2.merge(target, log((1, 5L, "z")),
+      Seq("k"), "t", attrs = Seq("a"))
+    val e = intercept[Exception](bad.collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("SCD2 feed contract violated")),
+      s"expected the feed-contract error, got: $e")
+    // an EQUAL order value (zero-length closing interval) stays legal
+    val edge = Scd2.merge(target, log((1, 20L, "z")),
+      Seq("k"), "t", attrs = Seq("a"))
+    assert(edge.filter(!col(Scd2.IsCurrent)).count() === 1)
+  }
+
   test("intervals partition each key's timeline with no overlap") {
     val target = Scd2.historize(
       log((1, 10L, "a"), (1, 20L, "b")), Seq("k"), "t")

@@ -89,12 +89,39 @@ def scale_embeddings(src, out, mult):
     print(f"embeddings: {n} -> {n * mult}")
 
 
-def scale_lineitem(con, src, out, mult):
-    n, maxk = con.execute(
-        f"SELECT count(*), max(l_orderkey) "
-        f"FROM read_parquet('{src}/lineitem.parquet')").fetchone()
+def order_stride(con, src):
+    """Shared l_orderkey/o_orderkey copy offset: lineitem and orders must
+    shift by the SAME stride so the fact-fact join keys keep matching at
+    every scale (the bucketed-join probe joins them)."""
+    ml = con.execute(
+        f"SELECT max(l_orderkey) "
+        f"FROM read_parquet('{src}/lineitem.parquet')").fetchone()[0]
+    mo = con.execute(
+        f"SELECT max(o_orderkey) "
+        f"FROM read_parquet('{src}/orders.parquet')").fetchone()[0]
+    return max(ml, mo) + 1
+
+
+def scale_orders(con, src, out, mult, stride):
+    n = con.execute(
+        f"SELECT count(*) "
+        f"FROM read_parquet('{src}/orders.parquet')").fetchone()[0]
     parts = [
-        f"SELECT l_orderkey + {(maxk + 1) * k} AS l_orderkey, "
+        f"SELECT * REPLACE (o_orderkey + {stride * k} AS o_orderkey) "
+        f"FROM read_parquet('{src}/orders.parquet')"
+        for k in range(mult)]
+    con.execute(
+        f"COPY ({' UNION ALL '.join(parts)}) TO '{out}/orders.parquet' "
+        f"(FORMAT parquet)")
+    print(f"orders: {n} -> {n * mult}")
+
+
+def scale_lineitem(con, src, out, mult, stride):
+    n = con.execute(
+        f"SELECT count(*) "
+        f"FROM read_parquet('{src}/lineitem.parquet')").fetchone()[0]
+    parts = [
+        f"SELECT l_orderkey + {stride * k} AS l_orderkey, "
         f"l_partkey, l_suppkey, l_linenumber, l_quantity, "
         f"l_extendedprice, l_discount, l_tax, l_returnflag, "
         f"l_linestatus, l_shipdate "
@@ -133,7 +160,9 @@ def main():
     con = duckdb.connect()
     scale_documents(con, src, out, mult)
     scale_embeddings(src, out, mult)
-    scale_lineitem(con, src, out, mult)
+    stride = order_stride(con, src)
+    scale_lineitem(con, src, out, mult, stride)
+    scale_orders(con, src, out, mult, stride)
     scale_events(con, src, out, mult)
 
 
