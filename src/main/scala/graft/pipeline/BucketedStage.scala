@@ -27,7 +27,17 @@ import graft.io.Tables
   */
 object BucketedStage {
 
-  val NumBuckets = 8
+  /** Bucket count = the local executor width ([[Tables.ScanParallelism]]).
+    * A bucketed scan schedules ONE task per bucket, so the bucket count
+    * IS the join's parallelism ceiling — the first probe run used 8 and
+    * the x10 corpus showed exactly that failure: the exchange-free join
+    * ran 8-wide and LOST to the 32-partition shuffling join (1.06s vs
+    * 0.95s). At 32 the join keeps full width with zero exchanges. On a
+    * real cluster this is the same sizing rule at different numbers:
+    * buckets ≈ a small multiple of total executor cores, fixed at table
+    * creation.
+    */
+  val NumBuckets: Int = Tables.ScanParallelism
 
   private val built = scala.collection.mutable.Map[String, (String, String)]()
 

@@ -103,7 +103,7 @@ object BuilderQueries extends QueryPack {
 
   /** Co-located bucketed join — the §4 shuffle-elimination story as a
     * registered, plan-pinned query. Both fact sides live in the session
-    * warehouse `bucketBy(8, orderkey)` — staged ONCE per (JVM, corpus)
+    * warehouse `bucketBy(32, orderkey)` — staged ONCE per (JVM, corpus)
     * by [[BucketedStage.ensure]], not per query run, because
     * amortizing one bucketed write across every subsequent orderkey
     * join IS the operator's story (r6 fused write+join into the timed

@@ -85,7 +85,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("bucketed join reads co-located buckets with NO exchange on the keys") {
-    // the §4 shuffle-elimination pin: both sides bucketBy(8, orderkey),
+    // the §4 shuffle-elimination pin: both sides bucketed on orderkey,
     // so the sort-merge join must consume bucket i ⋈ bucket i directly —
     // any hashpartitioning exchange on the join keys means bucketing
     // metadata was lost and both fact tables re-shuffle per query
