@@ -1,0 +1,162 @@
+package graft.io
+
+import java.io.File
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.{AvroInputFormat, AvroWrapper}
+import org.apache.hadoop.io.NullWritable
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Avro container ingestion — the row-oriented lake format counterpart to
+  * the ORC extension (`Data_Discovery_File.sql:317-349` covers the
+  * reference's pandas formats; Avro is what a Spark-native shop ingests
+  * from Kafka/connect landings). The `spark-avro` DataSource module does
+  * not ship in this distribution, so the scan goes through
+  * `avro-mapred`'s `AvroInputFormat` — which DOES ship with Spark — via
+  * `SparkContext.hadoopFile`.
+  *
+  * Scale shape: Avro object-container files are block-structured with
+  * sync markers, and `AvroInputFormat` splits on them — so ONE large
+  * file fans out across executors exactly like parquet/ORC (this is the
+  * key difference from the driver-bound xlsx/xls readers, whose formats
+  * are not splittable). Record decode happens executor-side; only the
+  * schema header is touched on the driver.
+  *
+  * Supported schema subset: records of `long | int | double | float |
+  * boolean | string | bytes`, each optionally in a `[null, T]` union
+  * (the standard nullable encoding). Logical types / nesting are out of
+  * scope for the discovery surface, matching the flat-tabular contract
+  * of the other staged-format gates.
+  */
+object Avro {
+
+  // ---------------------------------------------------------------- read
+
+  /** Read an Avro container file (or a directory of them) as a DataFrame.
+    * Schema comes from the first file's header (driver-side, header-only
+    * read); records decode distributed via `AvroInputFormat`.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val schema = headerSchema(path)
+    require(schema.getType == Schema.Type.RECORD,
+      s"avro: top-level schema must be a record, got ${schema.getType}")
+    val fields = schema.getFields.asScala.toSeq
+    val struct = StructType(fields.map(f =>
+      StructField(f.name, sqlType(f.schema()), nullable = true)))
+    val names = fields.map(_.name)
+
+    val rows = spark.sparkContext
+      .hadoopFile[AvroWrapper[GenericRecord], NullWritable,
+        AvroInputFormat[GenericRecord]](path)
+      .map { case (w, _) =>
+        // AvroRecordReader REUSES the wrapper's datum across records:
+        // extract (and copy Utf8/ByteBuffer views) before the iterator
+        // advances — this map does exactly that, per record.
+        val r = w.datum()
+        Row.fromSeq(names.map(n => toCatalyst(r.get(n))))
+      }
+    spark.createDataFrame(rows, struct)
+  }
+
+  /** Writer schema from the container header of `path` (or of the first
+    * `.avro` file inside it when `path` is a directory).
+    */
+  private def headerSchema(path: String): Schema = {
+    val f = new File(path)
+    val target =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .filter(x => x.isFile && x.getName.endsWith(".avro"))
+          .sortBy(_.getName).headOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"avro: no .avro files under $path"))
+      else f
+    val reader = new DataFileReader[GenericRecord](target,
+      new GenericDatumReader[GenericRecord]())
+    try reader.getSchema finally reader.close()
+  }
+
+  /** Avro field schema → Spark SQL type ([null, T] unions unwrap). */
+  private def sqlType(s: Schema): DataType = unwrap(s).getType match {
+    case Schema.Type.LONG => LongType
+    case Schema.Type.INT => IntegerType
+    case Schema.Type.DOUBLE => DoubleType
+    case Schema.Type.FLOAT => FloatType
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.STRING => StringType
+    case Schema.Type.BYTES => BinaryType
+    case other => throw new IllegalArgumentException(
+      s"avro: unsupported field type $other (flat-tabular subset only)")
+  }
+
+  private def unwrap(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION) {
+      val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+      require(nonNull.size == 1,
+        s"avro: only [null, T] unions are supported, got $s")
+      nonNull.head
+    } else s
+
+  /** Avro runtime value → Catalyst external value. */
+  private def toCatalyst(v: Any): Any = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case s: CharSequence => s.toString
+    case bb: java.nio.ByteBuffer =>
+      val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+    case other => other // long / int / double / float / boolean
+  }
+
+  // --------------------------------------------------------------- write
+
+  /** Driver-side staging writer (gate/test fixture — bounded slices, same
+    * role as [[Xlsx.write]]/[[Biff.write]]): one container file, schema
+    * derived from the first row's value classes (Long / Int / Double /
+    * Float / Boolean / String / Array[Byte]; null cells need a non-null
+    * witness elsewhere in the column). All columns encode as nullable
+    * `[null, T]` unions.
+    */
+  def write(path: String, columns: Seq[String], rows: Seq[Seq[Any]]): Unit = {
+    require(rows.nonEmpty, "avro write: need at least one row")
+    val witness: Seq[Any] = columns.indices.map { i =>
+      rows.iterator.map(_(i)).find(_ != null).getOrElse(
+        throw new IllegalArgumentException(
+          s"avro write: column ${columns(i)} is all-null — no type witness"))
+    }
+    var b = SchemaBuilder.record("row").namespace("graft").fields()
+    columns.zip(witness).foreach { case (name, w) =>
+      val fb = b.name(name).`type`().unionOf().nullType().and()
+      b = (w match {
+        case _: java.lang.Long => fb.longType()
+        case _: java.lang.Integer => fb.intType()
+        case _: java.lang.Double => fb.doubleType()
+        case _: java.lang.Float => fb.floatType()
+        case _: java.lang.Boolean => fb.booleanType()
+        case _: String => fb.stringType()
+        case _: Array[Byte] => fb.bytesType()
+        case other => throw new IllegalArgumentException(
+          s"avro write: unsupported value class ${other.getClass}")
+      }).endUnion().noDefault()
+    }
+    val schema = b.endRecord()
+    val writer = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    writer.create(schema, new File(path))
+    try rows.foreach { r =>
+      val rec = new GenericData.Record(schema)
+      columns.indices.foreach { i =>
+        val v = r(i) match {
+          case a: Array[Byte] => java.nio.ByteBuffer.wrap(a)
+          case other => other
+        }
+        rec.put(columns(i), v)
+      }
+      writer.append(rec)
+    } finally writer.close()
+  }
+}

@@ -67,6 +67,9 @@ object Discovery {
       // format a Spark-native lakehouse ingests, and the reader ships in
       // Spark core — same split/pushdown machinery as parquet.
       case "orc" => (spark.read.orc(path), "orc")
+      // Row-oriented lake-landing counterpart (Kafka/connect exports):
+      // splittable distributed scan via avro-mapred — see [[Avro]].
+      case "avro" => (Avro.read(spark, path), "avro")
       case other =>
         throw new IllegalArgumentException(
           s"Unsupported file format: .$other")

@@ -56,7 +56,7 @@ object DiscoveryQueries extends QueryPack {
       Option(tmp.listFiles()).getOrElse(Array.empty)
         .filter { f =>
           f.getName
-            .matches("graft_[a-z]+_\\d+\\.(csv|json|xml|xlsx|xls|orc)") &&
+            .matches("graft_[a-z]+_\\d+\\.(csv|json|xml|xlsx|xls|orc|avro)") &&
             !f.getName.contains(s"_$pid.") && f.lastModified() < cutoff
         }
         .foreach { dead =>
@@ -207,6 +207,34 @@ object DiscoveryQueries extends QueryPack {
     Some("SELECT event_id, event_type, value FROM events " +
       s"WHERE event_id <= $OrcRows ORDER BY event_id"))
 
+  /** Avro ingestion end to end: stage an events slice as a real Avro
+    * object-container file ([[Avro.write]], nullable-union schema), read
+    * it back through the discovery branch's distributed `AvroInputFormat`
+    * scan, and oracle the VALUES from the events table. Long/string/
+    * double survive the binary encoding exactly (no text round-trip), so
+    * the hash compare is verbatim — pinning header-schema translation,
+    * union unwrapping, and executor-side record decode.
+    */
+  private val AvroRows = 500L
+
+  private def avroQuery = QueryDef(
+    "discovery_avro_events",
+    (s, dir) => {
+      val out = stagePath("graft_events", "avro")
+      val rows = Tables.load(s, dir, "events", parallelize = false)
+        .select("event_id", "event_type", "value")
+        .filter(org.apache.spark.sql.functions.col("event_id") <= AvroRows)
+        .orderBy("event_id").collect()
+        .map(r => Seq[Any](r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSeq
+      Avro.write(out, Seq("event_id", "event_type", "value"), rows)
+      val (df, fileType) = Discovery.load(s, out)
+      require(fileType == "avro", s"avro must report 'avro', got $fileType")
+      df.orderBy("event_id")
+    },
+    Some("SELECT event_id, event_type, value FROM events " +
+      s"WHERE event_id <= $AvroRows ORDER BY event_id"))
+
   /** S9: catalog scan as a relation, with the reference's CASE
     * length/precision dispatch (`Data_Quality_Table.sql:38-54`). Oracle =
     * literal expected rows from the corpus schema spec (NUMBER→38,
@@ -231,5 +259,5 @@ object DiscoveryQueries extends QueryPack {
 
   override def queries: Seq[QueryDef] =
     Seq(parquetQuery, csvQuery, jsonQuery, xmlQuery, xlsxQuery, xlsQuery,
-      orcQuery, catalogQuery("customer"), catalogQuery("lineitem"))
+      orcQuery, avroQuery, catalogQuery("customer"), catalogQuery("lineitem"))
 }

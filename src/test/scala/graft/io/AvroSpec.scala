@@ -1,0 +1,71 @@
+package graft.io
+
+import graft.SparkSpec
+
+/** Avro container reader/writer: round trip of the flat-tabular subset,
+  * nullable-union decode, multi-file directory scan (the split axis of
+  * the distributed read), and dispatch through Discovery.load.
+  */
+class AvroSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    s"${java.nio.file.Files.createTempDirectory("graft_avro")}/$name"
+
+  test("round trip: long/int/double/float/bool/string/bytes + nulls") {
+    val p = tmp("rt.avro")
+    Avro.write(p,
+      Seq("id", "n", "ratio", "f", "flag", "name", "blob"), Seq(
+        Seq[Any](1L, 7, 1.5, 2.5f, true, "alpha", Array[Byte](1, 2)),
+        Seq[Any](2L, null, -2.25, null, false, null, null)))
+    val df = Avro.read(spark, p)
+    assert(df.schema.map(f => f.name -> f.dataType.typeName) === Seq(
+      "id" -> "long", "n" -> "integer", "ratio" -> "double",
+      "f" -> "float", "flag" -> "boolean", "name" -> "string",
+      "blob" -> "binary"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getLong(0) === 1L)
+    assert(rows(0).getInt(1) === 7)
+    assert(rows(0).getDouble(2) === 1.5)
+    assert(rows(0).getFloat(3) === 2.5f)
+    assert(rows(0).getBoolean(4) === true)
+    assert(rows(0).getString(5) === "alpha")
+    assert(rows(0).getAs[Array[Byte]](6).toSeq === Seq[Byte](1, 2))
+    assert(rows(1).toSeq.drop(1) ===
+      Seq(null, -2.25, null, false, null, null))
+  }
+
+  test("directory of containers reads as one relation (the per-file / " +
+      "per-block split axis)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_dir")
+    Avro.write(s"$dir/a.avro", Seq("id", "v"),
+      (1L to 50L).map(i => Seq[Any](i, i * 0.5)))
+    Avro.write(s"$dir/b.avro", Seq("id", "v"),
+      (51L to 100L).map(i => Seq[Any](i, i * 0.5)))
+    val df = Avro.read(spark, dir.toString)
+    assert(df.count() === 100)
+    assert(df.agg(org.apache.spark.sql.functions.sum("id"))
+      .head.getLong(0) === 5050L)
+  }
+
+  test("Discovery.load dispatches .avro and reports 'avro'") {
+    val p = tmp("disp.avro")
+    Avro.write(p, Seq("event_id", "event_type"),
+      Seq(Seq[Any](1L, "click"), Seq[Any](2L, "view")))
+    val (df, tpe) = Discovery.load(spark, p)
+    assert(tpe === "avro")
+    assert(df.orderBy("event_id").collect().map(_.getString(1)).toSeq ===
+      Seq("click", "view"))
+  }
+
+  test("unsupported nesting is rejected, [null,T] unions unwrap") {
+    // write side rejects unsupported value classes
+    val p = tmp("bad.avro")
+    intercept[IllegalArgumentException] {
+      Avro.write(p, Seq("x"), Seq(Seq[Any](Map("k" -> 1))))
+    }
+    // all-null column has no type witness
+    intercept[IllegalArgumentException] {
+      Avro.write(p, Seq("x"), Seq(Seq[Any](null)))
+    }
+  }
+}
