@@ -242,7 +242,49 @@ object DedupQueries extends QueryPack {
         |FROM reach GROUP BY id ORDER BY cluster, id""".stripMargin
         .replace("\n", " ")))
 
+  /** Cross-document duplicated-span profile (sub-document dedup — Lee et
+    * al. 2022's span granularity, approximated by 8-token stride-1
+    * shingles; see [[SpanDedup]]). Oracle recomputes the window hashes,
+    * ≥2-distinct-docs keys, and interval-union coverage natively in
+    * DuckDB, so one hash pins shingling, key counting, the hit join and
+    * the coverage fold. `dup_token_ratio` is a raw IEEE division of
+    * exact counts — bit-equal across engines.
+    */
+  private def spanQuery = QueryDef(
+    "dedup_spans_documents",
+    (s, dir) => SpanDedup.spanProfile(
+        Tables.load(s, dir, "documents", parallelize = true),
+        "doc_id", "text").orderBy("doc_id"),
+    Some(
+      """WITH toks AS (SELECT doc_id, CASE
+        |  WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |  ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, len(t)::BIGINT AS n_tokens,
+        |  (CASE WHEN len(t) >= 8 THEN len(t) - 7 ELSE 0 END)::BIGINT
+        |    AS n_spans, t FROM toks),
+        |spans AS (SELECT doc_id, u['i'] - 1 AS pos, u['h'] AS h FROM
+        |  (SELECT doc_id, unnest(list_transform(generate_series(1, n_spans),
+        |    i -> {'i': i, 'h': md5(array_to_string(t[i:i+7], ' '))})) AS u
+        |   FROM base)),
+        |dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM spans)
+        |  GROUP BY h HAVING count(*) >= 2),
+        |hits AS (SELECT s.doc_id, s.pos FROM spans s JOIN dup USING (h)),
+        |cov AS (SELECT DISTINCT doc_id,
+        |  unnest(generate_series(pos, pos + 7)) AS p FROM hits),
+        |agg AS (SELECT doc_id, count(*) AS dup_spans FROM hits GROUP BY 1),
+        |covagg AS (SELECT doc_id, count(*) AS covered_tokens FROM cov
+        |  GROUP BY 1)
+        |SELECT b.doc_id, b.n_tokens, b.n_spans,
+        |  coalesce(a.dup_spans, 0) AS dup_spans,
+        |  coalesce(c.covered_tokens, 0) AS covered_tokens,
+        |  coalesce(c.covered_tokens, 0)::DOUBLE / greatest(b.n_tokens, 1)
+        |    AS dup_token_ratio
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |LEFT JOIN covagg c USING (doc_id) ORDER BY doc_id""".stripMargin
+        .replace("\n", " ")))
+
   override def queries: Seq[QueryDef] = Seq(
     exactQuery, jaccardQuery, clustersQuery, minhashQuery, simhashQuery,
-    embBlockedQuery, embLshQuery, semdedupQuery)
+    embBlockedQuery, embLshQuery, semdedupQuery, spanQuery)
 }
