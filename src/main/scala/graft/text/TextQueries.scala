@@ -208,6 +208,26 @@ object TextQueries extends QueryPack {
       "PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn " +
       "FROM documents) WHERE rn <= 40 ORDER BY lang, doc_id"))
 
+  /** Deterministic shuffle-sharding: reproducible (shard, position) per
+    * document via seeded md5 sort keys (see [[graft.pipeline.Sharding]]).
+    * Oracle recomputes key, nibble-fold shard, and per-shard rank
+    * natively, so the hash pins the whole training-order assignment.
+    */
+  private def shardQuery = QueryDef(
+    "corpus_shard_documents",
+    (s, dir) => graft.pipeline.Sharding.assignments(
+        Tables.load(s, dir, "documents"), "doc_id")
+      .orderBy("shard", "shard_pos"),
+    Some("SELECT doc_id, sort_key, " +
+      "((strpos('0123456789abcdef', substr(sort_key, 1, 1)) - 1) * 16 + " +
+      "(strpos('0123456789abcdef', substr(sort_key, 2, 1)) - 1)) % 16 " +
+      "AS shard, ROW_NUMBER() OVER (PARTITION BY ((strpos(" +
+      "'0123456789abcdef', substr(sort_key, 1, 1)) - 1) * 16 + " +
+      "(strpos('0123456789abcdef', substr(sort_key, 2, 1)) - 1)) % 16 " +
+      "ORDER BY sort_key) AS shard_pos FROM (SELECT doc_id, " +
+      "md5('42:' || doc_id::VARCHAR) AS sort_key FROM documents) " +
+      "ORDER BY shard, shard_pos"))
+
   /** Benchmark decontamination: corpus docs (doc_id % 100 ≥ 5) sharing
     * any word 5-gram with the held-out eval slice (doc_id % 100 < 5).
     * The eval gram set is broadcast (see [[Decontam]]) — matching is a
@@ -485,6 +505,6 @@ object TextQueries extends QueryPack {
 
   override def queries: Seq[QueryDef] =
     Seq(statsQuery, curateQuery, pipelineQuery, pipelineFullQuery,
-      sampleQuery, decontamQuery, repetitionQuery, packQuery,
+      sampleQuery, shardQuery, decontamQuery, repetitionQuery, packQuery,
       decontamPipelineQuery, chunkQuery, mixQuery, mixWeightedQuery)
 }
