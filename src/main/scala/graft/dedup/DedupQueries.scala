@@ -284,7 +284,40 @@ object DedupQueries extends QueryPack {
         |LEFT JOIN covagg c USING (doc_id) ORDER BY doc_id""".stripMargin
         .replace("\n", " ")))
 
+  /** Incremental batch-vs-corpus dedup ([[IncrementalDedup]]): admit the
+    * batch docs (doc_id % 10 ≥ 8) whose bag-of-words fingerprint
+    * ([[graft.text.TextAnalysis.fingerprint]]) is absent from the
+    * accumulated corpus (doc_id % 10 < 8). The Bloom prefilter has no
+    * false negatives, so the result EQUALS a plain anti-join — which is
+    * how the oracle states it (NOT EXISTS over recomputed fingerprints).
+    * One hash therefore pins the sketch build, the probe, and the
+    * broadcast confirm path end to end.
+    */
+  private def incrementalQuery = QueryDef(
+    "dedup_incremental_documents",
+    (s, dir) => {
+      val keyed = Tables.load(s, dir, "documents", parallelize = true)
+        .select(col("doc_id"),
+          graft.text.TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      val corpus = keyed.filter(col("doc_id") % 10 < 8)
+      val batch = keyed.filter(col("doc_id") % 10 >= 8)
+      // sizing: any overestimate works (whole-table count — one footer-
+      // only job on parquet, no data scan)
+      val bloom = IncrementalDedup.buildBloom(corpus, col("fingerprint"),
+        expectedItems = graft.io.Tables.rowCount(s, dir, "documents"))
+      IncrementalDedup.newRows(batch, corpus, "fingerprint", bloom)
+        .orderBy("doc_id")
+    },
+    Some("WITH f AS (SELECT doc_id, md5(array_to_string(list_sort(" +
+      "list_distinct(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
+      "ELSE regexp_split_to_array(trim(text), '\\s+') END)), ' ')) " +
+      "AS fingerprint FROM documents) " +
+      "SELECT b.fingerprint, b.doc_id FROM f b WHERE b.doc_id % 10 >= 8 " +
+      "AND NOT EXISTS (SELECT 1 FROM f c WHERE c.doc_id % 10 < 8 " +
+      "AND c.fingerprint = b.fingerprint) ORDER BY b.doc_id"))
+
   override def queries: Seq[QueryDef] = Seq(
     exactQuery, jaccardQuery, clustersQuery, minhashQuery, simhashQuery,
-    embBlockedQuery, embLshQuery, semdedupQuery, spanQuery)
+    embBlockedQuery, embLshQuery, semdedupQuery, spanQuery,
+    incrementalQuery)
 }
