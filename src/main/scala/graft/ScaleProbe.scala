@@ -82,7 +82,21 @@ object ScaleProbe {
     // the SKETCH regime of graft_topk (capacity 64 << distinct
     // l_partkey): fixed summaries regardless of scale — the actual
     // 100 TB configuration, vs the capacity-exact gate regime above
-    ("topk_sketch_subcap", None, topkSubcapProbe _))
+    ("topk_sketch_subcap", None, topkSubcapProbe _),
+    // round-7 second-pass operators:
+    // span dedup — two shuffle-on-md5-key aggregations + a key join;
+    // hash keys are fixed-width so shuffle bytes track span count
+    ("dedup_spans", None, SparkEntry.queries("dedup_spans_documents")),
+    // incremental dedup — corpus-side work is ONE sketch aggregation
+    // (no corpus shuffle); batch work is a map-side probe + a
+    // candidate-sized broadcast confirm → expect near-linear in the
+    // SCAN with a flat join component
+    ("dedup_incremental", None,
+      SparkEntry.queries("dedup_incremental_documents")),
+    // shuffle-sharding — stateless assignment + one window partitioned
+    // by 16 shards: the window sort dominates and parallelism is the
+    // shard count, so this probe is the documented nShards-cap evidence
+    ("corpus_shard", None, SparkEntry.queries("corpus_shard_documents")))
 
   /** The bucketed join's foil: same join/aggregate off the raw parquet
     * tables — both fact sides shuffle on the key every run.

@@ -53,10 +53,15 @@ object SpanDedup {
     */
   def spanProfile(docs: DataFrame, idCol: String, textCol: String,
       width: Int = Width, minDocs: Int = MinDocs): DataFrame = {
-    // tokens land in their own projection, the span-hash array in the
-    // next, BEFORE posexplode — higher-order lambdas evaluate
-    // interpreted, and an unmaterialized explode re-derives its child
-    // expression per emitted element (the r4 shingling find).
+    // tokens land in their own projection (tokensOf is referenced by
+    // three downstream expressions). Span hashes are deliberately NOT
+    // built inside a transform() lambda: higher-order functions evaluate
+    // interpreted, and md5-per-span through the interpreter measured ~20×
+    // the codegen'd form. Instead explode the (cheap, int-typed) start
+    // sequence first and compute slice→concat→md5 per ROW — a plain
+    // projection that stays inside whole-stage codegen; the token array
+    // never shuffles, so duplicating its reference across span rows
+    // costs nothing.
     val base = docs
       .select(col(idCol).as("doc_id"), Dedup.tokensOf(col(textCol)).as("toks"))
       .select(col("doc_id"), col("toks"),
@@ -64,13 +69,12 @@ object SpanDedup {
         when(size(col("toks")) >= width, size(col("toks")) - (width - 1))
           .otherwise(0).cast("long").as("n_spans"))
     val spans = base
-      .select(col("doc_id"),
-        when(col("n_spans") > 0,
-          transform(sequence(lit(1), col("n_spans").cast("int")),
-            i => md5(concat_ws(" ", slice(col("toks"), i, lit(width)))
-              .cast("binary"))))
-          .otherwise(array().cast("array<string>")).as("hs"))
-      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+      .filter(col("n_spans") > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), col("n_spans").cast("int"))).as("i"))
+      .select(col("doc_id"), (col("i") - 1).cast("int").as("pos"),
+        md5(concat_ws(" ", slice(col("toks"), col("i"), lit(width)))
+          .cast("binary")).as("h"))
     // `spans` feeds both the key counting and the hit join — deliberately
     // UNpersisted: each consumer recomputes the (cheap, shuffle-free)
     // shingle pass rather than pinning a corpus-sized frame in memory,
