@@ -100,6 +100,31 @@ object PipelineQueries extends QueryPack {
     * never changes the result — only the shuffle layout, pinned in
     * PlanAuditSpec — so the oracle is a plain COUNT(DISTINCT).
     */
+  /** Per-user sequence features from one keyed window ([[Features]]):
+    * previous-event gap, 5-event rolling sum/count (DECIMAL-exact so the
+    * sliding arithmetic is engine-portable), sequence position. Oracle
+    * replays the identical window spec in DuckDB; ties break on
+    * event_id, so the hash pins frame semantics end to end.
+    */
+  private def featuresQuery = QueryDef(
+    "features_rolling_events",
+    (s, dir) => Features.rollingEventFeatures(
+        Tables.load(s, dir, "events"),
+        "user_id", "ts", "value", "event_id")
+      .orderBy("user_id", "ts_us", "event_id"),
+    Some("SELECT event_id, user_id, epoch_us(ts) AS ts_us, " +
+      "epoch_us(ts) - lag(epoch_us(ts)) OVER " +
+      "(PARTITION BY user_id ORDER BY epoch_us(ts), event_id) " +
+      "AS prev_gap_us, " +
+      "(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id " +
+      "ORDER BY epoch_us(ts), event_id ROWS BETWEEN 4 PRECEDING AND " +
+      "CURRENT ROW))::DOUBLE AS roll_sum_5, " +
+      "count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), " +
+      "event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_cnt_5, " +
+      "row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), " +
+      "event_id) AS seq_no " +
+      "FROM events ORDER BY user_id, ts_us, event_id"))
+
   private def saltedQuery = QueryDef(
     "salted_agg_events",
     (s, dir) => Salting.saltedDistinctCount(
@@ -237,6 +262,6 @@ object PipelineQueries extends QueryPack {
          |ORDER BY user_id, valid_from_us, event_id""".stripMargin))
 
   override def queries: Seq[QueryDef] =
-    Seq(latestQuery, mergeQuery, asofQuery, saltedQuery, saltedJoinQuery,
-      scd2HistoryQuery, scd2MergeQuery)
+    Seq(latestQuery, mergeQuery, asofQuery, featuresQuery, saltedQuery,
+      saltedJoinQuery, scd2HistoryQuery, scd2MergeQuery)
 }

@@ -208,6 +208,32 @@ object TextQueries extends QueryPack {
       "PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn " +
       "FROM documents) WHERE rn <= 40 ORDER BY lang, doc_id"))
 
+  /** Per-doc salient terms ([[TermSalience]]): TF-IDF-shaped ranking in
+    * exact integer arithmetic — (tf DESC, df ASC, term ASC) — so the
+    * oracle replays it verbatim (idf = log(N/df) is monotone in df, so
+    * the rankings agree while the hash stays libm-free).
+    */
+  private def termsQuery = QueryDef(
+    "text_topterms_documents",
+    (s, dir) => TermSalience.topTerms(
+        Tables.load(s, dir, "documents", parallelize = true),
+        "doc_id", "text")
+      .orderBy("doc_id", "rank"),
+    Some {
+      val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents), " +
+        "terms AS (SELECT doc_id, unnest(t) AS term FROM toks), " +
+        "q AS (SELECT doc_id, term FROM terms WHERE length(term) >= 3 " +
+        s"AND term NOT IN ($stop)), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM q GROUP BY 1, 2), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1) " +
+        "SELECT doc_id, term, tf, df, rank FROM (SELECT tf.doc_id, " +
+        "tf.term, tf.tf, df.df, row_number() OVER (PARTITION BY tf.doc_id " +
+        "ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank " +
+        "FROM tf JOIN df USING (term)) WHERE rank <= 3 " +
+        "ORDER BY doc_id, rank"
+    })
+
   /** Deterministic shuffle-sharding: reproducible (shard, position) per
     * document via seeded md5 sort keys (see [[graft.pipeline.Sharding]]).
     * Oracle recomputes key, nibble-fold shard, and per-shard rank
@@ -505,6 +531,7 @@ object TextQueries extends QueryPack {
 
   override def queries: Seq[QueryDef] =
     Seq(statsQuery, curateQuery, pipelineQuery, pipelineFullQuery,
-      sampleQuery, shardQuery, decontamQuery, repetitionQuery, packQuery,
-      decontamPipelineQuery, chunkQuery, mixQuery, mixWeightedQuery)
+      sampleQuery, shardQuery, termsQuery, decontamQuery, repetitionQuery,
+      packQuery, decontamPipelineQuery, chunkQuery, mixQuery,
+      mixWeightedQuery)
 }
