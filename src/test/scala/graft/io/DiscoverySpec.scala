@@ -27,7 +27,7 @@ class DiscoverySpec extends SparkSpec {
 
   test("unsupported extension raises like the reference") {
     intercept[IllegalArgumentException] {
-      Discovery.load(spark, "/tmp/nope.avro")
+      Discovery.load(spark, "/tmp/nope.feather")
     }
     // .xls is built-in since r7 (graft.io.Biff) — but a file that is not
     // an OLE2 compound file must fail with a clear signature error, not

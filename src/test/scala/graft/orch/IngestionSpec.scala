@@ -21,7 +21,7 @@ class IngestionSpec extends SparkSpec {
   }
 
   test("unsupported format propagates the loader error") {
-    val r = Ingestion.run(spark, "whatever", "/tmp/file.avro")
+    val r = Ingestion.run(spark, "whatever", "/tmp/file.feather")
     assert(r.status === "FAILED")
     assert(r.error.exists(_.contains("Unsupported")))
   }
