@@ -43,7 +43,12 @@ object TermSalience {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    tf.join(df, "term")
+    // df is vocabulary-sized (sublinear in the corpus) — broadcast it so
+    // the (doc, term)-sized tf side is never re-shuffled onto term; the
+    // only remaining exchange is the window's doc_id partition. For a
+    // dictionary too big to broadcast, drop the hint and this degrades
+    // to a co-partitioned shuffle join, not a different algorithm.
+    tf.join(broadcast(df), "term")
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("doc_id", "term", "tf", "df", "rank")
