@@ -96,7 +96,16 @@ object ScaleProbe {
     // shuffle-sharding — stateless assignment + one window partitioned
     // by 16 shards: the window sort dominates and parallelism is the
     // shard count, so this probe is the documented nShards-cap evidence
-    ("corpus_shard", None, SparkEntry.queries("corpus_shard_documents")))
+    ("corpus_shard", None, SparkEntry.queries("corpus_shard_documents")),
+    // rolling features — one entity-key window over the users-grow
+    // events corpus: constant per-key work, more keys → expect flat-ish
+    ("features_rolling", None,
+      SparkEntry.queries("features_rolling_events")),
+    // salient terms — the scaled corpus suffixes every token per copy,
+    // so the VOCABULARY (and the broadcast df side) grows ×mult: this
+    // probe watches the dictionary-broadcast design point, not just the
+    // scan
+    ("text_topterms", None, SparkEntry.queries("text_topterms_documents")))
 
   /** The bucketed join's foil: same join/aggregate off the raw parquet
     * tables — both fact sides shuffle on the key every run.
