@@ -114,6 +114,75 @@ object Avro {
 
   // --------------------------------------------------------------- write
 
+  /** Distributed Avro SINK: one container file per partition under
+    * `dir`, written executor-side through the Hadoop FileSystem API (so
+    * the same code path serves file:/hdfs:/s3a:), schema derived from
+    * the DataFrame schema (same flat-tabular subset as the reader; all
+    * fields encode as nullable `[null, T]` unions). The directory then
+    * reads back through [[read]] — write/read parity with the
+    * parquet/ORC lanes. Size output files by partitioning the input
+    * (`repartition(n)`) — the standard Spark sink contract.
+    */
+  def writeDistributed(df: DataFrame, dir: String): Unit = {
+    val names = df.schema.fields.map(_.name).toSeq
+    val schemaJson = {
+      var b = SchemaBuilder.record("row").namespace("graft").fields()
+      df.schema.fields.foreach { f =>
+        val fb = b.name(f.name).`type`().unionOf().nullType().and()
+        b = (f.dataType match {
+          case LongType => fb.longType()
+          case IntegerType => fb.intType()
+          case DoubleType => fb.doubleType()
+          case FloatType => fb.floatType()
+          case BooleanType => fb.booleanType()
+          case StringType => fb.stringType()
+          case BinaryType => fb.bytesType()
+          case other => throw new IllegalArgumentException(
+            s"avro sink: unsupported column type $other (flat subset)")
+        }).endUnion().noDefault()
+      }
+      b.endRecord().toString // ship as JSON: Schema is not Serializable
+    }
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(conf.value)
+    fs.mkdirs(path)
+    df.queryExecution.toRdd // InternalRow — avoid the Row copy per record
+      .mapPartitionsWithIndex { case (pid, rows) =>
+        val schema = new Schema.Parser().parse(schemaJson)
+        val part = new org.apache.hadoop.fs.Path(
+          f"$dir%s/part-$pid%05d.avro")
+        val out = part.getFileSystem(conf.value).create(part, true)
+        val writer = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](schema))
+        writer.create(schema, out)
+        var n = 0L
+        try rows.foreach { r =>
+          val rec = new GenericData.Record(schema)
+          names.indices.foreach { i =>
+            val v =
+              if (r.isNullAt(i)) null
+              else schema.getFields.get(i).schema().getTypes
+                .get(1).getType match {
+                case Schema.Type.LONG => r.getLong(i)
+                case Schema.Type.INT => r.getInt(i)
+                case Schema.Type.DOUBLE => r.getDouble(i)
+                case Schema.Type.FLOAT => r.getFloat(i)
+                case Schema.Type.BOOLEAN => r.getBoolean(i)
+                case Schema.Type.STRING => r.getUTF8String(i).toString
+                case Schema.Type.BYTES =>
+                  java.nio.ByteBuffer.wrap(r.getBinary(i))
+                case other => throw new IllegalStateException(s"$other")
+              }
+            rec.put(i, v)
+          }
+          writer.append(rec); n += 1
+        } finally writer.close() // closes the Hadoop stream
+        Iterator.single(n)
+      }.count(): Unit
+  }
+
   /** Driver-side staging writer (gate/test fixture — bounded slices, same
     * role as [[Xlsx.write]]/[[Biff.write]]): one container file, schema
     * derived from the first row's value classes (Long / Int / Double /

@@ -207,13 +207,15 @@ object DiscoveryQueries extends QueryPack {
     Some("SELECT event_id, event_type, value FROM events " +
       s"WHERE event_id <= $OrcRows ORDER BY event_id"))
 
-  /** Avro ingestion end to end: stage an events slice as a real Avro
-    * object-container file ([[Avro.write]], nullable-union schema), read
-    * it back through the discovery branch's distributed `AvroInputFormat`
-    * scan, and oracle the VALUES from the events table. Long/string/
-    * double survive the binary encoding exactly (no text round-trip), so
-    * the hash compare is verbatim — pinning header-schema translation,
-    * union unwrapping, and executor-side record decode.
+  /** Avro ingestion end to end, BOTH directions distributed: stage an
+    * events slice through the executor-side container sink
+    * ([[Avro.writeDistributed]], Hadoop-FS streams, nullable-union
+    * schema), read the directory back through the discovery branch's
+    * `AvroInputFormat` scan, and oracle the VALUES from the events
+    * table. Long/string/double survive the binary encoding exactly (no
+    * text round-trip), so the hash compare is verbatim — pinning schema
+    * translation both ways, union unwrapping, and executor-side
+    * encode/decode.
     */
   private val AvroRows = 500L
 
@@ -221,13 +223,12 @@ object DiscoveryQueries extends QueryPack {
     "discovery_avro_events",
     (s, dir) => {
       val out = stagePath("graft_events", "avro")
-      val rows = Tables.load(s, dir, "events", parallelize = false)
-        .select("event_id", "event_type", "value")
-        .filter(org.apache.spark.sql.functions.col("event_id") <= AvroRows)
-        .orderBy("event_id").collect()
-        .map(r => Seq[Any](r.getLong(0), r.getString(1), r.getDouble(2)))
-        .toSeq
-      Avro.write(out, Seq("event_id", "event_type", "value"), rows)
+      Avro.writeDistributed(
+        Tables.load(s, dir, "events", parallelize = false)
+          .select("event_id", "event_type", "value")
+          .filter(org.apache.spark.sql.functions.col("event_id") <= AvroRows)
+          .coalesce(1),
+        out)
       val (df, fileType) = Discovery.load(s, out)
       require(fileType == "avro", s"avro must report 'avro', got $fileType")
       df.orderBy("event_id")

@@ -57,6 +57,34 @@ class AvroSpec extends SparkSpec {
       Seq("click", "view"))
   }
 
+  test("distributed sink: one container per partition, full round trip " +
+      "with nulls, read back as one relation") {
+    import spark.implicits._
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft_avro_w")}"
+    val df = (1L to 200L).toDF("id")
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("id") % 7 === 0,
+          org.apache.spark.sql.functions.lit(null))
+          .otherwise(org.apache.spark.sql.functions.col("id") * 0.5)
+          .as("v"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("n"),
+          org.apache.spark.sql.functions.col("id")).as("name"))
+      .repartition(4)
+    Avro.writeDistributed(df, dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(parts.length === 4)
+    val back = Avro.read(spark, dir)
+    assert(back.count() === 200)
+    assert(back.filter("v IS NULL").count() === 200L / 7)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id"))
+      .head.getLong(0) === 20100L)
+    // exact IEEE round trip through the binary encoding
+    assert(back.filter("id = 3").head.getAs[Double]("v") === 1.5)
+  }
+
   test("unsupported nesting is rejected, [null,T] unions unwrap") {
     // write side rejects unsupported value classes
     val p = tmp("bad.avro")
