@@ -155,4 +155,21 @@ object Pii {
     val info = detectColumns(df, sampleRows)
     if (info.isEmpty) df else maskTable(df, info)
   }
+
+  /** k-anonymity audit over quasi-identifier expressions: the
+    * equivalence classes (groups sharing every quasi value) smaller than
+    * `k` — each row in such a group is re-identifiable by joining the
+    * quasi attributes against an external dataset, the standard release
+    * check masking alone does not cover (masked direct identifiers do
+    * not help when (nation, segment, balance-band) is unique). Callers
+    * pass GENERALIZED quasi columns (e.g. banded numerics) — the audit
+    * is one hash aggregation + filter, map-side combinable at any scale.
+    */
+  def kAnonymityViolations(df: DataFrame, quasi: Seq[Column],
+      k: Int): DataFrame = {
+    require(k > 1, s"k must exceed 1, got $k")
+    df.groupBy(quasi: _*)
+      .agg(count(lit(1)).as("group_n"))
+      .filter(col("group_n") < k)
+  }
 }

@@ -140,6 +140,25 @@ object PiiQueries extends QueryPack {
         "AS n_redactions FROM t ORDER BY c_custkey"
     })
 
+  /** k-anonymity audit ([[Pii.kAnonymityViolations]]) over customer
+    * quasi-identifiers — nation × segment × $1000 balance band, k=5:
+    * lists every equivalence class small enough to re-identify. The
+    * band uses floor (IEEE-exact on both engines), counts are exact
+    * ints, so the oracle replays it verbatim.
+    */
+  private def kanonQuery = QueryDef(
+    "pii_kanon_customer",
+    (s, dir) => Pii.kAnonymityViolations(
+        graft.io.Tables.load(s, dir, "customer"),
+        Seq(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).as("acctbal_band")),
+        k = 5)
+      .orderBy("c_nationkey", "c_mktsegment", "acctbal_band"),
+    Some("SELECT c_nationkey, c_mktsegment, " +
+      "CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band, " +
+      "count(*) AS group_n FROM customer GROUP BY 1, 2, 3 " +
+      "HAVING count(*) < 5 ORDER BY 1, 2, 3"))
+
   override def queries: Seq[QueryDef] =
-    Seq(maskQuery, detectQuery, scrubQuery)
+    Seq(maskQuery, detectQuery, scrubQuery, kanonQuery)
 }

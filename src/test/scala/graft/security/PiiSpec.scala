@@ -118,4 +118,17 @@ class PiiSpec extends SparkSpec {
     assert(!out._1.exists(_.isDigit), out._1)
     assert(out._2 === 4)
   }
+
+  test("k-anonymity: groups below k are listed with their size, groups " +
+      "at/above k are absent, k<=1 rejected") {
+    val df = (Seq.fill(5)(("IN", "A")) ++ Seq.fill(2)(("IN", "B")) ++
+      Seq(("US", "A"))).toDF("nation", "seg")
+    val out = Pii.kAnonymityViolations(
+        df, Seq(col("nation"), col("seg")), k = 5)
+      .as[(String, String, Long)].collect().toSet
+    assert(out === Set(("IN", "B", 2L), ("US", "A", 1L)))
+    intercept[IllegalArgumentException] {
+      Pii.kAnonymityViolations(df, Seq(col("nation")), k = 1)
+    }
+  }
 }
