@@ -26,6 +26,32 @@ class SpanDedupSpec extends SparkSpec {
     assert(covered(Seq.empty[Int], 8) === 0)
   }
 
+  test("property: coveredTokens equals brute-force interval union over " +
+      "random position multisets and widths") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      w <- Gen.choose(1, 12)
+      pos <- Gen.listOf(Gen.choose(0, 60))
+    } yield (w, pos)
+    // scalatest↔scalacheck bridge isn't in the offline cache — drive
+    // the generator manually with deterministic seeds (SplitterSpec
+    // pattern); batch cases into one Spark job per distinct width
+    val cases = (1 to 120).flatMap { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong))
+    }
+    cases.groupBy(_._1).foreach { case (w, group) =>
+      val brute = group.map { case (_, pos) =>
+        pos.flatMap(p => p until p + w).distinct.size.toLong
+      }
+      val got = group.zipWithIndex.map { case ((_, pos), i) => (i, pos) }
+        .toDF("i", "p")
+        .select(col("i"), SpanDedup.coveredTokens(col("p"), w).as("c"))
+        .orderBy("i").collect().map(_.getLong(1)).toSeq
+      assert(got === brute, s"width $w")
+    }
+  }
+
   test("a span repeated only WITHIN one doc is not duplicated; the same " +
       "span across two docs is, and every doc appears in the output") {
     val w8 = "t1 t2 t3 t4 t5 t6 t7 t8"
