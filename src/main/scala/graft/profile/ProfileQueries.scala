@@ -248,6 +248,31 @@ object ProfileQueries extends QueryPack {
       .orderBy(col("cnt").desc, col("value")),
     Some(TopKOracle))
 
+  /** GROUPED heavy hitters — `graft_topk` per partition key (top users
+    * per event type), the per-domain curation report. Same exactness
+    * argument as the global sketch gate: capacity ≥ distinct users per
+    * group makes every group's Misra–Gries summary provably exact, and
+    * eval's (count desc, value asc) cut is deterministic — so the
+    * oracle replays it with a ranked window. At true scale the same
+    * query runs with capacity ≪ distinct under the sketch guarantees
+    * pinned in `TopKSketchSpec`.
+    */
+  private def topkGroupedQuery = QueryDef(
+    "profile_topk_by_type",
+    (s, dir) => Tables.load(s, dir, "events", parallelize = true)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.VectorExpressions.approxTopK(
+        col("user_id").cast("string"), 32768, 5).as("tk"))
+      .select(col("event_type"), explode(col("tk")).as("e"))
+      .select(col("event_type"), col("e.value").as("value"),
+        col("e.count").as("cnt"))
+      .orderBy(col("event_type"), col("cnt").desc, col("value")),
+    Some("SELECT event_type, value, cnt FROM (SELECT event_type, " +
+      "CAST(user_id AS VARCHAR) AS value, COUNT(*) AS cnt, " +
+      "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY COUNT(*) " +
+      "DESC, CAST(user_id AS VARCHAR)) AS rn FROM events GROUP BY 1, 2) " +
+      "WHERE rn <= 5 ORDER BY event_type, cnt DESC, value"))
+
   /** Grouped percentiles — per-source length distribution, the curation
     * report a corpus QA pass starts from ("is the code slice's p95 doc
     * length drifting?"). Spark's exact `percentile` and DuckDB's
@@ -275,5 +300,5 @@ object ProfileQueries extends QueryPack {
   override def queries: Seq[QueryDef] =
     Seq(profileQuery("lineitem"), profileQuery("orders"), approxQuery,
       quantileQuery("lineitem"), quantileApproxQuery, topkExactQuery,
-      topkSketchQuery, groupedQuantileQuery)
+      topkSketchQuery, topkGroupedQuery, groupedQuantileQuery)
 }
