@@ -236,6 +236,33 @@ object DiscoveryQueries extends QueryPack {
     Some("SELECT event_id, event_type, value FROM events " +
       s"WHERE event_id <= $AvroRows ORDER BY event_id"))
 
+  /** Semi-structured promotion ([[SemiStructured.promote]]): the events
+    * `props` JSON column promoted to a typed `k` with a validity flag —
+    * codegen'd `from_json` with an explicit schema, no shuffle. Oracle
+    * replays the extraction with DuckDB's JSON functions, so the hash
+    * pins per-row parse + typing.
+    */
+  private def propsQuery = QueryDef(
+    "events_props_promote",
+    (s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))
+      SemiStructured.promote(
+          Tables.load(s, dir, "events", parallelize = false)
+            .select("event_id", "event_type", "props"),
+          "props", schema)
+        .select(org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.col("event_type"),
+          org.apache.spark.sql.functions.col("k"),
+          org.apache.spark.sql.functions.col("props_valid"))
+        .orderBy("event_id")
+    },
+    Some("SELECT event_id, event_type, " +
+      "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +
+      "(props IS NOT NULL AND json_valid(props)) AS props_valid " +
+      "FROM events ORDER BY event_id"))
+
   /** S9: catalog scan as a relation, with the reference's CASE
     * length/precision dispatch (`Data_Quality_Table.sql:38-54`). Oracle =
     * literal expected rows from the corpus schema spec (NUMBER→38,
@@ -260,5 +287,6 @@ object DiscoveryQueries extends QueryPack {
 
   override def queries: Seq[QueryDef] =
     Seq(parquetQuery, csvQuery, jsonQuery, xmlQuery, xlsxQuery, xlsQuery,
-      orcQuery, avroQuery, catalogQuery("customer"), catalogQuery("lineitem"))
+      orcQuery, avroQuery, propsQuery, catalogQuery("customer"),
+      catalogQuery("lineitem"))
 }
