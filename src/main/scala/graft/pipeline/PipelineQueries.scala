@@ -100,6 +100,47 @@ object PipelineQueries extends QueryPack {
     * never changes the result — only the shuffle layout, pinned in
     * PlanAuditSpec — so the oracle is a plain COUNT(DISTINCT).
     */
+  /** CDC snapshot diff ([[SnapshotDiff]]): two deterministic orders
+    * snapshots derived in-query (before drops key%11=0, after drops
+    * key%13=0 and bumps totalprice on key%5=0), so all four change
+    * classes appear and the oracle rebuilds both sides verbatim. The
+    * +1.0 bump is exact IEEE on both engines.
+    */
+  private def snapshotDiffQuery = QueryDef(
+    "snapshot_diff_orders",
+    (s, dir) => {
+      val proj = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val before = proj.filter(col("o_orderkey") % 11 =!= 0)
+      val after = proj.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      SnapshotDiff.diff(before, after, Seq("o_orderkey"),
+          Seq("o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    Some("WITH proj AS (SELECT o_orderkey, o_orderstatus, o_totalprice " +
+      "FROM orders), " +
+      "b AS (SELECT * FROM proj WHERE o_orderkey % 11 != 0), " +
+      "a AS (SELECT o_orderkey, o_orderstatus, CASE WHEN o_orderkey % 5 " +
+      "= 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice " +
+      "FROM proj WHERE o_orderkey % 13 != 0), " +
+      "j AS (SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey, " +
+      "b.o_orderkey IS NOT NULL AS bp, a.o_orderkey IS NOT NULL AS ap, " +
+      "list_filter([CASE WHEN b.o_orderstatus IS DISTINCT FROM " +
+      "a.o_orderstatus THEN 'o_orderstatus' END, CASE WHEN " +
+      "b.o_totalprice IS DISTINCT FROM a.o_totalprice THEN " +
+      "'o_totalprice' END], x -> x IS NOT NULL) AS ch " +
+      "FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey) " +
+      "SELECT o_orderkey, CASE WHEN NOT bp THEN 'added' WHEN NOT ap " +
+      "THEN 'removed' WHEN len(ch) > 0 THEN 'changed' ELSE 'unchanged' " +
+      "END AS change_type, CASE WHEN bp AND ap THEN " +
+      // DuckDB array_to_string([]) is NULL; Spark array_join([]) is ''
+      "coalesce(array_to_string(ch, ','), '') ELSE '' END " +
+      "AS changed_cols " +
+      "FROM j ORDER BY o_orderkey"))
+
   /** Per-user sequence features from one keyed window ([[Features]]):
     * previous-event gap, 5-event rolling sum/count (DECIMAL-exact so the
     * sliding arithmetic is engine-portable), sequence position. Oracle
@@ -262,6 +303,7 @@ object PipelineQueries extends QueryPack {
          |ORDER BY user_id, valid_from_us, event_id""".stripMargin))
 
   override def queries: Seq[QueryDef] =
-    Seq(latestQuery, mergeQuery, asofQuery, featuresQuery, saltedQuery,
-      saltedJoinQuery, scd2HistoryQuery, scd2MergeQuery)
+    Seq(latestQuery, mergeQuery, asofQuery, featuresQuery,
+      snapshotDiffQuery, saltedQuery, saltedJoinQuery, scd2HistoryQuery,
+      scd2MergeQuery)
 }
