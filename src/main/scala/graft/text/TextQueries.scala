@@ -208,6 +208,28 @@ object TextQueries extends QueryPack {
       "PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn " +
       "FROM documents) WHERE rn <= 40 ORDER BY lang, doc_id"))
 
+  /** Vocabulary coverage ([[Vocab]]): top-50 corpus tokens with exact
+    * cumulative share — the tokenizer-sizing curve. Ranks and shares
+    * are deterministic under the (count desc, token asc) total order;
+    * cum_share is an exact-integer division, bit-equal across engines.
+    */
+  private def vocabQuery = QueryDef(
+    "text_vocab_documents",
+    (s, dir) => Vocab.coverage(
+        Tables.load(s, dir, "documents", parallelize = true),
+        "text", topV = 50)
+      .orderBy("rank"),
+    Some(s"WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents), " +
+      "tok AS (SELECT unnest(t) AS token FROM toks), " +
+      "c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1), " +
+      "r AS (SELECT token, cnt, ROW_NUMBER() OVER " +
+      "(ORDER BY cnt DESC, token) AS rank, " +
+      "SUM(cnt) OVER (ORDER BY cnt DESC, token ROWS BETWEEN UNBOUNDED " +
+      "PRECEDING AND CURRENT ROW) AS cum, SUM(cnt) OVER () AS total " +
+      "FROM c) " +
+      "SELECT rank, token, cnt, CAST(cum AS DOUBLE) / total AS cum_share " +
+      "FROM r WHERE rank <= 50 ORDER BY rank"))
+
   /** Per-doc salient terms ([[TermSalience]]): TF-IDF-shaped ranking in
     * exact integer arithmetic — (tf DESC, df ASC, term ASC) — so the
     * oracle replays it verbatim (idf = log(N/df) is monotone in df, so
@@ -531,7 +553,7 @@ object TextQueries extends QueryPack {
 
   override def queries: Seq[QueryDef] =
     Seq(statsQuery, curateQuery, pipelineQuery, pipelineFullQuery,
-      sampleQuery, shardQuery, termsQuery, decontamQuery, repetitionQuery,
-      packQuery, decontamPipelineQuery, chunkQuery, mixQuery,
-      mixWeightedQuery)
+      sampleQuery, shardQuery, termsQuery, vocabQuery, decontamQuery,
+      repetitionQuery, packQuery, decontamPipelineQuery, chunkQuery,
+      mixQuery, mixWeightedQuery)
 }
