@@ -26,7 +26,8 @@ object Multimodal {
       content: Array[Byte])
 
   final case class Decoded(media_id: Long, kind: String, width: Int,
-      height: Int, channels: Int, duration_ms: Long, n_frames: Int)
+      height: Int, channels: Int, duration_ms: Long, n_frames: Int,
+      sample_rate: Int)
 
   final case class Feature(media_id: Long, feature: Array[Float])
 
@@ -55,7 +56,8 @@ object Multimodal {
         duration_ms =
           if (m.kind == "image") 0L else 1000L + math.floorMod(h >> 24, 600000L),
         n_frames = if (isVideo) 24 + math.floorMod(h >> 40, 10000).toInt
-          else if (m.kind == "image") 1 else 0)
+          else if (m.kind == "image") 1 else 0,
+        sample_rate = 0)
     }
     def features(m: Media, dim: Int): Array[Float] =
       Array.tabulate(dim) { i =>
@@ -66,16 +68,24 @@ object Multimodal {
 
   /** The shipped codec: REAL header parsing for image payloads
     * ([[ImageHeaders]] — an image's geometry never needs a pixel
-    * decode), stub fallback for everything else, stub features (per the
-    * environment brief: feature extraction needs a real model/codec).
+    * decode) AND audio payloads ([[AudioHeaders]] — RIFF/WAVE carries
+    * channels/rate/bits/size in plain bytes); stub fallback for
+    * everything else, stub features (per the environment brief: feature
+    * extraction needs a real model/codec).
     */
   object HeaderCodec extends MediaCodec {
     def decode(m: Media): Decoded =
       ImageHeaders.parse(m.content) match {
         case Some((w, h, ch)) =>
           Decoded(m.media_id, m.kind, w, h, ch,
-            duration_ms = 0L, n_frames = 1)
-        case None => FakeCodec.decode(m)
+            duration_ms = 0L, n_frames = 1, sample_rate = 0)
+        case None => AudioHeaders.parse(m.content) match {
+          case Some(wav) =>
+            Decoded(m.media_id, m.kind, width = 0, height = 0,
+              channels = wav.channels, duration_ms = wav.durationMs,
+              n_frames = 0, sample_rate = wav.sampleRate)
+          case None => FakeCodec.decode(m)
+        }
       }
     def features(m: Media, dim: Int): Array[Float] =
       FakeCodec.features(m, dim)
@@ -89,6 +99,14 @@ object Multimodal {
     16 + math.floorMod(id, 2048).toInt,
     16 + math.floorMod(id / 7, 2048).toInt,
     Seq(0, 2, 3, 4, 6)(math.floorMod(id, 5).toInt))
+
+  /** Deterministic WAV parameters for synthesized audio payloads —
+    * written into a REAL RIFF/WAVE header, read back by the decode.
+    */
+  private[mm] def synthAudioParams(id: Long): (Int, Int, Int) = (
+    1 + math.floorMod(id, 2).toInt,
+    Seq(8000, 16000, 22050, 44100)(math.floorMod(id, 4).toInt),
+    Seq(8, 16)(math.floorMod(id / 3, 2).toInt))
 
   /** Synthesize a media table from `documents` — the corpus carries no
     * real media, so text bytes stand in for the payload. Image rows get
@@ -109,6 +127,9 @@ object Multimodal {
           if (kind == "image") {
             val (w, h, colorType) = synthGeometry(id)
             ImageHeaders.pngHeader(w, h, colorType) ++ payload
+          } else if (kind == "audio") {
+            val (ch, rate, bits) = synthAudioParams(id)
+            AudioHeaders.wavHeader(ch, rate, bits, payload.length) ++ payload
           } else payload
         Media(id, kind, format, content)
       }
@@ -138,12 +159,15 @@ object Multimodal {
   }
 
   /** Resize plan as pure metadata math (aspect-preserving fit into a
-    * square `target`) — column ops only, no decode needed.
+    * square `target`) — column ops only, no decode needed. Visual media
+    * only: audio rows (zero geometry since the real WAV parse) have
+    * nothing to resize.
     */
   def resizePlan(decoded: Dataset[Decoded], target: Int): DataFrame = {
     val scale = least(lit(target) / col("width"),
       lit(target) / col("height"), lit(1.0))
-    decoded.select(col("media_id"),
+    decoded.filter(col("width") > 0 && col("height") > 0)
+      .select(col("media_id"),
       col("width"), col("height"),
       ceil(col("width") * scale).cast("int").as("out_width"),
       ceil(col("height") * scale).cast("int").as("out_height"))

@@ -49,5 +49,36 @@ object MultimodalQueries extends QueryPack {
       "CAST(1 AS INT) AS n_frames, CAST(16 AS INT) AS feat_dim " +
       "FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id"))
 
-  override def queries: Seq[QueryDef] = Seq(pipelineQuery)
+  /** The audio lane, REAL since r7's second pass: channels / sample rate
+    * / bit depth / payload size parse from genuine RIFF/WAVE bytes
+    * ([[AudioHeaders]]) that the synthesizer wrote from id-derived
+    * parameters ([[Multimodal.synthAudioParams]]) — so, like the image
+    * gate, DuckDB recomputes everything analytically (duration is the
+    * exact integer dataLen·1000/byteRate with byte length via
+    * octet_length of the UTF-8 payload) and the hash pins params → WAV
+    * header → distributed parse end to end.
+    */
+  private def audioQuery = QueryDef(
+    "mm_decode_audio_documents",
+    (s, dir) => {
+      val media = Multimodal.synthesize(
+        Tables.load(s, dir, "documents", parallelize = true))
+      Multimodal.decodeAll(media).toDF()
+        .filter(col("kind") === "audio")
+        .select(col("media_id"), col("kind"), col("channels"),
+          col("sample_rate"), col("duration_ms"), col("n_frames"))
+        .orderBy("media_id")
+    },
+    Some("SELECT media_id, kind, channels, sample_rate, " +
+      "dl * 1000 // (sample_rate * channels * (bits // 8)) " +
+      "AS duration_ms, CAST(0 AS INT) AS n_frames FROM (" +
+      "SELECT doc_id AS media_id, 'audio' AS kind, " +
+      "CAST(1 + doc_id % 2 AS INT) AS channels, " +
+      "CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 " +
+      "WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate, " +
+      "CASE (doc_id // 3) % 2 WHEN 0 THEN 8 ELSE 16 END AS bits, " +
+      "octet_length(encode(text)) AS dl " +
+      "FROM documents WHERE doc_id % 3 = 1) ORDER BY media_id"))
+
+  override def queries: Seq[QueryDef] = Seq(pipelineQuery, audioQuery)
 }

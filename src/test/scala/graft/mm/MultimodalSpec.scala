@@ -26,9 +26,16 @@ class MultimodalSpec extends SparkSpec {
     assert(d1.toSeq === d2.toSeq)
     assert(d1.length === docs.count())
     d1.foreach { d =>
-      assert(d.width >= 16 && d.height >= 16)
-      if (d.kind == "image") assert(d.n_frames === 1 && d.duration_ms === 0)
-      if (d.kind == "audio") assert(d.channels === 2)
+      if (d.kind == "image") {
+        assert(d.width >= 16 && d.height >= 16)
+        assert(d.n_frames === 1 && d.duration_ms === 0)
+      }
+      if (d.kind == "audio") {
+        // REAL WAV parse: zero geometry, synthesized params round-trip
+        val (ch, rate, _) = Multimodal.synthAudioParams(d.media_id)
+        assert(d.width === 0 && d.height === 0)
+        assert(d.channels === ch && d.sample_rate === rate)
+      }
       if (d.kind == "video") assert(d.n_frames >= 24)
     }
   }
@@ -55,18 +62,40 @@ class MultimodalSpec extends SparkSpec {
     val content = m.select(md5(col("content")).as("h"))
       .agg(md5(concat_ws(",", sort_array(collect_list("h")))))
       .head.getString(0)
-    assert(content === "218a3094dd6b098724cd62c631bfad64", "content bytes")
+    assert(content === "a9d3d079e3645ef806bc6a63263324d3", "content bytes")
     val d = Multimodal.decodeAll(m).toDF()
     val dec = d.select(md5(concat_ws("|", d.columns.map(col): _*)).as("h"))
       .agg(md5(concat_ws(",", sort_array(collect_list("h")))))
       .head.getString(0)
-    assert(dec === "d32f83ffe9328fdfb9cc67f009dc83b2", "decoded metadata")
+    assert(dec === "d9cc104967a4a1889ed59f111d0aea39", "decoded metadata")
     val feat = Multimodal.extractFeatures(m, dim = 16).toDF()
       .select(md5(concat_ws("|", col("media_id"),
         concat_ws(",", col("feature")))).as("h"))
       .agg(md5(concat_ws(",", sort_array(collect_list("h")))))
       .head.getString(0)
-    assert(feat === "25eac26675073445320b1d994b05bf99", "feature vectors")
+    assert(feat === "70253e061e172c189f16e2addeb75cc7", "feature vectors")
+  }
+
+  test("WAV fmt/data chunks parse to hand-computed parameters; odd-size " +
+      "chunks pad; non-PCM rejects (real-format golden)") {
+    // canonical header: stereo 16-bit 44100 Hz, 88200 data bytes = 500ms
+    val h = AudioHeaders.wavHeader(2, 44100, 16, 88200)
+    assert(h.length === 44)
+    val parsed = AudioHeaders.parse(h ++ Array.fill(4)(0.toByte))
+    assert(parsed === Some(AudioHeaders.WavInfo(2, 44100, 16, 88200)))
+    assert(parsed.get.durationMs === 500L)
+    // an odd-size junk chunk before fmt must be skipped WITH its pad byte
+    val junk = "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0) // 3 data + pad
+    val riff = h.take(12) ++ junk ++ h.drop(12)
+    // patch the RIFF size (unchecked by the parser, but keep it honest)
+    val p2 = AudioHeaders.parse(riff)
+    assert(p2 === Some(AudioHeaders.WavInfo(2, 44100, 16, 88200)))
+    // non-PCM (format tag 2) rejects
+    val nonPcm = h.clone(); nonPcm(20) = 2
+    assert(AudioHeaders.parse(nonPcm) === None)
+    // not RIFF at all
+    assert(AudioHeaders.parse("plain text".getBytes("UTF-8")) === None)
   }
 
   test("PNG IHDR parses to hand-computed geometry (real-format golden)") {
@@ -144,8 +173,16 @@ class MultimodalSpec extends SparkSpec {
           Some((w, h, Map(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)(colorType))))
         assert((d.width, d.height) === (w, h))
         assert(d.n_frames === 1 && d.duration_ms === 0L)
+      } else if (mm.kind == "audio") {
+        // REAL RIFF/WAVE parse: params travel THROUGH the bytes
+        val (ch, rate, bits) = Multimodal.synthAudioParams(mm.media_id)
+        val wav = AudioHeaders.parse(mm.content)
+        assert(wav.map(w => (w.channels, w.sampleRate, w.bitsPerSample))
+          === Some((ch, rate, bits)))
+        assert(d.channels === ch && d.sample_rate === rate)
+        assert(d.duration_ms === wav.get.durationMs)
       } else {
-        // no image header → byte-identical to the stub decode
+        // no parseable header → byte-identical to the stub decode
         assert(d === Multimodal.FakeCodec.decode(mm))
       }
     }
