@@ -84,7 +84,14 @@ object Multimodal {
             Decoded(m.media_id, m.kind, width = 0, height = 0,
               channels = wav.channels, duration_ms = wav.durationMs,
               n_frames = 0, sample_rate = wav.sampleRate)
-          case None => FakeCodec.decode(m)
+          case None => VideoHeaders.parse(m.content) match {
+            case Some(mp4) =>
+              // channels needs a codec (frame pixel format) — 0 = unknown
+              Decoded(m.media_id, m.kind, mp4.width, mp4.height,
+                channels = 0, duration_ms = mp4.durationMs,
+                n_frames = mp4.nFrames, sample_rate = 0)
+            case None => FakeCodec.decode(m)
+          }
         }
       }
     def features(m: Media, dim: Int): Array[Float] =
@@ -108,6 +115,16 @@ object Multimodal {
     Seq(8000, 16000, 22050, 44100)(math.floorMod(id, 4).toInt),
     Seq(8, 16)(math.floorMod(id / 3, 2).toInt))
 
+  /** Deterministic MP4 parameters (geometry, ms duration, frame count)
+    * for synthesized video payloads — written into a REAL box tree,
+    * read back by the decode.
+    */
+  private[mm] def synthVideoParams(id: Long): (Int, Int, Long, Int) = (
+    32 + math.floorMod(id, 1024).toInt,
+    32 + math.floorMod(id / 11, 1024).toInt,
+    1000L + math.floorMod(id, 600000L),
+    24 + math.floorMod(id, 1000).toInt)
+
   /** Synthesize a media table from `documents` — the corpus carries no
     * real media, so text bytes stand in for the payload. Image rows get
     * a genuine PNG signature + IHDR (real CRC) prepended with geometry
@@ -130,7 +147,11 @@ object Multimodal {
           } else if (kind == "audio") {
             val (ch, rate, bits) = synthAudioParams(id)
             AudioHeaders.wavHeader(ch, rate, bits, payload.length) ++ payload
-          } else payload
+          } else {
+            val (w, h, durMs, frames) = synthVideoParams(id)
+            VideoHeaders.mp4Header(w, h, durMs, frames) ++
+              VideoHeaders.mdat(payload)
+          }
         Media(id, kind, format, content)
       }
   }

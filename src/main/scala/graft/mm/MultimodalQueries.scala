@@ -80,5 +80,32 @@ object MultimodalQueries extends QueryPack {
       "octet_length(encode(text)) AS dl " +
       "FROM documents WHERE doc_id % 3 = 1) ORDER BY media_id"))
 
-  override def queries: Seq[QueryDef] = Seq(pipelineQuery, audioQuery)
+  /** The video lane, also REAL since r7's second pass: geometry (tkhd
+    * 16.16 fixed point), duration (mvhd timescale math) and frame count
+    * (stts sample runs) parse from a genuine MP4 box tree
+    * ([[VideoHeaders]]) written from id-derived parameters
+    * ([[Multimodal.synthVideoParams]]). Channels stay 0 — pixel format
+    * needs a codec. All three modality lanes now decode real bytes.
+    */
+  private def videoQuery = QueryDef(
+    "mm_decode_video_documents",
+    (s, dir) => {
+      val media = Multimodal.synthesize(
+        Tables.load(s, dir, "documents", parallelize = true))
+      Multimodal.decodeAll(media).toDF()
+        .filter(col("kind") === "video")
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("channels"), col("duration_ms"), col("n_frames"))
+        .orderBy("media_id")
+    },
+    Some("SELECT doc_id AS media_id, 'video' AS kind, " +
+      "CAST(32 + doc_id % 1024 AS INT) AS width, " +
+      "CAST(32 + (doc_id // 11) % 1024 AS INT) AS height, " +
+      "CAST(0 AS INT) AS channels, " +
+      "1000 + doc_id % 600000 AS duration_ms, " +
+      "CAST(24 + doc_id % 1000 AS INT) AS n_frames " +
+      "FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id"))
+
+  override def queries: Seq[QueryDef] =
+    Seq(pipelineQuery, audioQuery, videoQuery)
 }
