@@ -186,21 +186,63 @@ object DedupQueries extends QueryPack {
         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")))
 
-  /** Embedding-cosine near-dup, sign-LSH bucketed (the 100 TB path;
-    * hyperplanes are engine-side literals with no SQL equivalent, so this
-    * registers rows-only). Hash width auto-scales with corpus size so
-    * candidates stay O(n) — pinned in DedupSpec, along with recall ≥ 0.9
-    * at the cosine-0.95 design point and theory-conformance at this
-    * query's isotropic 0.3 tail (see EmbeddingDedup scaladoc).
+  /** Embedding-cosine near-dup, sign-LSH bucketed — ORACLED since the
+    * r7 second pass: the hyperplanes are deterministic seeded doubles
+    * ([[graft.sim.Similarity.planeValues]]), so the oracle embeds the
+    * SAME values as SQL literal arrays and DuckDB recomputes bucket
+    * signs, the 2..maxBucket bound, candidate pairs, and the exact
+    * cosine verify bit-identically (list_dot_product ≡ the codegen'd
+    * dot — the blocked gate already proves it). The gate runs the FIXED
+    * 8-bit width (what scaledBits picks at the sf0.01 corpus); the
+    * auto-scaled width stays the 100 TB default, with the O(n)
+    * candidate bound and recall physics pinned in DedupSpec.
     */
+  private val LshTables = 8
+  private val LshBits = 8
+  private val LshDims = 64
+  private val LshMaxBucket = 256
+
   private def embLshQuery = QueryDef(
     "dedup_embedding_lsh",
     (s, dir) => EmbeddingDedup.cosinePairsLsh(
         graft.io.Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.3,
-        corpusSize = Some(graft.io.Tables.rowCount(s, dir, "embeddings")))
+        tables = LshTables, bits = LshBits, dims = LshDims,
+        maxBucket = LshMaxBucket)
       .orderBy("id_a", "id_b"),
-    None)
+    Some {
+      def planeSql(t: Int, j: Int): String =
+        graft.sim.Similarity.planeValues(t, j, LshDims)
+          .map(_.toString).mkString("[", ", ", "]")
+      def bucketSql(t: Int): String = (0 until LshBits).map { j =>
+        s"(CASE WHEN list_dot_product(v, ${planeSql(t, j)}::DOUBLE[]) " +
+          s">= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val idxArms = (0 until LshTables).map(t =>
+        s"SELECT vec_id, $t AS table_idx, ${bucketSql(t)} AS bucket " +
+          "FROM e").mkString(" UNION ALL ")
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v " +
+        "FROM embeddings), " +
+        s"idx AS ($idxArms), " +
+        "bn AS (SELECT table_idx, bucket, count(*) AS n FROM idx " +
+        "GROUP BY 1, 2), " +
+        "bidx AS (SELECT i.vec_id, i.table_idx, i.bucket FROM idx i " +
+        s"JOIN bn USING (table_idx, bucket) WHERE n BETWEEN 2 AND " +
+        s"$LshMaxBucket), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b " +
+        "FROM bidx a JOIN bidx b ON a.table_idx = b.table_idx AND " +
+        "a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+        "p AS (SELECT c.id_a, c.id_b, CASE WHEN " +
+        "sqrt(list_dot_product(ea.v, ea.v)) * " +
+        "sqrt(list_dot_product(eb.v, eb.v)) = 0 THEN 0.0 ELSE " +
+        "list_dot_product(ea.v, eb.v) / " +
+        "(sqrt(list_dot_product(ea.v, ea.v)) * " +
+        "sqrt(list_dot_product(eb.v, eb.v))) END AS cosine " +
+        "FROM cand c JOIN e ea ON ea.vec_id = c.id_a " +
+        "JOIN e eb ON eb.vec_id = c.id_b) " +
+        "SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3 " +
+        "ORDER BY id_a, id_b"
+    })
 
   /** SemDeDup over embeddings, end-to-end and exactly oracled: blocked
     * cosine near-dup pairs → connected clusters (min-label propagation /

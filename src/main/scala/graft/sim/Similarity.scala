@@ -96,10 +96,20 @@ object Similarity {
     * constants — per-row hyperplane hashing bloated task binaries to
     * ~17 MB and is gone.
     */
-  private def planeLit(table: Int, bit: Int, dims: Int): Column = {
+  /** The hyperplane VALUES — single source for the literal expression
+    * AND the DuckDB oracle (DedupQueries embeds the same doubles as SQL
+    * literals, so sign agreement is bit-exact across engines). Seeded
+    * per (table, bit) only — independent of the hash width, so a bucket
+    * at width b is always the prefix of the width-b′>b bucket.
+    */
+  private[graft] def planeValues(table: Int, bit: Int,
+      dims: Int): Seq[Double] = {
     val rng = new scala.util.Random(table.toLong * 1000003L + bit * 7919L)
-    array((0 until dims).map(_ => lit(rng.nextDouble() * 2 - 1)): _*)
+    Seq.fill(dims)(rng.nextDouble() * 2 - 1)
   }
+
+  private def planeLit(table: Int, bit: Int, dims: Int): Column =
+    array(planeValues(table, bit, dims).map(lit): _*)
 
   /** Sign-LSH bucket id for one table: b bits, bit j = sign(v · plane_j).
     * `vec` should already be `array<double>` (the codegen'd [[dot]] makes
