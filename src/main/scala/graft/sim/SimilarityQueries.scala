@@ -45,18 +45,65 @@ object SimilarityQueries extends QueryPack {
          |WHERE rn <= $K ORDER BY query_id, rank""".stripMargin
         .replace("\n", " ")))
 
+  /** Multi-probed LSH top-k — ORACLED since the r7 second pass, the same
+    * way as `dedup_embedding_lsh`: hyperplanes are deterministic seeded
+    * doubles embedded as SQL literal arrays, probe masks are literal
+    * XOR values, so DuckDB replays index → probe → candidate join →
+    * exact cosine → ranked cut bit-identically. The gate pins the fixed
+    * 10-bit width (what scaledBits picks at the sf0.01 corpus with the
+    * small ANN target bucket); auto-scaled width remains the 100 TB
+    * default with candidate-volume and recall pins in SimilaritySpec.
+    */
+  private val LshTables = 6
+  private val LshBits = 10
+  private val LshDims = 64
+  private val LshRadius = 2
+
   private def lshQuery = QueryDef(
     "sim_topk_lsh",
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      // footer-statistics sizing: no count job before the real work
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < QueryIds),
-          "vec_id", "embedding", K,
-          corpusSize = Some(Tables.rowCount(s, dir, "embeddings")))
+          "vec_id", "embedding", K, tables = LshTables, bits = LshBits,
+          dims = LshDims, probeRadius = LshRadius)
         .select("query_id", "rank", "neighbor_id", "cosine")
         .orderBy("query_id", "rank")
     },
-    None)
+    Some {
+      def planeSql(t: Int, j: Int): String =
+        Similarity.planeValues(t, j, LshDims)
+          .map(_.toString).mkString("[", ", ", "]")
+      def bucketSql(t: Int): String = (0 until LshBits).map { j =>
+        s"(CASE WHEN list_dot_product(v, ${planeSql(t, j)}::DOUBLE[]) " +
+          s">= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val idxArms = (0 until LshTables).map(t =>
+        s"SELECT vec_id, $t AS table_idx, ${bucketSql(t)} AS bucket " +
+          "FROM e").mkString(" UNION ALL ")
+      val masks = Similarity.probeMasks(LshBits, LshRadius)
+        .mkString("[", ", ", "]")
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v " +
+        "FROM embeddings), " +
+        s"idx AS ($idxArms), " +
+        s"qp AS (SELECT vec_id AS query_id, table_idx, " +
+        s"xor(bucket, m.mask) AS bucket FROM idx, " +
+        s"unnest($masks::BIGINT[]) AS m(mask) " +
+        s"WHERE vec_id < $QueryIds), " +
+        "cand AS (SELECT DISTINCT qp.query_id, c.vec_id AS neighbor_id " +
+        "FROM qp JOIN idx c USING (table_idx, bucket) " +
+        "WHERE qp.query_id <> c.vec_id), " +
+        "s AS (SELECT cd.query_id, cd.neighbor_id, " +
+        "CASE WHEN sqrt(list_dot_product(q.v, q.v)) * " +
+        "sqrt(list_dot_product(c.v, c.v)) = 0 THEN 0.0 ELSE " +
+        "list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) " +
+        "* sqrt(list_dot_product(c.v, c.v))) END AS cosine " +
+        "FROM cand cd JOIN e q ON q.vec_id = cd.query_id " +
+        "JOIN e c ON c.vec_id = cd.neighbor_id) " +
+        "SELECT query_id, rn AS rank, neighbor_id, cosine FROM (" +
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY cosine DESC, neighbor_id) AS rn FROM s) " +
+        s"WHERE rn <= $K ORDER BY query_id, rank"
+    })
 
   val GraphK = 5
 
