@@ -35,25 +35,30 @@ object AudioHeaders {
   def parse(b: Array[Byte]): Option[WavInfo] = {
     if (b.length < 12) return None
     if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
-    var i = 12
+    // Long cursor: a crafted chunk size near Int.MaxValue must overflow
+    // PAST the buffer (loop exits, fall back to the stub), never wrap an
+    // Int negative and index out of bounds — a malformed file may not
+    // crash a decode task.
+    var i = 12L
     var fmt: Option[(Int, Int, Int)] = None
     var dataLen: Option[Int] = None
     while (i + 8 <= b.length && (fmt.isEmpty || dataLen.isEmpty)) {
-      val size = le32(b, i + 4)
+      val at = i.toInt
+      val size = le32(b, at + 4)
       if (size < 0) return None
-      if (tag(b, i, "fmt ")) {
-        if (size < 16 || i + 8 + 16 > b.length) return None
-        if (le16(b, i + 8) != 1) return None // PCM only
-        val ch = le16(b, i + 10)
-        val rate = le32(b, i + 12)
-        val bits = le16(b, i + 22)
+      if (tag(b, at, "fmt ")) {
+        if (size < 16 || at + 8 + 16 > b.length) return None
+        if (le16(b, at + 8) != 1) return None // PCM only
+        val ch = le16(b, at + 10)
+        val rate = le32(b, at + 12)
+        val bits = le16(b, at + 22)
         if (ch <= 0 || rate <= 0 || bits % 8 != 0 || bits == 0) return None
         fmt = Some((ch, rate, bits))
-      } else if (tag(b, i, "data")) {
+      } else if (tag(b, at, "data")) {
         dataLen = Some(size)
       }
       // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + size + (size & 1)
+      i += 8L + size.toLong + (size & 1)
     }
     for ((ch, rate, bits) <- fmt; dl <- dataLen)
       yield WavInfo(ch, rate, bits, dl)

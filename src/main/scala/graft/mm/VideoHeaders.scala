@@ -52,14 +52,15 @@ object VideoHeaders {
             if (!walk(i + 8, end)) return false
           case "mvhd" =>
             // fullbox v0: version/flags(4) creation(4) mod(4)
-            // timescale(4) duration(4)
-            if (b(i + 8) != 0 || i + 28 > end) return false
+            // timescale(4) duration(4). Bounds BEFORE the version read —
+            // a minimal 8-byte box must not index past the buffer.
+            if (i + 28 > end || b(i + 8) != 0) return false
             timescale = be32(b, i + 20)
             duration = be32(b, i + 24)
           case "tkhd" =>
             // v0 payload is 84 bytes; width/height are the LAST two
-            // 16.16 fixed-point words of the box
-            if (b(i + 8) != 0 || end - i < 8 + 84) return false
+            // 16.16 fixed-point words of the box (bounds before reads)
+            if (end - i < 8 + 84 || b(i + 8) != 0) return false
             width = (be32(b, end - 8) >> 16).toInt
             height = (be32(b, end - 4) >> 16).toInt
           case "stts" =>

@@ -100,6 +100,11 @@ class MultimodalSpec extends SparkSpec {
     assert(AudioHeaders.parse(nonPcm) === None)
     // not RIFF at all
     assert(AudioHeaders.parse("plain text".getBytes("UTF-8")) === None)
+    // crafted near-MaxInt chunk size must fall through cleanly (the Long
+    // cursor), never wrap negative and crash the decode task
+    val bomb = h.take(12) ++ "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](0xf0.toByte, 0xff.toByte, 0xff.toByte, 0x7f)
+    assert(AudioHeaders.parse(bomb) === None)
   }
 
   test("MP4 box tree parses mvhd/tkhd/stts; non-ms timescale converts; " +
@@ -118,6 +123,16 @@ class MultimodalSpec extends SparkSpec {
     assert(VideoHeaders.parse(withMdat.take(40)) === None)
     // payload without ftyp rejects
     assert(VideoHeaders.parse("plain text here".getBytes("UTF-8")) === None)
+    // a minimal 8-byte mvhd box (size 8, no payload) must bounds-check
+    // BEFORE reading the version byte — None, not AIOOBE
+    def be(v: Int): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val tiny = be(16) ++ "ftyp".getBytes("US-ASCII") ++
+      "isomisom".getBytes("US-ASCII") ++
+      be(16) ++ "moov".getBytes("US-ASCII") ++
+      be(8) ++ "mvhd".getBytes("US-ASCII")
+    assert(VideoHeaders.parse(tiny) === None)
   }
 
   test("PNG IHDR parses to hand-computed geometry (real-format golden)") {
