@@ -104,4 +104,68 @@ object Decontam {
         (col("matched_grams").cast("double") / col("total_grams"))
           .as("contamination_ratio"))
   }
+
+  /** SURGICAL (span-level) decontamination: instead of dropping a
+    * contaminated document wholesale, remove only the tokens covered by
+    * any n-gram shared with the eval set and rebuild the text — the
+    * higher-recall release treatment when the corpus is precious.
+    *
+    * Per-doc output: `(doc_id, n_tokens, kept_tokens, removed_tokens,
+    * clean_md5)` where clean_md5 hashes the space-rejoined surviving
+    * tokens (md5("") for fully-scrubbed or empty docs). Window
+    * semantics mirror [[docGramArrays]]: a doc shorter than n tokens is
+    * one whole-doc window — if it matches, everything scrubs.
+    *
+    * Scale shape: the eval gram set broadcasts (map-side probe fused
+    * with the corpus scan — the [[overlapReportFromArrays]] rationale);
+    * HIT windows only are exploded to covered positions (bounded by
+    * contamination volume, not corpus size); the rebuild is one
+    * doc-keyed aggregation over the anti-joined token stream. Per-row
+    * window hashing stays in whole-stage codegen (explode the int
+    * starts first — the SpanDedup lesson).
+    */
+  def scrubSpans(corpus: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 5,
+      broadcastEval: Boolean = true): DataFrame = {
+    val evalSet = docGramArrays(eval, idCol, textCol, n)
+      .select(explode(col("__grams")).as("__eg")).distinct()
+    val base = corpus
+      .select(col(idCol).as("doc_id"), Dedup.tokensOf(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"))
+    val spans = base
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("toks"), col("n_tokens"),
+        explode(sequence(lit(1),
+          greatest(size(col("toks")) - (n - 1), lit(1)))).as("i"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("i") - 1).cast("long").as("pos"),
+        concat_ws(" ", slice(col("toks"), col("i"), lit(n))).as("__g"))
+    val hits = spans
+      .join(if (broadcastEval) broadcast(evalSet) else evalSet,
+        col("__g") === col("__eg"))
+      .select(col("doc_id"), col("pos"), col("n_tokens"))
+    val covered = hits
+      .select(col("doc_id"), explode(sequence(col("pos"),
+        least(col("pos") + (n - 1), col("n_tokens") - 1))).as("pos"))
+      .distinct()
+    val toks = base
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val rebuilt = toks
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).cast("binary")).as("clean_md5"))
+    base.select("doc_id", "n_tokens")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("removed_tokens"),
+        coalesce(col("clean_md5"),
+          md5(lit("").cast("binary"))).as("clean_md5"))
+  }
 }

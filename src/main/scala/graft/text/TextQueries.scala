@@ -276,6 +276,54 @@ object TextQueries extends QueryPack {
       "md5('42:' || doc_id::VARCHAR) AS sort_key FROM documents) " +
       "ORDER BY shard, shard_pos"))
 
+  /** Surgical span-level decontamination ([[Decontam.scrubSpans]]): the
+    * same corpus/eval split as the overlap report, but eval-overlapping
+    * WINDOWS are removed and the text rebuilt rather than the document
+    * dropped. Oracle replays windows → hit coverage → anti-joined token
+    * stream → rejoined md5 natively, so one hash pins the whole scrub.
+    */
+  private def scrubSpansQuery = QueryDef(
+    "decontam_scrub_spans_documents",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents", parallelize = true)
+      Decontam.scrubSpans(
+          docs.filter(col("doc_id") % 100 >= 5),
+          docs.filter(col("doc_id") % 100 < 5),
+          "doc_id", "text", DecontamN)
+        .orderBy("doc_id")
+    },
+    Some {
+      val toks = tokensSql
+      "WITH toks AS (SELECT doc_id, " + toks + " AS t FROM documents), " +
+        "base AS (SELECT doc_id, t, len(t)::BIGINT AS n_tokens FROM toks " +
+        "WHERE doc_id % 100 >= 5), " +
+        "ebase AS (SELECT t FROM toks WHERE doc_id % 100 < 5), " +
+        "evalg AS (SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS g " +
+        "FROM (SELECT t, unnest(generate_series(1, " +
+        "greatest(len(t) - 4, 1))) AS i FROM ebase WHERE len(t) > 0)), " +
+        "spans AS (SELECT doc_id, n_tokens, i - 1 AS pos, " +
+        "array_to_string(t[i:i+4], ' ') AS g FROM (SELECT doc_id, " +
+        "n_tokens, t, unnest(generate_series(1, greatest(len(t) - 4, 1)))" +
+        " AS i FROM base WHERE len(t) > 0)), " +
+        "hits AS (SELECT s.doc_id, s.pos, s.n_tokens FROM spans s " +
+        "JOIN evalg USING (g)), " +
+        "cov AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, " +
+        "least(pos + 4, n_tokens - 1))) AS p FROM hits), " +
+        "tk AS (SELECT doc_id, u['i'] - 1 AS pos, u['tok'] AS tok FROM " +
+        "(SELECT doc_id, unnest(list_transform(generate_series(1, " +
+        "len(t)), i -> {'i': i, 'tok': t[i]})) AS u FROM base)), " +
+        "kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tk LEFT JOIN cov " +
+        "ON tk.doc_id = cov.doc_id AND tk.pos = cov.p WHERE cov.p IS " +
+        "NULL), " +
+        "ka AS (SELECT doc_id, count(*) AS kept_tokens, " +
+        "md5(string_agg(tok, ' ' ORDER BY pos)) AS m FROM kept " +
+        "GROUP BY 1) " +
+        "SELECT b.doc_id, b.n_tokens, coalesce(ka.kept_tokens, 0) AS " +
+        "kept_tokens, b.n_tokens - coalesce(ka.kept_tokens, 0) AS " +
+        "removed_tokens, coalesce(ka.m, md5('')) AS clean_md5 " +
+        "FROM base b LEFT JOIN ka USING (doc_id) ORDER BY doc_id"
+    })
+
   /** Benchmark decontamination: corpus docs (doc_id % 100 ≥ 5) sharing
     * any word 5-gram with the held-out eval slice (doc_id % 100 < 5).
     * The eval gram set is broadcast (see [[Decontam]]) — matching is a
@@ -554,6 +602,6 @@ object TextQueries extends QueryPack {
   override def queries: Seq[QueryDef] =
     Seq(statsQuery, curateQuery, pipelineQuery, pipelineFullQuery,
       sampleQuery, shardQuery, termsQuery, vocabQuery, decontamQuery,
-      repetitionQuery, packQuery, decontamPipelineQuery, chunkQuery,
-      mixQuery, mixWeightedQuery)
+      scrubSpansQuery, repetitionQuery, packQuery, decontamPipelineQuery,
+      chunkQuery, mixQuery, mixWeightedQuery)
 }

@@ -93,6 +93,59 @@ class DecontamSpec extends SparkSpec {
     }
   }
 
+  test("scrubSpans removes exactly the eval-covered windows and rebuilds " +
+      "the text; clean docs pass through byte-identical") {
+    val eval = docs(1L -> "e1 e2 e3 e4 e5")
+    val corpus = docs(
+      10L -> "a1 a2 e1 e2 e3 e4 e5 a3 a4", // one planted window, 5 tokens
+      11L -> "c1 c2 c3 c4 c5 c6") // clean
+    val out = Decontam.scrubSpans(corpus, eval, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+    val d10 = out(0)
+    assert(d10.getAs[Long]("n_tokens") === 9L)
+    assert(d10.getAs[Long]("removed_tokens") === 5L)
+    assert(d10.getAs[Long]("kept_tokens") === 4L)
+    // surviving text is "a1 a2 a3 a4"
+    val expect10 = java.security.MessageDigest.getInstance("MD5")
+      .digest("a1 a2 a3 a4".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(d10.getAs[String]("clean_md5") === expect10)
+    val d11 = out(1)
+    assert(d11.getAs[Long]("removed_tokens") === 0L)
+    val expect11 = java.security.MessageDigest.getInstance("MD5")
+      .digest("c1 c2 c3 c4 c5 c6".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(d11.getAs[String]("clean_md5") === expect11)
+  }
+
+  test("scrubSpans: a short doc equal to an eval fragment scrubs " +
+      "ENTIRELY (whole-doc window semantics); empty docs survive as " +
+      "empty") {
+    val eval = docs(1L -> "tiny fragment here")
+    val corpus = docs(10L -> "tiny fragment here", 11L -> "")
+    val out = Decontam.scrubSpans(corpus, eval, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("kept_tokens") === 0L)
+    assert(out(0).getAs[Long]("removed_tokens") === 3L)
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    assert(out(0).getAs[String]("clean_md5") === emptyMd5)
+    assert(out(1).getAs[Long]("n_tokens") === 0L)
+    assert(out(1).getAs[String]("clean_md5") === emptyMd5)
+  }
+
+  test("scrubSpans: overlapping hit windows union their coverage") {
+    // eval contains two overlapping 5-grams of the corpus doc: windows
+    // at pos 0 and pos 2 → union covers tokens 0..6 (7 tokens), not 10
+    val eval = docs(
+      1L -> "w1 w2 w3 w4 w5",
+      2L -> "w3 w4 w5 w6 w7")
+    val corpus = docs(10L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9")
+    val out = Decontam.scrubSpans(corpus, eval, "doc_id", "text", n = 5)
+      .head
+    assert(out.getAs[Long]("removed_tokens") === 7L)
+    assert(out.getAs[Long]("kept_tokens") === 2L)
+  }
+
   test("eval gram set joins broadcast (no corpus-side gram shuffle)") {
     val eval = docs(1L -> "alpha beta gamma delta epsilon")
     val corpus = docs(10L -> "alpha beta gamma delta epsilon zeta")
