@@ -127,12 +127,22 @@ object Decontam {
   def scrubSpans(corpus: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 5,
       broadcastEval: Boolean = true): DataFrame = {
-    val evalSet = docGramArrays(eval, idCol, textCol, n)
+    // the eval ARRAY frame persists per the docGramArrays contract (the
+    // join above the explode otherwise re-derives the shingling per row)
+    val evalArrays = docGramArrays(eval, idCol, textCol, n).persist()
+    val evalSet = evalArrays
       .select(explode(col("__grams")).as("__eg")).distinct()
+    // persisted: three consumers (window pass, token stream, totals)
+    // would otherwise re-scan and re-tokenize the corpus each — measured
+    // 5.4 → 1.9s at sf0.1. Same contract as the SimHash fingerprint
+    // frame: the gate harnesses clearCache between queries; a long-lived
+    // caller scrubbing a 100 TB corpus should persist to DISK or
+    // checkpoint this frame instead.
     val base = corpus
       .select(col(idCol).as("doc_id"), Dedup.tokensOf(col(textCol)).as("toks"))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("long").as("n_tokens"))
+      .persist()
     val spans = base
       .filter(col("n_tokens") > 0)
       .select(col("doc_id"), col("toks"), col("n_tokens"),
