@@ -25,7 +25,11 @@ import org.apache.spark.sql.graft.BloomShim
   * negatives), so the operator equals a plain anti-join — which is
   * exactly how the gate oracles it. Sketch size is the scale dial:
   * ~1.2 GB per 10⁹ corpus keys at 1% fpp, built once per ingest window
-  * and reused across batches.
+  * and reused across batches — NOTE that sizes past the session's
+  * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits`
+  * caps (defaults: 4M items / 8 MB) require raising those confs;
+  * [[buildBloom]] fails loud naming them rather than letting the
+  * aggregate cap silently and saturate the fpp.
   */
 object IncrementalDedup {
 
@@ -42,8 +46,37 @@ object IncrementalDedup {
     val numBits = math.max(64L,
       math.ceil(-expectedItems * math.log(fpp) /
         (math.log(2) * math.log(2))).toLong)
-    corpus.agg(BloomShim.bloomAgg(xxhash64(key), expectedItems, numBits)
-      .as("bf")).head.getAs[Array[Byte]](0)
+    // Spark SILENTLY caps the aggregate at these session confs (the
+    // runtime-join-filter defaults: 4M items / 8 MB); a capped sketch
+    // would quietly saturate its fpp at scale, so fail LOUD and name
+    // the knobs instead.
+    val conf = corpus.sparkSession.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000")
+      .toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864")
+      .toLong
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"bloom sizing ($expectedItems items / $numBits bits) exceeds the " +
+        "session caps spark.sql.optimizer.runtime.bloomFilter." +
+        s"maxNumItems=$maxItems / maxNumBits=$maxBits — raise them for " +
+        "this corpus (the aggregate would otherwise cap SILENTLY and " +
+        "the fpp would saturate)")
+    val built = corpus
+      .agg(BloomShim.bloomAgg(xxhash64(key), expectedItems, numBits)
+        .as("bf")).head.getAs[Array[Byte]](0)
+    if (built != null) built
+    else {
+      // EMPTY corpus: the aggregate yields null. An empty serialized
+      // filter (contains nothing) keeps newRows' semantics exact — the
+      // whole batch is definitely-new. A null literal would instead
+      // null out BOTH filter branches and silently drop the batch.
+      val empty = org.apache.spark.util.sketch.BloomFilter.create(1)
+      val bos = new java.io.ByteArrayOutputStream()
+      empty.writeTo(bos)
+      bos.toByteArray
+    }
   }
 
   /** Batch rows whose `key` is absent from `corpus` (exact anti-join

@@ -42,7 +42,7 @@ object Avro {
     * read); records decode distributed via `AvroInputFormat`.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val schema = headerSchema(path)
+    val schema = headerSchema(spark, path)
     require(schema.getType == Schema.Type.RECORD,
       s"avro: top-level schema must be a record, got ${schema.getType}")
     val fields = schema.getFields.asScala.toSeq
@@ -64,19 +64,25 @@ object Avro {
   }
 
   /** Writer schema from the container header of `path` (or of the first
-    * `.avro` file inside it when `path` is a directory).
+    * `.avro` file inside it when `path` is a directory). Goes through
+    * the Hadoop FileSystem API + avro's `FsInput`, so the header read
+    * works on every store the scan/sink work on (file:/hdfs:/s3a:) —
+    * java.io.File would break non-local paths.
     */
-  private def headerSchema(path: String): Schema = {
-    val f = new File(path)
+  private def headerSchema(spark: SparkSession, path: String): Schema = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
     val target =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty)
-          .filter(x => x.isFile && x.getName.endsWith(".avro"))
-          .sortBy(_.getName).headOption
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
+          .sortBy(_.getPath.getName).headOption.map(_.getPath)
           .getOrElse(throw new IllegalArgumentException(
             s"avro: no .avro files under $path"))
-      else f
-    val reader = new DataFileReader[GenericRecord](target,
+      else p
+    val reader = new DataFileReader[GenericRecord](
+      new org.apache.avro.mapred.FsInput(target, conf),
       new GenericDatumReader[GenericRecord]())
     try reader.getSchema finally reader.close()
   }
@@ -147,10 +153,17 @@ object Avro {
       df.sparkSession.sparkContext.hadoopConfiguration)
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(conf.value)
+    // OVERWRITE semantics: a rewrite with fewer partitions must not
+    // leave stale part files for read() to silently union in
+    fs.delete(path, true)
     fs.mkdirs(path)
     df.queryExecution.toRdd // InternalRow — avoid the Row copy per record
       .mapPartitionsWithIndex { case (pid, rows) =>
         val schema = new Schema.Parser().parse(schemaJson)
+        // loop-invariant: the non-null branch type of each field's
+        // [null, T] union, hoisted out of the per-row encode loop
+        val fieldTypes: Array[Schema.Type] = schema.getFields.asScala
+          .map(_.schema().getTypes.get(1).getType).toArray
         val part = new org.apache.hadoop.fs.Path(
           f"$dir%s/part-$pid%05d.avro")
         val out = part.getFileSystem(conf.value).create(part, true)
@@ -163,8 +176,7 @@ object Avro {
           names.indices.foreach { i =>
             val v =
               if (r.isNullAt(i)) null
-              else schema.getFields.get(i).schema().getTypes
-                .get(1).getType match {
+              else fieldTypes(i) match {
                 case Schema.Type.LONG => r.getLong(i)
                 case Schema.Type.INT => r.getInt(i)
                 case Schema.Type.DOUBLE => r.getDouble(i)

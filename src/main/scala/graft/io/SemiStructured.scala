@@ -34,12 +34,20 @@ object SemiStructured {
     val corrupt = "_graft_corrupt"
     require(!schema.fieldNames.contains(corrupt),
       s"schema may not contain the reserved field $corrupt")
+    val reserved = Seq("__p", s"${jsonCol}_valid")
+    require(!reserved.exists(df.columns.contains),
+      s"input may not already contain ${reserved.mkString("/")} — " +
+        "promote would silently clobber them")
     val parsed = from_json(col(jsonCol),
       schema.add(corrupt, org.apache.spark.sql.types.StringType),
       Map("columnNameOfCorruptRecord" -> corrupt).asJava)
+    // valid needs BOTH probes: malformed non-empty input populates the
+    // corrupt field, but EMPTY/whitespace input makes from_json return
+    // a null struct outright (no corrupt record to inspect)
     val withParsed = df.withColumn("__p", parsed)
       .withColumn(s"${jsonCol}_valid",
-        col(jsonCol).isNotNull && col(s"__p.$corrupt").isNull)
+        col(jsonCol).isNotNull && col("__p").isNotNull &&
+          col(s"__p.$corrupt").isNull)
     schema.fields.foldLeft(withParsed) { (acc, f) =>
       acc.withColumn(f.name, col(s"__p.${f.name}"))
     }.drop("__p")

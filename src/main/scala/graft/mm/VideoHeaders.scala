@@ -82,8 +82,11 @@ object VideoHeaders {
       true
     }
     if (!walk(0, b.length)) return None
+    // frames validates as a Long BEFORE the Int narrowing: crafted stts
+    // sample counts summing past Int.MaxValue must reject, not wrap to
+    // a negative frame count
     if (timescale <= 0 || duration < 0 || width <= 0 || height <= 0 ||
-      frames < 0) None
+      frames < 0 || frames > Int.MaxValue) None
     else Some(Mp4Info(width, height, duration * 1000L / timescale,
       frames.toInt))
   }

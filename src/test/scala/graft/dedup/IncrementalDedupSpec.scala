@@ -45,6 +45,23 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("EMPTY corpus admits the whole batch (first-ingest-window " +
+      "semantics — a null sketch must not null out both filter branches)") {
+    val emptyCorpus = corpus.filter(col("id") < 0)
+    val bloom = IncrementalDedup.buildBloom(emptyCorpus, col("k"), 1000)
+    val out = IncrementalDedup.newRows(batch, emptyCorpus, "k", bloom)
+      .select("id").as[Long].collect().toSet
+    assert(out === (1000L to 1099L).toSet)
+  }
+
+  test("sizing past the session bloom caps fails loud, naming the confs") {
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.buildBloom(corpus, col("k"),
+        expectedItems = 5_000_000_000L)
+    }
+    assert(e.getMessage.contains("maxNumItems"))
+  }
+
   test("sketch size tracks the bits formula and the build is " +
       "deterministic") {
     val a = IncrementalDedup.buildBloom(corpus, col("k"), 1000, 0.01)

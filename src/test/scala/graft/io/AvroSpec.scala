@@ -85,6 +85,18 @@ class AvroSpec extends SparkSpec {
     assert(back.filter("id = 3").head.getAs[Double]("v") === 1.5)
   }
 
+  test("rewriting a directory with FEWER partitions leaves no stale " +
+      "part files (overwrite semantics)") {
+    import spark.implicits._
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft_avro_ow")}"
+    Avro.writeDistributed((1L to 100L).toDF("id").repartition(4), dir)
+    Avro.writeDistributed((1L to 10L).toDF("id").repartition(1), dir)
+    val back = Avro.read(spark, dir)
+    assert(back.count() === 10)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id"))
+      .head.getLong(0) === 55L)
+  }
+
   test("unsupported nesting is rejected, [null,T] unions unwrap") {
     // write side rejects unsupported value classes
     val p = tmp("bad.avro")

@@ -34,6 +34,22 @@ class SemiStructuredSpec extends SparkSpec {
     assert(out(3).getAs[Boolean]("props_valid") === false)
   }
 
+  test("empty and whitespace-only input flags INVALID (from_json yields " +
+      "a null struct there, not a corrupt record); reserved output " +
+      "columns are guarded") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, """{"k": 1}"""))
+      .toDF("id", "props")
+    val out = SemiStructured.promote(df, "props", schema)
+      .orderBy("id").collect()
+    assert(out(0).getAs[Boolean]("props_valid") === false)
+    assert(out(1).getAs[Boolean]("props_valid") === false)
+    assert(out(2).getAs[Boolean]("props_valid") === true)
+    intercept[IllegalArgumentException] {
+      SemiStructured.promote(
+        Seq(("x", "y")).toDF("props", "props_valid"), "props", schema)
+    }
+  }
+
   test("schemaOf discovers the merged struct from a bounded sample") {
     val df = Seq(
       """{"k": 1}""", """{"k": 2, "extra": "x"}""", """{"k": 3}""")

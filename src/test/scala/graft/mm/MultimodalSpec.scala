@@ -133,6 +133,22 @@ class MultimodalSpec extends SparkSpec {
       be(16) ++ "moov".getBytes("US-ASCII") ++
       be(8) ++ "mvhd".getBytes("US-ASCII")
     assert(VideoHeaders.parse(tiny) === None)
+    // crafted stts sample count 0xFFFFFFFF must reject, not narrow to a
+    // negative nFrames
+    val bomb = VideoHeaders.mp4Header(64, 48, 2000L, 60)
+    val sttsAt = {
+      // locate the stts payload: entry count then first sample_count
+      var i = -1
+      for (j <- 0 until bomb.length - 4
+           if bomb(j) == 's' && bomb(j + 1) == 't' && bomb(j + 2) == 't'
+             && bomb(j + 3) == 's') i = j
+      i
+    }
+    assert(sttsAt > 0)
+    // sample_count sits 8 bytes after the type tag (fullbox + count)
+    (0 until 4).foreach(k => bomb(sttsAt + 12 + k) = 0xff.toByte)
+    assert(VideoHeaders.parse(
+      bomb ++ VideoHeaders.mdat(Array[Byte](1))) === None)
   }
 
   test("PNG IHDR parses to hand-computed geometry (real-format golden)") {
