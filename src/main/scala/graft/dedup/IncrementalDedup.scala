@@ -19,7 +19,10 @@ import org.apache.spark.sql.graft.BloomShim
   *   - candidate duplicates (true dups + the fpp tail), confirmed by an
   *     exact join that BROADCASTS the candidates and only STREAMS the
   *     corpus — the corpus is never shuffled, and the only exchange
-  *     anywhere is over the candidate-sized frames.
+  *     anywhere is over the candidate-sized frames. The broadcast is
+  *     COUNT-GATED (see [[newRows]]): a duplicate-heavy batch whose
+  *     candidate set exceeds the gate falls back to a plain shuffle
+  *     anti-join instead of an unbounded driver broadcast.
   *
   * The bloom is a pure prefilter: it cannot change the result (no false
   * negatives), so the operator equals a plain anti-join — which is
@@ -79,22 +82,54 @@ object IncrementalDedup {
     }
   }
 
+  /** Broadcast gate for the candidate confirm path: candidate sets up
+    * to this many rows take the corpus-never-shuffled broadcast route;
+    * larger sets (a duplicate-heavy batch — a re-delivered Kafka
+    * partition, a re-crawl — makes candidates ≈ batch-sized) fall back
+    * to a plain shuffle anti-join, because two unconditional
+    * `broadcast()` hints on a batch-sized frame would OOM the driver or
+    * die at the broadcast size limit. 4M keys ≈ tens of MB broadcast —
+    * comfortably under Spark's 8 GB hard cap with headroom for wide
+    * keys.
+    */
+  val DefaultMaxBroadcastCandidates: Long = 4L * 1000 * 1000
+
   /** Batch rows whose `key` is absent from `corpus` (exact anti-join
     * semantics, bloom-accelerated as described above).
+    *
+    * The candidate count is measured first (one map-side job over the
+    * batch — a filter+count with no shuffle; the batch is the SMALL
+    * side of this operator by construction, so the extra scan is noise
+    * next to the corpus sketch build). At or under
+    * `maxBroadcastCandidates` the confirm path broadcasts the candidate
+    * keys and only STREAMS the corpus; past it, candidates anti-join
+    * the corpus keys through a regular exchange — the corpus IS
+    * shuffled there, the exactness price of a batch that mostly already
+    * exists. Both paths equal the plain anti-join (spec-pinned on both
+    * sides of the gate).
     */
   def newRows(batch: DataFrame, corpus: DataFrame, keyCol: String,
-      bloom: Array[Byte]): DataFrame = {
+      bloom: Array[Byte],
+      maxBroadcastCandidates: Long = DefaultMaxBroadcastCandidates)
+      : DataFrame = {
     val might = BloomShim.mightContain(bloom, xxhash64(col(keyCol)))
     val definitelyNew = batch.filter(!might)
     val candidates = batch.filter(might)
-    // corpus keys that really collide with a candidate: broadcast the
-    // (small) candidate keys, stream the corpus — corpus-side shuffle: none
-    val confirmedDupKeys = corpus.select(col(keyCol))
-      .join(broadcast(candidates.select(col(keyCol)).distinct()),
-        Seq(keyCol), "left_semi")
-      .distinct()
-    val newFromCandidates = candidates
-      .join(broadcast(confirmedDupKeys), Seq(keyCol), "left_anti")
+    val newFromCandidates =
+      if (candidates.count() <= maxBroadcastCandidates) {
+        // corpus keys that really collide with a candidate: broadcast
+        // the small candidate keys, stream the corpus — corpus-side
+        // shuffle: none
+        val confirmedDupKeys = corpus.select(col(keyCol))
+          .join(broadcast(candidates.select(col(keyCol)).distinct()),
+            Seq(keyCol), "left_semi")
+          .distinct()
+        candidates
+          .join(broadcast(confirmedDupKeys), Seq(keyCol), "left_anti")
+      } else {
+        candidates.join(corpus.select(col(keyCol)),
+          Seq(keyCol), "left_anti")
+      }
     definitelyNew.unionByName(newFromCandidates)
   }
 }

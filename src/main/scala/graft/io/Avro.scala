@@ -39,10 +39,15 @@ object Avro {
 
   /** Read an Avro container file (or a directory of them) as a DataFrame.
     * Schema comes from the first file's header (driver-side, header-only
-    * read); records decode distributed via `AvroInputFormat`.
+    * read); records decode distributed via `AvroInputFormat`. Every
+    * sibling file's header is VALIDATED against the first before the
+    * scan runs: a divergent writer schema would otherwise decode with
+    * `r.get(name)` silently yielding null columns. The per-file header
+    * probe is a bounded driver loop (one seek per file — the same cost
+    * class as parquet footer listing), not a data read.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val schema = headerSchema(spark, path)
+    val schema = validatedSchema(spark, path)
     require(schema.getType == Schema.Type.RECORD,
       s"avro: top-level schema must be a record, got ${schema.getType}")
     val fields = schema.getFields.asScala.toSeq
@@ -63,28 +68,43 @@ object Avro {
     spark.createDataFrame(rows, struct)
   }
 
-  /** Writer schema from the container header of `path` (or of the first
-    * `.avro` file inside it when `path` is a directory). Goes through
-    * the Hadoop FileSystem API + avro's `FsInput`, so the header read
-    * works on every store the scan/sink work on (file:/hdfs:/s3a:) —
-    * java.io.File would break non-local paths.
+  /** Writer schema shared by every `.avro` file under `path` (or of the
+    * single file when `path` is one). Goes through the Hadoop FileSystem
+    * API + avro's `FsInput`, so the header reads work on every store the
+    * scan/sink work on (file:/hdfs:/s3a:) — java.io.File would break
+    * non-local paths. Fails loud naming the first divergent file: the
+    * scan's `r.get(name)` decode would silently null out columns missing
+    * from a sibling's writer schema, so a mixed-schema directory is a
+    * caller error, not a degraded read.
     */
-  private def headerSchema(spark: SparkSession, path: String): Schema = {
+  private def validatedSchema(spark: SparkSession, path: String): Schema = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    val target =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p)
+    val targets =
+      if (fs.getFileStatus(p).isDirectory) {
+        val fl = fs.listStatus(p)
           .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
-          .sortBy(_.getPath.getName).headOption.map(_.getPath)
-          .getOrElse(throw new IllegalArgumentException(
-            s"avro: no .avro files under $path"))
-      else p
-    val reader = new DataFileReader[GenericRecord](
-      new org.apache.avro.mapred.FsInput(target, conf),
-      new GenericDatumReader[GenericRecord]())
-    try reader.getSchema finally reader.close()
+          .sortBy(_.getPath.getName).map(_.getPath).toSeq
+        if (fl.isEmpty) throw new IllegalArgumentException(
+          s"avro: no .avro files under $path")
+        fl
+      } else Seq(p)
+    def headerOf(t: org.apache.hadoop.fs.Path): Schema = {
+      val reader = new DataFileReader[GenericRecord](
+        new org.apache.avro.mapred.FsInput(t, conf),
+        new GenericDatumReader[GenericRecord]())
+      try reader.getSchema finally reader.close()
+    }
+    val first = headerOf(targets.head)
+    targets.tail.foreach { t =>
+      val s = headerOf(t)
+      if (s != first) throw new IllegalArgumentException(
+        s"avro: writer schema of $t diverges from ${targets.head} — " +
+          "a mixed-schema directory would decode missing fields as " +
+          s"silent nulls; expected $first got $s")
+    }
+    first
   }
 
   /** Avro field schema → Spark SQL type ([null, T] unions unwrap). */
@@ -128,6 +148,18 @@ object Avro {
     * reads back through [[read]] — write/read parity with the
     * parquet/ORC lanes. Size output files by partitioning the input
     * (`repartition(n)`) — the standard Spark sink contract.
+    *
+    * Commit protocol (FileOutputCommitter-v1-shaped): tasks write to a
+    * hidden sibling STAGING directory under names that the reader's
+    * `.avro` filter ignores, renaming each part into place on task
+    * success — two speculative/retried attempts of one partition race
+    * on that rename and the first wins (the loser deletes its attempt
+    * file). Only after the WHOLE job succeeds does the driver swap
+    * staging over the previous data; a mid-job failure deletes staging
+    * and leaves the old directory untouched. The final delete+rename
+    * pair is the protocol's (standard) non-atomic window; object stores
+    * without atomic rename want a manifest committer instead — the
+    * staging boundary here is where one plugs in.
     */
   def writeDistributed(df: DataFrame, dir: String): Unit = {
     val names = df.schema.fields.map(_.name).toSeq
@@ -153,46 +185,81 @@ object Avro {
       df.sparkSession.sparkContext.hadoopConfiguration)
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(conf.value)
-    // OVERWRITE semantics: a rewrite with fewer partitions must not
-    // leave stale part files for read() to silently union in
-    fs.delete(path, true)
-    fs.mkdirs(path)
-    df.queryExecution.toRdd // InternalRow — avoid the Row copy per record
-      .mapPartitionsWithIndex { case (pid, rows) =>
-        val schema = new Schema.Parser().parse(schemaJson)
-        // loop-invariant: the non-null branch type of each field's
-        // [null, T] union, hoisted out of the per-row encode loop
-        val fieldTypes: Array[Schema.Type] = schema.getFields.asScala
-          .map(_.schema().getTypes.get(1).getType).toArray
-        val part = new org.apache.hadoop.fs.Path(
-          f"$dir%s/part-$pid%05d.avro")
-        val out = part.getFileSystem(conf.value).create(part, true)
-        val writer = new DataFileWriter[GenericRecord](
-          new GenericDatumWriter[GenericRecord](schema))
-        writer.create(schema, out)
-        var n = 0L
-        try rows.foreach { r =>
-          val rec = new GenericData.Record(schema)
-          names.indices.foreach { i =>
-            val v =
-              if (r.isNullAt(i)) null
-              else fieldTypes(i) match {
-                case Schema.Type.LONG => r.getLong(i)
-                case Schema.Type.INT => r.getInt(i)
-                case Schema.Type.DOUBLE => r.getDouble(i)
-                case Schema.Type.FLOAT => r.getFloat(i)
-                case Schema.Type.BOOLEAN => r.getBoolean(i)
-                case Schema.Type.STRING => r.getUTF8String(i).toString
-                case Schema.Type.BYTES =>
-                  java.nio.ByteBuffer.wrap(r.getBinary(i))
-                case other => throw new IllegalStateException(s"$other")
-              }
-            rec.put(i, v)
+    // hidden sibling staging dir: leading dot keeps FileInputFormat's
+    // hiddenFileFilter from ever scanning a half-written job, and the
+    // old data stays live until the swap below
+    val staging = new org.apache.hadoop.fs.Path(
+      Option(path.getParent).getOrElse(path),
+      s".${path.getName}-staging-${java.util.UUID.randomUUID}")
+    fs.mkdirs(staging)
+    val stagingStr = staging.toString
+    try {
+      df.queryExecution.toRdd // InternalRow — avoid the Row copy/record
+        .mapPartitionsWithIndex { case (pid, rows) =>
+          val schema = new Schema.Parser().parse(schemaJson)
+          // loop-invariant: the non-null branch type of each field's
+          // [null, T] union, hoisted out of the per-row encode loop
+          val fieldTypes: Array[Schema.Type] = schema.getFields.asScala
+            .map(_.schema().getTypes.get(1).getType).toArray
+          // attempt-unique temp name (NOT .avro — invisible to readers
+          // even mid-write), renamed into place on success
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          val pfs = new org.apache.hadoop.fs.Path(stagingStr)
+            .getFileSystem(conf.value)
+          val tmp = new org.apache.hadoop.fs.Path(
+            f"$stagingStr%s/part-$pid%05d-a$attempt%d.inprogress")
+          val dst = new org.apache.hadoop.fs.Path(
+            f"$stagingStr%s/part-$pid%05d.avro")
+          val out = pfs.create(tmp, true)
+          val writer = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](schema))
+          writer.create(schema, out)
+          var n = 0L
+          try rows.foreach { r =>
+            val rec = new GenericData.Record(schema)
+            names.indices.foreach { i =>
+              val v =
+                if (r.isNullAt(i)) null
+                else fieldTypes(i) match {
+                  case Schema.Type.LONG => r.getLong(i)
+                  case Schema.Type.INT => r.getInt(i)
+                  case Schema.Type.DOUBLE => r.getDouble(i)
+                  case Schema.Type.FLOAT => r.getFloat(i)
+                  case Schema.Type.BOOLEAN => r.getBoolean(i)
+                  case Schema.Type.STRING => r.getUTF8String(i).toString
+                  case Schema.Type.BYTES =>
+                    java.nio.ByteBuffer.wrap(r.getBinary(i))
+                  case other => throw new IllegalStateException(s"$other")
+                }
+              rec.put(i, v)
+            }
+            writer.append(rec); n += 1
+          } finally writer.close() // closes the Hadoop stream
+          // task commit: first attempt to rename wins; a racing attempt
+          // finds dst already present, discards its own file, and still
+          // reports success (identical deterministic content)
+          if (!pfs.rename(tmp, dst)) {
+            if (pfs.exists(dst)) { pfs.delete(tmp, false); () }
+            else throw new java.io.IOException(
+              s"avro sink: could not commit $tmp -> $dst")
           }
-          writer.append(rec); n += 1
-        } finally writer.close() // closes the Hadoop stream
-        Iterator.single(n)
-      }.count(): Unit
+          Iterator.single(n)
+        }.count()
+      // job commit: every task committed — swap staging over the old
+      // data. OVERWRITE semantics: a rewrite with fewer partitions must
+      // not leave stale part files for read() to silently union in.
+      fs.delete(path, true)
+      if (!fs.rename(staging, path))
+        throw new java.io.IOException(
+          s"avro sink: could not commit $staging -> $path")
+    } catch { case e: Throwable =>
+      // job abort: drop staging, previous data untouched (unless the
+      // failure hit between the swap's delete and rename — the
+      // documented non-atomic window)
+      try fs.delete(staging, true) catch { case _: Exception => () }
+      throw e
+    }
   }
 
   /** Driver-side staging writer (gate/test fixture — bounded slices, same

@@ -38,6 +38,15 @@ object SemiStructured {
     require(!reserved.exists(df.columns.contains),
       s"input may not already contain ${reserved.mkString("/")} — " +
         "promote would silently clobber them")
+    // schema fields land as top-level columns via withColumn, which
+    // OVERWRITES an existing column of the same name — a schema carrying
+    // e.g. `event_id` would silently replace the input's real event_id.
+    // Same fail-loud contract as the reserved names above.
+    val clobbered = schema.fieldNames.toSet.intersect(df.columns.toSet)
+    require(clobbered.isEmpty,
+      s"schema fields ${clobbered.toSeq.sorted.mkString(", ")} collide " +
+        "with existing input columns — promote would silently overwrite " +
+        "them; rename the input columns or prune the schema")
     val parsed = from_json(col(jsonCol),
       schema.add(corrupt, org.apache.spark.sql.types.StringType),
       Map("columnNameOfCorruptRecord" -> corrupt).asJava)

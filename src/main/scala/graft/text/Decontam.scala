@@ -128,22 +128,24 @@ object Decontam {
       textCol: String, n: Int = 5,
       broadcastEval: Boolean = true): DataFrame = {
     // the eval ARRAY frame persists per the docGramArrays contract (the
-    // join above the explode otherwise re-derives the shingling per row)
+    // join above the explode otherwise re-derives the shingling per row);
+    // released in the finally below once the result is materialized
     val evalArrays = docGramArrays(eval, idCol, textCol, n).persist()
     val evalSet = evalArrays
       .select(explode(col("__grams")).as("__eg")).distinct()
     // persisted: three consumers (window pass, token stream, totals)
     // would otherwise re-scan and re-tokenize the corpus each — measured
-    // 5.4 → 1.9s at sf0.1. Same contract as the SimHash fingerprint
-    // frame: the gate harnesses clearCache between queries; a long-lived
-    // caller scrubbing a 100 TB corpus should persist to DISK or
-    // checkpoint this frame instead.
+    // 5.4 → 1.9s at sf0.1. The result is localCheckpoint-materialized
+    // below so BOTH caches release before returning (the lshKnnGraph
+    // lifecycle — a long-lived session scrubbing many corpora must not
+    // accumulate two leaked cached frames per call); a caller scrubbing
+    // a 100 TB corpus should persist to DISK via StorageLevel instead.
     val base = corpus
       .select(col(idCol).as("doc_id"), Dedup.tokensOf(col(textCol)).as("toks"))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("long").as("n_tokens"))
       .persist()
-    val spans = base
+    try { val spans = base
       .filter(col("n_tokens") > 0)
       .select(col("doc_id"), col("toks"), col("n_tokens"),
         explode(sequence(lit(1),
@@ -177,5 +179,12 @@ object Decontam {
           .as("removed_tokens"),
         coalesce(col("clean_md5"),
           md5(lit("").cast("binary"))).as("clean_md5"))
+      // one row per doc: materialize on the executors while both caches
+      // are live (never collected through the driver), then release them
+      .localCheckpoint(true)
+    } finally {
+      evalArrays.unpersist(blocking = false)
+      base.unpersist(blocking = false): Unit
+    }
   }
 }

@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vocabulary induction for tokenizer prep: the top-V corpus tokens with
@@ -11,11 +10,17 @@ import org.apache.spark.sql.functions._
   * the word-level budget check that precedes it).
   *
   * Scale shape: ONE map-side-combinable count aggregation over the
-  * exploded token stream reduces the corpus to a vocabulary-sized frame;
-  * the ranking/cumsum windows then run over that small frame (global
-  * window, deliberately — the vocabulary is ≪ corpus by construction,
-  * and the cut is top-V anyway). Ordering is the total (count desc,
-  * token asc) order, so ranks and cumulative shares are deterministic.
+  * exploded token stream reduces the corpus to the distinct-token frame
+  * — which at web scale is NOT small (O(10⁹) distinct word-level tokens
+  * in a 100 TB crawl: typos, URLs, numbers). The top-V cut therefore
+  * runs as distributed TakeOrdered (`orderBy.limit` — each partition
+  * contributes its local top V, the driver merges V·P rows) and the
+  * denominator as a separate scalar sum (map-side combinable), so NO
+  * stage ever sorts or windows the full vocabulary in one task. The
+  * final rank/cumsum runs as a triangular self-join over the ≤V-row
+  * result — no Window operator anywhere (plan-pinned). Ordering is the
+  * total (count desc, token asc) order, so ranks and cumulative shares
+  * are deterministic.
   */
 object Vocab {
 
@@ -28,15 +33,34 @@ object Vocab {
       .select(TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(explode(col("toks")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-    val order = Window.orderBy(col("cnt").desc, col("token").asc)
-    counts
-      .withColumn("rank", row_number().over(order).cast("long"))
-      .withColumn("cum",
-        sum(col("cnt")).over(order.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)))
-      .withColumn("total", sum(col("cnt")).over(
-        Window.partitionBy()))
-      .filter(col("rank") <= topV)
+    // Distributed top-V: plans as TakeOrderedAndProject (per-partition
+    // local top V + driver merge), never a global sort of the
+    // vocabulary. (count desc, token asc) is a total order — token is
+    // the group key, hence unique — so the cut is deterministic.
+    val top = counts
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(topV)
+    // Denominator: total occurrences INCLUDING mass beyond the cut — a
+    // scalar aggregate with map-side partials, broadcast onto the
+    // V-row frame (sum over zero rows is null → empty corpus yields an
+    // empty result either way, since `top` is empty too).
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    // rank/cumsum over the ≤V-row frame with NO window at all: the
+    // classic triangular self-join (count/sum of predecessors in the
+    // (cnt desc, token asc) total order — token is the group key, so
+    // the order is strict and rank = |{b ⪯ a}| exactly). V²/2 pairs at
+    // V=50 is 1.3k broadcast-nested-loop rows — nothing. A
+    // single-partition Window here would be semantically fine (the
+    // frame is capped by the limit) but indistinguishable in the plan
+    // from the unbounded mistake this replaced — and Spark 4 folds away
+    // any constant partition key — so the plan-auditable form wins.
+    val preds = top.select(col("token").as("__bt"), col("cnt").as("__bc"))
+    top.join(broadcast(preds),
+        col("__bc") > col("cnt") ||
+          (col("__bc") === col("cnt") && col("__bt") <= col("token")))
+      .groupBy(col("token"), col("cnt"))
+      .agg(count(lit(1)).as("rank"), sum(col("__bc")).as("cum"))
+      .crossJoin(broadcast(total))
       .select(col("rank"), col("token"), col("cnt"),
         (col("cum").cast("double") / col("total")).as("cum_share"))
   }

@@ -98,6 +98,20 @@ class PlanAuditSpec extends SparkSpec {
       s"join keys must not be re-shuffled:\n$p")
   }
 
+  test("vocab coverage cuts top-V via distributed TakeOrdered and plans " +
+      "NO Window operator (the full-vocabulary single-task sort fix)") {
+    // At 100 TB the distinct-token frame is O(10⁹) rows; the r7 form
+    // ranked it through one unpartitioned window (a single-task sort).
+    // The fix: TakeOrderedAndProject (per-partition local top-V + driver
+    // merge) + a scalar total + a triangular self-join over the ≤V-row
+    // result — so the plan must carry the TakeOrdered and no Window.
+    val p = plan("text_vocab_documents")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-V cut must be distributed TakeOrdered:\n$p")
+    assert(!p.contains("Window"),
+      s"no Window may appear anywhere in the vocab plan:\n$p")
+  }
+
   test("scd2 merge keeps keyed joins only (anti for untouched, no cartesian)") {
     // the SCD2 decomposition: latest-per-key window, latest×current
     // keyed join for the change test, anti-join for untouched current

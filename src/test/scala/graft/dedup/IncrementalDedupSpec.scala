@@ -45,6 +45,28 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("past the broadcast gate the confirm path falls back to a " +
+      "shuffle anti-join — same rows on both sides of the gate") {
+    val bloom = IncrementalDedup.buildBloom(corpus, col("k"), 1000)
+    // force the fallback: every candidate set exceeds a zero gate
+    val out = IncrementalDedup.newRows(batch, corpus, "k", bloom,
+        maxBroadcastCandidates = 0)
+      .select("id").as[Long].collect().toSet
+    assert(out === expected)
+    // and the shape really changed: with auto-broadcast off, the
+    // fallback plans a shuffle (not driver-broadcast) anti-join
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = IncrementalDedup.newRows(batch, corpus, "k", bloom,
+          maxBroadcastCandidates = 0)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("EMPTY corpus admits the whole batch (first-ingest-window " +
       "semantics — a null sketch must not null out both filter branches)") {
     val emptyCorpus = corpus.filter(col("id") < 0)

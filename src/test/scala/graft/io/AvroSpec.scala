@@ -97,6 +97,62 @@ class AvroSpec extends SparkSpec {
       .head.getLong(0) === 55L)
   }
 
+  test("a directory with divergent writer schemas fails loud instead of " +
+      "decoding missing fields as silent nulls") {
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft_avro_mx")}"
+    Avro.write(s"$dir/a.avro", Seq("id", "v"),
+      Seq(Seq[Any](1L, "x"), Seq[Any](2L, "y")))
+    Avro.write(s"$dir/b.avro", Seq("id", "other"),
+      Seq(Seq[Any](3L, 1.5)))
+    val e = intercept[IllegalArgumentException] {
+      Avro.read(spark, dir)
+    }
+    assert(e.getMessage.contains("diverges"), e.getMessage)
+  }
+
+  test("sink job failure leaves the previous data untouched and no " +
+      "staging directory behind (commit protocol)") {
+    import spark.implicits._
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft_avro_cp")}"
+    Avro.writeDistributed((1L to 50L).toDF("id").repartition(2), dir)
+    // a mid-job failure: raise_error evaluates per row executor-side
+    val failing = (1L to 50L).toDF("id")
+      .select(org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("id") > 10,
+        org.apache.spark.sql.functions.raise_error(
+          org.apache.spark.sql.functions.lit("boom")))
+        .otherwise(org.apache.spark.sql.functions.col("id")).as("id"))
+      .repartition(2)
+    intercept[Exception] { Avro.writeDistributed(failing, dir) }
+    // old data still reads back complete
+    val back = Avro.read(spark, dir)
+    assert(back.count() === 50)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id"))
+      .head.getLong(0) === 1275L)
+    // and the aborted job's staging dir was dropped
+    val parent = new java.io.File(dir).getParentFile
+    val leaked = parent.listFiles().filter(_.getName.startsWith(
+      s".${new java.io.File(dir).getName}-staging-"))
+    assert(leaked.isEmpty, leaked.mkString(", "))
+  }
+
+  test("sink commits through a Hadoop FS path (file: URI java.io.File " +
+      "cannot stat — create/rename must go through the FileSystem API)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_fs")
+      .toString
+    val uri = s"file:$dir/out"
+    Avro.writeDistributed((1L to 30L).toDF("id").repartition(3), uri)
+    val back = Avro.read(spark, uri)
+    assert(back.count() === 30)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id"))
+      .head.getLong(0) === 465L)
+    // parts really landed under the final path, none left in staging
+    val files = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.length === 3)
+  }
+
   test("unsupported nesting is rejected, [null,T] unions unwrap") {
     // write side rejects unsupported value classes
     val p = tmp("bad.avro")

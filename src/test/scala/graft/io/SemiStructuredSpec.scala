@@ -50,6 +50,22 @@ class SemiStructuredSpec extends SparkSpec {
     }
   }
 
+  test("a schema field colliding with an existing input column fails " +
+      "loud (withColumn would silently overwrite the real column)") {
+    val df = Seq((1L, """{"id": 99, "k": 7}""")).toDF("id", "props")
+    val colliding = StructType(Seq(
+      StructField("id", LongType), StructField("k", LongType)))
+    val e = intercept[IllegalArgumentException] {
+      SemiStructured.promote(df, "props", colliding)
+    }
+    assert(e.getMessage.contains("collide"), e.getMessage)
+    // the non-colliding subset of the same payload still promotes
+    val ok = SemiStructured.promote(df, "props",
+      StructType(Seq(StructField("k", LongType)))).head
+    assert(ok.getAs[Long]("id") === 1L, "input id must be untouched")
+    assert(ok.getAs[Long]("k") === 7L)
+  }
+
   test("schemaOf discovers the merged struct from a bounded sample") {
     val df = Seq(
       """{"k": 1}""", """{"k": 2, "extra": "x"}""", """{"k": 3}""")

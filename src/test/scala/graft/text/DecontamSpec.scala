@@ -146,6 +146,19 @@ class DecontamSpec extends SparkSpec {
     assert(out.getAs[Long]("kept_tokens") === 2L)
   }
 
+  test("scrubSpans releases its persisted frames (a long-lived session " +
+      "must not leak two cached frames per invocation)") {
+    val cm = spark.sharedState.cacheManager
+    spark.catalog.clearCache()
+    assert(cm.isEmpty, "precondition: no cached frames")
+    val eval = docs(1L -> "e1 e2 e3 e4 e5")
+    val corpus = docs(10L -> "a1 a2 e1 e2 e3 e4 e5 a3 a4")
+    val out = Decontam.scrubSpans(corpus, eval, "doc_id", "text", n = 5)
+    assert(out.count() === 1)
+    assert(cm.isEmpty,
+      "evalArrays/base must be unpersisted once the result materializes")
+  }
+
   test("eval gram set joins broadcast (no corpus-side gram shuffle)") {
     val eval = docs(1L -> "alpha beta gamma delta epsilon")
     val corpus = docs(10L -> "alpha beta gamma delta epsilon zeta")

@@ -25,6 +25,30 @@ class TermSalienceSpec extends SparkSpec {
     assert(d2.head === "kiwi")
   }
 
+  test("broadcastDf=false (dictionary too big for the driver) returns " +
+      "the identical ranking through a shuffle join") {
+    val docs = Seq(
+      (1L, "apple apple apple banana banana cherry cherry zebra"),
+      (2L, "banana kiwi kiwi kiwi"))
+      .toDF("doc_id", "text")
+    val hinted = TermSalience.topTerms(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank").collect().toSeq
+    val fallback = TermSalience.topTerms(docs, "doc_id", "text", k = 3,
+        broadcastDf = false)
+      .orderBy("doc_id", "rank").collect().toSeq
+    assert(fallback === hinted)
+    // the hint really is gone: with auto-broadcast off, no driver
+    // broadcast remains in the fallback plan
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = TermSalience.topTerms(docs, "doc_id", "text", k = 3,
+          broadcastDf = false)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("stopwords and short terms are excluded; empty docs are absent") {
     val docs = Seq(
       (1L, "the and of it is in xy qq substantial substantial"),
