@@ -46,8 +46,16 @@ object ScaleProbe {
       (SparkSession, String) => DataFrame)] = Seq(
     ("quantiles_exact", None, SparkEntry.queries("profile_quantiles_lineitem")),
     ("quantiles_tdigest", None, SparkEntry.queries("profile_quantiles_approx")),
-    ("dedup_minhash", None, SparkEntry.queries("dedup_minhash_documents")),
-    ("knn_lsh", None, SparkEntry.queries("sim_knn_graph_lsh")),
+    // production hash forms, called directly: the registered gate
+    // queries switched to the oracle-replayable md5/pinned-width
+    // variants in r8, but the scale claims belong to the production
+    // xxhash / auto-scaled-width forms — probe those
+    ("dedup_minhash", None, minhashProductionProbe _),
+    ("knn_lsh", None, knnLshProductionProbe _),
+    // the oracled md5-family gate lane alongside (same LSH pipeline,
+    // md5 base hashes): its exponent should track the xxhash row
+    ("dedup_minhash_oracled", None,
+      SparkEntry.queries("dedup_minhash_documents")),
     ("knn_brute", Some(Set("x1", "x3")),
       SparkEntry.queries("sim_knn_graph_brute")),
     ("pipeline_full", None,
@@ -105,7 +113,59 @@ object ScaleProbe {
     // so the VOCABULARY (and the broadcast df side) grows ×mult: this
     // probe watches the dictionary-broadcast design point, not just the
     // scan
-    ("text_topterms", None, SparkEntry.queries("text_topterms_documents")))
+    ("text_topterms", None, SparkEntry.queries("text_topterms_documents")),
+    // r8 additions (r7 verdict #5): the remaining un-probed lanes.
+    // vocab — the r8 TakeOrdered fix's stress case: the scaled corpus
+    // suffixes every token per copy, so the DISTINCT-token frame (the
+    // thing the old single-task window sorted) grows ×mult while the
+    // result stays 50 rows
+    ("text_vocab", None, SparkEntry.queries("text_vocab_documents")),
+    // surgical scrub — broadcast gram probe + HIT-only explode: hits
+    // grow with planted contamination (per-copy), the token rebuild
+    // with the corpus
+    ("decontam_scrub", None,
+      SparkEntry.queries("decontam_scrub_spans_documents")),
+    // VARIANT promotion — pure codegen'd per-row from_json: should be
+    // the flattest scan-bound row (plus its determinism orderBy)
+    ("props_promote", None, SparkEntry.queries("events_props_promote")),
+    // snapshot diff, raw vs bucketed: the raw form pays the full-outer
+    // join's two exchanges every run; the bucketed form reads the
+    // staged tables (staging memoized per corpus — min-of-3 reports
+    // the amortized diff-only cost). The gap is the BucketedStage
+    // amortization story on its second consumer.
+    ("snapshot_diff", None, SparkEntry.queries("snapshot_diff_orders")),
+    ("snapshot_diff_bucketed", None,
+      SparkEntry.queries("snapshot_diff_bucketed")),
+    // k-anonymity — one combinable hash agg + filter over customer:
+    // expect scan-bound (the scaled corpus grows group COUNTS, not the
+    // group population)
+    ("pii_kanon", None, SparkEntry.queries("pii_kanon_customer")))
+
+  /** Production MinHash lane (xxhash base + band hashes — the form
+    * [[graft.dedup.Dedup.nearDuplicates]] defaults to; the registered
+    * gate query runs the md5 oracle family since r8).
+    */
+  private def minhashProductionProbe(s: SparkSession,
+      dir: String): DataFrame =
+    graft.dedup.Dedup.nearDuplicates(
+        graft.io.Tables.load(s, dir, "documents", parallelize = true),
+        "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  /** Production k-NN graph (AUTO-scaled LSH width — the registered gate
+    * query pins the 8-bit gate width since r8; the auto form is the
+    * 100 TB default whose O(n) candidate claim this probe measures).
+    */
+  private def knnLshProductionProbe(s: SparkSession,
+      dir: String): DataFrame = {
+    val emb = graft.io.Tables.load(s, dir, "embeddings")
+    graft.sim.Similarity.lshKnnGraph(emb, "vec_id", "embedding",
+        graft.sim.SimilarityQueries.GraphK,
+        corpusSize = Some(graft.io.Tables.rowCount(s, dir, "embeddings")))
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
 
   /** The bucketed join's foil: same join/aggregate off the raw parquet
     * tables — both fact sides shuffle on the key every run.

@@ -72,17 +72,50 @@ object Dedup {
         org.apache.spark.sql.graft.ColumnShim.expression(shingles),
         numHashes))
 
+  /** ORACLE-REPLAYABLE MinHash signature: the same universal-hash family
+    * as [[minHashSignature]] (aᵢ = 2i+1, bᵢ = 40503i+12345 mod P — the
+    * closed-form constants any engine can restate as literals) over an
+    * md5-derived base hash — the top 60 bits of md5(shingle) — instead
+    * of xxhash64. Every step is a built-in codegen'd expression
+    * (md5/substring/conv) plus the native min loop
+    * (`MinHashSigFromBases`), and every step has an exact ANSI-SQL
+    * restatement, so the WHOLE sig→bands→buckets→verify pipeline
+    * hash-oracles in DuckDB (see [[DedupQueries]]). Production traffic
+    * keeps the xxhash form (one 64-bit mix vs an md5 per shingle); the
+    * LSH physics — banding, bucket bounds, recall — are hash-agnostic,
+    * so the oracled lane certifies the shared pipeline.
+    *
+    * `bases` is `array<long>` (see [[md5Base]]); values reduce mod P
+    * inside the expression exactly as [[minHashSignature]] reduces raw
+    * xxhash values. Empty arrays yield the all-P sentinel.
+    */
+  def minHashSignatureFromBases(bases: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.MinHashSigFromBases(
+        org.apache.spark.sql.graft.ColumnShim.expression(bases), numHashes))
+
+  /** md5-derived 60-bit base hash of a string column: the top 15 hex
+    * chars of md5 parsed as a long — positive, < 2⁶⁰, and restatable in
+    * any SQL engine (`('0x' || substr(md5(s),1,15))::BIGINT` in DuckDB).
+    * All three component expressions are codegen'd built-ins.
+    */
+  def md5Base(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
   /** (id, band_idx, band_hash) — one row per band per doc. `bands` must
     * divide the signature length; each band hashes `sigLen/bands`
-    * consecutive signature entries.
+    * consecutive signature entries. `bandHash` maps the band's joined
+    * "v1-v2-…" string to the bucket key — xxhash64 in production,
+    * md5 in the oracled lane (equality semantics only, so any
+    * collision-resistant keying works).
     */
   def bandedBuckets(df: DataFrame, idCol: String, sigCol: String,
-      bands: Int): DataFrame = {
+      bands: Int, bandHash: Column => Column = xxhash64(_)): DataFrame = {
     val sigLen = size(col(sigCol))
     val rows = sigLen / bands
     df.select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws("-", slice(col(sigCol), b * rows + 1,
+          b => bandHash(concat_ws("-", slice(col(sigCol), b * rows + 1,
             rows))))).as(Seq("band_idx", "band_hash")))
   }
 
@@ -127,7 +160,18 @@ object Dedup {
       maxBucket: Int = 64): DataFrame = {
     val sigs = sets.select(col(idCol),
       minHashSignature(col("__set"), numHashes).as("__sig"))
-    val buckets = bandedBuckets(sigs, idCol, "__sig", bands)
+    pairsFromBands(bandedBuckets(sigs, idCol, "__sig", bands), idCol,
+      maxBucket)
+  }
+
+  /** Candidate pairs from a (id, band_idx, band_hash) frame: buckets
+    * bounded to [2, maxBucket] (a degenerate bucket must not explode the
+    * self-join quadratically), then the banded self-join with id_a <
+    * id_b, distinct. The bounded index persists for the join's two
+    * sides — it is the LSH index proper (see [[lshCandidatesFromSets]]).
+    */
+  private[dedup] def pairsFromBands(buckets: DataFrame, idCol: String,
+      maxBucket: Int): DataFrame = {
     val bounded = buckets.withColumn("__bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("band_idx", "band_hash")))
@@ -182,6 +226,35 @@ object Dedup {
     val sets = shingleSets(df, idCol, textCol, shingleK).persist()
     val pairs =
       lshCandidatesFromSets(sets, idCol, numHashes, bands, maxBucket)
+    jaccardOnPairsFromSets(pairs, sets, idCol)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** [[nearDuplicates]] with the md5-derived oracle-replayable hash
+    * family ([[minHashSignatureFromBases]]) — identical pipeline shape:
+    * one shingling pass, banded buckets (md5 band keys), the [2,
+    * maxBucket] bound, the banded self-join, exact Jaccard ≥ threshold
+    * on surviving pairs. Base hashes are computed AFTER an explode (one
+    * codegen'd md5 per (doc, shingle) row — the SpanDedup lesson: an md5
+    * inside an array-lambda runs interpreted per element), then
+    * regrouped per doc; docs with empty shingle sets keep the all-P
+    * sentinel signature via `explode_outer` + null-dropping
+    * `collect_list`.
+    */
+  def nearDuplicatesOracled(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8, maxBucket: Int = 64): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, shingleK).persist()
+    val bases = sets
+      .select(col(idCol), explode_outer(col("__set")).as("__sh"))
+      .select(col(idCol), md5Base(col("__sh")).as("__b"))
+      .groupBy(idCol).agg(collect_list(col("__b")).as("__bases"))
+    val sigs = bases.select(col(idCol),
+      minHashSignatureFromBases(col("__bases"), numHashes).as("__sig"))
+    val pairs = pairsFromBands(
+      bandedBuckets(sigs, idCol, "__sig", bands,
+        s => md5(s.cast("binary"))),
+      idCol, maxBucket)
     jaccardOnPairsFromSets(pairs, sets, idCol)
       .filter(col("jaccard") >= threshold)
   }

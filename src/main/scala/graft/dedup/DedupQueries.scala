@@ -114,37 +114,109 @@ object DedupQueries extends QueryPack {
       "SELECT MIN(r) AS cluster, id, (id = MIN(r)) AS is_survivor " +
       "FROM reach GROUP BY id ORDER BY cluster, id"))
 
-  /** Banded MinHash-LSH near-dup pipeline (rows-only check; semantics
-    * pinned by DedupSpec against blocked ground truth).
+  /** Shared DuckDB CTE prefix for the hash-family oracles: whitespace
+    * tokens (the project-wide [[graft.text.TextAnalysis.tokens]] rule)
+    * and 3-word shingles, NON-distinct (`s`) — the exact mirror of
+    * [[Dedup.wordShinglesFromTokens]].
+    */
+  private def shingleCtes(src: String): String =
+    s"""toks AS (SELECT doc_id, CASE
+       |  WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |  ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+       |  FROM $src),
+       |sh AS (SELECT doc_id, CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+       |  WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+       |  ELSE list_transform(generate_series(1, len(t) - 2),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS s
+       |  FROM toks)""".stripMargin.replace("\n", " ")
+
+  /** The md5-derived 60-bit base hash as DuckDB SQL (mirror of
+    * [[Dedup.md5Base]]). */
+  private def md5BaseSql(x: String): String =
+    s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+
+  /** Banded MinHash-LSH near-dup pipeline — FULLY ORACLED since r8: the
+    * universal-hash family is closed-form (aᵢ=2i+1, bᵢ=40503i+12345 mod
+    * P=2³¹−1) and the base/band hashes are md5-derived
+    * ([[Dedup.nearDuplicatesOracled]]), so DuckDB replays the complete
+    * sig→bands→bucket-bound→pairs→exact-Jaccard pipeline at the
+    * production parameters (128 hashes, 32 bands, bucket bound 64,
+    * threshold 0.8). The xxhash production form ([[Dedup.nearDuplicates]])
+    * stays the API default — one 64-bit mix per shingle instead of an
+    * md5 — with its recall physics pinned in DedupSpec and its scaling
+    * measured by the ScaleProbe `dedup_minhash` row; the LSH pipeline
+    * the two share is what this gate certifies.
     */
   private def minhashQuery = QueryDef(
     "dedup_minhash_documents",
-    (s, dir) => Dedup.nearDuplicates(
+    (s, dir) => Dedup.nearDuplicatesOracled(
         Tables.load(s, dir, "documents", parallelize = true), "doc_id", "text",
         shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)
       .orderBy("id_a", "id_b"),
-    None)
+    Some {
+      val perm = s"((2*k+1) * (h % 2147483647) + (40503*k+12345)) " +
+        "% 2147483647"
+      s"WITH ${shingleCtes("documents")}, " +
+        "sets AS (SELECT doc_id, list_distinct(s) AS s FROM sh), " +
+        "b AS (SELECT doc_id, s, list_transform(s, x -> " +
+        s"${md5BaseSql("x")}) AS bases FROM sets), " +
+        "sig AS (SELECT doc_id, list_transform(generate_series(0, 127), " +
+        "k -> coalesce(list_min(list_transform(bases, h -> " +
+        s"$perm)), 2147483647)) AS sig FROM b), " +
+        "bands AS (SELECT doc_id, u['i'] AS band_idx, u['h'] AS " +
+        "band_hash FROM (SELECT doc_id, unnest(list_transform(" +
+        "generate_series(0, 31), j -> {'i': j, 'h': md5(array_to_string(" +
+        "sig[j*4+1:(j+1)*4], '-'))})) AS u FROM sig)), " +
+        "bn AS (SELECT band_idx, band_hash, count(*) AS n FROM bands " +
+        "GROUP BY 1, 2), " +
+        "bb AS (SELECT bands.doc_id, bands.band_idx, bands.band_hash " +
+        "FROM bands JOIN bn USING (band_idx, band_hash) " +
+        "WHERE n BETWEEN 2 AND 64), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b " +
+        "FROM bb a JOIN bb b2 ON a.band_idx = b2.band_idx AND " +
+        "a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id), " +
+        "jp AS (SELECT c.id_a, c.id_b, " +
+        "len(list_intersect(sa.s, sb.s))::DOUBLE / " +
+        "greatest(len(list_distinct(list_concat(sa.s, sb.s))), 1) AS " +
+        "jaccard FROM cand c JOIN sets sa ON sa.doc_id = c.id_a " +
+        "JOIN sets sb ON sb.doc_id = c.id_b) " +
+        "SELECT id_a, id_b, jaccard FROM jp WHERE jaccard >= 0.8 " +
+        "ORDER BY id_a, id_b"
+    })
 
-  /** SimHash near-dup pairs: 16-bit chunk blocking (a fingerprint within
-    * hamming ≤ 3 of another must share at least one of 4 chunks — here we
-    * use it as a candidate filter with a wider verify threshold).
+  /** SimHash near-dup pairs — FULLY ORACLED since r8: fingerprints are
+    * the per-bit majority over md5-derived 60-bit base hashes
+    * ([[SimHash.simhashFromBases]]; ties → 0 exactly as the xxhash
+    * production form), blocked on 4 chunks of 15 bits (a fingerprint
+    * within hamming ≤ 3 must share a chunk — used as a candidate filter
+    * with a wider ≤ 12 verify threshold), so DuckDB replays
+    * fingerprint→chunks→pairs→hamming bit-for-bit. The xxhash-64-bit
+    * production form ([[SimHash.simhash64]]) stays the API default with
+    * its own spec pins.
     */
   private def simhashQuery = QueryDef(
     "dedup_simhash_documents",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents", parallelize = true)
-      // persist: the fingerprint frame is exploded into 4 chunks and
-      // self-joined — without it CollapseProject inlines the SimHash into
-      // every chunk element and each join side (8 evals/doc; measured 24×).
-      val fps = docs
+      // one codegen'd md5 per (doc, shingle) ROW (post-explode — an md5
+      // inside the shingle array lambda would run interpreted per
+      // element), regrouped per doc; explode_outer + null-dropping
+      // collect_list keeps empty docs at fp = 0
+      val bases = docs
         .select(col("doc_id"), Dedup.tokensOf(col("text")).as("__toks"))
-        .select(col("doc_id"),
-          SimHash.simhash64(
-            Dedup.wordShinglesFromTokens(col("__toks"), 3)).as("fp"))
+        .select(col("doc_id"), explode_outer(
+          Dedup.wordShinglesFromTokens(col("__toks"), 3)).as("__sh"))
+        .select(col("doc_id"), Dedup.md5Base(col("__sh")).as("__b"))
+        .groupBy("doc_id").agg(collect_list(col("__b")).as("__bases"))
+      // persist: the fingerprint frame is exploded into 4 chunks and
+      // self-joined — without it the whole base pipeline re-evaluates
+      // per chunk element and per join side (the r4 SimHash lesson).
+      val fps = bases.select(col("doc_id"),
+        SimHash.simhashFromBases(col("__bases"), 60).as("fp"))
         .persist()
       val chunks = fps.select(col("doc_id"), col("fp"),
         posexplode(array((0 until 4).map(i =>
-          shiftrightunsigned(col("fp"), i * 16).bitwiseAND(0xFFFFL)): _*))
+          shiftrightunsigned(col("fp"), i * 15).bitwiseAND(0x7FFFL)): _*))
           .as(Seq("chunk_idx", "chunk_val")))
       val cands = chunks.as("a")
         .join(chunks.as("b"),
@@ -155,11 +227,29 @@ object DedupQueries extends QueryPack {
           col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
         .distinct()
       cands.select(col("id_a"), col("id_b"),
-          SimHash.hamming(col("fp_a"), col("fp_b")).as("hamming"))
+          SimHash.hamming(col("fp_a"), col("fp_b")).cast("long")
+            .as("hamming"))
         .filter(col("hamming") <= 12)
         .orderBy("id_a", "id_b")
     },
-    None)
+    Some {
+      s"WITH ${shingleCtes("documents")}, " +
+        "b AS (SELECT doc_id, list_transform(s, x -> " +
+        s"${md5BaseSql("x")}) AS bases FROM sh), " +
+        "fp AS (SELECT doc_id, coalesce(list_sum(list_transform(" +
+        "generate_series(0, 59), j -> CASE WHEN " +
+        "2 * list_sum(list_transform(bases, h -> (h >> j) & 1)) > " +
+        "len(bases) THEN (1::BIGINT << j) ELSE 0 END)), 0)::BIGINT AS fp " +
+        "FROM b), " +
+        "ch AS (SELECT doc_id, fp, ci, (fp >> (ci * 15)) & 32767 AS cv " +
+        "FROM fp, (SELECT unnest(generate_series(0, 3)) AS ci)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b, " +
+        "a.fp AS fp_a, b2.fp AS fp_b FROM ch a JOIN ch b2 ON " +
+        "a.ci = b2.ci AND a.cv = b2.cv AND a.doc_id < b2.doc_id) " +
+        "SELECT id_a, id_b, bit_count(xor(fp_a, fp_b))::BIGINT AS hamming " +
+        "FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 12 " +
+        "ORDER BY id_a, id_b"
+    })
 
   /** Embedding-cosine near-dup, label-blocked exact variant: pairs within
     * the same `label` block with cosine ≥ 0.3 (≈ the 99th percentile of

@@ -23,6 +23,19 @@ object SimHash {
       org.apache.spark.sql.graft.SimHash64(
         org.apache.spark.sql.graft.ColumnShim.expression(tokens)))
 
+  /** ORACLE-REPLAYABLE SimHash: per-bit ±1 majority over the low `bits`
+    * bits of pre-computed base hashes (`array<long>` — md5-derived via
+    * [[Dedup.md5Base]] in the oracled lane), bit set iff the counter is
+    * strictly positive (identical tie convention to [[simhash64]]).
+    * Empty arrays fingerprint to 0. Production keeps [[simhash64]]'s
+    * one-pass xxhash loop; this seam exists so the chunk-blocked near-
+    * dup pipeline can be replayed bit-for-bit in ANSI SQL.
+    */
+  def simhashFromBases(bases: Column, bits: Int): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.SimHashFromBases(
+        org.apache.spark.sql.graft.ColumnShim.expression(bases), bits))
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 }

@@ -106,6 +106,49 @@ object PipelineQueries extends QueryPack {
     * classes appear and the oracle rebuilds both sides verbatim. The
     * +1.0 bump is exact IEEE on both engines.
     */
+  /** [[SnapshotDiff]] over BUCKETED snapshots — the second
+    * [[BucketedStage]] consumer (the staging layer's whole story is
+    * amortization ACROSS queries): both snapshot sides derive from the
+    * staged orderkey-bucketed orders table, so the full-outer key join
+    * runs with ZERO exchanges (plan-pinned in PlanAuditSpec) — the
+    * repeated-reconciliation shape where yesterday's and today's
+    * snapshots land bucketed on the warehouse key and every daily diff
+    * skips both shuffles. Same mutation recipe as
+    * [[snapshotDiffQuery]] restricted to the staged columns (status
+    * flips to the never-occurring 'X' on key%5=0), so all four change
+    * classes appear and the oracle replays both sides off the raw
+    * table verbatim.
+    */
+  private def snapshotDiffBucketedQuery = QueryDef(
+    "snapshot_diff_bucketed",
+    (s, dir) => {
+      val (_, ot) = BucketedStage.ensure(s, dir)
+      val proj = s.table(ot) // (o_orderkey, o_orderstatus) bucketed
+      val before = proj.filter(col("o_orderkey") % 11 =!= 0)
+      val after = proj.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 5 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      SnapshotDiff.diff(before, after, Seq("o_orderkey"),
+          Seq("o_orderstatus"))
+        .orderBy("o_orderkey")
+    },
+    Some("WITH proj AS (SELECT o_orderkey, o_orderstatus FROM orders), " +
+      "b AS (SELECT * FROM proj WHERE o_orderkey % 11 != 0), " +
+      "a AS (SELECT o_orderkey, CASE WHEN o_orderkey % 5 = 0 THEN 'X' " +
+      "ELSE o_orderstatus END AS o_orderstatus FROM proj " +
+      "WHERE o_orderkey % 13 != 0), " +
+      "j AS (SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey, " +
+      "b.o_orderkey IS NOT NULL AS bp, a.o_orderkey IS NOT NULL AS ap, " +
+      "list_filter([CASE WHEN b.o_orderstatus IS DISTINCT FROM " +
+      "a.o_orderstatus THEN 'o_orderstatus' END], x -> x IS NOT NULL) " +
+      "AS ch FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey) " +
+      "SELECT o_orderkey, CASE WHEN NOT bp THEN 'added' WHEN NOT ap " +
+      "THEN 'removed' WHEN len(ch) > 0 THEN 'changed' ELSE 'unchanged' " +
+      "END AS change_type, CASE WHEN bp AND ap THEN " +
+      "coalesce(array_to_string(ch, ','), '') ELSE '' END " +
+      "AS changed_cols FROM j ORDER BY o_orderkey"))
+
   private def snapshotDiffQuery = QueryDef(
     "snapshot_diff_orders",
     (s, dir) => {
@@ -304,6 +347,6 @@ object PipelineQueries extends QueryPack {
 
   override def queries: Seq[QueryDef] =
     Seq(latestQuery, mergeQuery, asofQuery, featuresQuery,
-      snapshotDiffQuery, saltedQuery, saltedJoinQuery, scd2HistoryQuery,
-      scd2MergeQuery)
+      snapshotDiffQuery, snapshotDiffBucketedQuery, saltedQuery,
+      saltedJoinQuery, scd2HistoryQuery, scd2MergeQuery)
 }

@@ -129,21 +129,67 @@ object SimilarityQueries extends QueryPack {
          |WHERE rn <= $GraphK ORDER BY query_id, rank""".stripMargin
         .replace("\n", " ")))
 
-  /** Approximate k-NN graph via the multi-probed, corpus-scaled LSH
-    * index — the batch shape where the index amortizes (O(n) candidates
-    * vs the brute graph's Θ(n²); recall vs the exact graph pinned in
-    * SimilaritySpec).
+  /** Approximate k-NN graph via the multi-probed LSH index — the batch
+    * shape where the index amortizes (O(n) candidates vs the brute
+    * graph's Θ(n²)). ORACLED since r8 the same literal-parameter way as
+    * `sim_topk_lsh`: the gate pins the 8-bit width (exactly what
+    * `scaledBits(n, 2)` picks at the sf0.01 gate corpus, so the pinned
+    * and auto forms coincide there), and DuckDB replays
+    * index → probe-mask XORs → candidate join → exact cosine → ranked
+    * cut with the hyperplanes and masks embedded as literals. The
+    * AUTO-scaled width stays the production default
+    * ([[Similarity.lshKnnGraph]] with bits = 0) — its candidate-volume
+    * and recall physics are pinned in SimilaritySpec and measured by
+    * the ScaleProbe `knn_lsh` row, which calls the auto form directly.
     */
+  private val KnnTables = 6
+  private val KnnGateBits = 8
+  private val KnnRadius = 2
+
   private def knnLshQuery = QueryDef(
     "sim_knn_graph_lsh",
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.lshKnnGraph(emb, "vec_id", "embedding", GraphK,
-          corpusSize = Some(Tables.rowCount(s, dir, "embeddings")))
+          tables = KnnTables, bits = KnnGateBits, dims = LshDims,
+          probeRadius = KnnRadius)
         .select("query_id", "rank", "neighbor_id", "cosine")
         .orderBy("query_id", "rank")
     },
-    None)
+    Some {
+      def planeSql(t: Int, j: Int): String =
+        Similarity.planeValues(t, j, LshDims)
+          .map(_.toString).mkString("[", ", ", "]")
+      def bucketSql(t: Int): String = (0 until KnnGateBits).map { j =>
+        s"(CASE WHEN list_dot_product(v, ${planeSql(t, j)}::DOUBLE[]) " +
+          s">= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val idxArms = (0 until KnnTables).map(t =>
+        s"SELECT vec_id, $t AS table_idx, ${bucketSql(t)} AS bucket " +
+          "FROM e").mkString(" UNION ALL ")
+      val masks = Similarity.probeMasks(KnnGateBits, KnnRadius)
+        .mkString("[", ", ", "]")
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v " +
+        "FROM embeddings), " +
+        s"idx AS ($idxArms), " +
+        s"qp AS (SELECT vec_id AS query_id, table_idx, " +
+        s"xor(bucket, m.mask) AS bucket FROM idx, " +
+        s"unnest($masks::BIGINT[]) AS m(mask)), " +
+        "cand AS (SELECT DISTINCT qp.query_id, c.vec_id AS neighbor_id " +
+        "FROM qp JOIN idx c USING (table_idx, bucket) " +
+        "WHERE qp.query_id <> c.vec_id), " +
+        "s AS (SELECT cd.query_id, cd.neighbor_id, " +
+        "CASE WHEN sqrt(list_dot_product(q.v, q.v)) * " +
+        "sqrt(list_dot_product(c.v, c.v)) = 0 THEN 0.0 ELSE " +
+        "list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) " +
+        "* sqrt(list_dot_product(c.v, c.v))) END AS cosine " +
+        "FROM cand cd JOIN e q ON q.vec_id = cd.query_id " +
+        "JOIN e c ON c.vec_id = cd.neighbor_id) " +
+        "SELECT query_id, rn AS rank, neighbor_id, cosine FROM (" +
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY cosine DESC, neighbor_id) AS rn FROM s) " +
+        s"WHERE rn <= $GraphK ORDER BY query_id, rank"
+    })
 
   /** IVF-probed approximate top-k (rows-only: KMeans centroids have no
     * SQL equivalent; recall pinned against brute force in SimilaritySpec).

@@ -305,3 +305,145 @@ case class SortableDoubleBits(child: Expression)
   override protected def withNewChildInternal(
       newChild: Expression): SortableDoubleBits = copy(child = newChild)
 }
+
+/** [[MinHashSig]] minus the hashing: the same universal-hash minima
+  * h_i(x) = (aᵢ·x + bᵢ) mod P (aᵢ = 2i+1, bᵢ = 40503i+12345, P = 2³¹−1)
+  * over PRE-COMPUTED base hashes (`array<long>`, reduced mod P inside —
+  * negatives normalize like [[MinHashSig]] does for raw xxhash values).
+  * Empty arrays yield the all-P sentinel.
+  *
+  * This is the oracle seam: with bases derived from built-in md5/conv
+  * expressions (codegen'd, ANSI-SQL-replayable) instead of xxhash64, the
+  * WHOLE banded-LSH pipeline becomes expressible in DuckDB while the
+  * per-row min loop stays native — see
+  * [[graft.dedup.Dedup.nearDuplicatesOracled]].
+  */
+case class MinHashSigFromBases(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  private val P = 2147483647L
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_sig_from_bases"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(P)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val raw = arr.getLong(i)
+      val h = ((raw % P) + P) % P
+      var k = 0
+      while (k < numHashes) {
+        val v = ((2L * k + 1L) * h + (40503L * k + 12345L)) % P
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, ${P}L);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = (($a.getLong($i) % ${P}L) + ${P}L) % ${P}L;
+         |  for (int $k = 0; $k < $numHashes; $k++) {
+         |    long $v = ((2L * $k + 1L) * $h + (40503L * $k + 12345L)) % ${P}L;
+         |    if ($v < $mins[$k]) $mins[$k] = $v;
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashSigFromBases = copy(child = newChild)
+}
+
+/** [[SimHash64]] minus the hashing: per-bit ±1 majority over the low
+  * `bits` bits of PRE-COMPUTED base hashes (`array<long>`), bit set iff
+  * the counter is strictly positive — identical tie convention to
+  * [[SimHash64]]. Empty arrays fingerprint to 0. The oracle seam for the
+  * SimHash lane (md5-derived 60-bit bases replay in ANSI SQL; see
+  * [[graft.dedup.DedupQueries]]).
+  */
+case class SimHashFromBases(child: Expression, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(bits > 0 && bits <= 64, s"bits must be in 1..64, got $bits")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash_from_bases"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val counters = new Array[Int](bits)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < bits) {
+        counters(j) += (if (((h >>> j) & 1L) != 0L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < bits) {
+      if (counters(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val counters = ctx.freshName("counters")
+      val fp = ctx.freshName("fp")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $counters = new int[$bits];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    $counters[$j] += ((($h >>> $j) & 1L) != 0L) ? 1 : -1;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $j = 0; $j < $bits; $j++) {
+         |  if ($counters[$j] > 0) $fp |= (1L << $j);
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHashFromBases = copy(child = newChild)
+}

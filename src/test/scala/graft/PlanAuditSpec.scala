@@ -112,6 +112,16 @@ class PlanAuditSpec extends SparkSpec {
       s"no Window may appear anywhere in the vocab plan:\n$p")
   }
 
+  test("bucketed snapshot diff full-outer-joins with NO exchange on the " +
+      "key (the second BucketedStage consumer — staging amortizes)") {
+    val p = plan("snapshot_diff_bucketed")
+    assert(p.contains("FullOuter"), s"diff must stay a full-outer join:\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"both snapshot sides must read bucketed:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"the key join must not re-shuffle bucketed snapshots:\n$p")
+  }
+
   test("scd2 merge keeps keyed joins only (anti for untouched, no cartesian)") {
     // the SCD2 decomposition: latest-per-key window, latest×current
     // keyed join for the change test, anti-join for untouched current

@@ -153,6 +153,29 @@ def scale_events(con, src, out, mult):
     print(f"events: {n} -> {n * mult}")
 
 
+def scale_customer(con, src, out, mult):
+    """Copy k offsets c_custkey; every attribute column is untouched, so
+    the quasi-identifier GROUPS the k-anonymity probe aggregates over
+    stay fixed while their occupancy grows x mult — group population
+    constant, rows x mult, like a customer base growing within the same
+    demographic bands."""
+    n, maxc = con.execute(
+        f"SELECT count(*), max(c_custkey) "
+        f"FROM read_parquet('{src}/customer.parquet')").fetchone()
+    cols = [r[0] for r in con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet('{src}/customer.parquet')"
+    ).fetchall()]
+    rest = ", ".join(c for c in cols if c != "c_custkey")
+    parts = [
+        f"SELECT c_custkey + {(maxc + 1) * k} AS c_custkey, {rest} "
+        f"FROM read_parquet('{src}/customer.parquet')"
+        for k in range(mult)]
+    con.execute(
+        f"COPY ({' UNION ALL '.join(parts)}) TO '{out}/customer.parquet' "
+        f"(FORMAT parquet)")
+    print(f"customer: {n} -> {n * mult}")
+
+
 def main():
     src, out, mult = sys.argv[1], sys.argv[2], int(sys.argv[3])
     import os
@@ -164,6 +187,7 @@ def main():
     scale_lineitem(con, src, out, mult, stride)
     scale_orders(con, src, out, mult, stride)
     scale_events(con, src, out, mult)
+    scale_customer(con, src, out, mult)
 
 
 if __name__ == "__main__":
