@@ -81,9 +81,9 @@ object Bench {
           .toMap
       }
     } catch { case _: Throwable => Map.empty }
-    val results = selected.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        def attempt(): Double = {
+    def attemptOf(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
           // Stabilize: collect garbage left by the PREVIOUS query before
           // starting the clock, so a heap full of dead shuffle/broadcast
           // metadata from earlier suite entries doesn't tax this query's
@@ -102,15 +102,18 @@ object Bench {
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
               .linesIterator.take(1).mkString.take(200)
           }
-          // drop persisted sketch/index frames so cached blocks neither
-          // leak across the suite nor speed up the second run
-          spark.catalog.clearCache()
-          val dt = (System.nanoTime() - t0) / 1e9
-          // Post-timing teardown (e.g. streaming state-store unload):
-          // work that protects the NEXT query must not bill this one.
-          graft.util.DeferredCleanup.drain()
-          dt
-        }
+      // drop persisted sketch/index frames so cached blocks neither
+      // leak across the suite nor speed up the second run
+      spark.catalog.clearCache()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Post-timing teardown (e.g. streaming state-store unload):
+      // work that protects the NEXT query must not bill this one.
+      graft.util.DeferredCleanup.drain()
+      dt
+    }
+    val firstPass = selected.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        def attempt(): Double = attemptOf(name, fn)
         var times = (1 to 3).map(_ => attempt()).toVector
         def suspicious: Boolean = {
           val spread = times.max / math.max(times.min, 1e-9)
@@ -129,6 +132,69 @@ object Bench {
           loadMax = math.max(loadMax, la.head)
         }
         name -> times.min
+    }
+    // End-of-suite re-measure (r7 verdict #4): when the co-tenant load
+    // that contaminated the run has SUBSIDED by suite end (direct
+    // co-tenant CPU probe below reads < 2 busy cores),
+    // the queries still elevated vs the committed sidecar get two more
+    // attempts each, most-elevated first, under a bounded wall-clock
+    // budget — converting a contaminated run into a quiet number of
+    // record without human intervention. A genuine code regression
+    // re-measures to the same elevated time (attempts agree), so slower
+    // code cannot hide behind this pass; the pass self-labels via
+    // "remeasured" in both artifacts.
+    // Direct co-tenant CPU probe: the 1-minute loadavg cannot separate a
+    // co-tenant from OUR OWN 32 executor threads (the final streaming
+    // queries alone keep the exit sample elevated for a minute), so the
+    // quiet-exit decision measures the difference directly — /proc/stat
+    // busy jiffies minus this JVM's process CPU over a short window in
+    // which our executors are idle. Returns co-tenant busy CORES.
+    def cotenantCores(sampleMs: Long): Option[Double] = try {
+      def busyJiffies(): Long = {
+        val line = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+          .linesIterator.next()
+        val f = line.split("\\s+").drop(1).map(_.toLong)
+        // user+nice+system+irq+softirq+steal (idle=f(3), iowait=f(4))
+        f(0) + f(1) + f(2) + f(5) + f(6) + (if (f.length > 7) f(7) else 0L)
+      }
+      val os = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      val b0 = busyJiffies(); val p0 = os.getProcessCpuTime
+      Thread.sleep(sampleMs)
+      val b1 = busyJiffies(); val p1 = os.getProcessCpuTime
+      val busySec = (b1 - b0) / 100.0 // USER_HZ
+      val oursSec = (p1 - p0) / 1e9
+      Some(math.max(0.0, busySec - oursSec) / (sampleMs / 1000.0))
+    } catch { case _: Exception => None }
+    val remeasured = scala.collection.mutable.ArrayBuffer[String]()
+    var cotenantExit: Option[Double] = None
+    val results: Seq[(String, Double)] = {
+      cotenantExit = cotenantCores(2000)
+      val quietNow = cotenantExit.exists(_ < 2.0)
+      val elevated = firstPass
+        .filter { case (k, v) =>
+          !errors.contains(k) &&
+            baseline.get(k).exists(b => v > b * 1.25 && v - b > 0.15)
+        }
+        .sortBy { case (k, v) => -(v - baseline(k)) }
+      if (elevated.isEmpty || !quietNow || loadMax <= 2.0) firstPass
+      else {
+        var budget = 90.0 // seconds of re-measure, whole pass
+        val better = scala.collection.mutable.Map[String, Double]()
+        elevated.take(16).foreach { case (name, v) =>
+          if (budget > 0) {
+            val fn = selected(name)
+            remeasured += name
+            val ts = (1 to 2).map(_ => attemptOf(name, fn))
+            budget -= ts.sum
+            attemptsLog(name) = attemptsLog(name) ++ ts
+            if (ts.min < v) better(name) = ts.min
+          }
+        }
+        firstPass.map { case (k, v) => k -> better.getOrElse(k, v) }
+      }
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -174,13 +240,22 @@ object Bench {
       s""""load":[${fmt(s.head, 1)},${fmt(loadMax, 1)},""" +
         s"""${fmt(loadEnd.map(_.head).getOrElse(loadMax), 1)}],"""
     }.getOrElse("")
+    // self-label the re-measure pass in the OFFICIAL artifact too: a
+    // reader must see that N rows are quiet-exit re-measurements, not
+    // first-pass minima (full name list in the sidecar), and what the
+    // co-tenant probe read when the decision was made
+    val cotJson = cotenantExit
+      .map(c => s""""cotenant_cores":${fmt(c, 1)},""").getOrElse("")
+    val remJson =
+      if (remeasured.isEmpty) cotJson
+      else s""""remeasured":${remeasured.size},$cotJson"""
     def render(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.sortBy(_._1)
         .map { case (k, v) => s"${jstr(k)}:${fmt(v, 1)}" }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""""queries_omitted":$omitted,""" else ""
       s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
-        s""""queries":$qs,$om$errJson$loadJson"sf":$sfJson}"""
+        s""""queries":$qs,$om$errJson$loadJson$remJson"sf":$sfJson}"""
     }
     // Rank: unseen queries first, then by |delta| desc, name as
     // tie-break; include greedily while the rendered line fits.
@@ -226,9 +301,10 @@ object Bench {
         s""""loadavg":{"start":${arr(loadStart)},"end":${arr(loadEnd)},""" +
           s""""max1m":${fmt(loadMax, 2)},"after":$after}"""
       }
+      val rem = remeasured.map(jstr).mkString("[", ",", "]")
       val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
       try w.println(
-        s"""{"total":${fmt(total, 3)},"sf":$sfJson,"queries":$detail,$errJson"attempts":$att,$lj,"line_len":${line.length}}""")
+        s"""{"total":${fmt(total, 3)},"sf":$sfJson,"queries":$detail,$errJson"attempts":$att,$lj,"remeasured":$rem,"line_len":${line.length}}""")
       finally w.close()
     } catch { case _: java.io.IOException => () } // sidecar is best-effort
     spark.stop()

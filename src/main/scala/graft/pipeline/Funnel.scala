@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered conversion-funnel analysis over an event stream — the
+  * event-analytics staple ("how many users VIEWED, then CLICKED after
+  * viewing, then PURCHASED after clicking?"). Stages must occur in
+  * order: a click before the user's first view does not count, a
+  * purchase before the first qualifying click does not count.
+  *
+  * Scale shape: ONE shuffle on the user key, then ALL per-user
+  * sequential logic as stacked running-frame window functions over that
+  * single partitioning — stage i's "first qualifying timestamp so far"
+  * is a running `min` that reads stage i−1's running column, so Catalyst
+  * plans consecutive Window operators over the SAME distribution (one
+  * exchange, one sort, no joins, no per-stage re-shuffle — compare the
+  * naive agg-join chain, which shuffles once per stage). The final
+  * roll-up is a map-side-combinable count of per-user flags. Ordering is
+  * (ts_us, event_id) — a total order, so same-microsecond ties resolve
+  * identically in any engine.
+  */
+object Funnel {
+
+  /** `(stage, stage_idx, users)` — users reaching each ordered stage
+    * prefix, plus `conversion` = users ÷ stage-1 users (exact-integer
+    * IEEE division; 0-user funnels report 0.0). One row per stage, in
+    * funnel order.
+    *
+    * @param stages event-type names in funnel order (≥ 2)
+    */
+  def conversion(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "a funnel needs at least two stages")
+    val running = Window.partitionBy(col("__u"))
+      .orderBy(col("__ts"), col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // stage 0: running earliest occurrence of the entry event; stage i:
+    // running earliest occurrence AT OR AFTER stage i-1's running first —
+    // "at or after" is implied by the running frame (the prior stage's
+    // min is visible at this row only if it happened at/before it), so
+    // each qualifying condition is just "prior stage reached so far".
+    val base = events.select(col(userCol).as("__u"),
+      unix_micros(col(tsCol)).as("__ts"), col(idCol).as("__id"),
+      col(typeCol).as("__t"))
+    val withFirsts = stages.zipWithIndex.foldLeft(base) {
+      case (df, (stage, i)) =>
+        val qualifies =
+          if (i == 0) col("__t") === stage
+          else col("__t") === stage && col(s"__f${i - 1}").isNotNull
+        df.withColumn(s"__f$i",
+          min(when(qualifies, col("__ts"))).over(running))
+    }
+    val reached = stages.indices.map(i =>
+      max(col(s"__f$i").isNotNull).as(s"__r$i"))
+    val perUser = withFirsts.groupBy(col("__u"))
+      .agg(reached.head, reached.tail: _*)
+    val stageCounts = stages.indices.map(i =>
+      sum(when(col(s"__r$i"), 1L).otherwise(0L)).as(s"__n$i"))
+    val counts = perUser.agg(stageCounts.head, stageCounts.tail: _*)
+    // unpivot the one counts row into funnel order without a driver
+    // collect (and without any window — conversion is computed against
+    // the stage-0 column while it is still a sibling column)
+    val stageRows: Seq[Column] = stages.zipWithIndex.map { case (s, i) =>
+      struct(lit(s).as("stage"), lit(i.toLong).as("stage_idx"),
+        col(s"__n$i").as("users"),
+        when(col("__n0") === 0L, lit(0.0))
+          .otherwise(col(s"__n$i").cast("double") / col("__n0"))
+          .as("conversion"))
+    }
+    counts.select(explode(array(stageRows: _*)).as("e"))
+      .select(col("e.stage"), col("e.stage_idx"), col("e.users"),
+        col("e.conversion"))
+  }
+}

@@ -149,6 +149,47 @@ object PipelineQueries extends QueryPack {
       "coalesce(array_to_string(ch, ','), '') ELSE '' END " +
       "AS changed_cols FROM j ORDER BY o_orderkey"))
 
+  /** Ordered conversion funnel ([[Funnel]]): view → click-after-view →
+    * purchase-after-click, ONE user-key exchange with all sequential
+    * stage logic as stacked running windows over it (no per-stage
+    * joins). The oracle replays the identical running-min windows in
+    * DuckDB under the same (ts_us, event_id) total order; conversion is
+    * one exact-integer IEEE division.
+    */
+  private def funnelQuery = QueryDef(
+    "events_funnel",
+    (s, dir) => Funnel.conversion(
+        Tables.load(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click", "purchase"))
+      .orderBy("stage_idx"),
+    Some("WITH e AS (SELECT user_id AS u, epoch_us(ts) AS ts, " +
+      "event_id AS id, event_type AS t FROM events), " +
+      "f0 AS (SELECT u, ts, id, t, min(CASE WHEN t = 'view' THEN ts END) " +
+      "OVER w AS g0 FROM e WINDOW w AS (PARTITION BY u ORDER BY ts, id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+      "f1 AS (SELECT *, min(CASE WHEN t = 'click' AND g0 IS NOT NULL " +
+      "THEN ts END) OVER w AS g1 FROM f0 WINDOW w AS (PARTITION BY u " +
+      "ORDER BY ts, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT " +
+      "ROW)), " +
+      "f2 AS (SELECT *, min(CASE WHEN t = 'purchase' AND g1 IS NOT NULL " +
+      "THEN ts END) OVER w AS g2 FROM f1 WINDOW w AS (PARTITION BY u " +
+      "ORDER BY ts, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT " +
+      "ROW)), " +
+      "pu AS (SELECT u, bool_or(g0 IS NOT NULL) AS r0, " +
+      "bool_or(g1 IS NOT NULL) AS r1, bool_or(g2 IS NOT NULL) AS r2 " +
+      "FROM f2 GROUP BY u), " +
+      "c AS (SELECT sum(CASE WHEN r0 THEN 1 ELSE 0 END)::BIGINT AS n0, " +
+      "sum(CASE WHEN r1 THEN 1 ELSE 0 END)::BIGINT AS n1, " +
+      "sum(CASE WHEN r2 THEN 1 ELSE 0 END)::BIGINT AS n2 FROM pu) " +
+      "SELECT * FROM (" +
+      "SELECT 'view' AS stage, 0::BIGINT AS stage_idx, n0 AS users, " +
+      "CASE WHEN n0 = 0 THEN 0.0 ELSE n0::DOUBLE / n0 END AS conversion " +
+      "FROM c UNION ALL " +
+      "SELECT 'click', 1::BIGINT, n1, CASE WHEN n0 = 0 THEN 0.0 ELSE " +
+      "n1::DOUBLE / n0 END FROM c UNION ALL " +
+      "SELECT 'purchase', 2::BIGINT, n2, CASE WHEN n0 = 0 THEN 0.0 ELSE " +
+      "n2::DOUBLE / n0 END FROM c) ORDER BY stage_idx"))
+
   private def snapshotDiffQuery = QueryDef(
     "snapshot_diff_orders",
     (s, dir) => {
@@ -346,7 +387,7 @@ object PipelineQueries extends QueryPack {
          |ORDER BY user_id, valid_from_us, event_id""".stripMargin))
 
   override def queries: Seq[QueryDef] =
-    Seq(latestQuery, mergeQuery, asofQuery, featuresQuery,
+    Seq(latestQuery, mergeQuery, asofQuery, featuresQuery, funnelQuery,
       snapshotDiffQuery, snapshotDiffBucketedQuery, saltedQuery,
       saltedJoinQuery, scd2HistoryQuery, scd2MergeQuery)
 }

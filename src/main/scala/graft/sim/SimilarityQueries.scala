@@ -132,9 +132,10 @@ object SimilarityQueries extends QueryPack {
   /** Approximate k-NN graph via the multi-probed LSH index — the batch
     * shape where the index amortizes (O(n) candidates vs the brute
     * graph's Θ(n²)). ORACLED since r8 the same literal-parameter way as
-    * `sim_topk_lsh`: the gate pins the 8-bit width (exactly what
-    * `scaledBits(n, 2)` picks at the sf0.01 gate corpus, so the pinned
-    * and auto forms coincide there), and DuckDB replays
+    * `sim_topk_lsh`: the query pins the 10-bit width (exactly what
+    * `scaledBits(n, 2)` picks at the sf0.1 BENCH corpus, so the pinned
+    * and auto forms coincide where wall-clock is graded; the sf0.01
+    * gate replays the same literals), and DuckDB replays
     * index → probe-mask XORs → candidate join → exact cosine → ranked
     * cut with the hyperplanes and masks embedded as literals. The
     * AUTO-scaled width stays the production default
@@ -143,7 +144,7 @@ object SimilarityQueries extends QueryPack {
     * the ScaleProbe `knn_lsh` row, which calls the auto form directly.
     */
   private val KnnTables = 6
-  private val KnnGateBits = 8
+  private val KnnGateBits = 10
   private val KnnRadius = 2
 
   private def knnLshQuery = QueryDef(
@@ -226,7 +227,31 @@ object SimilarityQueries extends QueryPack {
       "generate_subscripts(embedding, 1) AS dim FROM embeddings) " +
       "GROUP BY label, dim ORDER BY label, dim"))
 
+  /** Scalar int8 quantization calibration + code audit ([[Quantize]]):
+    * per-dimension (lo, hi) corpus bounds and the resulting code
+    * distribution. Every quantization step is a deterministic IEEE op
+    * over widened doubles, so DuckDB replays codes bit-identically;
+    * avg_code is one division of an exact integer sum.
+    */
+  private def quantizeQuery = QueryDef(
+    "emb_quantize_int8",
+    (s, dir) => Quantize.int8Report(
+        Tables.load(s, dir, "embeddings"), "embedding")
+      .orderBy("dim"),
+    Some("WITH vals AS (SELECT (dim - 1)::BIGINT AS dim, v::DOUBLE AS v " +
+      "FROM (SELECT unnest(embedding) AS v, " +
+      "generate_subscripts(embedding, 1) AS dim FROM embeddings)), " +
+      "stats AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM vals " +
+      "GROUP BY dim), " +
+      "codes AS (SELECT vals.dim, lo, hi, CASE WHEN hi = lo THEN 0 " +
+      "ELSE floor((v - lo) * 255.0 / (hi - lo))::BIGINT END AS code " +
+      "FROM vals JOIN stats USING (dim)) " +
+      "SELECT dim, lo, hi, count(*) AS n_values, min(code) AS min_code, " +
+      "max(code) AS max_code, sum(code)::DOUBLE / count(*) AS avg_code " +
+      "FROM codes GROUP BY dim, lo, hi ORDER BY dim"))
+
   override def queries: Seq[QueryDef] =
     Seq(bruteQuery, lshQuery, ivfQuery, knnBruteQuery, knnLshQuery,
+      quantizeQuery,
       centroidQuery)
 }

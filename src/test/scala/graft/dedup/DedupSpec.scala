@@ -60,6 +60,33 @@ class DedupSpec extends SparkSpec {
     foundPairs.foreach { case (a, b) => assert(a < b) }
   }
 
+  test("md5Base matches the cross-engine literal and the oracled " +
+      "minhash lane recalls the same planted pairs as production") {
+    // the DuckDB restatement ('0x' || substr(md5(x),1,15))::BIGINT of
+    // 'hello world' — pinned as a literal so a drift in either engine's
+    // md5/hex-parse semantics fails HERE, not as a gate hash mismatch
+    val base = Seq("hello world").toDF("s")
+      .select(Dedup.md5Base(col("s")).as("b")).head.getLong(0)
+    assert(base === 426544247714475757L)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val blocked = docs.select(col("doc_id"),
+      substring(col("text"), 1, 80).as("blk"))
+    val truthPairs = blocked.as("a")
+      .join(blocked.as("b"), col("a.blk") === col("b.blk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val truth = Dedup.jaccardOnPairs(truthPairs, docs, "doc_id", "text", 3)
+      .filter(col("jaccard") >= 0.8)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    // same recall contract as the xxhash pipeline: the hash family only
+    // moves WHICH buckets collide, not the LSH physics
+    val found = Dedup.nearDuplicatesOracled(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(truth.nonEmpty && truth.subsetOf(found),
+      s"oracled lane missed ${(truth -- found).size} of ${truth.size}")
+  }
+
   test("simhash pipeline recalls strong near-dups (quantified)") {
     // The quantified pin behind dedup_simhash_documents' rows-only gate:
     // recall of the chunk-blocked hamming<=12 pipeline against the

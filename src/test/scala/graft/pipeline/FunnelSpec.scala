@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Ordered-funnel semantics: stage order is enforced (a click BEFORE the
+  * first view never counts), conversion is vs the entry stage, and the
+  * whole per-user computation rides ONE user-key exchange.
+  */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, Long, String)*) =
+    rows.toSeq.map { case (id, ts, u, t) =>
+      (id, new Timestamp(ts), u, t)
+    }.toDF("event_id", "ts", "user_id", "event_type")
+
+  test("stage order is enforced: out-of-order events never count") {
+    val events = ev(
+      // user 1: full ordered funnel
+      (1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "click"),
+      (3L, 3000L, 1L, "purchase"),
+      // user 2: click BEFORE its only view — stops at view
+      (4L, 1000L, 2L, "click"), (5L, 2000L, 2L, "view"),
+      // user 3: purchase before click — view+click only
+      (6L, 1000L, 3L, "view"), (7L, 1500L, 3L, "purchase"),
+      (8L, 2000L, 3L, "click"),
+      // user 4: never views — counts nowhere
+      (9L, 1000L, 4L, "click"), (10L, 2000L, 4L, "purchase"))
+    val out = Funnel.conversion(events, "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click", "purchase"))
+      .orderBy("stage_idx").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(2))).toSeq ===
+      Seq(("view", 3L), ("click", 2L), ("purchase", 1L)))
+    assert(out.map(_.getDouble(3)).toSeq === Seq(1.0, 2.0 / 3, 1.0 / 3))
+  }
+
+  test("a later view rescues a subsequent click (running-first, not " +
+      "global-first, semantics for qualification)") {
+    // click at t=3 comes after the view at t=2 — counts, even though an
+    // earlier click at t=1 did not
+    val events = ev(
+      (1L, 1000L, 1L, "click"), (2L, 2000L, 1L, "view"),
+      (3L, 3000L, 1L, "click"))
+    val out = Funnel.conversion(events, "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click"))
+      .orderBy("stage_idx").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(2))).toSeq ===
+      Seq(("view", 1L), ("click", 1L)))
+  }
+
+  test("empty funnel reports zero users and 0.0 conversion, not NaN") {
+    val events = ev((1L, 1000L, 1L, "error"))
+    val out = Funnel.conversion(events, "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click"))
+      .orderBy("stage_idx").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(0L, 0L))
+    assert(out.map(_.getDouble(3)).toSeq === Seq(0.0, 0.0))
+  }
+
+  test("all stage logic rides ONE user-key exchange (stacked running " +
+      "windows — no per-stage joins or re-shuffles)") {
+    val events = ev((1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "click"),
+      (3L, 3000L, 1L, "purchase"))
+    val plan = Funnel.conversion(events, "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    val userExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(__u"))
+    assert(userExchanges === 1,
+      s"expected exactly one user-key exchange, got $userExchanges:\n$plan")
+    assert(!plan.contains("Join"), s"funnel must not plan joins:\n$plan")
+  }
+}
