@@ -190,7 +190,11 @@ object Bench {
             val ts = (1 to 2).map(_ => attemptOf(name, fn))
             budget -= ts.sum
             attemptsLog(name) = attemptsLog(name) ++ ts
-            if (ts.min < v) better(name) = ts.min
+            // a query that passed 3× in the first pass must not fail
+            // the suite on a transient re-measure error — the first-pass
+            // time stands and the error (if any) is discarded
+            if (errors.contains(name)) { errors.remove(name); () }
+            else if (ts.min < v) better(name) = ts.min
           }
         }
         firstPass.map { case (k, v) => k -> better.getOrElse(k, v) }
