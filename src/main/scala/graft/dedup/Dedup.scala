@@ -102,6 +102,19 @@ object Dedup {
   def md5Base(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** [[md5Base]] over every element of an `array<string>` column in ONE
+    * codegen'd loop (`Md5Bases` — thread-cached digest per element).
+    * This is how the oracle lanes hash shingle ARRAYS: the md5 built-in
+    * is per-row and a `transform` lambda runs interpreted, so the r8
+    * first cut exploded + regrouped (`collect_list`) just to hash — a
+    * whole extra shuffle of every shingle, measured +0.5s on the
+    * simhash gate at sf0.1. One native loop removes it.
+    */
+  def md5Bases(arr: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.Md5Bases(
+        org.apache.spark.sql.graft.ColumnShim.expression(arr)))
+
   /** (id, band_idx, band_hash) — one row per band per doc. `bands` must
     * divide the signature length; each band hashes `sigLen/bands`
     * consecutive signature entries. `bandHash` maps the band's joined
@@ -234,23 +247,18 @@ object Dedup {
     * family ([[minHashSignatureFromBases]]) — identical pipeline shape:
     * one shingling pass, banded buckets (md5 band keys), the [2,
     * maxBucket] bound, the banded self-join, exact Jaccard ≥ threshold
-    * on surviving pairs. Base hashes are computed AFTER an explode (one
-    * codegen'd md5 per (doc, shingle) row — the SpanDedup lesson: an md5
-    * inside an array-lambda runs interpreted per element), then
-    * regrouped per doc; docs with empty shingle sets keep the all-P
-    * sentinel signature via `explode_outer` + null-dropping
-    * `collect_list`.
+    * on surviving pairs. Base hashes come from the [[md5Bases]] native
+    * loop directly over the shingle array — one projection, no
+    * explode/regroup shuffle; empty shingle sets yield empty base
+    * arrays and thus the all-P sentinel signature.
     */
   def nearDuplicatesOracled(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8, maxBucket: Int = 64): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, shingleK).persist()
-    val bases = sets
-      .select(col(idCol), explode_outer(col("__set")).as("__sh"))
-      .select(col(idCol), md5Base(col("__sh")).as("__b"))
-      .groupBy(idCol).agg(collect_list(col("__b")).as("__bases"))
-    val sigs = bases.select(col(idCol),
-      minHashSignatureFromBases(col("__bases"), numHashes).as("__sig"))
+    val sigs = sets.select(col(idCol),
+      minHashSignatureFromBases(md5Bases(col("__set")), numHashes)
+        .as("__sig"))
     val pairs = pairsFromBands(
       bandedBuckets(sigs, idCol, "__sig", bands,
         s => md5(s.cast("binary"))),

@@ -198,21 +198,21 @@ object DedupQueries extends QueryPack {
     "dedup_simhash_documents",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents", parallelize = true)
-      // one codegen'd md5 per (doc, shingle) ROW (post-explode — an md5
-      // inside the shingle array lambda would run interpreted per
-      // element), regrouped per doc; explode_outer + null-dropping
-      // collect_list keeps empty docs at fp = 0
-      val bases = docs
-        .select(col("doc_id"), Dedup.tokensOf(col("text")).as("__toks"))
-        .select(col("doc_id"), explode_outer(
-          Dedup.wordShinglesFromTokens(col("__toks"), 3)).as("__sh"))
-        .select(col("doc_id"), Dedup.md5Base(col("__sh")).as("__b"))
-        .groupBy("doc_id").agg(collect_list(col("__b")).as("__bases"))
+      // the whole doc→fingerprint path is ONE projection: tokens land
+      // as a column, the md5 base hashes come from the Md5Bases native
+      // loop over the shingle array (no explode/regroup — see
+      // Dedup.md5Bases), the fingerprint from SimHashFromBases; empty
+      // docs yield empty base arrays and fp = 0.
       // persist: the fingerprint frame is exploded into 4 chunks and
       // self-joined — without it the whole base pipeline re-evaluates
       // per chunk element and per join side (the r4 SimHash lesson).
-      val fps = bases.select(col("doc_id"),
-        SimHash.simhashFromBases(col("__bases"), 60).as("fp"))
+      val fps = docs
+        .select(col("doc_id"), Dedup.tokensOf(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          SimHash.simhashFromBases(
+            Dedup.md5Bases(
+              Dedup.wordShinglesFromTokens(col("__toks"), 3)), 60)
+            .as("fp"))
         .persist()
       val chunks = fps.select(col("doc_id"), col("fp"),
         posexplode(array((0 until 4).map(i =>

@@ -447,3 +447,85 @@ case class SimHashFromBases(child: Expression, bits: Int)
   override protected def withNewChildInternal(
       newChild: Expression): SimHashFromBases = copy(child = newChild)
 }
+
+/** md5-derived 60-bit base hash of every element of an `array<string>`
+  * column, as one codegen'd loop — the value of the first 15 hex chars
+  * of md5(s) (= the big-endian long of the first 8 digest bytes >>> 4),
+  * identical to `conv(substring(md5(s),1,15),16,10)` and to DuckDB's
+  * `('0x' || substr(md5(s),1,15))::BIGINT`.
+  *
+  * Exists so the md5-oracle dedup lanes hash per element WITHOUT an
+  * explode → collect_list regroup (the md5 built-in is per-ROW, and a
+  * HOF transform lambda evaluates interpreted — the SpanDedup lesson):
+  * one projection in, one array<long> out, zero extra shuffles. Null
+  * elements (which the shingle builders never produce) are skipped,
+  * mirroring the null-dropping collect_list of the regroup formulation
+  * this replaces.
+  */
+case class Md5Bases(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_md5_bases"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        out(m) = GraftDigest.md5Base60(arr.getUTF8String(i))
+        m += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(if (m == n) out else java.util.Arrays.copyOf(out, m))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$n];
+         |int $m = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    $out[$m++] = org.apache.spark.sql.graft.GraftDigest
+         |      .md5Base60($a.getUTF8String($i));
+         |  }
+         |}
+         |if ($m != $n) $out = java.util.Arrays.copyOf($out, $m);
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Md5Bases = copy(child = newChild)
+}
+
+/** Thread-cached MD5 for [[Md5Bases]]' per-element loop (a
+  * `MessageDigest.getInstance` per element would dominate the hash).
+  */
+object GraftDigest {
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  def md5Base60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = md5.get().digest(s.getBytes) // digest() resets the instance
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v >>> 4
+  }
+}

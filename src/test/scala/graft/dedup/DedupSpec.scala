@@ -68,6 +68,17 @@ class DedupSpec extends SparkSpec {
     val base = Seq("hello world").toDF("s")
       .select(Dedup.md5Base(col("s")).as("b")).head.getLong(0)
     assert(base === 426544247714475757L)
+    // the native array loop (Md5Bases — what the gate lanes actually
+    // run) must agree with the built-in conv/substr form per element
+    val arr = Seq(Seq("hello world", "", "a b c", "αβγ"))
+      .toDF("a")
+    val native = arr.select(Dedup.md5Bases(col("a")).as("b"))
+      .head.getSeq[Long](0)
+    val builtin = arr
+      .select(transform(col("a"), s => Dedup.md5Base(s)).as("b"))
+      .head.getSeq[Long](0)
+    assert(native === builtin)
+    assert(native.head === 426544247714475757L)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val blocked = docs.select(col("doc_id"),
       substring(col("text"), 1, 80).as("blk"))
