@@ -83,4 +83,46 @@ object Quantize {
     */
   def decodeExpr(code: Column, lo: Column, hi: Column): Column =
     lo + code.cast("double") * (hi - lo) / Levels.toDouble
+
+  /** The input plus `<vecCol>_dec`: each vector quantized THROUGH the
+    * int8 codes and decoded back (v̂ = lo + ⌊…⌋·(hi−lo)/255; a collapsed
+    * dimension decodes to lo exactly) — the value a scorer reading the
+    * 4×-smaller code store actually sees. Same zero-shuffle literal-
+    * array shape as [[encode]].
+    */
+  def decodedView(emb: DataFrame, vecCol: String,
+      stats: DataFrame): DataFrame = {
+    val s = stats.select(col("dim").cast("int"), col("lo"), col("hi"))
+      .collect().map(r => (r.getInt(0), (r.getDouble(1), r.getDouble(2))))
+      .toMap
+    val dims = s.keys.toSeq.sorted
+    require(dims == dims.indices.toList,
+      s"calibration must cover dims 0..${dims.size - 1} contiguously")
+    val lohi = zip_with(
+      array(dims.map(d => lit(s(d)._1)): _*),
+      array(dims.map(d => lit(s(d)._2)): _*),
+      (l, h) => struct(l.as("l"), h.as("h")))
+    emb.withColumn(s"${vecCol}_dec",
+      zip_with(col(vecCol).cast("array<double>"), lohi,
+        (v, lh) => {
+          val (l, h) = (lh.getField("l"), lh.getField("h"))
+          when(h === l, l).otherwise(
+            l + floor((v - l) * Levels.toDouble / (h - l)) *
+              (h - l) / Levels.toDouble)
+        }))
+  }
+
+  /** Brute-force top-k where the CORPUS side scores through its int8
+    * codes (asymmetric distance: float queries vs decoded corpus) — the
+    * memory-cut ANN configuration at 100 TB: the store holds codes +
+    * 2 doubles/dim, scoring decodes on the fly, and ranking error is
+    * bounded by the per-dim quantization step. Delegates the scoring/
+    * ranking to [[Similarity.bruteForceTopK]] over the decoded view.
+    */
+  def topKQuantized(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, stats: DataFrame): DataFrame =
+    Similarity.bruteForceTopK(
+      decodedView(corpus, vecCol, stats)
+        .select(col(idCol), col(s"${vecCol}_dec").as(vecCol)),
+      queries, idCol, vecCol, k)
 }

@@ -250,8 +250,46 @@ object SimilarityQueries extends QueryPack {
       "max(code) AS max_code, sum(code)::DOUBLE / count(*) AS avg_code " +
       "FROM codes GROUP BY dim, lo, hi ORDER BY dim"))
 
+  /** Quantized brute-force top-k ([[Quantize.topKQuantized]]): float
+    * queries against the corpus scored THROUGH its int8 codes (decoded
+    * on the fly) — the 4×-smaller-store ANN configuration, composed
+    * end-to-end with the calibration lane. Every step (stats, codes,
+    * decode, cosine fold, rank) is deterministic IEEE, so DuckDB
+    * replays the whole thing exactly; recall vs the float brute force
+    * is pinned in QuantizeSpec.
+    */
+  private def quantTopkQuery = QueryDef(
+    "sim_topk_quantized",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val stats = Quantize.int8Report(emb, "embedding")
+        .select("dim", "lo", "hi")
+      Quantize.topKQuantized(emb, emb.filter(col("vec_id") < QueryIds),
+          "vec_id", "embedding", K, stats)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    },
+    Some("WITH vals AS (SELECT vec_id, (dim - 1)::BIGINT AS dim, " +
+      "v::DOUBLE AS v FROM (SELECT vec_id, unnest(embedding) AS v, " +
+      "generate_subscripts(embedding, 1) AS dim FROM embeddings)), " +
+      "stats AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM vals " +
+      "GROUP BY dim), " +
+      "dec AS (SELECT vec_id, dim, CASE WHEN hi = lo THEN lo ELSE " +
+      "lo + floor((v - lo) * 255.0 / (hi - lo)) * (hi - lo) / 255.0 END " +
+      "AS dv FROM vals JOIN stats USING (dim)), " +
+      "c AS (SELECT vec_id, list(dv ORDER BY dim) AS v FROM dec " +
+      "GROUP BY vec_id), " +
+      "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      s"q AS (SELECT * FROM e WHERE vec_id < $QueryIds), " +
+      "s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+      s"$cosineSql AS cosine FROM c, q WHERE c.vec_id <> q.vec_id) " +
+      "SELECT query_id, rn AS rank, neighbor_id, cosine FROM (" +
+      "SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY cosine DESC, neighbor_id) AS rn FROM s) " +
+      s"WHERE rn <= $K ORDER BY query_id, rank"))
+
   override def queries: Seq[QueryDef] =
     Seq(bruteQuery, lshQuery, ivfQuery, knnBruteQuery, knnLshQuery,
-      quantizeQuery,
+      quantizeQuery, quantTopkQuery,
       centroidQuery)
 }

@@ -66,6 +66,28 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("quantized top-k recalls the float brute-force neighbours " +
+      "(quantified on the corpus fixture)") {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = corpus.filter(col("vec_id") < 10)
+    val k = 10
+    val stats = Quantize.int8Report(corpus, "embedding")
+      .select("dim", "lo", "hi")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(
+      corpus, queries, "vec_id", "embedding", k))
+    val quant = pairs(Quantize.topKQuantized(
+      corpus, queries, "vec_id", "embedding", k, stats))
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    info(f"quantized recall@$k = $recall%.3f")
+    // 255 levels per dim keeps decoded vectors within one step of the
+    // float values — near-ties at the k boundary are the only losses
+    assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
+  }
+
   test("encode plans zero shuffles (stats ride as literal arrays)") {
     val stats = Quantize.int8Report(emb, "embedding")
       .select("dim", "lo", "hi")
