@@ -29,10 +29,19 @@ object Vocab {
     * (including beyond the cut), an exact-integer division.
     */
   def coverage(docs: DataFrame, textCol: String, topV: Int): DataFrame = {
+    // persisted: three consumers (the top-V cut, its self-join copy,
+    // the total) would otherwise each re-scan and re-tokenize the
+    // CORPUS — three full passes where one suffices. The token-count
+    // frame is the natural materialization point (vocabulary-sized, ≪
+    // corpus); at 100 TB this is the standard materialized
+    // token-frequency table, written to storage for reuse across
+    // tokenizer-sizing runs. Gate harnesses clearCache between queries;
+    // long-lived callers own the release (the shingle-set precedent).
     val counts = docs
       .select(TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(explode(col("toks")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .persist()
     // Distributed top-V: plans as TakeOrderedAndProject (per-partition
     // local top V + driver merge), never a global sort of the
     // vocabulary. (count desc, token asc) is a total order — token is
