@@ -139,7 +139,14 @@ object ScaleProbe {
     // k-anonymity — one combinable hash agg + filter over customer:
     // expect scan-bound (the scaled corpus grows group COUNTS, not the
     // group population)
-    ("pii_kanon", None, SparkEntry.queries("pii_kanon_customer")))
+    ("pii_kanon", None, SparkEntry.queries("pii_kanon_customer")),
+    // ordered funnel — one user-key exchange + stacked running windows
+    // over the users-grow events corpus: constant per-key work
+    ("events_funnel", None, SparkEntry.queries("events_funnel")),
+    // quantized brute top-k — linear in corpus like the float brute
+    // (same Θ(n·q) shape, reading the 4×-smaller representation)
+    ("sim_topk_quantized", None,
+      SparkEntry.queries("sim_topk_quantized")))
 
   /** Production MinHash lane (xxhash base + band hashes — the form
     * [[graft.dedup.Dedup.nearDuplicates]] defaults to; the registered
