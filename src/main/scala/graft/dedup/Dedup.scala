@@ -267,6 +267,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Pairwise DATASET-overlap matrix: for every pair of sources, the
+    * exact Jaccard of their distinct document-fingerprint sets — the
+    * corpus-curation report that decides which source pairs need
+    * cross-dataset dedup before mixing (two crawls of the same sites
+    * overlap heavily; a books corpus and a forum dump don't).
+    *
+    * Scale shape: ONE combinable distinct over (source, fingerprint)
+    * reduces the corpus to its per-source fingerprint sets; the
+    * intersection counts come from a self-join ON the fingerprint (a
+    * hash join on the 32-hex key — never all-pairs across docs); set
+    * sizes and the S²-bounded pair skeleton (sources are few by
+    * construction) ride a broadcast cross join so ZERO-overlap pairs
+    * still report. Jaccard = common / (n_a + n_b − common), one exact
+    * integer division.
+    */
+  def sourceOverlap(docs: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val fps = docs.select(col(srcCol).as("source"),
+        graft.text.TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .distinct()
+    val sizes = fps.groupBy("source").agg(count(lit(1)).as("n"))
+    val common = fps.as("a")
+      .join(fps.as("b"), col("a.__fp") === col("b.__fp") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("common"))
+    val pairs = broadcast(sizes.select(col("source").as("source_a"),
+        col("n").as("n_a")))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n").as("n_b"))), col("source_a") < col("source_b"))
+    pairs.join(common, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        coalesce(col("common"), lit(0L)).as("common"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")))
+  }
+
   /** Connected components over near-dup pairs: (id, cluster) where
     * `cluster` is the minimum id reachable through the pair graph — the
     * step that turns pairwise matches into actionable dedup groups

@@ -448,8 +448,37 @@ object DedupQueries extends QueryPack {
       "AND NOT EXISTS (SELECT 1 FROM f c WHERE c.doc_id % 10 < 8 " +
       "AND c.fingerprint = b.fingerprint) ORDER BY b.doc_id"))
 
+  /** Dataset-overlap matrix ([[Dedup.sourceOverlap]]): exact Jaccard of
+    * per-source fingerprint sets for every source pair (zero-overlap
+    * pairs included). The oracle replays the shared bag-of-words
+    * fingerprint and the set algebra verbatim.
+    */
+  private def sourceOverlapQuery = QueryDef(
+    "corpus_source_overlap",
+    (s, dir) => Dedup.sourceOverlap(
+        Tables.load(s, dir, "documents", parallelize = true),
+        "source", "text")
+      .orderBy("source_a", "source_b"),
+    Some("WITH f AS (SELECT DISTINCT source, " +
+      "md5(array_to_string(list_sort(list_distinct(" +
+      "CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
+      "ELSE regexp_split_to_array(trim(text), '\\s+') END)), ' ')) " +
+      "AS fp FROM documents), " +
+      "sz AS (SELECT source, count(*) AS n FROM f GROUP BY 1), " +
+      "cm AS (SELECT a.source AS source_a, b.source AS source_b, " +
+      "count(*) AS common FROM f a JOIN f b ON a.fp = b.fp " +
+      "AND a.source < b.source GROUP BY 1, 2), " +
+      "p AS (SELECT sa.source AS source_a, sb.source AS source_b, " +
+      "sa.n AS n_a, sb.n AS n_b FROM sz sa JOIN sz sb " +
+      "ON sa.source < sb.source) " +
+      "SELECT p.source_a, p.source_b, n_a, n_b, " +
+      "coalesce(common, 0) AS common, " +
+      "coalesce(common, 0)::DOUBLE / (n_a + n_b - coalesce(common, 0)) " +
+      "AS jaccard FROM p LEFT JOIN cm USING (source_a, source_b) " +
+      "ORDER BY source_a, source_b"))
+
   override def queries: Seq[QueryDef] = Seq(
     exactQuery, jaccardQuery, clustersQuery, minhashQuery, simhashQuery,
     embBlockedQuery, embLshQuery, semdedupQuery, spanQuery,
-    incrementalQuery)
+    incrementalQuery, sourceOverlapQuery)
 }

@@ -38,6 +38,62 @@ object BuilderQueries extends QueryPack {
       "JOIN nation ON c_nationkey = n_nationkey " +
       "GROUP BY n_name ORDER BY n_name"))
 
+  /** TPC-H Q5-shaped six-table join — the deep-join-chain showcase the
+    * two/three-table builder queries don't exercise: lineitem ⋈ orders
+    * (orderkey) ⋈ customer (custkey) ⋈ supplier (suppkey, plus the Q5
+    * twist c_nationkey = s_nationkey: local suppliers only) ⋈ nation ⋈
+    * region, region + order-date filters pushed to the scans, revenue
+    * per nation. Declared flat and left entirely to Catalyst: the dim
+    * chain (supplier/nation/region) broadcasts, the fact joins shuffle
+    * on their keys, filters prune at the parquet readers — all
+    * plan-pinned. Revenue sums DECIMAL-cast (order-independent, so the
+    * hash oracle is exact).
+    */
+  private def q5Query = QueryDef(
+    "join_q5_region_revenue",
+    (s, dir) => {
+      val lineitem = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val orders = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val customer = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_nationkey")
+      val supplier = Tables.load(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+      val nation = Tables.load(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val region = Tables.load(s, dir, "region")
+        .filter(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(nation, col("s_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("line_cnt"))
+        .orderBy("n_name")
+    },
+    Some("SELECT n_name, " +
+      "SUM((l_extendedprice * (1.0 - l_discount))::DECIMAL(18,4))::DOUBLE " +
+      "AS revenue, COUNT(*) AS line_cnt FROM lineitem " +
+      "JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey " +
+      "AND c_nationkey = s_nationkey " +
+      "JOIN nation ON s_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey " +
+      "WHERE r_name = 'ASIA' " +
+      "AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+      "AND o_orderdate < TIMESTAMP '1997-01-01' " +
+      "GROUP BY n_name ORDER BY n_name"))
+
   /** Monthly revenue summary (the codegen "monthly" shape). */
   private def monthlyQuery = QueryDef(
     "agg_monthly_orders",
@@ -135,6 +191,6 @@ object BuilderQueries extends QueryPack {
       "GROUP BY o_orderstatus ORDER BY o_orderstatus"))
 
   override def queries: Seq[QueryDef] =
-    Seq(joinAggQuery, monthlyQuery, revenueQuery, setOpsQuery,
+    Seq(joinAggQuery, q5Query, monthlyQuery, revenueQuery, setOpsQuery,
       bucketedJoinQuery)
 }

@@ -36,6 +36,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("Q5 six-table chain: dims broadcast, filters reach the scans, " +
+      "no cartesian") {
+    val p = plan("join_q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"),
+      s"supplier/nation/region must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the region-name and order-date filters must prune at the readers
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    assert(pushed.contains("EqualTo(r_name,ASIA)"),
+      s"region filter must push to the scan:\n$pushed")
+    assert(pushed.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date filter must push to the scan:\n$pushed")
+    // lineitem reads only the 4 needed columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint," +
+      "l_suppkey:bigint,l_extendedprice:double,l_discount:double>"),
+      s"lineitem scan must prune to 4 columns:\n$p")
+  }
+
   test("text stats scan prunes to the projected columns") {
     val p = SparkEntry.queries("text_stats_documents")(spark, sf)
       .queryExecution.executedPlan.toString

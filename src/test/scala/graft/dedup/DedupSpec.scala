@@ -98,6 +98,27 @@ class DedupSpec extends SparkSpec {
       s"oracled lane missed ${(truth -- found).size} of ${truth.size}")
   }
 
+  test("sourceOverlap: planted cross-source duplicates count once, " +
+      "disjoint pairs report 0.0, fingerprint ignores order/multiplicity") {
+    val docs = Seq(
+      (1L, "A", "shared doc one"),
+      (2L, "A", "only in a"),
+      (3L, "B", "one shared doc doc"), // bag-of-words ≡ doc 1 (set, sorted)
+      (4L, "B", "only in b"),
+      (5L, "C", "entirely separate text"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlap(docs, "source", "text")
+      .orderBy("source_a", "source_b").collect()
+    assert(out.length === 3) // AB, AC, BC — zero-overlap pairs included
+    val ab = out(0)
+    assert((ab.getString(0), ab.getString(1)) === ("A", "B"))
+    assert(ab.getAs[Long]("common") === 1L)
+    assert(ab.getAs[Double]("jaccard") === 1.0 / 3) // 1 / (2+2-1)
+    assert(out(1).getAs[Long]("common") === 0L)
+    assert(out(1).getAs[Double]("jaccard") === 0.0)
+    assert(out(2).getAs[Long]("common") === 0L)
+  }
+
   test("simhash pipeline recalls strong near-dups (quantified)") {
     // The quantified pin behind dedup_simhash_documents' rows-only gate:
     // recall of the chunk-blocked hamming<=12 pipeline against the
