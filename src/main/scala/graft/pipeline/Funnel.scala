@@ -1,8 +1,11 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Ordered conversion-funnel analysis over an event stream — the
   * event-analytics staple ("how many users VIEWED, then CLICKED after
@@ -62,6 +65,91 @@ object Funnel {
     // unpivot the one counts row into funnel order without a driver
     // collect (and without any window — conversion is computed against
     // the stage-0 column while it is still a sibling column)
+    val stageRows: Seq[Column] = stages.zipWithIndex.map { case (s, i) =>
+      struct(lit(s).as("stage"), lit(i.toLong).as("stage_idx"),
+        col(s"__n$i").as("users"),
+        when(col("__n0") === 0L, lit(0.0))
+          .otherwise(col(s"__n$i").cast("double") / col("__n0"))
+          .as("conversion"))
+    }
+    counts.select(explode(array(stageRows: _*)).as("e"))
+      .select(col("e.stage"), col("e.stage_idx"), col("e.users"),
+        col("e.conversion"))
+  }
+
+  final case class FunnelEvent(user_id: Long, ts: Timestamp,
+      event_id: Long, event_type: String)
+
+  /** Per-user stage progress carried between micro-batches: epoch-µs of
+    * each stage's first QUALIFYING occurrence, [[Unreached]] where the
+    * stage hasn't happened yet. Bounded: `stages.size` longs per user,
+    * forever (funnels have no natural timeout — callers wanting eviction
+    * compose a watermark policy on top).
+    */
+  final case class ReachState(firstUs: Seq[Long])
+
+  final case class UserReach(user_id: Long, deepest: Int)
+
+  val Unreached: Long = Long.MinValue
+
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Explicit-state streaming form of [[conversion]]'s per-user logic:
+    * `flatMapGroupsWithState` tracking each stage's first qualifying
+    * timestamp, emitting the user's deepest reached stage (−1 = none)
+    * every trigger in Update mode — the roll-up takes max per user.
+    *
+    * Semantics match the batch running-window form EXACTLY when each
+    * user's events arrive in event-time order across triggers (each
+    * trigger's group iterator is sorted by (ts, event_id) internally, so
+    * in-batch disorder is fine — the registered gate drains the whole
+    * corpus in ONE AvailableNow batch, where equality is unconditional).
+    * Cross-trigger LATE data is the documented approximation: a late
+    * entry-stage event cannot retroactively qualify an already-processed
+    * later-stage event — the streaming funnel under-counts exactly where
+    * any incremental funnel must, and a deployment bounds that with a
+    * source watermark.
+    */
+  def statefulReach(events: Dataset[FunnelEvent],
+      stages: Seq[String]): Dataset[UserReach] = {
+    require(stages.size >= 2, "a funnel needs at least two stages")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ReachState, UserReach](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[FunnelEvent],
+         state: GroupState[ReachState]) =>
+          val first = state.getOption
+            .map(_.firstUs.toArray)
+            .getOrElse(Array.fill(stages.size)(Unreached))
+          // sorted processing = the batch frame order, so "prior stage
+          // already recorded" ⇔ "prior stage at-or-before this row"
+          it.toIndexedSeq
+            .sortBy(e => (micros(e.ts), e.event_id))
+            .foreach { e =>
+              val i = stages.indexOf(e.event_type)
+              if (i >= 0 && first(i) == Unreached &&
+                  (i == 0 || first(i - 1) != Unreached)) {
+                first(i) = micros(e.ts)
+              }
+            }
+          state.update(ReachState(first.toSeq))
+          val deepest = first.lastIndexWhere(_ != Unreached)
+          Iterator.single(UserReach(user, deepest))
+      }
+  }
+
+  /** Roll a [[statefulReach]] output (one or more emissions per user —
+    * progress only ever deepens, so max is exact) up to the same
+    * `(stage, stage_idx, users, conversion)` frame as [[conversion]].
+    */
+  def reachSummary(reach: DataFrame, stages: Seq[String]): DataFrame = {
+    val perUser = reach.groupBy(col("user_id"))
+      .agg(max(col("deepest")).as("deepest"))
+    val stageCounts = stages.indices.map(i =>
+      sum(when(col("deepest") >= i, 1L).otherwise(0L)).as(s"__n$i"))
+    val counts = perUser.agg(stageCounts.head, stageCounts.tail: _*)
     val stageRows: Seq[Column] = stages.zipWithIndex.map { case (s, i) =>
       struct(lit(s).as("stage"), lit(i.toLong).as("stage_idx"),
         col(s"__n$i").as("users"),

@@ -328,7 +328,73 @@ object StreamingQueries extends QueryPack {
     },
     Some(graft.profile.ProfileQueries.profileOracleWithBatch("events")))
 
+  /** Streaming ordered funnel through a REAL StreamingQuery:
+    * [[graft.pipeline.Funnel.statefulReach]] (`flatMapGroupsWithState`
+    * per-user stage state, Update mode → memory sink), rolled up to the
+    * same `(stage, stage_idx, users, conversion)` frame as the batch
+    * `events_funnel` — and oracled with the SAME running-window SQL,
+    * because the AvailableNow catch-up drains the corpus in one batch,
+    * where the incremental state machine equals the batch semantics
+    * unconditionally (per-trigger group sort; see statefulReach's
+    * scaladoc for the cross-trigger late-data approximation).
+    */
+  private def funnelQuery = QueryDef(
+    "stream_funnel_events",
+    (s, dir) => withStreamSession(s) { iso =>
+      withTempDirs("graft_stream_funnel_src", "graft_stream_funnel_ckpt") {
+      case Seq(staged, ckpt) =>
+        import iso.implicits._
+        val stages = Seq("view", "click", "purchase")
+        graft.io.Tables.load(iso, dir, "events", parallelize = false)
+          .select("user_id", "ts", "event_id", "event_type")
+          .write.mode("overwrite").parquet(staged)
+        val schema = iso.read.parquet(staged).schema
+        val src = iso.readStream.schema(schema).parquet(staged)
+          .as[graft.pipeline.Funnel.FunnelEvent]
+        val reach = graft.pipeline.Funnel.statefulReach(src, stages)
+        val name = "graft_stream_funnel"
+        val q = reach.writeStream.format("memory").queryName(name)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.awaitTermination()
+        graft.util.Frames.localized(
+          graft.pipeline.Funnel.reachSummary(iso.table(name), stages)
+            .orderBy("stage_idx"))
+      }
+    },
+    // identical oracle to the batch events_funnel — the equality IS the
+    // gate's point (streaming state machine ≡ batch running windows)
+    Some("WITH e AS (SELECT user_id AS u, epoch_us(ts) AS ts, " +
+      "event_id AS id, event_type AS t FROM events), " +
+      "f0 AS (SELECT u, ts, id, t, min(CASE WHEN t = 'view' THEN ts END) " +
+      "OVER w AS g0 FROM e WINDOW w AS (PARTITION BY u ORDER BY ts, id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+      "f1 AS (SELECT *, min(CASE WHEN t = 'click' AND g0 IS NOT NULL " +
+      "THEN ts END) OVER w AS g1 FROM f0 WINDOW w AS (PARTITION BY u " +
+      "ORDER BY ts, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT " +
+      "ROW)), " +
+      "f2 AS (SELECT *, min(CASE WHEN t = 'purchase' AND g1 IS NOT NULL " +
+      "THEN ts END) OVER w AS g2 FROM f1 WINDOW w AS (PARTITION BY u " +
+      "ORDER BY ts, id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT " +
+      "ROW)), " +
+      "pu AS (SELECT u, bool_or(g0 IS NOT NULL) AS r0, " +
+      "bool_or(g1 IS NOT NULL) AS r1, bool_or(g2 IS NOT NULL) AS r2 " +
+      "FROM f2 GROUP BY u), " +
+      "c AS (SELECT sum(CASE WHEN r0 THEN 1 ELSE 0 END)::BIGINT AS n0, " +
+      "sum(CASE WHEN r1 THEN 1 ELSE 0 END)::BIGINT AS n1, " +
+      "sum(CASE WHEN r2 THEN 1 ELSE 0 END)::BIGINT AS n2 FROM pu) " +
+      "SELECT * FROM (" +
+      "SELECT 'view' AS stage, 0::BIGINT AS stage_idx, n0 AS users, " +
+      "CASE WHEN n0 = 0 THEN 0.0 ELSE n0::DOUBLE / n0 END AS conversion " +
+      "FROM c UNION ALL " +
+      "SELECT 'click', 1::BIGINT, n1, CASE WHEN n0 = 0 THEN 0.0 ELSE " +
+      "n1::DOUBLE / n0 END FROM c UNION ALL " +
+      "SELECT 'purchase', 2::BIGINT, n2, CASE WHEN n0 = 0 THEN 0.0 ELSE " +
+      "n2::DOUBLE / n0 END FROM c) ORDER BY stage_idx"))
+
   override def queries: Seq[QueryDef] =
     Seq(windowedQuery, sessionizeQuery, dedupQuery, intervalJoinQuery,
-      pipelineQuery, profileQuery)
+      pipelineQuery, profileQuery, funnelQuery)
 }

@@ -61,6 +61,48 @@ class FunnelSpec extends SparkSpec {
     assert(out.map(_.getDouble(3)).toSeq === Seq(0.0, 0.0))
   }
 
+  test("statefulReach (explicit-state form) cross-pins the window form " +
+      "on out-of-order input — the handler sorts per group") {
+    // deliberately shuffled event order; both forms must agree
+    val events = ev(
+      (3L, 3000L, 1L, "purchase"), (1L, 1000L, 1L, "view"),
+      (2L, 2000L, 1L, "click"),
+      (5L, 2000L, 2L, "view"), (4L, 1000L, 2L, "click"),
+      (8L, 2000L, 3L, "click"), (6L, 1000L, 3L, "view"),
+      (7L, 1500L, 3L, "purchase"))
+    val stages = Seq("view", "click", "purchase")
+    val windowed = Funnel.conversion(events, "user_id", "ts", "event_id",
+        "event_type", stages)
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSeq
+    import spark.implicits._
+    val reach = Funnel.statefulReach(
+      events.as[Funnel.FunnelEvent], stages)
+    val summary = Funnel.reachSummary(reach.toDF(), stages)
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSeq
+    assert(summary === windowed)
+    assert(windowed.map(_._2) === Seq(3L, 2L, 1L))
+  }
+
+  test("statefulReach same-timestamp ties resolve by event_id — " +
+      "identical to the window frame order") {
+    import spark.implicits._
+    val stages = Seq("view", "click")
+    // click id=1 and view id=2 share ts: click sorts FIRST → no qualify
+    val noQ = ev((1L, 1000L, 1L, "click"), (2L, 1000L, 1L, "view"))
+    val r1 = Funnel.reachSummary(
+      Funnel.statefulReach(noQ.as[Funnel.FunnelEvent], stages).toDF(),
+      stages).orderBy("stage_idx").collect()
+    assert(r1.map(_.getLong(2)).toSeq === Seq(1L, 0L))
+    // view id=1 before click id=2 at the same ts → qualifies
+    val q = ev((1L, 1000L, 1L, "view"), (2L, 1000L, 1L, "click"))
+    val r2 = Funnel.reachSummary(
+      Funnel.statefulReach(q.as[Funnel.FunnelEvent], stages).toDF(),
+      stages).orderBy("stage_idx").collect()
+    assert(r2.map(_.getLong(2)).toSeq === Seq(1L, 1L))
+  }
+
   test("all stage logic rides ONE user-key exchange (stacked running " +
       "windows — no per-stage joins or re-shuffles)") {
     val events = ev((1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "click"),
