@@ -59,8 +59,12 @@ object Funnel {
       max(col(s"__f$i").isNotNull).as(s"__r$i"))
     val perUser = withFirsts.groupBy(col("__u"))
       .agg(reached.head, reached.tail: _*)
+    // coalesce: a global aggregate over ZERO users still returns one
+    // row, with NULL sums — an empty event stream must report 0 users
+    // per stage, not nulls (property-test find)
     val stageCounts = stages.indices.map(i =>
-      sum(when(col(s"__r$i"), 1L).otherwise(0L)).as(s"__n$i"))
+      coalesce(sum(when(col(s"__r$i"), 1L).otherwise(0L)), lit(0L))
+        .as(s"__n$i"))
     val counts = perUser.agg(stageCounts.head, stageCounts.tail: _*)
     // unpivot the one counts row into funnel order without a driver
     // collect (and without any window — conversion is computed against
@@ -147,8 +151,10 @@ object Funnel {
   def reachSummary(reach: DataFrame, stages: Seq[String]): DataFrame = {
     val perUser = reach.groupBy(col("user_id"))
       .agg(max(col("deepest")).as("deepest"))
+    // coalesce: zero users → 0 per stage, not a null row (see conversion)
     val stageCounts = stages.indices.map(i =>
-      sum(when(col("deepest") >= i, 1L).otherwise(0L)).as(s"__n$i"))
+      coalesce(sum(when(col("deepest") >= i, 1L).otherwise(0L)), lit(0L))
+        .as(s"__n$i"))
     val counts = perUser.agg(stageCounts.head, stageCounts.tail: _*)
     val stageRows: Seq[Column] = stages.zipWithIndex.map { case (s, i) =>
       struct(lit(s).as("stage"), lit(i.toLong).as("stage_idx"),

@@ -103,6 +103,54 @@ class FunnelSpec extends SparkSpec {
     assert(r2.map(_.getLong(2)).toSeq === Seq(1L, 1L))
   }
 
+  test("property: window form, explicit-state form and a driver " +
+      "reference agree over random event streams (ts collisions, noise " +
+      "types, multi-user)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val stages = Seq("view", "click", "purchase")
+    val types = Gen.oneOf("view", "click", "purchase", "error", "signup")
+    val evGen = for {
+      n <- Gen.choose(0, 24)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 4L)
+        ts <- Gen.choose(0L, 8L).map(_ * 1000L) // frequent collisions
+        t <- types
+      } yield (u, ts, t))
+    } yield evs.zipWithIndex.map { case ((u, ts, t), i) =>
+      (i.toLong + 1, ts, u, t)
+    }
+    // driver reference: the definition, straight-line
+    def ref(events: Seq[(Long, Long, Long, String)]): Seq[Long] = {
+      val counts = Array.fill(stages.size)(0L)
+      events.groupBy(_._3).values.foreach { evs =>
+        val first = Array.fill(stages.size)(false)
+        evs.sortBy(e => (e._2, e._1)).foreach { e =>
+          val i = stages.indexOf(e._4)
+          if (i >= 0 && !first(i) && (i == 0 || first(i - 1)))
+            first(i) = true
+        }
+        stages.indices.foreach(i => if (first(i)) counts(i) += 1)
+      }
+      counts.toSeq
+    }
+    (1 to 12).foreach { seed =>
+      val events = evGen.apply(Gen.Parameters.default, Seed(seed.toLong))
+        .getOrElse(Seq.empty)
+      val df = ev(events: _*)
+      val expect = ref(events)
+      val win = Funnel.conversion(df, "user_id", "ts", "event_id",
+          "event_type", stages)
+        .orderBy("stage_idx").collect().map(_.getLong(2)).toSeq
+      assert(win === expect, s"window form, seed $seed")
+      val st = Funnel.reachSummary(
+        Funnel.statefulReach(df.as[Funnel.FunnelEvent], stages).toDF(),
+        stages).orderBy("stage_idx").collect().map(_.getLong(2)).toSeq
+      assert(st === expect, s"stateful form, seed $seed")
+    }
+  }
+
   test("all stage logic rides ONE user-key exchange (stacked running " +
       "windows — no per-stage joins or re-shuffles)") {
     val events = ev((1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "click"),
