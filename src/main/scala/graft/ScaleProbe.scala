@@ -146,7 +146,19 @@ object ScaleProbe {
     // quantized brute top-k — linear in corpus like the float brute
     // (same Θ(n·q) shape, reading the 4×-smaller representation)
     ("sim_topk_quantized", None,
-      SparkEntry.queries("sim_topk_quantized")))
+      SparkEntry.queries("sim_topk_quantized")),
+    // Q5 deep join — facts scale, dims stay fixed (the TPC-H scaling
+    // model; the probe corpus carries the sf0.1 dims verbatim): the
+    // broadcast chain is scale-invariant, the fact exchanges grow
+    ("join_q5", None, SparkEntry.queries("join_q5_region_revenue")),
+    // dataset-overlap matrix — fingerprint-keyed self-join; the scaled
+    // corpus keeps 20 sources, so the S² skeleton is constant and the
+    // distinct/join legs track the corpus
+    ("source_overlap", None, SparkEntry.queries("corpus_source_overlap")),
+    // streaming funnel — per-user state machine through a real
+    // StreamingQuery over the users-grow corpus: more keys, constant
+    // per-key state
+    ("stream_funnel", None, SparkEntry.queries("stream_funnel_events")))
 
   /** Production MinHash lane (xxhash base + band hashes — the form
     * [[graft.dedup.Dedup.nearDuplicates]] defaults to; the registered
