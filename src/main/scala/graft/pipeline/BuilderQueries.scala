@@ -130,6 +130,40 @@ object BuilderQueries extends QueryPack {
       "COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus " +
       "ORDER BY l_returnflag, l_linestatus"))
 
+  /** PIVOT (cross-tab) surface: order counts and DECIMAL-exact revenue
+    * pivoted to one column pair per order status — the report shape
+    * BI-facing generated SQL produces constantly. The pivot VALUES are
+    * declared explicitly (`pivot(col, values)`): with an explicit
+    * domain Spark skips the extra distinct-scan job it would otherwise
+    * run to discover the columns, and the output schema is static — the
+    * right call whenever the domain is known (and the only sane one at
+    * 100 TB, where a discovery pass costs a full scan). Execution is
+    * ONE hash aggregation (pivot lowers to conditional aggregates —
+    * no join, no explode). The oracle restates it as CASE aggregates,
+    * which is exactly what Catalyst lowers pivot to.
+    */
+  private def pivotQuery = QueryDef(
+    "agg_pivot_orders",
+    (s, dir) => Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"),
+        Builders.moneySum(col("o_totalprice")).cast("double").as("rev"))
+      .na.fill(0L, Seq("F_n", "O_n", "P_n"))
+      .na.fill(0.0, Seq("F_rev", "O_rev", "P_rev"))
+      .orderBy("o_orderpriority"),
+    Some("SELECT o_orderpriority, " +
+      "COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F_n, " +
+      "coalesce(SUM(CASE WHEN o_orderstatus = 'F' THEN " +
+      "o_totalprice::DECIMAL(18,2) END)::DOUBLE, 0.0) AS F_rev, " +
+      "COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O_n, " +
+      "coalesce(SUM(CASE WHEN o_orderstatus = 'O' THEN " +
+      "o_totalprice::DECIMAL(18,2) END)::DOUBLE, 0.0) AS O_rev, " +
+      "COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P_n, " +
+      "coalesce(SUM(CASE WHEN o_orderstatus = 'P' THEN " +
+      "o_totalprice::DECIMAL(18,2) END)::DOUBLE, 0.0) AS P_rev " +
+      "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"))
+
   /** Set operations (SURVEY §2g — absent in the reference, exposed for
     * generated-SQL parity): distinct-union / intersect / except of the
     * customer-key domains of `customer` and `orders`, reported as one
@@ -191,6 +225,7 @@ object BuilderQueries extends QueryPack {
       "GROUP BY o_orderstatus ORDER BY o_orderstatus"))
 
   override def queries: Seq[QueryDef] =
-    Seq(joinAggQuery, q5Query, monthlyQuery, revenueQuery, setOpsQuery,
+    Seq(joinAggQuery, q5Query, monthlyQuery, revenueQuery, pivotQuery,
+      setOpsQuery,
       bucketedJoinQuery)
 }

@@ -109,6 +109,9 @@ object Funnel {
     * trigger's group iterator is sorted by (ts, event_id) internally, so
     * in-batch disorder is fine — the registered gate drains the whole
     * corpus in ONE AvailableNow batch, where equality is unconditional).
+    * The per-call sort buffers ONE user's events for one trigger (batch
+    * execution: one user's whole history — the Sessionize caveat: pick
+    * the window form when that might not fit an executor).
     * Cross-trigger LATE data is the documented approximation: a late
     * entry-stage event cannot retroactively qualify an already-processed
     * later-stage event — the streaming funnel under-counts exactly where
