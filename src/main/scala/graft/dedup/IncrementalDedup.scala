@@ -97,10 +97,19 @@ object IncrementalDedup {
   /** Batch rows whose `key` is absent from `corpus` (exact anti-join
     * semantics, bloom-accelerated as described above).
     *
-    * The candidate count is measured first (one map-side job over the
-    * batch — a filter+count with no shuffle; the batch is the SMALL
-    * side of this operator by construction, so the extra scan is noise
-    * next to the corpus sketch build). At or under
+    * EAGER-ACTION NOTE (for pipeline-builder callers composing plans
+    * lazily): the broadcast gate needs the candidate COUNT, so this
+    * method runs one Spark job at call time — a bloom-filter+count over
+    * the batch with no shuffle (the batch is the SMALL side of this
+    * operator by construction, so the scan is noise next to the corpus
+    * sketch build). The candidate frame is PERSISTED across that count
+    * and the returned plan's branches (the count, the confirm join and
+    * the final anti-join would otherwise each re-scan the batch and
+    * re-evaluate the bloom probe); its release is enqueued on
+    * [[graft.util.DeferredCleanup]] — the gate/bench/spec harnesses
+    * drain it after their compare/timing boundary, and a long-lived
+    * caller should `DeferredCleanup.drain()` (or `clearCache`) once the
+    * returned frame is materialized. At or under
     * `maxBroadcastCandidates` the confirm path broadcasts the candidate
     * keys and only STREAMS the corpus; past it, candidates anti-join
     * the corpus keys through a regular exchange — the corpus IS
@@ -114,7 +123,9 @@ object IncrementalDedup {
       : DataFrame = {
     val might = BloomShim.mightContain(bloom, xxhash64(col(keyCol)))
     val definitelyNew = batch.filter(!might)
-    val candidates = batch.filter(might)
+    val candidates = batch.filter(might).persist()
+    graft.util.DeferredCleanup.enqueue(
+      () => { candidates.unpersist(blocking = false); () })
     val newFromCandidates =
       if (candidates.count() <= maxBroadcastCandidates) {
         // corpus keys that really collide with a candidate: broadcast

@@ -159,7 +159,23 @@ object Avro {
     * and leaves the old directory untouched. The final delete+rename
     * pair is the protocol's (standard) non-atomic window; object stores
     * without atomic rename want a manifest committer instead — the
-    * staging boundary here is where one plugs in.
+    * staging boundary here is where one plugs in. Once the swap's
+    * DELETE has run, staging holds the only surviving copy of the data,
+    * so a swap-rename failure retries once and then leaves staging IN
+    * PLACE (named in the exception) for manual recovery — never
+    * deleting it, which would turn a transient FS error into total
+    * data loss.
+    *
+    * Determinism contract (as FileOutputCommitter v1): the first
+    * task-attempt rename wins only on filesystems where rename fails
+    * when the destination exists; on RawLocalFileSystem/POSIX a racing
+    * attempt can silently REPLACE an already-committed part, which is
+    * correct only because partition contents are required to be
+    * deterministic — the task commit guards with a best-effort
+    * `exists` check, but callers feeding nondeterministic partitions
+    * (e.g. round-robin `repartition` upstream of the sink) are outside
+    * the protocol's contract, exactly as they are for Spark's own v1
+    * committer.
     */
   def writeDistributed(df: DataFrame, dir: String): Unit = {
     val names = df.schema.fields.map(_.name).toSeq
@@ -193,6 +209,9 @@ object Avro {
       s".${path.getName}-staging-${java.util.UUID.randomUUID}")
     fs.mkdirs(staging)
     val stagingStr = staging.toString
+    // set once the destination delete can have run — from then on the
+    // abort path must preserve staging (see catch below)
+    var swapStarted = false
     try {
       df.queryExecution.toRdd // InternalRow — avoid the Row copy/record
         .mapPartitionsWithIndex { case (pid, rows) =>
@@ -236,10 +255,17 @@ object Avro {
             }
             writer.append(rec); n += 1
           } finally writer.close() // closes the Hadoop stream
-          // task commit: first attempt to rename wins; a racing attempt
-          // finds dst already present, discards its own file, and still
-          // reports success (identical deterministic content)
-          if (!pfs.rename(tmp, dst)) {
+          // task commit: first attempt to rename wins. The exists-check
+          // is a best-effort guard for filesystems whose rename
+          // OVERWRITES an existing destination (RawLocalFileSystem/
+          // POSIX — HDFS rename instead returns false): without it a
+          // racing speculative twin would silently replace the
+          // committed part, which is safe only under the deterministic-
+          // partition contract documented above. The residual
+          // check-then-rename window is the same one FileOutputCommitter
+          // v1 carries.
+          if (pfs.exists(dst)) { pfs.delete(tmp, false); () }
+          else if (!pfs.rename(tmp, dst)) {
             if (pfs.exists(dst)) { pfs.delete(tmp, false); () }
             else throw new java.io.IOException(
               s"avro sink: could not commit $tmp -> $dst")
@@ -249,15 +275,30 @@ object Avro {
       // job commit: every task committed — swap staging over the old
       // data. OVERWRITE semantics: a rewrite with fewer partitions must
       // not leave stale part files for read() to silently union in.
+      // Past this point staging may be the ONLY surviving copy (the
+      // destination delete has run), so the abort handler below must
+      // not touch it.
+      swapStarted = true
       fs.delete(path, true)
-      if (!fs.rename(staging, path))
-        throw new java.io.IOException(
-          s"avro sink: could not commit $staging -> $path")
+      if (!fs.rename(staging, path)) {
+        // one retry absorbs a transient FS hiccup; a second failure
+        // surfaces WITH the staging location — the data is complete
+        // there and recoverable, the old directory is already gone
+        if (!fs.rename(staging, path))
+          throw new java.io.IOException(
+            s"avro sink: could not commit $staging -> $path — the " +
+              s"previous data at $path is deleted; the NEW data is " +
+              s"complete and preserved at $staging (recover by renaming " +
+              "it into place)")
+      }
     } catch { case e: Throwable =>
-      // job abort: drop staging, previous data untouched (unless the
-      // failure hit between the swap's delete and rename — the
-      // documented non-atomic window)
-      try fs.delete(staging, true) catch { case _: Exception => () }
+      // job abort BEFORE the swap began: drop staging, previous data
+      // untouched. Once the swap's delete may have run, staging stays
+      // in place — deleting it would destroy the only surviving copy
+      // and turn a recoverable failure into total data loss.
+      if (!swapStarted) {
+        try fs.delete(staging, true) catch { case _: Exception => () }
+      }
       throw e
     }
   }

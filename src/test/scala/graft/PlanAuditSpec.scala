@@ -117,18 +117,43 @@ class PlanAuditSpec extends SparkSpec {
       s"join keys must not be re-shuffled:\n$p")
   }
 
-  test("vocab coverage cuts top-V via distributed TakeOrdered and plans " +
-      "NO Window operator (the full-vocabulary single-task sort fix)") {
+  test("vocab coverage cuts top-V via distributed TakeOrdered; small-V " +
+      "ranks with NO Window, large-V windows only the LIMIT-capped frame") {
     // At 100 TB the distinct-token frame is O(10⁹) rows; the r7 form
-    // ranked it through one unpartitioned window (a single-task sort).
-    // The fix: TakeOrderedAndProject (per-partition local top-V + driver
-    // merge) + a scalar total + a triangular self-join over the ≤V-row
-    // result — so the plan must carry the TakeOrdered and no Window.
-    val p = plan("text_vocab_documents")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"top-V cut must be distributed TakeOrdered:\n$p")
-    assert(!p.contains("Window"),
-      s"no Window may appear anywhere in the vocab plan:\n$p")
+    // ranked it through one unpartitioned window (a single-task sort of
+    // the FULL vocabulary). Both regime forms must keep the top-V cut a
+    // distributed TakeOrderedAndProject. (coverage() itself returns an
+    // eagerly-checkpointed frame so the persisted counts release — the
+    // audit therefore pins the lazy builder both the registered query
+    // and the eager wrapper delegate to.)
+    import spark.implicits._
+    val counts = Seq.tabulate(300)(i => (s"t$i", (300 - i).toLong))
+      .toDF("token", "cnt")
+    // small V → triangular self-join: TakeOrdered present, no Window
+    val small = graft.text.Vocab.coveragePlan(counts, topV = 50)
+      .queryExecution.executedPlan.toString
+    assert(small.contains("TakeOrderedAndProject"),
+      s"top-V cut must be distributed TakeOrdered:\n$small")
+    assert(!small.contains("Window"),
+      s"no Window may appear in the small-V vocab plan:\n$small")
+    // large V (> TriangularMaxV) → one window whose INPUT is the capped
+    // top-V frame: the Window must sit ABOVE the TakeOrdered/limit in
+    // the tree (bounded input by construction — the r7 defect was the
+    // window below/without any cap, sorting the whole vocabulary).
+    // The frame must hold MORE rows than the cut, else EliminateLimits
+    // (maxRows ≤ limit) folds the cap away and the pin can't see it.
+    val bigCounts = Seq.tabulate(3000)(i => (s"t$i", (3000 - i).toLong))
+      .toDF("token", "cnt")
+    val big = graft.text.Vocab
+      .coveragePlan(bigCounts, topV = graft.text.Vocab.TriangularMaxV + 1)
+      .queryExecution.executedPlan.toString
+    assert(big.contains("Window"), s"large-V form must use the window:\n$big")
+    val wIdx = big.indexOf("Window")
+    val tIdx = big.indexOf("TakeOrderedAndProject")
+    assert(tIdx >= 0, s"large-V cut must still be TakeOrdered:\n$big")
+    assert(wIdx >= 0 && wIdx < tIdx,
+      s"the Window must consume the TakeOrdered-capped frame " +
+        s"(bounded input), not the raw vocabulary:\n$big")
   }
 
   test("bucketed snapshot diff full-outer-joins with NO exchange on the " +

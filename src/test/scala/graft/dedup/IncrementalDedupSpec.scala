@@ -76,6 +76,22 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(out === (1000L to 1099L).toSet)
   }
 
+  test("candidate frame is persisted across the gate and releases " +
+      "through DeferredCleanup (no cache leak, no third batch scan)") {
+    graft.util.DeferredCleanup.drain()
+    val bloom = IncrementalDedup.buildBloom(corpus, col("k"), 1000)
+    val out = IncrementalDedup.newRows(batch, corpus, "k", bloom)
+    // the gate count runs at call time; the candidate branch of the
+    // returned plan must read the CACHE, not re-evaluate the bloom scan
+    assert(out.queryExecution.executedPlan.toString
+      .contains("InMemoryTableScan"),
+      "confirm branches must reuse the persisted candidate frame")
+    assert(out.select("id").as[Long].collect().toSet === expected)
+    graft.util.DeferredCleanup.drain()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "drain() must release the candidate frame")
+  }
+
   test("sizing past the session bloom caps fails loud, naming the confs") {
     val e = intercept[IllegalArgumentException] {
       IncrementalDedup.buildBloom(corpus, col("k"),

@@ -2,6 +2,28 @@ package graft.io
 
 import graft.SparkSpec
 
+/** RawLocalFileSystem variant whose DIRECTORY-swap renames (the job
+  * commit's staging→final move) fail while [[FlakyRenameFs.failRemaining]]
+  * is positive — the harness for proving the abort handler preserves
+  * staging once the destination delete has run. Part-file renames (task
+  * commits) pass through untouched.
+  */
+class FlakyRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "flaky"
+  override def getUri: java.net.URI = java.net.URI.create("flaky:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    val isSwap = src.getName.startsWith(".") &&
+      src.getName.contains("-staging-")
+    if (isSwap && FlakyRenameFs.failRemaining.getAndUpdate(
+        n => math.max(0, n - 1)) > 0) false
+    else super.rename(src, dst)
+  }
+}
+object FlakyRenameFs {
+  val failRemaining = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 /** Avro container reader/writer: round trip of the flat-tabular subset,
   * nullable-union decode, multi-file directory scan (the split axis of
   * the distributed read), and dispatch through Discovery.load.
@@ -134,6 +156,58 @@ class AvroSpec extends SparkSpec {
     val leaked = parent.listFiles().filter(_.getName.startsWith(
       s".${new java.io.File(dir).getName}-staging-"))
     assert(leaked.isEmpty, leaked.mkString(", "))
+  }
+
+  test("a swap-rename failure AFTER the destination delete preserves " +
+      "staging (the only surviving copy) instead of deleting it") {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.flaky.impl", classOf[FlakyRenameFs].getName)
+    val base = java.nio.file.Files.createTempDirectory("graft_avro_sw")
+      .toString
+    val dir = s"flaky:$base/out"
+    // seed previous data through the same FS (counter still 0 → passes)
+    Avro.writeDistributed((1L to 20L).toDF("id").repartition(2), dir)
+    // now fail the swap rename twice: the first attempt AND the retry —
+    // the destination delete has already run, so staging must survive
+    FlakyRenameFs.failRemaining.set(2)
+    val e = intercept[java.io.IOException] {
+      Avro.writeDistributed((100L to 149L).toDF("id").repartition(2), dir)
+    }
+    assert(e.getMessage.contains("preserved"), e.getMessage)
+    // old destination is gone (the delete ran), staging holds the
+    // complete new data
+    assert(!new java.io.File(s"$base/out").exists())
+    val staged = new java.io.File(base).listFiles()
+      .filter(_.getName.startsWith(".out-staging-"))
+    assert(staged.length === 1, staged.mkString(", "))
+    val parts = staged.head.listFiles().filter(_.getName.endsWith(".avro"))
+    assert(parts.length === 2)
+    // manual recovery exactly as the exception instructs: rename staging
+    // into place, then the new data reads back complete
+    val fsPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsPath.getFileSystem(hconf)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(
+      s"flaky:${staged.head.getPath}"), fsPath))
+    val back = Avro.read(spark, s"$base/out")
+    assert(back.count() === 50)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id"))
+      .head.getLong(0) === (100L to 149L).sum)
+  }
+
+  test("a single swap-rename hiccup is absorbed by the retry (commit " +
+      "succeeds, no staging left behind)") {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.flaky.impl", classOf[FlakyRenameFs].getName)
+    val base = java.nio.file.Files.createTempDirectory("graft_avro_sr")
+      .toString
+    val dir = s"flaky:$base/out"
+    FlakyRenameFs.failRemaining.set(1)
+    Avro.writeDistributed((1L to 30L).toDF("id").repartition(3), dir)
+    assert(Avro.read(spark, s"$base/out").count() === 30)
+    assert(new java.io.File(base).listFiles()
+      .forall(!_.getName.contains("-staging-")))
   }
 
   test("sink commits through a Hadoop FS path (file: URI java.io.File " +
