@@ -263,4 +263,36 @@ object IvfSimilarity {
       probe(model, queries, idCol, vecCol, k, nprobe))
     finally model.close()
   }
+
+  /** Build the inverted lists for a quantizer trained ELSEWHERE —
+    * centroids passed in, no training pass, no corpus count. This is
+    * both the production "train once, reuse the quantizer across ingest
+    * batches" shape (the standard IVF deployment: the coarse quantizer
+    * is a versioned artifact, re-trained on drift, while assignment
+    * runs per batch) and the gate-oracle seam: pinned centroid literals
+    * make every step downstream deterministic IEEE arithmetic that a
+    * SQL engine can replay ([[graft.sim.SimilarityQueries]] pins the
+    * seed-42 Lloyd's output at the gate corpus exactly as the LSH lanes
+    * pin their hyperplanes).
+    */
+  def buildPinned(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): IvfModel = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val normed = df.select(col(idCol),
+      normalize(asDouble(col(vecCol))).as("__nv"))
+    IvfModel(centroids, assignLists(normed, idCol, centroids).persist())
+  }
+
+  /** One-shot [[probe]] against a [[buildPinned]] index — the pinned
+    * counterpart of [[topK]]; same lifecycle (materialize ≤ |queries|·k
+    * rows, release the index).
+    */
+  def topKPinned(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Array[Array[Double]],
+      nprobe: Int = 4): DataFrame = {
+    val model = buildPinned(corpus, idCol, vecCol, centroids)
+    try graft.util.Frames.localized(
+      probe(model, queries, idCol, vecCol, k, nprobe))
+    finally model.close()
+  }
 }

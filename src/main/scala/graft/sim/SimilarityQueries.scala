@@ -192,11 +192,78 @@ object SimilarityQueries extends QueryPack {
         s"WHERE rn <= $GraphK ORDER BY query_id, rank"
     })
 
-  /** IVF-probed approximate top-k (rows-only: KMeans centroids have no
-    * SQL equivalent; recall pinned against brute force in SimilaritySpec).
+  /** IVF-probed approximate top-k — FULLY ORACLED since r9 via the
+    * literal-centroid trick (the last rows-only-by-necessity lane): the
+    * coarse quantizer is the PRODUCTION seed-42 driver Lloyd's output,
+    * trained ONCE on the gate corpus and pinned as literals
+    * ([[IvfPinned]], regenerable via `Test/runMain
+    * graft.sim.PinIvfCentroids`), so normalize → assign (argmax centroid
+    * dot, id tie-break) → probe (top-`IvfNprobe` lists per query) →
+    * candidate join → exact cosine → ranked cut is deterministic IEEE
+    * arithmetic end to end and DuckDB replays it bit-for-bit — exactly
+    * how the hyperplane literals oracled the LSH lanes in r7. The
+    * auto-trained production form ([[IvfSimilarity.topK]], √n lists)
+    * stays the API default, registered below as `sim_topk_ivf_trained`
+    * (rows-only by design: training on the CURRENT corpus is the point)
+    * with recall pinned in SimilaritySpec.
     */
+  private val IvfNprobe = 4
+
   private def ivfQuery = QueryDef(
     "sim_topk_ivf",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      IvfSimilarity.topKPinned(emb, emb.filter(col("vec_id") < QueryIds),
+          "vec_id", "embedding", K, IvfPinned.centroids, nprobe = IvfNprobe)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      def centSql(i: Int): String = IvfPinned.centroids(i)
+        .map(_.toString).mkString("[", ", ", "]")
+      val arms = IvfPinned.centroids.indices.map(i =>
+        s"SELECT vec_id, $i AS list_id, " +
+          s"list_dot_product(nv, ${centSql(i)}::DOUBLE[]) AS cs FROM n")
+        .mkString(" UNION ALL ")
+      val cosNorm =
+        "CASE WHEN sqrt(list_dot_product(qp.qv, qp.qv)) * " +
+          "sqrt(list_dot_product(a.nv, a.nv)) = 0 THEN 0.0 " +
+          "ELSE list_dot_product(qp.qv, a.nv) / " +
+          "(sqrt(list_dot_product(qp.qv, qp.qv)) * " +
+          "sqrt(list_dot_product(a.nv, a.nv))) END"
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v " +
+        "FROM embeddings), " +
+        "nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm " +
+        "FROM e), " +
+        "n AS (SELECT vec_id, CASE WHEN nm = 0 THEN v ELSE " +
+        "list_transform(v, x -> x / nm) END AS nv FROM nrm), " +
+        s"cs AS ($arms), " +
+        "r AS (SELECT vec_id, list_id, ROW_NUMBER() OVER (" +
+        "PARTITION BY vec_id ORDER BY cs DESC, list_id) AS cr FROM cs), " +
+        "a AS (SELECT r.vec_id, r.list_id, n.nv FROM r " +
+        "JOIN n USING (vec_id) WHERE cr = 1), " +
+        "qp AS (SELECT r.vec_id AS query_id, r.list_id, n.nv AS qv " +
+        s"FROM r JOIN n USING (vec_id) WHERE cr <= $IvfNprobe " +
+        s"AND r.vec_id < $QueryIds), " +
+        "sc AS (SELECT qp.query_id, a.vec_id AS neighbor_id, " +
+        s"$cosNorm AS cosine FROM qp JOIN a USING (list_id) " +
+        "WHERE a.vec_id <> qp.query_id) " +
+        "SELECT query_id, rn AS rank, neighbor_id, cosine FROM (" +
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY cosine DESC, neighbor_id) AS rn FROM sc) " +
+        s"WHERE rn <= $K ORDER BY query_id, rank"
+    })
+
+  /** The PRODUCTION auto-trained IVF form — √n lists sized from footer
+    * statistics, quantizer trained on the current corpus by the seed-42
+    * Lloyd's. Rows-only BY DESIGN (training on the live corpus is the
+    * operator's point; its arithmetic is certified by the pinned twin
+    * above, its recall by SimilaritySpec's planted-cluster pins, its
+    * scaling by the ScaleProbe `sim_ivf` row) — registered so the gate
+    * executes the code path users get by default.
+    */
+  private def ivfTrainedQuery = QueryDef(
+    "sim_topk_ivf_trained",
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       IvfSimilarity.topK(emb, emb.filter(col("vec_id") < QueryIds),
@@ -289,7 +356,7 @@ object SimilarityQueries extends QueryPack {
       s"WHERE rn <= $K ORDER BY query_id, rank"))
 
   override def queries: Seq[QueryDef] =
-    Seq(bruteQuery, lshQuery, ivfQuery, knnBruteQuery, knnLshQuery,
-      quantizeQuery, quantTopkQuery,
+    Seq(bruteQuery, lshQuery, ivfQuery, ivfTrainedQuery, knnBruteQuery,
+      knnLshQuery, quantizeQuery, quantTopkQuery,
       centroidQuery)
 }

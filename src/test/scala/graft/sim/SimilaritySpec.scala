@@ -126,6 +126,34 @@ class SimilaritySpec extends SparkSpec {
     } finally model.close()
   }
 
+  test("PINNED-centroid IVF (the oracled gate lane) recalls like the " +
+      "trained form and releases its index — quantizer-reuse semantics") {
+    // the registered sim_topk_ivf runs topKPinned with the IvfPinned
+    // literals (seed-42 Lloyd's trained once on the gate corpus) — the
+    // standard train-once / assign-per-batch IVF deployment. A corpus
+    // the quantizer was NOT trained on (sf0.001 here) must still get
+    // usable recall: the coarse partition only gates candidate sets.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = 10
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = IvfSimilarity.topKPinned(emb, queries, "vec_id",
+      "embedding", k, IvfPinned.centroids, nprobe = 4)
+    val got = approx.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(s"pinned IVF recall@$k = $recall (${(exact & got).size}/${exact.size})")
+    assert(recall >= 0.4, s"recall $recall too low for the pinned quantizer")
+    assert(approx.count() === queries.count() * k)
+    spark.catalog.clearCache()
+    IvfSimilarity.topKPinned(emb, queries, "vec_id", "embedding", k,
+      IvfPinned.centroids)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "pinned IVF index must not outlive topKPinned")
+  }
+
   test("IVF recall holds at the SHIPPED auto-nlist configuration") {
     // sim_topk_ivf runs with nlist = autoNlist(n) (√n), not the fixed 16
     // of the pin above — the gate query's own configuration needs recall
