@@ -477,8 +477,44 @@ object DedupQueries extends QueryPack {
       "AS jaccard FROM p LEFT JOIN cm USING (source_a, source_b) " +
       "ORDER BY source_a, source_b"))
 
+  /** The PRODUCTION xxhash MinHash lane ([[Dedup.nearDuplicates]], the
+    * API default — one 64-bit mix per shingle instead of an md5),
+    * registered rows-only BY DESIGN so the driver gate EXECUTES the
+    * code path users get by default, not only the md5 oracle twin
+    * above. Its evidence: the shared LSH pipeline (bands, bucket bound,
+    * pair join, exact-Jaccard verify) is hash-certified through
+    * `dedup_minhash_documents`; the xxhash family's recall physics are
+    * pinned in DedupSpec; its scaling is the ScaleProbe `dedup_minhash`
+    * row (e≈0.36 x1→x10).
+    */
+  private def minhashProdQuery = QueryDef(
+    "dedup_minhash_xxhash_documents",
+    (s, dir) => Dedup.nearDuplicates(
+        Tables.load(s, dir, "documents", parallelize = true),
+        "doc_id", "text", shingleK = 3, numHashes = 128, bands = 32,
+        threshold = 0.8)
+      .orderBy("id_a", "id_b"),
+    None)
+
+  /** The PRODUCTION xxhash SimHash lane ([[SimHash.nearDuplicates]] —
+    * 64-bit one-pass fingerprints, 4×16-bit chunk blocking, hamming ≤ 12
+    * verify), rows-only for the same reason as the MinHash twin: the
+    * pipeline shape is hash-certified through `dedup_simhash_documents`
+    * (md5 bases, 60 bits); this row makes the gate run the default
+    * fingerprint family. Recall vs oracled Jaccard truth is pinned in
+    * DedupSpec.
+    */
+  private def simhashProdQuery = QueryDef(
+    "dedup_simhash_xxhash_documents",
+    (s, dir) => SimHash.nearDuplicates(
+        Tables.load(s, dir, "documents", parallelize = true),
+        "doc_id", "text", shingleK = 3, maxHamming = 12)
+      .orderBy("id_a", "id_b"),
+    None)
+
   override def queries: Seq[QueryDef] = Seq(
     exactQuery, jaccardQuery, clustersQuery, minhashQuery, simhashQuery,
+    minhashProdQuery, simhashProdQuery,
     embBlockedQuery, embLshQuery, semdedupQuery, spanQuery,
     incrementalQuery, sourceOverlapQuery)
 }

@@ -38,4 +38,43 @@ object SimHash {
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** PRODUCTION SimHash near-dup pipeline — the composed form of the
+    * primitives above, with the one-pass xxhash [[simhash64]] (the API
+    * default; the registered oracle twin `dedup_simhash_documents`
+    * replays the same pipeline over md5 bases). Shape: one projection
+    * corpus → 64-bit fingerprints (persisted: exploded into 4 chunks
+    * and self-joined, it would otherwise re-tokenize per chunk and per
+    * join side — the r4 lesson), 4×16-bit chunk blocking (a pair within
+    * hamming ≤ 3 must share an identical chunk by pigeonhole — used as
+    * a candidate filter under the wider `maxHamming` verify threshold),
+    * equality self-join on (chunk_idx, chunk_val), exact hamming
+    * verify. Never all-pairs: the join is a hash join on the chunk
+    * key.
+    */
+  def nearDuplicates(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 3,
+      maxHamming: Int = 12): org.apache.spark.sql.DataFrame = {
+    val fps = docs
+      .select(col(idCol), Dedup.tokensOf(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        simhash64(Dedup.wordShinglesFromTokens(col("__toks"), shingleK))
+          .as("fp"))
+      .persist()
+    val chunks = fps.select(col(idCol), col("fp"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("fp"), i * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk_idx", "chunk_val")))
+    val cands = chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .distinct()
+    cands.select(col("id_a"), col("id_b"),
+        hamming(col("fp_a"), col("fp_b")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

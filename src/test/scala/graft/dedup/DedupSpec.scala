@@ -148,6 +148,54 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"simhash recall $recall below 0.8")
   }
 
+  test("PRODUCTION SimHash.nearDuplicates (the xxhash 64-bit registered " +
+      "lane) recalls strong near-dups and verifies every pair") {
+    // the quantified pin behind dedup_simhash_xxhash_documents'
+    // rows-only gate row: same ground truth as the md5 twin, the
+    // default 64-bit one-pass fingerprint family
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val blocked = docs.select(col("doc_id"),
+      substring(col("text"), 1, 80).as("blk"))
+    val truthPairs = blocked.as("a")
+      .join(blocked.as("b"), col("a.blk") === col("b.blk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val truth = Dedup.jaccardOnPairs(truthPairs, docs, "doc_id", "text", 3)
+      .filter(col("jaccard") >= 0.9)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(truth.nonEmpty)
+    val out = SimHash.nearDuplicates(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+    // every emitted pair really is within the verify threshold, ordered
+    out.foreach { case (a, b, h) => assert(a < b && h <= 12) }
+    val found = out.map(p => (p._1, p._2)).toSet
+    val recall = (truth & found).size.toDouble / truth.size
+    info(s"production simhash recall vs jaccard>=0.9 = $recall " +
+      s"(${(truth & found).size}/${truth.size})")
+    assert(recall >= 0.8, s"production simhash recall $recall below 0.8")
+    // no cartesian: candidates come from the chunk-key hash join
+    assert(!SimHash.nearDuplicates(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("simhash 4x16 chunk blocking is lossless within hamming <= 3 " +
+      "(pigeonhole: some chunk must match exactly)") {
+    // fingerprints differing in ≤3 bits across 4 disjoint 16-bit chunks
+    // must share at least one chunk — the blocking guarantee the
+    // candidate filter rests on
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val fp = rnd.nextLong()
+      val flips = rnd.nextInt(4) // 0..3 flipped bits
+      val twin = (1 to flips).foldLeft(fp)((f, _) =>
+        f ^ (1L << rnd.nextInt(64)))
+      val chunksA = (0 until 4).map(i => (fp >>> (i * 16)) & 0xFFFFL)
+      val chunksB = (0 until 4).map(i => (twin >>> (i * 16)) & 0xFFFFL)
+      assert(chunksA.zip(chunksB).exists { case (x, y) => x == y },
+        f"no shared chunk for fp=$fp%x twin=$twin%x")
+    }
+  }
+
   test("simhash: near-identical docs within small hamming distance") {
     val a = "the quick brown fox jumps over the lazy dog and runs far away"
     val b = "the quick brown fox jumps over the lazy dog and runs far home"
