@@ -86,9 +86,11 @@ object Funnel {
 
   /** Per-user stage progress carried between micro-batches: epoch-µs of
     * each stage's first QUALIFYING occurrence, [[Unreached]] where the
-    * stage hasn't happened yet. Bounded: `stages.size` longs per user,
-    * forever (funnels have no natural timeout — callers wanting eviction
-    * compose a watermark policy on top).
+    * stage hasn't happened yet. Per-user state is `stages.size` longs —
+    * tiny — but user CARDINALITY is unbounded, so a long-running
+    * deployment bounds the store with [[statefulReach]]'s
+    * `evictAfterMs` (watermark-driven event-time eviction); without it
+    * state is kept forever (the exact-funnel semantics).
     */
   final case class ReachState(firstUs: Seq[Long])
 
@@ -117,33 +119,69 @@ object Funnel {
     * later-stage event — the streaming funnel under-counts exactly where
     * any incremental funnel must, and a deployment bounds that with a
     * source watermark.
+    *
+    * STATE EVICTION (`evictAfterMs`): per-user state is tiny but user
+    * cardinality is unbounded, so a long-running deployment must bound
+    * the store. With `evictAfterMs = Some(d)` (requires a watermark on
+    * the input — `events.withWatermark("ts", …)` — Spark's
+    * EventTimeTimeout contract), a user's state is REMOVED once the
+    * watermark passes d ms beyond their latest event: an idle-for-d
+    * user no longer occupies the store. A user who reappears AFTER
+    * eviction restarts from empty state — they degrade exactly like the
+    * documented cross-trigger late-data approximation (their earlier
+    * stages are forgotten, so later-stage events no longer qualify
+    * until the funnel re-enters at stage 0), and their earlier
+    * emissions still carry the pre-eviction deepest for
+    * [[reachSummary]]'s per-user max. Eviction emits nothing — progress
+    * already emitted in Update mode stands.
     */
-  def statefulReach(events: Dataset[FunnelEvent],
-      stages: Seq[String]): Dataset[UserReach] = {
+  def statefulReach(events: Dataset[FunnelEvent], stages: Seq[String],
+      evictAfterMs: Option[Long] = None): Dataset[UserReach] = {
     require(stages.size >= 2, "a funnel needs at least two stages")
+    require(evictAfterMs.forall(_ > 0), "evictAfterMs must be positive")
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (evictAfterMs.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[ReachState, UserReach](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeoutConf) {
         (user: Long, it: Iterator[FunnelEvent],
          state: GroupState[ReachState]) =>
-          val first = state.getOption
-            .map(_.firstUs.toArray)
-            .getOrElse(Array.fill(stages.size)(Unreached))
-          // sorted processing = the batch frame order, so "prior stage
-          // already recorded" ⇔ "prior stage at-or-before this row"
-          it.toIndexedSeq
-            .sortBy(e => (micros(e.ts), e.event_id))
-            .foreach { e =>
+          if (state.hasTimedOut) {
+            // watermark passed the eviction horizon with no new data:
+            // drop the state (the store stays bounded); nothing new to
+            // emit — the user's deepest was emitted when it last moved
+            state.remove()
+            Iterator.empty
+          } else {
+            val first = state.getOption
+              .map(_.firstUs.toArray)
+              .getOrElse(Array.fill(stages.size)(Unreached))
+            // sorted processing = the batch frame order, so "prior stage
+            // already recorded" ⇔ "prior stage at-or-before this row"
+            val sorted = it.toIndexedSeq
+              .sortBy(e => (micros(e.ts), e.event_id))
+            sorted.foreach { e =>
               val i = stages.indexOf(e.event_type)
               if (i >= 0 && first(i) == Unreached &&
                   (i == 0 || first(i - 1) != Unreached)) {
                 first(i) = micros(e.ts)
               }
             }
-          state.update(ReachState(first.toSeq))
-          val deepest = first.lastIndexWhere(_ != Unreached)
-          Iterator.single(UserReach(user, deepest))
+            state.update(ReachState(first.toSeq))
+            evictAfterMs.foreach { d =>
+              // horizon = latest event seen THIS trigger + d; the
+              // timestamp must sit past the current watermark (Spark
+              // rejects an already-expired horizon), which also gives
+              // an idle grace of ≥ d from the stream's frontier
+              val maxMs = micros(sorted.last.ts) / 1000L
+              state.setTimeoutTimestamp(
+                math.max(maxMs + d, state.getCurrentWatermarkMs() + d))
+            }
+            val deepest = first.lastIndexWhere(_ != Unreached)
+            Iterator.single(UserReach(user, deepest))
+          }
       }
   }
 

@@ -151,6 +151,60 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("evictAfterMs bounds the state store: an idle user is removed " +
+      "once the watermark passes their horizon, and a reappearing user " +
+      "degrades exactly like the documented late-data approximation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stages = Seq("view", "click")
+    val src = MemoryStream[Funnel.FunnelEvent]
+    val watermarked = src.toDS().withWatermark("ts", "0 seconds")
+    val reach = Funnel.statefulReach(watermarked, stages,
+      evictAfterMs = Some(5000L))
+    val q = reach.writeStream.format("memory").queryName("funnel_evict")
+      .outputMode("update").start()
+    def fe(id: Long, ms: Long, u: Long, t: String) =
+      Funnel.FunnelEvent(u, new Timestamp(ms), id, t)
+    def stateRows: Long = q.recentProgress
+      .flatMap(_.stateOperators).lastOption.map(_.numRowsTotal)
+      .getOrElse(-1L)
+    try {
+      // b1: both users enter at stage 0; horizons = 1s + 5s = 6s
+      src.addData(fe(1L, 1000L, 1L, "view"), fe(2L, 1000L, 2L, "view"))
+      q.processAllAvailable()
+      assert(stateRows === 2L)
+      // b2: only user 2 moves, far past user 1's horizon → the NEXT
+      // batch (watermark now 20s > 6s) evicts user 1
+      src.addData(fe(3L, 20000L, 2L, "view"))
+      q.processAllAvailable()
+      // b3: user 2 again — during this batch user 1 times out
+      src.addData(fe(4L, 21000L, 2L, "view"))
+      q.processAllAvailable()
+      assert(stateRows === 1L,
+        s"user 1 must be evicted, state rows = $stateRows")
+      // b4: user 1 reappears with a CLICK — state restarted from empty,
+      // so without the (forgotten) view it must NOT qualify: the
+      // documented degradation (same as a cross-trigger late event)
+      src.addData(fe(5L, 22000L, 1L, "click"))
+      q.processAllAvailable()
+      val emissions = spark.table("funnel_evict")
+        .filter(col("user_id") === 1L)
+        .select("deepest").as[Int].collect().toSeq
+      assert(emissions.contains(0), "pre-eviction progress was emitted")
+      assert(emissions.last === -1,
+        s"post-eviction click must not qualify, got $emissions")
+      // reachSummary still counts user 1 at stage 0 from the earlier
+      // emission (progress-max semantics)
+      val summary = Funnel.reachSummary(spark.table("funnel_evict"),
+          stages).orderBy("stage_idx").collect()
+      assert(summary.map(_.getLong(2)).toSeq === Seq(2L, 0L))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS funnel_evict")
+      graft.util.DeferredCleanup.drain()
+    }
+  }
+
   test("all stage logic rides ONE user-key exchange (stacked running " +
       "windows — no per-stage joins or re-shuffles)") {
     val events = ev((1L, 1000L, 1L, "view"), (2L, 2000L, 1L, "click"),
