@@ -164,6 +164,75 @@ object BuilderQueries extends QueryPack {
       "o_totalprice::DECIMAL(18,2) END)::DOUBLE, 0.0) AS P_rev " +
       "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"))
 
+  /** ROLLUP subtotal surface (SURVEY §2d's "free from Catalyst if we
+    * expose them" note, closed with gate evidence — the reference's
+    * aggregation task family, `CODE_GENERATOR.sql:75-87`, generates
+    * exactly this report shape): DECIMAL-exact revenue by
+    * (nation, order month) with per-nation subtotals and a grand total.
+    * Scale shape: Catalyst lowers ROLLUP to ONE hash aggregation over
+    * an Expand of the input (one replica per grouping set — 3 here),
+    * partial-aggregated map-side per set, so the cost is
+    * sets × one-pass, never per-set re-scans or self-unions; the dims
+    * broadcast onto the orders scan. `gid` (grouping_id) disambiguates
+    * subtotal NULLs from data NULLs — both engines emit the same
+    * most-significant-first bitmask.
+    */
+  private def rollupQuery = QueryDef(
+    "agg_rollup_nation_month",
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"),
+          date_trunc("month", col("o_orderdate")).cast("date")
+            .cast("string").as("month"),
+          col("o_totalprice"))
+        .rollup(col("n_name"), col("month"))
+        .agg(grouping_id().as("gid"),
+          Builders.moneySum(col("o_totalprice")).cast("double")
+            .as("revenue"),
+          count(lit(1)).as("order_cnt"))
+        .select("n_name", "month", "gid", "revenue", "order_cnt")
+        .orderBy("gid", "n_name", "month")
+    },
+    Some("WITH j AS (SELECT n_name, " +
+      "date_trunc('month', o_orderdate)::DATE::VARCHAR AS month, " +
+      "o_totalprice FROM orders " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation ON c_nationkey = n_nationkey) " +
+      "SELECT n_name, month, " +
+      "GROUPING(n_name, month)::BIGINT AS gid, " +
+      "SUM(o_totalprice::DECIMAL(18,2))::DOUBLE AS revenue, " +
+      "COUNT(*) AS order_cnt FROM j GROUP BY ROLLUP (n_name, month) " +
+      "ORDER BY gid, n_name NULLS FIRST, month NULLS FIRST"))
+
+  /** CUBE over (order priority, order status) — the full 4-grouping-set
+    * lattice (the column-only subtotals ROLLUP omits). Same Expand
+    * lowering as [[rollupQuery]] (×4 here); at 100 TB the Expand factor
+    * IS the cost dial — prefer ROLLUP/explicit GROUPING SETS over CUBE
+    * when the lattice isn't needed, because Expand multiplies the
+    * map-side input by the set count before partial aggregation.
+    */
+  private def cubeQuery = QueryDef(
+    "agg_cube_orders",
+    (s, dir) => Tables.load(s, dir, "orders")
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        Builders.moneySum(col("o_totalprice")).cast("double")
+          .as("revenue"))
+      .select("o_orderpriority", "o_orderstatus", "gid", "n", "revenue")
+      .orderBy("gid", "o_orderpriority", "o_orderstatus"),
+    Some("SELECT o_orderpriority, o_orderstatus, " +
+      "GROUPING(o_orderpriority, o_orderstatus)::BIGINT AS gid, " +
+      "COUNT(*) AS n, " +
+      "SUM(o_totalprice::DECIMAL(18,2))::DOUBLE AS revenue " +
+      "FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus) " +
+      "ORDER BY gid, o_orderpriority NULLS FIRST, " +
+      "o_orderstatus NULLS FIRST"))
+
   /** Set operations (SURVEY §2g — absent in the reference, exposed for
     * generated-SQL parity): distinct-union / intersect / except of the
     * customer-key domains of `customer` and `orders`, reported as one
@@ -226,6 +295,7 @@ object BuilderQueries extends QueryPack {
 
   override def queries: Seq[QueryDef] =
     Seq(joinAggQuery, q5Query, monthlyQuery, revenueQuery, pivotQuery,
+      rollupQuery, cubeQuery,
       setOpsQuery,
       bucketedJoinQuery)
 }

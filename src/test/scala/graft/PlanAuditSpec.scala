@@ -117,6 +117,22 @@ class PlanAuditSpec extends SparkSpec {
       s"join keys must not be re-shuffled:\n$p")
   }
 
+  test("ROLLUP lowers to ONE Expand-fed aggregation with broadcast dims " +
+      "(no per-grouping-set re-scans or self-unions)") {
+    val p = plan("agg_rollup_nation_month")
+    assert(p.contains("Expand"),
+      s"rollup must lower to Expand + one aggregation:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"customer/nation dims must broadcast:\n$p")
+    assert(!p.contains("Union"),
+      s"no per-set self-union may appear:\n$p")
+    // exactly one scan of orders: the Expand replicates rows, the scan
+    // must not be duplicated per grouping set
+    val ordersScans = p.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("orders"))
+    assert(ordersScans === 1, s"expected one orders scan, got $ordersScans")
+  }
+
   test("vocab coverage cuts top-V via distributed TakeOrdered; small-V " +
       "ranks with NO Window, large-V windows only the LIMIT-capped frame") {
     // At 100 TB the distinct-token frame is O(10⁹) rows; the r7 form
