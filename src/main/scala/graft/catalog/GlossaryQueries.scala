@@ -47,5 +47,43 @@ object GlossaryQueries extends QueryPack {
       rows.mkString(" UNION ALL ") + " ORDER BY TABLE_NAME, COLUMN_NAME"
     })
 
-  override def queries: Seq[QueryDef] = Seq(glossaryQuery)
+  /** The 100-column metadata frame for the wide-batch lane: the shape of
+    * a feature-store table, where the reference's per-column LLM loop
+    * (`Business_Glossory.sql:69-89` — one Cortex round-trip and one
+    * INSERT per column) degrades worst. Deterministic types alternate so
+    * the definitions vary.
+    */
+  private[catalog] def wideMeta: Seq[(String, String, String)] =
+    (0 until 100).map { i =>
+      ("wide_features", f"col_$i%03d",
+        if (i % 2 == 0) "BIGINT" else "DOUBLE")
+    }
+
+  /** Batched definitions at WIDE-TABLE scale: 100 columns generate and
+    * append as ONE batch — one local definitions frame, one write job —
+    * vs the reference's per-column generate+INSERT loop (100 LLM
+    * round-trips and 100 single-row INSERT statements,
+    * `Business_Glossory.sql:85-89`). GlossarySpec pins that the job
+    * count does NOT scale with column count; the oracle is the literal
+    * expected table (stub definitions are deterministic).
+    */
+  private def wideBatchQuery = QueryDef(
+    "glossary_wide_batch",
+    (s, dir) => {
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_glossary_wide"
+      Glossary.deleteForTest(path)
+      Glossary.regenerate(s, path, wideMeta, None)
+      Glossary.read(s, path).orderBy("COLUMN_NAME")
+    },
+    Some {
+      val rows = wideMeta.map { case (t, c, d) =>
+        s"SELECT '${t.toUpperCase}' AS TABLE_NAME, '$c' AS COLUMN_NAME, " +
+          s"'$d' AS DATA_TYPE, " +
+          s"'${stubDef(t, c, d).replace("'", "''")}' AS BUSINESS_DEFINITION"
+      }
+      rows.mkString(" UNION ALL ") + " ORDER BY COLUMN_NAME"
+    })
+
+  override def queries: Seq[QueryDef] = Seq(glossaryQuery, wideBatchQuery)
 }

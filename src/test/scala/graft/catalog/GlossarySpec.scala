@@ -51,4 +51,41 @@ class GlossarySpec extends SparkSpec {
     assert(all.count() === 1)
     assert(all.head().getString(0) === "B")
   }
+
+  test("batched generate-then-append stays ONE write job at 100 columns " +
+      "(job count does not scale with column count)") {
+    // the reference's per-column loop (Business_Glossory.sql:85-89) is
+    // one LLM round-trip + one INSERT per column — O(cols) statements.
+    // The batch path builds the whole definitions frame locally and
+    // appends once: the Spark job count must be IDENTICAL for a 4-column
+    // and a 100-column regenerate (any per-column job would scale)
+    val tracker = spark.sparkContext.statusTracker
+    def jobCount: Int = tracker.getJobIdsForGroup(null).length
+    def jobsFor(cols: Int): Int = {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_gw_$cols"
+      Glossary.deleteForTest(p)
+      val meta = GlossaryQueries.wideMeta.take(cols)
+      Thread.sleep(500) // status store is listener-fed (async)
+      val before = jobCount
+      Glossary.regenerate(spark, p, meta, None)
+      Thread.sleep(500)
+      val n = jobCount - before
+      Glossary.deleteForTest(p)
+      n
+    }
+    val small = jobsFor(4)
+    val wide = jobsFor(100)
+    info(s"regenerate jobs: 4 cols = $small, 100 cols = $wide")
+    assert(wide === small,
+      s"job count scaled with column count ($small -> $wide) — the " +
+        "batch append degraded to per-column work")
+    // and the 100-column result is complete and correct
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_gw_check"
+    Glossary.deleteForTest(p)
+    Glossary.regenerate(spark, p, GlossaryQueries.wideMeta, None)
+    val out = Glossary.read(spark, p)
+    assert(out.count() === 100)
+    assert(out.select("TABLE_NAME").distinct().count() === 1)
+    Glossary.deleteForTest(p)
+  }
 }
