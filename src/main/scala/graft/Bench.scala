@@ -171,34 +171,54 @@ object Bench {
     val remeasured = scala.collection.mutable.ArrayBuffer[String]()
     var cotenantExit: Option[Double] = None
     val results: Seq[(String, Double)] = {
-      cotenantExit = cotenantCores(2000)
-      val quietNow = cotenantExit.exists(_ < 2.0)
-      val elevated = firstPass
-        .filter { case (k, v) =>
-          !errors.contains(k) &&
-            baseline.get(k).exists(b => v > b * 1.25 && v - b > 0.15)
-        }
-        .sortBy { case (k, v) => -(v - baseline(k)) }
-      if (elevated.isEmpty || !quietNow || loadMax <= 2.0) firstPass
-      else {
-        var budget = 90.0 // seconds of re-measure, whole pass
-        val better = scala.collection.mutable.Map[String, Double]()
-        elevated.take(16).foreach { case (name, v) =>
-          if (budget > 0) {
-            val fn = selected(name)
-            remeasured += name
-            val ts = (1 to 2).map(_ => attemptOf(name, fn))
-            budget -= ts.sum
-            attemptsLog(name) = attemptsLog(name) ++ ts
-            // a query that passed 3× in the first pass must not fail
-            // the suite on a transient re-measure error — the first-pass
-            // time stands and the error (if any) is discarded
-            if (errors.contains(name)) { errors.remove(name); () }
-            else if (ts.min < v) better(name) = ts.min
+      // Multi-ROUND re-measure (r8 verdict #5: the single 90s/16-query
+      // pass capped out with elevated rows left, leaving an official-vs-
+      // composite residual at the 10% boundary): rounds repeat while (a)
+      // elevated rows remain, (b) the co-tenant probe still reads quiet
+      // at the start of EACH round, and (c) the enlarged wall budget
+      // holds. A query gets at most 2 rounds (a genuine code regression
+      // re-measures to the same elevated time — attempts agree — and
+      // must not eat the budget forever), every elevated query is
+      // eligible (no take(16) cap), and the budget is spent
+      // most-elevated-first.
+      val better = scala.collection.mutable.Map[String, Double]()
+      val rounds = scala.collection.mutable.Map[String, Int]()
+      var budget = 240.0 // seconds of re-measure, all rounds
+      var round = 0
+      var go = loadMax > 2.0 // an always-quiet run needs no re-measure
+      while (go && round < 3 && budget > 0) {
+        cotenantExit = cotenantCores(2000)
+        val quietNow = cotenantExit.exists(_ < 2.0)
+        val elevated = firstPass
+          .map { case (k, v) => k -> better.getOrElse(k, v) }
+          .filter { case (k, v) =>
+            !errors.contains(k) && rounds.getOrElse(k, 0) < 2 &&
+              baseline.get(k).exists(b => v > b * 1.25 && v - b > 0.15)
           }
+          .sortBy { case (k, v) => -(v - baseline(k)) }
+        if (!quietNow || elevated.isEmpty) go = false
+        else {
+          elevated.foreach { case (name, v) =>
+            if (budget > 0) {
+              val fn = selected(name)
+              if (!remeasured.contains(name)) remeasured += name
+              rounds(name) = rounds.getOrElse(name, 0) + 1
+              val ts = (1 to 2).map(_ => attemptOf(name, fn))
+              budget -= ts.sum
+              attemptsLog(name) = attemptsLog(name) ++ ts
+              // a query that passed 3× in the first pass must not fail
+              // the suite on a transient re-measure error — the
+              // first-pass time stands and the error is discarded
+              if (errors.contains(name)) { errors.remove(name); () }
+              else if (ts.min < v) better(name) = ts.min
+            }
+          }
+          round += 1
         }
-        firstPass.map { case (k, v) => k -> better.getOrElse(k, v) }
       }
+      // label the exit probe even when no re-measure ran
+      if (cotenantExit.isEmpty) cotenantExit = cotenantCores(2000)
+      firstPass.map { case (k, v) => k -> better.getOrElse(k, v) }
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

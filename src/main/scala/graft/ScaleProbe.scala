@@ -158,7 +158,20 @@ object ScaleProbe {
     // streaming funnel — per-user state machine through a real
     // StreamingQuery over the users-grow corpus: more keys, constant
     // per-key state
-    ("stream_funnel", None, SparkEntry.queries("stream_funnel_events")))
+    ("stream_funnel", None, SparkEntry.queries("stream_funnel_events")),
+    // r9: the production auto-trained IVF (√n lists — nlist grows with
+    // the corpus, so per-query candidate volume stays ~nprobe·√n) and
+    // the pinned-quantizer gate lane (FIXED 16 lists: candidates grow
+    // linearly — the regime contrast that shows why production re-sizes
+    // the quantizer as the corpus grows)
+    ("sim_ivf_trained", None, SparkEntry.queries("sim_topk_ivf_trained")),
+    ("sim_ivf_pinned", None, SparkEntry.queries("sim_topk_ivf")),
+    // the probe-budget knob: radius-1 probing bounds the per-table mask
+    // count at 1+b (vs radius 2's 1+b+b(b−1)/2 — the b² term that
+    // dominates collision generation once scaledBits passes ~14). The
+    // recall trade is the analytic per-table hit rate (see the
+    // lshKnnGraph scaladoc); this row measures the wall-clock side
+    ("knn_lsh_r1", None, knnLshRadius1Probe _))
 
   /** Production MinHash lane (xxhash base + band hashes — the form
     * [[graft.dedup.Dedup.nearDuplicates]] defaults to; the registered
@@ -181,6 +194,19 @@ object ScaleProbe {
     val emb = graft.io.Tables.load(s, dir, "embeddings")
     graft.sim.Similarity.lshKnnGraph(emb, "vec_id", "embedding",
         graft.sim.SimilarityQueries.GraphK,
+        corpusSize = Some(graft.io.Tables.rowCount(s, dir, "embeddings")))
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Same auto-width graph at probe radius 1 — the bounded-probe-budget
+    * configuration for the high-bits regime.
+    */
+  private def knnLshRadius1Probe(s: SparkSession,
+      dir: String): DataFrame = {
+    val emb = graft.io.Tables.load(s, dir, "embeddings")
+    graft.sim.Similarity.lshKnnGraph(emb, "vec_id", "embedding",
+        graft.sim.SimilarityQueries.GraphK, probeRadius = 1,
         corpusSize = Some(graft.io.Tables.rowCount(s, dir, "embeddings")))
       .select("query_id", "rank", "neighbor_id", "cosine")
       .orderBy("query_id", "rank")

@@ -209,21 +209,54 @@ object Similarity {
     * for the brute-force equivalent. This is the batch ANN shape where
     * the index pays for itself (a 10-query lookup never amortizes it —
     * see the class doc).
+    *
+    * CANDIDATE BUDGET (`maxCandidatesPerQuery`, default auto = 64·k):
+    * the r9 x30 probe caught the unbudgeted form's wall-time going
+    * superlinear (x10→x30 exponent ≈ 2.5 vs ≈ 1.1 below x10) — NOT
+    * from candidate generation (per-query candidates grew only ×1.7
+    * for ×3 data, as the occupancy×probes model predicts) but from the
+    * SCORING stage, which joined the full 64-double vectors onto every
+    * candidate pair and pushed the shuffle into the spill regime. The
+    * fix is the standard multi-probe LSH count filter: aggregate the
+    * collision stream to (query, neighbor, hits) — map-side
+    * combinable, hits ∈ [1, tables] since a neighbour occupies one
+    * bucket per table — rank per query by (hits desc, id) and
+    * exact-cosine only the top C. The expensive vector join is then
+    * bounded at n·C rows FOREVER (per-query work stops growing with
+    * corpus-wide cluster density), while high-collision candidates —
+    * the genuinely near ones — always survive the cut. Deterministic
+    * (ties break on id) and ORACLE-REPLAYABLE: the registered gate lane
+    * replays hits→cut→cosine→rank in DuckDB. Pass a larger budget (or
+    * `-1` to disable) for recall-critical near-isotropic corpora where
+    * collision counts separate weakly — the planted-cluster design
+    * regime keeps recall ≥ 0.9 at the default.
     */
   def lshKnnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       tables: Int = 6, bits: Int = 0, dims: Int = 64, probeRadius: Int = 2,
-      corpusSize: Option[Long] = None): DataFrame = {
+      corpusSize: Option[Long] = None,
+      maxCandidatesPerQuery: Int = 0): DataFrame = {
     val b =
       if (bits > 0) bits
       else scaledBits(corpusSize.getOrElse(corpus.count()), 2)
+    val cap =
+      if (maxCandidatesPerQuery > 0) maxCandidatesPerQuery
+      else if (maxCandidatesPerQuery == 0) 64 * k
+      else Int.MaxValue
     val idx = lshIndex(corpus, idCol, vecCol, tables, b, dims).persist()
     try {
-      val cands = probed(idx, b, probeRadius)
+      val hits = probed(idx, b, probeRadius)
         .withColumnRenamed(idCol, "query_id")
         .join(idx.withColumnRenamed(idCol, "neighbor_id"),
           Seq("table_idx", "bucket"))
         .filter(col("query_id") =!= col("neighbor_id"))
-        .select("query_id", "neighbor_id").distinct()
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(count(lit(1)).as("__hits"))
+      val wc = Window.partitionBy("query_id")
+        .orderBy(col("__hits").desc, col("neighbor_id"))
+      val cands = hits
+        .withColumn("__cr", row_number().over(wc))
+        .filter(col("__cr") <= cap)
+        .select("query_id", "neighbor_id")
       scoreTopK(cands, corpus, corpus, idCol, vecCol, k)
         // materialize while the index is cached; the graph is k·n rows
         .localCheckpoint(true)

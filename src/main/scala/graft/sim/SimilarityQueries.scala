@@ -158,6 +158,10 @@ object SimilarityQueries extends QueryPack {
         .orderBy("query_id", "rank")
     },
     Some {
+      // replays the r9 candidate budget too: collision counts (hits ∈
+      // [1, tables] — a neighbour occupies one bucket per table), the
+      // (hits desc, id) top-64·k cut, then cosine + rank — every step
+      // deterministic, so the cut is hash-exact across engines
       def planeSql(t: Int, j: Int): String =
         Similarity.planeValues(t, j, LshDims)
           .map(_.toString).mkString("[", ", ", "]")
@@ -170,15 +174,20 @@ object SimilarityQueries extends QueryPack {
           "FROM e").mkString(" UNION ALL ")
       val masks = Similarity.probeMasks(KnnGateBits, KnnRadius)
         .mkString("[", ", ", "]")
+      val cap = 64 * GraphK
       "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v " +
         "FROM embeddings), " +
         s"idx AS ($idxArms), " +
         s"qp AS (SELECT vec_id AS query_id, table_idx, " +
         s"xor(bucket, m.mask) AS bucket FROM idx, " +
         s"unnest($masks::BIGINT[]) AS m(mask)), " +
-        "cand AS (SELECT DISTINCT qp.query_id, c.vec_id AS neighbor_id " +
-        "FROM qp JOIN idx c USING (table_idx, bucket) " +
-        "WHERE qp.query_id <> c.vec_id), " +
+        "hits AS (SELECT qp.query_id, c.vec_id AS neighbor_id, " +
+        "count(*) AS hits FROM qp JOIN idx c USING (table_idx, bucket) " +
+        "WHERE qp.query_id <> c.vec_id GROUP BY 1, 2), " +
+        "cand AS (SELECT query_id, neighbor_id FROM (" +
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY hits DESC, neighbor_id) AS cr FROM hits) " +
+        s"WHERE cr <= $cap), " +
         "s AS (SELECT cd.query_id, cd.neighbor_id, " +
         "CASE WHEN sqrt(list_dot_product(q.v, q.v)) * " +
         "sqrt(list_dot_product(c.v, c.v)) = 0 THEN 0.0 ELSE " +
@@ -259,7 +268,7 @@ object SimilarityQueries extends QueryPack {
     * Lloyd's. Rows-only BY DESIGN (training on the live corpus is the
     * operator's point; its arithmetic is certified by the pinned twin
     * above, its recall by SimilaritySpec's planted-cluster pins, its
-    * scaling by the ScaleProbe `sim_ivf` row) — registered so the gate
+    * scaling by the ScaleProbe `sim_ivf_trained` row) — registered so the gate
     * executes the code path users get by default.
     */
   private def ivfTrainedQuery = QueryDef(
