@@ -78,6 +78,10 @@ class IncrementalDedupSpec extends SparkSpec {
 
   test("candidate frame is persisted across the gate and releases " +
       "through DeferredCleanup (no cache leak, no third batch scan)") {
+    // scope the cache-empty assertion to THIS test: earlier suites leave
+    // harness-managed persisted frames (e.g. nearDuplicates' shingle
+    // sets) that the gate's clearCache normally drops
+    spark.catalog.clearCache()
     graft.util.DeferredCleanup.drain()
     val bloom = IncrementalDedup.buildBloom(corpus, col("k"), 1000)
     val out = IncrementalDedup.newRows(batch, corpus, "k", bloom)
