@@ -171,7 +171,30 @@ object ScaleProbe {
     // dominates collision generation once scaledBits passes ~14). The
     // recall trade is the analytic per-table hit rate (see the
     // lshKnnGraph scaladoc); this row measures the wall-clock side
-    ("knn_lsh_r1", None, knnLshRadius1Probe _))
+    ("knn_lsh_r1", None, knnLshRadius1Probe _),
+    // r9 second pass: BM25 retrieval — one corpus-stats aggregation +
+    // one map-side-filtered pivot aggregation: expect scan-bound (the
+    // query-term token stream grows ×mult, everything else is a
+    // broadcast row)
+    ("text_bm25", None, SparkEntry.queries("text_bm25_documents")),
+    // fuzzy entity-matching join over a corpus-sized name relation
+    // (8-hex-char md5-prefix names derived per doc — sparse matches,
+    // which is the record-linkage regime): signature generation is
+    // map-side ×(1+L) rows, the equi-join shuffles short keys — expect
+    // near-linear until signature-bucket occupancy grows
+    ("fuzzy_join", None, fuzzyJoinProbe _))
+
+  /** Fuzzy-join probe relation: one short name per document (md5-prefix
+    * — deterministic, collision-sparse), matched at d=1.
+    */
+  private def fuzzyJoinProbe(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.FuzzyJoin.selfMatch(
+        graft.io.Tables.load(s, dir, "documents", parallelize = true)
+          .select(org.apache.spark.sql.functions.substring(
+            org.apache.spark.sql.functions.md5(
+              col("doc_id").cast("string")), 1, 8).as("name")),
+        "name", maxDist = 1)
+      .orderBy("name_a", "name_b")
 
   /** Production MinHash lane (xxhash base + band hashes — the form
     * [[graft.dedup.Dedup.nearDuplicates]] defaults to; the registered

@@ -293,9 +293,29 @@ object BuilderQueries extends QueryPack {
       "JOIN orders ON l_orderkey = o_orderkey " +
       "GROUP BY o_orderstatus ORDER BY o_orderstatus"))
 
+  /** Fuzzy entity-matching join ([[FuzzyJoin]]): part catalog names
+    * within edit distance 2, FastSS deletion-signature blocking. The
+    * oracle is deliberately the BRUTE-FORCE all-pairs form — the
+    * blocking is lossless (scaladoc proof sketch), so a hash match
+    * proves blocked == brute at the gate corpus, a stronger claim than
+    * replaying the blocked plan.
+    */
+  private def fuzzyQuery = QueryDef(
+    "fuzzy_match_parts",
+    (s, dir) => FuzzyJoin.selfMatch(
+        Tables.load(s, dir, "part"), "p_name", maxDist = 2)
+      .orderBy("name_a", "name_b"),
+    Some("WITH n AS (SELECT DISTINCT p_name AS name FROM part " +
+      "WHERE p_name IS NOT NULL) " +
+      "SELECT a.name AS name_a, b.name AS name_b, " +
+      "levenshtein(a.name, b.name) AS dist " +
+      "FROM n a JOIN n b ON a.name < b.name " +
+      "WHERE levenshtein(a.name, b.name) <= 2 " +
+      "ORDER BY name_a, name_b"))
+
   override def queries: Seq[QueryDef] =
     Seq(joinAggQuery, q5Query, monthlyQuery, revenueQuery, pivotQuery,
       rollupQuery, cubeQuery,
       setOpsQuery,
-      bucketedJoinQuery)
+      bucketedJoinQuery, fuzzyQuery)
 }
