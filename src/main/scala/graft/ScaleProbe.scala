@@ -182,7 +182,38 @@ object ScaleProbe {
     // which is the record-linkage regime): signature generation is
     // map-side ×(1+L) rows, the equi-join shuffles short keys — expect
     // near-linear until signature-bucket occupancy grows
-    ("fuzzy_join", None, fuzzyJoinProbe _))
+    ("fuzzy_join", None, fuzzyJoinProbe _),
+    // drift — two count aggs over modulo-derived lineitem snapshots +
+    // a value-cardinality-sized join: expect scan-bound (the bucketed
+    // value domain is fixed-width, so only the aggregation input grows)
+    ("dq_drift", None, driftProbe _),
+    // FK audit — distinct aggs + a key-cardinality join per pair over
+    // the scaled fact tables: distinct counts grow ×mult, the join is
+    // on the (much smaller) key frames
+    ("fk_discovery", None, fkProbe _))
+
+  /** Drift probe: numeric drift on l_extendedprice between two
+    * key-modulo snapshots of the scaled lineitem (the registered gate
+    * lane's shape over the corpus-scaled table).
+    */
+  private def driftProbe(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.io.Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    graft.dq.Drift.numericDrift(
+      li.filter(col("l_orderkey") % 11 =!= 0),
+      li.filter(col("l_orderkey") % 13 =!= 0),
+      "l_extendedprice", width = 5000.0)
+  }
+
+  /** FK probe: the lineitem→orders inclusion audit over the scaled
+    * fact side (scaled copies offset l_orderkey past the unscaled
+    * orders domain, so containment honestly drops with scale — the
+    * timing, not the metric, is what this row measures).
+    */
+  private def fkProbe(s: SparkSession, dir: String): DataFrame =
+    graft.io.FkDiscovery.audit(Seq(graft.io.FkDiscovery.Candidate(
+      "lineitem", graft.io.Tables.load(s, dir, "lineitem"), "l_orderkey",
+      "orders", graft.io.Tables.load(s, dir, "orders"), "o_orderkey")))
 
   /** Fuzzy-join probe relation: one short name per document (md5-prefix
     * — deterministic, collision-sparse), matched at d=1.

@@ -74,7 +74,73 @@ object DqQueries extends QueryPack {
       (s, dir) => TableDq.tableScore(profiled(table)(s, dir)),
       Some(tableScoreOracle(table, Schemas.byTable(table))))
 
+  /** Distribution drift ([[Drift]]): categorical drift on
+    * o_orderstatus plus bucketed numeric drift on o_totalprice between
+    * two modulo-derived snapshots (the [[graft.pipeline.SnapshotDiff]]
+    * gate's derivation, reused so the two lanes answer the same
+    * "what happened to this feed" question at row vs population
+    * grain). TV is the exact-rational integer-numerator form — the
+    * double hashes bit-identically.
+    */
+  private def driftQuery: QueryDef = QueryDef(
+    "dq_drift_orders",
+    (s, dir) => {
+      val proj = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val before = proj.filter(col("o_orderkey") % 11 =!= 0)
+      val after = proj.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 7 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      val cat = Drift.categoricalDrift(before, after, "o_orderstatus")
+        .withColumn("col_name", lit("o_orderstatus"))
+      val num = Drift.numericDrift(before, after, "o_totalprice",
+          width = 50000.0)
+        .withColumn("col_name", lit("o_totalprice"))
+      cat.unionByName(num)
+        .select("col_name", "value", "cnt_a", "cnt_b", "share_a",
+          "share_b", "tv")
+        .orderBy("col_name", "value")
+    },
+    Some {
+      def side(c: String) =
+        s"SELECT CAST($c AS VARCHAR) AS value, count(*) AS cnt " +
+          "FROM snap GROUP BY 1"
+      def block(colName: String, snapA: String, snapB: String) =
+        s"WITH snap AS ($snapA), ca AS (${side(colName)}), " +
+          s"snap2 AS ($snapB), " +
+          s"cb AS (SELECT CAST($colName AS VARCHAR) AS value, " +
+          "count(*) AS cnt FROM snap2 GROUP BY 1), " +
+          "j AS (SELECT coalesce(ca.value, cb.value) AS value, " +
+          "coalesce(ca.cnt, 0) AS cnt_a, coalesce(cb.cnt, 0) AS cnt_b " +
+          "FROM ca FULL OUTER JOIN cb ON ca.value IS NOT DISTINCT " +
+          "FROM cb.value), " +
+          "t AS (SELECT sum(cnt_a) AS total_a, sum(cnt_b) AS total_b " +
+          "FROM j), " +
+          "nm AS (SELECT sum(abs(cnt_a * total_b - cnt_b * total_a)) " +
+          "AS tv_num FROM j, t) " +
+          s"SELECT '$colName' AS col_name, value, cnt_a, cnt_b, " +
+          "CAST(cnt_a AS DOUBLE) / CAST(total_a AS DOUBLE) AS share_a, " +
+          "CAST(cnt_b AS DOUBLE) / CAST(total_b AS DOUBLE) AS share_b, " +
+          "CAST(tv_num AS DOUBLE) / (2.0 * CAST(total_a AS DOUBLE) * " +
+          "CAST(total_b AS DOUBLE)) AS tv FROM j, t, nm"
+      val beforeCat = "SELECT o_orderstatus FROM orders " +
+        "WHERE o_orderkey % 11 != 0"
+      val afterCat = "SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'X' " +
+        "ELSE o_orderstatus END AS o_orderstatus FROM orders " +
+        "WHERE o_orderkey % 13 != 0"
+      val beforeNum = "SELECT floor(CAST(o_totalprice AS DOUBLE) / " +
+        "50000.0) * 50000.0 AS o_totalprice FROM orders " +
+        "WHERE o_orderkey % 11 != 0"
+      val afterNum = "SELECT floor(CAST(o_totalprice AS DOUBLE) / " +
+        "50000.0) * 50000.0 AS o_totalprice FROM orders " +
+        "WHERE o_orderkey % 13 != 0"
+      s"SELECT * FROM ((${block("o_orderstatus", beforeCat, afterCat)}) " +
+        s"UNION ALL (${block("o_totalprice", beforeNum, afterNum)})) " +
+        "ORDER BY col_name, value"
+    })
+
   override def queries: Seq[QueryDef] = Seq(
     dqQuery("lineitem"), dqQuery("orders"), dqQuery("events"),
-    scoreQuery("lineitem"), scoreQuery("documents"))
+    scoreQuery("lineitem"), scoreQuery("documents"), driftQuery)
 }

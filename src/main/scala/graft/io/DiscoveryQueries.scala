@@ -285,8 +285,52 @@ object DiscoveryQueries extends QueryPack {
       }.mkString(" UNION ALL ") + " ORDER BY ordinal_position"
     })
 
+  /** Declared FK-candidate audit pairs: the star schema's four true
+    * FKs plus one deliberate NON-relationship (order keys inside
+    * customer keys) so the gate shows the metric discriminating, not
+    * just confirming.
+    */
+  private val FkPairs: Seq[(String, String, String, String)] = Seq(
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_orderkey", "customer", "c_custkey"))
+
+  /** Candidate foreign-key audit ([[FkDiscovery]]) over the declared
+    * pair list — inclusion-dependency + key-quality evidence per pair,
+    * one lazy unioned plan.
+    */
+  private def fkQuery: QueryDef = QueryDef(
+    "fk_discovery_tpch",
+    (s, dir) => FkDiscovery.audit(FkPairs.map { case (cn, cc, pn, pc) =>
+      FkDiscovery.Candidate(cn, Tables.load(s, dir, cn), cc,
+        pn, Tables.load(s, dir, pn), pc)
+    }),
+    Some {
+      val blocks = FkPairs.map { case (cn, cc, pn, pc) =>
+        s"(WITH cv AS (SELECT DISTINCT $cc AS v FROM $cn " +
+          s"WHERE $cc IS NOT NULL), " +
+          s"pv AS (SELECT DISTINCT $pc AS pv FROM $pn " +
+          s"WHERE $pc IS NOT NULL), " +
+          "cj AS (SELECT count(*) AS child_distinct, count(pv) AS " +
+          "contained FROM cv LEFT JOIN pv ON v = pv), " +
+          s"ps AS (SELECT count(DISTINCT $pc) AS parent_distinct, " +
+          s"count($pc) AS parent_rows FROM $pn) " +
+          s"SELECT '$cn.$cc' AS child_col, '$pn.$pc' AS parent_col, " +
+          "child_distinct, contained, " +
+          "CASE WHEN child_distinct = 0 THEN 0.0 ELSE " +
+          "CAST(contained AS DOUBLE) / CAST(child_distinct AS DOUBLE) " +
+          "END AS containment, parent_distinct, " +
+          "parent_distinct = parent_rows AS parent_unique " +
+          "FROM cj, ps)"
+      }
+      "SELECT * FROM (" + blocks.mkString(" UNION ALL ") +
+        ") ORDER BY child_col, parent_col"
+    })
+
   override def queries: Seq[QueryDef] =
     Seq(parquetQuery, csvQuery, jsonQuery, xmlQuery, xlsxQuery, xlsQuery,
       orcQuery, avroQuery, propsQuery, catalogQuery("customer"),
-      catalogQuery("lineitem"))
+      catalogQuery("lineitem"), fkQuery)
 }
