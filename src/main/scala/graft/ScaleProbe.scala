@@ -190,7 +190,21 @@ object ScaleProbe {
     // FK audit — distinct aggs + a key-cardinality join per pair over
     // the scaled fact tables: distinct counts grow ×mult, the join is
     // on the (much smaller) key frames
-    ("fk_discovery", None, fkProbe _))
+    ("fk_discovery", None, fkProbe _),
+    // r9 third pass: retention cohorts over the users-grow events
+    // corpus — the one corpus pass is the (user, week) combinable
+    // distinct; more users, constant per-key weeks → expect near-flat
+    ("events_retention", None,
+      SparkEntry.queries("events_retention_cohorts")),
+    // split + leakage audit — stateless md5 assignment + ONE persisted
+    // (fingerprint, split) aggregation; everything downstream is
+    // fingerprint-sized → expect scan-bound
+    ("corpus_split", None, SparkEntry.queries("corpus_split_documents")),
+    // projected two-stage ANN — Θ(n·q) coarse scan over the 16-dim
+    // sketch + a candidate-sized re-rank: linear in corpus at fixed
+    // query count, reading a quarter of the floats the float brute
+    // force reads
+    ("sim_topk_projected", None, SparkEntry.queries("sim_topk_projected")))
 
   /** Drift probe: numeric drift on l_extendedprice between two
     * key-modulo snapshots of the scaled lineitem (the registered gate

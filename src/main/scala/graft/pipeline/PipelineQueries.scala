@@ -250,6 +250,55 @@ object PipelineQueries extends QueryPack {
       "event_id) AS seq_no " +
       "FROM events ORDER BY user_id, ts_us, event_id"))
 
+  /** Cohort retention ([[Retention.cohortRetention]]): users bucketed by
+    * first-activity epoch-week, per-(cohort, offset) active counts, rate
+    * as one IEEE division of exact longs. The corpus has every user
+    * active in every week (one cohort, retention ≡ 1.0 — the report
+    * would prove nothing), so the gate lane INJECTS deterministic
+    * structure the same way `dq_drift_orders` injects drift: a user
+    * joins `user_id % 3` weeks after the corpus anchor week and stays
+    * `1 + user_id % 4` weeks, both as plain filters replayed verbatim
+    * in the oracle — cohorts stagger and retention decays 1 → 3/4 →
+    * 2/4 → 1/4. The anchor is the epoch week of 2024-01-01 (a constant
+    * INSIDE the corpus range, the DqQueries FixedNow practice) written
+    * as an expression, not a magic number.
+    */
+  private def retentionQuery = QueryDef(
+    "events_retention_cohorts",
+    (s, dir) => {
+      val wk = expr(s"unix_micros(ts) DIV ${Retention.WeekUs}L")
+      val anchor =
+        expr(s"unix_micros(timestamp'2024-01-01') DIV ${Retention.WeekUs}L")
+      val rel = wk - anchor
+      val cohortAt = col("user_id") % 3
+      val lifetime = col("user_id") % 4 + 1
+      Retention.cohortRetention(
+        Tables.load(s, dir, "events")
+          .filter(rel >= cohortAt && rel < cohortAt + lifetime),
+        "user_id", "ts")
+    },
+    Some(s"""WITH f AS (SELECT user_id, ts,
+           |    epoch_us(ts) // ${Retention.WeekUs} -
+           |    epoch_us(TIMESTAMP '2024-01-01') // ${Retention.WeekUs}
+           |      AS rel FROM events),
+           |fe AS (SELECT user_id, ts FROM f
+           |    WHERE rel >= user_id % 3
+           |      AND rel < user_id % 3 + user_id % 4 + 1),
+           |wk AS (SELECT DISTINCT user_id,
+           |    epoch_us(ts) // ${Retention.WeekUs} AS week FROM fe),
+           |c AS (SELECT *, min(week) OVER (PARTITION BY user_id)
+           |    AS cohort_week FROM wk),
+           |counts AS (SELECT cohort_week, week - cohort_week AS
+           |    week_offset, count(*) AS active_users FROM c GROUP BY 1, 2),
+           |sizes AS (SELECT cohort_week, active_users AS cohort_users
+           |    FROM counts WHERE week_offset = 0)
+           |SELECT counts.cohort_week AS cohort_week, week_offset,
+           |  active_users, cohort_users, CAST(active_users AS DOUBLE) /
+           |  CAST(cohort_users AS DOUBLE) AS retention
+           |FROM counts JOIN sizes ON counts.cohort_week = sizes.cohort_week
+           |ORDER BY 1, 2""".stripMargin
+      .replace("\n", " ")))
+
   private def saltedQuery = QueryDef(
     "salted_agg_events",
     (s, dir) => Salting.saltedDistinctCount(
@@ -388,6 +437,6 @@ object PipelineQueries extends QueryPack {
 
   override def queries: Seq[QueryDef] =
     Seq(latestQuery, mergeQuery, asofQuery, featuresQuery, funnelQuery,
-      snapshotDiffQuery, snapshotDiffBucketedQuery, saltedQuery,
-      saltedJoinQuery, scd2HistoryQuery, scd2MergeQuery)
+      retentionQuery, snapshotDiffQuery, snapshotDiffBucketedQuery,
+      saltedQuery, saltedJoinQuery, scd2HistoryQuery, scd2MergeQuery)
 }

@@ -364,8 +364,89 @@ object SimilarityQueries extends QueryPack {
       "ORDER BY cosine DESC, neighbor_id) AS rn FROM s) " +
       s"WHERE rn <= $K ORDER BY query_id, rank"))
 
+  private val ProjK = 16
+  private val ProjDims = 64
+  private val ProjCoarseK = 32
+
+  private def projRowSql(j: Int): String =
+    Projection.signMatrix(ProjK, ProjDims)(j)
+      .map(_.toString).mkString("[", ", ", "]") + "::DOUBLE[]"
+
+  private def projExprSql(j: Int): String =
+    s"${Projection.scale(ProjK)} * list_dot_product(v, ${projRowSql(j)})"
+
+  /** JL random projection ([[Projection]]): 64→16-dim Rademacher
+    * projection of every embedding, long format (vec_id, dim, value).
+    * The sign matrix is literal ±1.0 doubles (exact multiplies), the
+    * fold is the same sequential dot both engines already hash-match,
+    * the scale is one shared double constant — values are
+    * bit-identical.
+    */
+  private def projectQuery = QueryDef(
+    "emb_project_embeddings",
+    (s, dir) => Projection.project(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        ProjK, ProjDims)
+      .select(col("vec_id"), posexplode(col("proj")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        col("col").as("value"))
+      .orderBy("vec_id", "dim"),
+    Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v " +
+      "FROM embeddings) " +
+      (0 until ProjK).map(j =>
+        s"SELECT vec_id, ${j}::BIGINT AS dim, ${projExprSql(j)} " +
+          "AS value FROM e").mkString(" UNION ALL ") +
+      " ORDER BY vec_id, dim"))
+
+  /** Two-stage projected ANN ([[Projection.topKProjected]]): coarse
+    * top-32 by cosine in the 16-dim projected space, exact re-rank of
+    * only those candidates at full width — the
+    * reduce-then-verify retrieval shape (the projection analogue of
+    * [[Quantize.topKQuantized]]'s smaller-store scan). Every stage is
+    * deterministic IEEE with (score desc, id) tie-breaks, so DuckDB
+    * replays project → coarse rank → candidate fetch → exact rank
+    * hash-identically; recall vs the float brute force is pinned in
+    * ProjectionSpec.
+    */
+  private def projTopkQuery = QueryDef(
+    "sim_topk_projected",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Projection.topKProjected(emb, emb.filter(col("vec_id") < QueryIds),
+          "vec_id", "embedding", K, ProjCoarseK, ProjDims, ProjK)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      val pv = (0 until ProjK).map(projExprSql).mkString("[", ", ", "]")
+      val projCosSql =
+        "CASE WHEN sqrt(list_dot_product(q.pv, q.pv)) * " +
+          "sqrt(list_dot_product(c.pv, c.pv)) = 0 THEN 0.0 " +
+          "ELSE list_dot_product(q.pv, c.pv) / " +
+          "(sqrt(list_dot_product(q.pv, q.pv)) * " +
+          "sqrt(list_dot_product(c.pv, c.pv))) END"
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v " +
+        "FROM embeddings), " +
+        s"p AS (SELECT vec_id, $pv AS pv FROM e), " +
+        s"pq AS (SELECT * FROM p WHERE vec_id < $QueryIds), " +
+        "cs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        s"$projCosSql AS pc FROM p c, pq q " +
+        "WHERE c.vec_id <> q.vec_id), " +
+        "cand AS (SELECT query_id, neighbor_id FROM (SELECT *, " +
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pc DESC, " +
+        s"neighbor_id) AS crn FROM cs) WHERE crn <= $ProjCoarseK), " +
+        "r AS (SELECT cand.query_id, cand.neighbor_id, " +
+        s"$cosineSql AS cosine FROM cand " +
+        "JOIN e c ON c.vec_id = cand.neighbor_id " +
+        "JOIN e q ON q.vec_id = cand.query_id) " +
+        "SELECT query_id, rn AS rank, neighbor_id, cosine FROM (" +
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY cosine DESC, neighbor_id) AS rn FROM r) " +
+        s"WHERE rn <= $K ORDER BY query_id, rank"
+    })
+
   override def queries: Seq[QueryDef] =
     Seq(bruteQuery, lshQuery, ivfQuery, ivfTrainedQuery, knnBruteQuery,
       knnLshQuery, quantizeQuery, quantTopkQuery,
-      centroidQuery)
+      centroidQuery, projectQuery, projTopkQuery)
 }

@@ -276,6 +276,44 @@ object TextQueries extends QueryPack {
       "md5('42:' || doc_id::VARCHAR) AS sort_key FROM documents) " +
       "ORDER BY shard, shard_pos"))
 
+  /** Deterministic train/val/test split + duplicate-leakage audit
+    * ([[graft.pipeline.CorpusSplit]]): seeded-md5 split assignment
+    * (hex-prefix cut points — string order IS numeric order) and the
+    * per-split report of documents whose bag-of-words fingerprint also
+    * occurs in another split (train→eval contamination). Oracle replays
+    * assignment, fingerprint, straddle detection and both fractions.
+    */
+  private def splitQuery = QueryDef(
+    "corpus_split_documents",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents", parallelize = true)
+      val assigned = graft.pipeline.CorpusSplit.assign(docs, "doc_id")
+        .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+      graft.pipeline.CorpusSplit.leakageAudit(assigned, "__fp")
+    },
+    Some {
+      val fpSql = "md5(array_to_string(list_sort(list_distinct(" +
+        "CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
+        "ELSE regexp_split_to_array(trim(text), '\\s+') END)), ' '))"
+      val seed = graft.pipeline.CorpusSplit.DefaultSeed
+      s"WITH a AS (SELECT CASE WHEN substring(md5('$seed:' || " +
+        s"doc_id::VARCHAR), 1, 4) < '${graft.pipeline.CorpusSplit.TrainCut}' " +
+        s"THEN 'train' WHEN substring(md5('$seed:' || doc_id::VARCHAR), " +
+        s"1, 4) < '${graft.pipeline.CorpusSplit.ValCut}' THEN 'val' " +
+        s"ELSE 'test' END AS split, $fpSql AS fp FROM documents), " +
+        "fs AS (SELECT fp, split, count(*) AS docs FROM a GROUP BY 1, 2), " +
+        "pf AS (SELECT fp, count(*) AS n_splits FROM fs GROUP BY 1), " +
+        "r AS (SELECT split, sum(docs) AS n_docs, count(*) AS " +
+        "n_fingerprints, sum(CASE WHEN n_splits >= 2 THEN docs ELSE 0 " +
+        "END) AS leaked_docs FROM fs JOIN pf USING (fp) GROUP BY 1), " +
+        "t AS (SELECT sum(n_docs) AS total FROM r) " +
+        "SELECT split, n_docs::BIGINT AS n_docs, n_fingerprints, " +
+        "leaked_docs::BIGINT AS leaked_docs, " +
+        "CAST(leaked_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS " +
+        "leak_frac, CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS " +
+        "split_frac FROM r, t ORDER BY split"
+    })
+
   /** Surgical span-level decontamination ([[Decontam.scrubSpans]]): the
     * same corpus/eval split as the overlap report, but eval-overlapping
     * WINDOWS are removed and the text rebuilt rather than the document
@@ -650,7 +688,8 @@ object TextQueries extends QueryPack {
 
   override def queries: Seq[QueryDef] =
     Seq(statsQuery, curateQuery, pipelineQuery, pipelineFullQuery,
-      sampleQuery, shardQuery, termsQuery, vocabQuery, decontamQuery,
+      sampleQuery, shardQuery, splitQuery, termsQuery, vocabQuery,
+      decontamQuery,
       scrubSpansQuery, repetitionQuery, packQuery, decontamPipelineQuery,
       chunkQuery, mixQuery, mixWeightedQuery, bm25Query)
 }
