@@ -204,7 +204,15 @@ object ScaleProbe {
     // sketch + a candidate-sized re-rank: linear in corpus at fixed
     // query count, reading a quarter of the floats the float brute
     // force reads
-    ("sim_topk_projected", None, SparkEntry.queries("sim_topk_projected")))
+    ("sim_topk_projected", None, SparkEntry.queries("sim_topk_projected")),
+    // resample + forward fill over the users-grow events corpus: the
+    // grid is keys×slots (slots constant per key), the fill window does
+    // constant per-key work → expect near-flat
+    ("events_resample", None, SparkEntry.queries("events_resample_ffill")),
+    // robust anomalies composed on the resampled series: two grouped
+    // exact percentiles whose per-key state is bounded by the key's
+    // slot count → expect near-flat (more keys, same per-key work)
+    ("events_anomaly", None, SparkEntry.queries("events_anomaly_robust")))
 
   /** Drift probe: numeric drift on l_extendedprice between two
     * key-modulo snapshots of the scaled lineitem (the registered gate

@@ -299,6 +299,76 @@ object PipelineQueries extends QueryPack {
            |ORDER BY 1, 2""".stripMargin
       .replace("\n", " ")))
 
+  /** Fixed-interval resampling + forward fill ([[Timeseries]]): per-user
+    * 6-hour slots over the event log, last observation per slot, gaps
+    * carried forward. ~45% of slots are gaps at the gate corpus, so the
+    * fill path is exercised heavily; the oracle replays slotting,
+    * QUALIFY dedup, generate_series grid and IGNORE NULLS fill.
+    */
+  private val ResampleStepUs = 6L * 3600L * 1000000L
+
+  private def resampleQuery = QueryDef(
+    "events_resample_ffill",
+    (s, dir) => Timeseries.resampleFfill(
+        Tables.load(s, dir, "events"), "user_id", "ts", "value",
+        ResampleStepUs, "event_id")
+      .orderBy("user_id", "slot"),
+    Some(s"""WITH s AS (SELECT user_id,
+           |    epoch_us(ts) // $ResampleStepUs AS slot, value AS v,
+           |    event_id, epoch_us(ts) AS ts_us FROM events),
+           |o AS (SELECT user_id, slot, v FROM s QUALIFY row_number()
+           |    OVER (PARTITION BY user_id, slot
+           |    ORDER BY ts_us DESC, event_id DESC) = 1),
+           |b AS (SELECT user_id, min(slot) AS lo, max(slot) AS hi
+           |    FROM s GROUP BY 1),
+           |g AS (SELECT user_id, unnest(generate_series(lo, hi)) AS slot
+           |    FROM b)
+           |SELECT g.user_id, g.slot,
+           |  g.slot * $ResampleStepUs AS slot_ts_us,
+           |  last_value(o.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+           |    ORDER BY g.slot ROWS BETWEEN UNBOUNDED PRECEDING AND
+           |    CURRENT ROW) AS value,
+           |  o.v IS NOT NULL AS observed
+           |FROM g LEFT JOIN o ON g.user_id = o.user_id
+           |  AND g.slot = o.slot
+           |ORDER BY 1, 2""".stripMargin.replace("\n", " ")))
+
+  /** Robust per-user anomaly detection composed over the resampled
+    * series ([[Timeseries.robustAnomalies]]): modified z-score
+    * (median/MAD, 4dp-rounded stats) on OBSERVED slots — synthetic
+    * forward-fills are continuity for downstream features, not
+    * measurements, so they are not scored. 352 naturally-flagged slots
+    * at the gate corpus — no injection needed.
+    */
+  private def anomalyQuery = QueryDef(
+    "events_anomaly_robust",
+    (s, dir) => Timeseries.robustAnomalies(
+        Timeseries.resampleFfill(
+          Tables.load(s, dir, "events"), "user_id", "ts", "value",
+          ResampleStepUs, "event_id")
+          .filter(col("observed")),
+        "user_id", "slot", "value")
+      .orderBy("user_id", "slot"),
+    Some(s"""WITH s AS (SELECT user_id,
+           |    epoch_us(ts) // $ResampleStepUs AS slot, value AS v,
+           |    event_id, epoch_us(ts) AS ts_us FROM events),
+           |o AS (SELECT user_id, slot, v::DOUBLE AS v FROM s QUALIFY
+           |    row_number() OVER (PARTITION BY user_id, slot
+           |    ORDER BY ts_us DESC, event_id DESC) = 1),
+           |med AS (SELECT user_id, round(quantile_cont(v, 0.5), 4)
+           |    AS med FROM o GROUP BY 1),
+           |d AS (SELECT o.user_id, slot, v, med, abs(v - med) AS dev
+           |    FROM o JOIN med USING (user_id)),
+           |mad AS (SELECT user_id, round(quantile_cont(dev, 0.5), 4)
+           |    AS mad FROM d GROUP BY 1)
+           |SELECT d.user_id, slot, v AS value, d.med, mad.mad,
+           |  CASE WHEN mad.mad = 0 THEN 0.0
+           |    ELSE 0.6745 * dev / mad.mad END AS score
+           |FROM d JOIN mad USING (user_id)
+           |WHERE CASE WHEN mad.mad = 0 THEN 0.0
+           |  ELSE 0.6745 * dev / mad.mad END > 3.5
+           |ORDER BY 1, 2""".stripMargin.replace("\n", " ")))
+
   private def saltedQuery = QueryDef(
     "salted_agg_events",
     (s, dir) => Salting.saltedDistinctCount(
@@ -437,6 +507,7 @@ object PipelineQueries extends QueryPack {
 
   override def queries: Seq[QueryDef] =
     Seq(latestQuery, mergeQuery, asofQuery, featuresQuery, funnelQuery,
-      retentionQuery, snapshotDiffQuery, snapshotDiffBucketedQuery,
-      saltedQuery, saltedJoinQuery, scd2HistoryQuery, scd2MergeQuery)
+      retentionQuery, resampleQuery, anomalyQuery, snapshotDiffQuery,
+      snapshotDiffBucketedQuery, saltedQuery, saltedJoinQuery,
+      scd2HistoryQuery, scd2MergeQuery)
 }
