@@ -212,7 +212,19 @@ object ScaleProbe {
     // robust anomalies composed on the resampled series: two grouped
     // exact percentiles whose per-key state is bounded by the key's
     // slot count → expect near-flat (more keys, same per-key work)
-    ("events_anomaly", None, SparkEntry.queries("events_anomaly_robust")))
+    ("events_anomaly", None, SparkEntry.queries("events_anomaly_robust")),
+    // change-point detection composed on the resampled series: one
+    // bounded-frame window pass per key + report-sized suppression →
+    // expect near-flat (more keys, same per-key slot count)
+    ("events_changepoint", None, SparkEntry.queries("events_changepoints")),
+    // collocations — explode + two combinable counts; the unigram join
+    // is vocabulary-sized (fixed word domain here) → expect scan-bound
+    ("text_collocations", None,
+      SparkEntry.queries("text_collocations_documents")),
+    // boilerplate removal — line explode + template-cardinality count
+    // + ONE regroup shuffle by doc: linear in corpus lines
+    ("text_boilerplate", None,
+      SparkEntry.queries("text_boilerplate_documents")))
 
   /** Drift probe: numeric drift on l_extendedprice between two
     * key-modulo snapshots of the scaled lineitem (the registered gate

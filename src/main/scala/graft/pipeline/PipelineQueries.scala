@@ -369,6 +369,73 @@ object PipelineQueries extends QueryPack {
            |  ELSE 0.6745 * dev / mad.mad END > 3.5
            |ORDER BY 1, 2""".stripMargin.replace("\n", " ")))
 
+  /** Change-point detection ([[Changepoint.meanShifts]]) composed on the
+    * resampled series. Random event values have no level SHIFTS (spikes,
+    * not steps), so the gate INJECTS deterministic steps the retention/
+    * drift way: user `u` gains `(u % 5 + 1) · 200` from relative slot
+    * `40 + u % 30` onward (anchor = the 2024-01-01 slot), replayed
+    * verbatim in the oracle. Amplitudes are ≥ 4σ of the w=8 window-mean
+    * contrast, the threshold ~5σ — the report carries the injected
+    * steps, not noise, and the NMS suppresses the ramp around each.
+    */
+  private def changepointQuery = QueryDef(
+    "events_changepoints",
+    (s, dir) => {
+      val slotOf = expr(s"unix_micros(ts) DIV ${ResampleStepUs}L")
+      val anchor =
+        expr(s"unix_micros(timestamp'2024-01-01') DIV ${ResampleStepUs}L")
+      val injected = Tables.load(s, dir, "events")
+        .withColumn("value", col("value") +
+          when(slotOf - anchor >= lit(40) + col("user_id") % 30,
+            (col("user_id") % 5 + 1) * 200.0).otherwise(0.0))
+      Changepoint.meanShifts(
+        Timeseries.resampleFfill(injected, "user_id", "ts", "value",
+          ResampleStepUs, "event_id"),
+        "user_id", "slot", "value", w = 8, threshold = 120.0)
+        .orderBy("user_id", "slot")
+    },
+    Some(s"""WITH e AS (SELECT user_id, ts, event_id, value +
+           |    CASE WHEN epoch_us(ts) // $ResampleStepUs -
+           |      epoch_us(TIMESTAMP '2024-01-01') // $ResampleStepUs >=
+           |      40 + user_id % 30
+           |    THEN (user_id % 5 + 1) * 200.0 ELSE 0.0 END AS value
+           |    FROM events),
+           |s AS (SELECT user_id, epoch_us(ts) // $ResampleStepUs AS slot,
+           |    value AS v, event_id, epoch_us(ts) AS ts_us FROM e),
+           |o AS (SELECT user_id, slot, v FROM s QUALIFY row_number()
+           |    OVER (PARTITION BY user_id, slot
+           |    ORDER BY ts_us DESC, event_id DESC) = 1),
+           |b AS (SELECT user_id, min(slot) AS lo, max(slot) AS hi
+           |    FROM s GROUP BY 1),
+           |g AS (SELECT user_id, unnest(generate_series(lo, hi)) AS slot
+           |    FROM b),
+           |r AS (SELECT g.user_id, g.slot,
+           |    last_value(o.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+           |    ORDER BY g.slot ROWS BETWEEN UNBOUNDED PRECEDING AND
+           |    CURRENT ROW) AS value
+           |    FROM g LEFT JOIN o ON g.user_id = o.user_id
+           |      AND g.slot = o.slot),
+           |d AS (SELECT user_id, slot, CAST(round(CAST(value AS DOUBLE), 4)
+           |    AS DECIMAL(20,4)) AS v FROM r),
+           |c AS (SELECT user_id, slot,
+           |    sum(v) OVER wb AS sb, count(v) OVER wb AS cb,
+           |    sum(v) OVER wa AS sa, count(v) OVER wa AS ca FROM d
+           |    WINDOW wb AS (PARTITION BY user_id ORDER BY slot
+           |      ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING),
+           |    wa AS (PARTITION BY user_id ORDER BY slot
+           |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)),
+           |k AS (SELECT user_id, slot, CAST(sb AS DOUBLE) / 8
+           |      AS mean_before, CAST(sa AS DOUBLE) / 8 AS mean_after,
+           |    (CAST(sa AS DOUBLE) / 8) - (CAST(sb AS DOUBLE) / 8) AS shift
+           |    FROM c WHERE cb = 8 AND ca = 8),
+           |f AS (SELECT * FROM k WHERE abs(shift) > 120.0),
+           |p AS (SELECT *, max(abs(shift)) OVER (PARTITION BY user_id
+           |    ORDER BY slot RANGE BETWEEN 7 PRECEDING AND 7 FOLLOWING)
+           |    AS peak FROM f)
+           |SELECT user_id, slot, mean_before, mean_after, shift FROM p
+           |WHERE abs(shift) = peak ORDER BY 1, 2""".stripMargin
+      .replace("\n", " ")))
+
   private def saltedQuery = QueryDef(
     "salted_agg_events",
     (s, dir) => Salting.saltedDistinctCount(
@@ -507,7 +574,7 @@ object PipelineQueries extends QueryPack {
 
   override def queries: Seq[QueryDef] =
     Seq(latestQuery, mergeQuery, asofQuery, featuresQuery, funnelQuery,
-      retentionQuery, resampleQuery, anomalyQuery, snapshotDiffQuery,
-      snapshotDiffBucketedQuery, saltedQuery, saltedJoinQuery,
-      scd2HistoryQuery, scd2MergeQuery)
+      retentionQuery, resampleQuery, anomalyQuery, changepointQuery,
+      snapshotDiffQuery, snapshotDiffBucketedQuery, saltedQuery,
+      saltedJoinQuery, scd2HistoryQuery, scd2MergeQuery)
 }

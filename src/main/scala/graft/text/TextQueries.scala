@@ -686,10 +686,94 @@ object TextQueries extends QueryPack {
     */
   private val Bm25GateTerms = Seq("dup", "window", "scan")
 
+  /** Collocation extraction ([[Collocations.topBigrams]]): top-100
+    * adjacent-pair lifts at `pair_count >= 5`. The lift division tree is
+    * mirrored verbatim in the SQL — every operand an exact long — so the
+    * doubles are bit-identical (`ln` of the lift would be libm and is
+    * deliberately not emitted; see the module scaladoc).
+    */
+  private def collocationsQuery = QueryDef(
+    "text_collocations_documents",
+    (s, dir) => Collocations.topBigrams(
+        Tables.load(s, dir, "documents", parallelize = true), "text",
+        minCount = 5, k = 100)
+      .orderBy(col("lift").desc, col("w1"), col("w2")),
+    Some(s"""WITH t AS (SELECT $tokensSql AS toks FROM documents),
+           |tok AS (SELECT unnest(toks) AS w FROM t),
+           |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+           |tot AS (SELECT sum(len(toks))::BIGINT AS t_tokens,
+           |    sum(greatest(len(toks) - 1, 0))::BIGINT AS n_pairs FROM t),
+           |idx AS (SELECT toks, unnest(generate_series(1, len(toks) - 1))
+           |    AS i FROM t WHERE len(toks) >= 2),
+           |pairs AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM idx),
+           |big AS (SELECT w1, w2, count(*) AS pair_count FROM pairs
+           |    GROUP BY 1, 2 HAVING count(*) >= 5)
+           |SELECT w1, w2, pair_count, u1.c AS w1_count, u2.c AS w2_count,
+           |  (CAST(pair_count AS DOUBLE) / CAST(n_pairs AS DOUBLE)) /
+           |  ((CAST(u1.c AS DOUBLE) / CAST(t_tokens AS DOUBLE)) *
+           |   (CAST(u2.c AS DOUBLE) / CAST(t_tokens AS DOUBLE))) AS lift
+           |FROM big JOIN uni u1 ON big.w1 = u1.w
+           |  JOIN uni u2 ON big.w2 = u2.w CROSS JOIN tot
+           |ORDER BY lift DESC, w1, w2 LIMIT 100""".stripMargin
+      .replace("\n", " ")))
+
+  /** Boilerplate removal ([[Boilerplate.removeCommonLines]]): the corpus
+    * is single-line synthetic text, so the gate lane INJECTS the
+    * structure templates actually have (the `events_retention_cohorts`
+    * precedent): a 100%-of-source header and footer (must go), a
+    * 25%-of-source promo line (must SURVIVE minFrac 0.5 — the
+    * discrimination), and a per-doc unique tail (must survive), all
+    * replayed verbatim in the oracle.
+    */
+  private def boilerplateQuery = QueryDef(
+    "text_boilerplate_documents",
+    (s, dir) => Boilerplate.removeCommonLines(
+        Tables.load(s, dir, "documents", parallelize = true)
+          .withColumn("text", concat(
+            lit("header "), col("source"), lit("\n"),
+            when(col("doc_id") % 4 === 0,
+              concat(lit("promo "), col("source"), lit("\n")))
+              .otherwise(lit("")),
+            col("text"), lit("\n"),
+            lit("footer "), col("source"), lit("\n"),
+            lit("tail "), col("doc_id").cast("string"))),
+        "doc_id", "source", "text", minFrac = 0.5, minDocs = 2)
+      .orderBy("doc_id"),
+    Some("""WITH d AS (SELECT doc_id, source,
+           |    'header ' || source || chr(10) ||
+           |    CASE WHEN doc_id % 4 = 0
+           |      THEN 'promo ' || source || chr(10) ELSE '' END ||
+           |    text || chr(10) || 'footer ' || source || chr(10) ||
+           |    'tail ' || CAST(doc_id AS VARCHAR) AS text FROM documents),
+           |ls AS (SELECT doc_id, source, string_split(text, chr(10))
+           |    AS lines FROM d),
+           |li AS (SELECT doc_id, source, lines,
+           |    unnest(generate_series(1, len(lines))) AS pos FROM ls),
+           |l AS (SELECT doc_id, source, lines[pos] AS line, pos FROM li),
+           |ss AS (SELECT source, count(DISTINCT doc_id) AS src_docs
+           |    FROM d GROUP BY 1),
+           |lf AS (SELECT source, line, count(*) AS docs FROM
+           |    (SELECT DISTINCT source, line, doc_id FROM l) GROUP BY 1, 2),
+           |bp AS (SELECT lf.source, lf.line FROM lf JOIN ss
+           |    ON lf.source = ss.source
+           |    WHERE docs >= greatest(2, CAST(ceil(src_docs * 0.5)
+           |      AS BIGINT))),
+           |f AS (SELECT l.doc_id, l.source, l.pos, l.line,
+           |    bp.line IS NOT NULL AS is_bp FROM l LEFT JOIN bp
+           |    ON l.source = bp.source AND l.line = bp.line)
+           |SELECT doc_id, source, count(*) AS n_lines,
+           |  CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_removed,
+           |  coalesce(string_agg(CASE WHEN NOT is_bp THEN line END,
+           |    chr(10) ORDER BY pos), '') AS clean_text
+           |FROM f GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+      .replace("\n", " ")))
+
   override def queries: Seq[QueryDef] =
     Seq(statsQuery, curateQuery, pipelineQuery, pipelineFullQuery,
       sampleQuery, shardQuery, splitQuery, termsQuery, vocabQuery,
       decontamQuery,
       scrubSpansQuery, repetitionQuery, packQuery, decontamPipelineQuery,
-      chunkQuery, mixQuery, mixWeightedQuery, bm25Query)
+      chunkQuery, mixQuery, mixWeightedQuery, bm25Query,
+      collocationsQuery, boilerplateQuery)
 }
