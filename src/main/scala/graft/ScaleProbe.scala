@@ -224,7 +224,19 @@ object ScaleProbe {
     // boilerplate removal — line explode + template-cardinality count
     // + ONE regroup shuffle by doc: linear in corpus lines
     ("text_boilerplate", None,
-      SparkEntry.queries("text_boilerplate_documents")))
+      SparkEntry.queries("text_boilerplate_documents")),
+    // incremental aggregate maintenance — bootstrap agg over the corpus
+    // + change-feed-sized delta + group-cardinality join: the BOOTSTRAP
+    // dominates at probe (the apply path alone is feed-sized by the
+    // IncrementalAggSpec plan pin) → expect scan-bound
+    ("agg_incremental", None, SparkEntry.queries("agg_incremental_events")),
+    // correlation matrix — one combinable moment aggregation over the
+    // pruned 3-column scan → expect scan-bound
+    ("profile_corr", None, SparkEntry.queries("profile_corr_lineitem")),
+    // quantile binning — per-group exact percentile (bounded groups) +
+    // broadcast cut join + histogram agg → expect near-linear with the
+    // percentile's per-group sort as the constant
+    ("features_bins", None, SparkEntry.queries("features_quantile_bins")))
 
   /** Drift probe: numeric drift on l_extendedprice between two
     * key-modulo snapshots of the scaled lineitem (the registered gate

@@ -436,6 +436,68 @@ object PipelineQueries extends QueryPack {
            |WHERE abs(shift) = peak ORDER BY 1, 2""".stripMargin
       .replace("\n", " ")))
 
+  /** Incremental aggregate maintenance ([[IncrementalAgg]]): the engine
+    * bootstraps per-type state from the BEFORE table and advances it
+    * with a deterministic change batch (deletes = `event_id % 7 = 0`,
+    * inserts = shifted copies of `event_id % 5 = 0`); the ORACLE
+    * aggregates the assembled AFTER table directly. Hash equality is
+    * therefore the incremental-view-maintenance invariant itself —
+    * state + delta ≡ full recompute — checked bit-for-bit (decimal
+    * sums make the equivalence exact, not approximate).
+    */
+  private def incrementalAggQuery = QueryDef(
+    "agg_incremental_events",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val deletes = ev.filter(col("event_id") % 7 === 0)
+      val inserts = ev.filter(col("event_id") % 5 === 0)
+        .withColumn("event_id", col("event_id") + 1000000000L)
+        .withColumn("value", col("value") + 100.0)
+      val state =
+        IncrementalAgg.aggState(ev, Seq("event_type"), Seq("value"))
+      IncrementalAgg.report(
+        IncrementalAgg.applyDelta(state, inserts, deletes,
+          Seq("event_type"), Seq("value")),
+        Seq("event_type"), Seq("value"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ins AS (SELECT event_type, value + 100.0 AS value
+           |    FROM events WHERE event_id % 5 = 0),
+           |b AS (SELECT event_type, value FROM events
+           |    WHERE event_id % 7 <> 0
+           |    UNION ALL SELECT event_type, value FROM ins)
+           |SELECT event_type, count(*) AS cnt,
+           |  CAST(sum(CAST(round(CAST(value AS DOUBLE), 4)
+           |    AS DECIMAL(20,4))) AS DOUBLE) AS sum_value,
+           |  CAST(sum(CAST(round(CAST(value AS DOUBLE), 4)
+           |    AS DECIMAL(20,4))) AS DOUBLE) / count(*) AS avg_value
+           |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+      .replace("\n", " ")))
+
+  /** Quantile-bin feature discretization ([[Binning.withQuantileBins]])
+    * reported as a per-(type, decile) histogram. Decile populations are
+    * NOT uniform by construction — cuts are interpolated and values
+    * tie — which is what makes the histogram discriminating rather
+    * than trivially 10% everywhere.
+    */
+  private def binningQuery = QueryDef(
+    "features_quantile_bins",
+    (s, dir) => Binning.withQuantileBins(
+        Tables.load(s, dir, "events"), "event_type", "value", k = 10)
+      .groupBy(col("event_type"), col("bin").cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .orderBy("event_type", "bin"),
+    Some(("WITH c AS (SELECT event_type, " +
+      "list_transform(quantile_cont(value, " +
+      "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), " +
+      "x -> round(x, 4)) AS cuts FROM events GROUP BY 1), " +
+      "b AS (SELECT e.event_type, CASE WHEN e.value IS NULL THEN NULL " +
+      "ELSE len(list_filter(c.cuts, x -> x < e.value)) + 1 END AS bin, " +
+      "e.value FROM events e JOIN c ON e.event_type = c.event_type) " +
+      "SELECT event_type, bin, count(*) AS cnt, min(value) AS min_v, " +
+      "max(value) AS max_v FROM b GROUP BY 1, 2 ORDER BY 1, 2")))
+
   private def saltedQuery = QueryDef(
     "salted_agg_events",
     (s, dir) => Salting.saltedDistinctCount(
@@ -575,6 +637,7 @@ object PipelineQueries extends QueryPack {
   override def queries: Seq[QueryDef] =
     Seq(latestQuery, mergeQuery, asofQuery, featuresQuery, funnelQuery,
       retentionQuery, resampleQuery, anomalyQuery, changepointQuery,
-      snapshotDiffQuery, snapshotDiffBucketedQuery, saltedQuery,
-      saltedJoinQuery, scd2HistoryQuery, scd2MergeQuery)
+      incrementalAggQuery, binningQuery, snapshotDiffQuery,
+      snapshotDiffBucketedQuery, saltedQuery, saltedJoinQuery,
+      scd2HistoryQuery, scd2MergeQuery)
 }

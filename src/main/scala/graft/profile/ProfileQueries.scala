@@ -297,8 +297,52 @@ object ProfileQueries extends QueryPack {
       "ROUND(quantile_cont(n_chars, 0.95), 4) AS p95_chars, " +
       "COUNT(*) AS n_docs FROM documents GROUP BY source ORDER BY source"))
 
+  /** Correlation matrix ([[Correlation.matrix]]) over lineitem's numeric
+    * measures. The formula tree (exact decimal moments → one IEEE
+    * expression with correctly-rounded `sqrt`) is mirrored verbatim in
+    * the SQL, so the doubles hash-match without tolerance.
+    */
+  private def corrQuery = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    def m(x: String, y: String): String = {
+      def d(c: String) = s"CAST(round(CAST($c AS DOUBLE), 2) " +
+        s"AS DECIMAL(12,2))"
+      val b = s"$x IS NOT NULL AND $y IS NOT NULL"
+      s"count(CASE WHEN $b THEN 1 END) AS n_${x}_$y, " +
+        s"CAST(sum(CASE WHEN $b THEN ${d(x)} END) AS DOUBLE) AS sx_${x}_$y, " +
+        s"CAST(sum(CASE WHEN $b THEN ${d(y)} END) AS DOUBLE) AS sy_${x}_$y, " +
+        s"CAST(sum(CASE WHEN $b THEN ${d(x)} * ${d(x)} END) AS DOUBLE) " +
+        s"AS sxx_${x}_$y, " +
+        s"CAST(sum(CASE WHEN $b THEN ${d(y)} * ${d(y)} END) AS DOUBLE) " +
+        s"AS syy_${x}_$y, " +
+        s"CAST(sum(CASE WHEN $b THEN ${d(x)} * ${d(y)} END) AS DOUBLE) " +
+        s"AS sxy_${x}_$y"
+    }
+    def row(x: String, y: String): String = {
+      val n = s"CAST(n_${x}_$y AS DOUBLE)"
+      val varX = s"(($n * sxx_${x}_$y) - (sx_${x}_$y * sx_${x}_$y))"
+      val varY = s"(($n * syy_${x}_$y) - (sy_${x}_$y * sy_${x}_$y))"
+      val cov = s"(($n * sxy_${x}_$y) - (sx_${x}_$y * sy_${x}_$y))"
+      s"SELECT '$x' AS col_x, '$y' AS col_y, n_${x}_$y AS n, " +
+        s"CASE WHEN $varX > 0 AND $varY > 0 " +
+        s"THEN $cov / (sqrt($varX) * sqrt($varY)) " +
+        s"ELSE NULL END AS corr FROM m"
+    }
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    QueryDef("profile_corr_lineitem",
+      (s, dir) => Correlation.matrix(
+        Tables.load(s, dir, "lineitem"), cols),
+      Some("WITH m AS (SELECT " +
+        pairs.map { case (x, y) => m(x, y) }.mkString(", ") +
+        " FROM lineitem) " +
+        pairs.map { case (x, y) => row(x, y) }.mkString(" UNION ALL ") +
+        " ORDER BY col_x, col_y"))
+  }
+
   override def queries: Seq[QueryDef] =
     Seq(profileQuery("lineitem"), profileQuery("orders"), approxQuery,
       quantileQuery("lineitem"), quantileApproxQuery, topkExactQuery,
-      topkSketchQuery, topkGroupedQuery, groupedQuantileQuery)
+      topkSketchQuery, topkGroupedQuery, groupedQuantileQuery, corrQuery)
 }
