@@ -236,7 +236,10 @@ object ScaleProbe {
     // quantile binning — per-group exact percentile (bounded groups) +
     // broadcast cut join + histogram agg → expect near-linear with the
     // percentile's per-group sort as the constant
-    ("features_bins", None, SparkEntry.queries("features_quantile_bins")))
+    ("features_bins", None, SparkEntry.queries("features_quantile_bins")),
+    // z-order layout evaluation — two combinable file-stat aggregations
+    // over a codegen'd bit-interleave projection → expect scan-bound
+    ("layout_zorder", None, SparkEntry.queries("layout_zorder_pruning")))
 
   /** Drift probe: numeric drift on l_extendedprice between two
     * key-modulo snapshots of the scaled lineitem (the registered gate

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, QueryPack}
@@ -498,6 +499,82 @@ object PipelineQueries extends QueryPack {
       "SELECT event_type, bin, count(*) AS cnt, min(value) AS min_v, " +
       "max(value) AS max_v FROM b GROUP BY 1, 2 ORDER BY 1, 2")))
 
+  /** Z-order layout evaluation ([[ZOrder]]): both layouts get 64
+    * equal-granularity files (z-buckets via `>> 4` on a 10-bit Morton
+    * code vs 64 single-dim price slices); the report counts files and
+    * rows a min/max-pruned scan must read for a 2D box predicate.
+    * `rows_matched` is layout-invariant by construction — the built-in
+    * self-check that both layouts saw the same data. Pure integer bit
+    * arithmetic + one mirrored double bucketization → hash-EXACT.
+    */
+  private def zorderQuery = {
+    val (loQ, hiQ, loP, hiP) = (0.0, 50.0, 0.0, 110000.0)
+    def cellSql(v: String, lo: Double, hi: Double, bits: Int): String = {
+      val cells = 1L << bits
+      s"greatest(0, least(${cells - 1}, CAST(floor(((CAST($v AS DOUBLE) " +
+        s"- $lo) / ${hi - lo}) * ${cells.toDouble}) AS BIGINT)))"
+    }
+    def interleaveSql(cx: String, cy: String, bits: Int): String =
+      (0 until bits).map(i =>
+        s"((($cx >> $i) & 1) << ${2 * i}) | " +
+          s"((($cy >> $i) & 1) << ${2 * i + 1})").mkString("(", " | ", ")")
+    val zSql = interleaveSql(cellSql("l_quantity", loQ, hiQ, 5),
+      cellSql("l_extendedprice", loP, hiP, 5), 5)
+    def layoutSql(name: String, fileSql: String): String =
+      s"""SELECT '$name' AS layout, count(*) AS files_total,
+         |  CAST(sum(CASE WHEN min_q <= 20.0 AND max_q >= 10.0 AND
+         |    min_p <= 40000.0 AND max_p >= 20000.0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS files_scanned,
+         |  CAST(sum(CASE WHEN min_q <= 20.0 AND max_q >= 10.0 AND
+         |    min_p <= 40000.0 AND max_p >= 20000.0 THEN rws ELSE 0 END)
+         |    AS BIGINT) AS rows_scanned,
+         |  CAST(sum(hits) AS BIGINT) AS rows_matched
+         |FROM (SELECT $fileSql AS f, min(l_quantity) AS min_q,
+         |  max(l_quantity) AS max_q, min(l_extendedprice) AS min_p,
+         |  max(l_extendedprice) AS max_p, count(*) AS rws,
+         |  sum(CASE WHEN l_quantity >= 10.0 AND l_quantity <= 20.0 AND
+         |    l_extendedprice >= 20000.0 AND l_extendedprice <= 40000.0
+         |    THEN 1 ELSE 0 END) AS hits
+         |  FROM lineitem GROUP BY 1)""".stripMargin.replace("\n", " ")
+    QueryDef("layout_zorder_pruning",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_quantity"), col("l_extendedprice"))
+        val overlap = col("min_q") <= 20.0 && col("max_q") >= 10.0 &&
+          col("min_p") <= 40000.0 && col("max_p") >= 20000.0
+        def layout(name: String, file: Column) =
+          li.withColumn("__f", file)
+            .groupBy("__f")
+            .agg(min(col("l_quantity")).as("min_q"),
+              max(col("l_quantity")).as("max_q"),
+              min(col("l_extendedprice")).as("min_p"),
+              max(col("l_extendedprice")).as("max_p"),
+              count(lit(1)).as("rws"),
+              sum(when(col("l_quantity") >= 10.0 &&
+                col("l_quantity") <= 20.0 &&
+                col("l_extendedprice") >= 20000.0 &&
+                col("l_extendedprice") <= 40000.0, 1L).otherwise(0L))
+                .as("hits"))
+            .agg(count(lit(1)).as("files_total"),
+              sum(when(overlap, 1L).otherwise(0L)).as("files_scanned"),
+              sum(when(overlap, col("rws")).otherwise(0L))
+                .as("rows_scanned"),
+              sum(col("hits")).as("rows_matched"))
+            .select(lit(name).as("layout"), col("files_total"),
+              col("files_scanned"), col("rows_scanned"),
+              col("rows_matched"))
+        layout("zorder", shiftright(
+            ZOrder.zValue(col("l_quantity"), loQ, hiQ,
+              col("l_extendedprice"), loP, hiP, 5), 4))
+          .unionByName(layout("linear",
+            ZOrder.cell(col("l_extendedprice"), loP, hiP, 6)))
+          .orderBy("layout")
+      },
+      Some(layoutSql("zorder", s"($zSql >> 4)") + " UNION ALL " +
+        layoutSql("linear", cellSql("l_extendedprice", loP, hiP, 6)) +
+        " ORDER BY layout"))
+  }
+
   private def saltedQuery = QueryDef(
     "salted_agg_events",
     (s, dir) => Salting.saltedDistinctCount(
@@ -637,7 +714,7 @@ object PipelineQueries extends QueryPack {
   override def queries: Seq[QueryDef] =
     Seq(latestQuery, mergeQuery, asofQuery, featuresQuery, funnelQuery,
       retentionQuery, resampleQuery, anomalyQuery, changepointQuery,
-      incrementalAggQuery, binningQuery, snapshotDiffQuery,
+      incrementalAggQuery, binningQuery, zorderQuery, snapshotDiffQuery,
       snapshotDiffBucketedQuery, saltedQuery, saltedJoinQuery,
       scd2HistoryQuery, scd2MergeQuery)
 }

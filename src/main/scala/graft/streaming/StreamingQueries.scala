@@ -394,7 +394,65 @@ object StreamingQueries extends QueryPack {
       "SELECT 'purchase', 2::BIGINT, n2, CASE WHEN n0 = 0 THEN 0.0 ELSE " +
       "n2::DOUBLE / n0 END FROM c) ORDER BY stage_idx"))
 
+  /** Streaming maintained aggregate ([[MaintainedAgg]]): state is
+    * bootstrapped from the BEFORE table, then a staged CDC feed
+    * (deletes = `event_id % 7 = 0`, inserts = shifted `% 5 = 0` copies
+    * — the batch `agg_incremental_events` change set) drains through a
+    * REAL StreamingQuery in multiple micro-batches
+    * (`maxFilesPerTrigger = 1` over a 4-file feed). The oracle
+    * aggregates the assembled AFTER table, so the hash match proves the
+    * micro-batched view maintenance converges to the full recompute —
+    * regardless of where the stream was cut (decimal state commutes;
+    * spec-pinned three-way in `MaintainedAggSpec`).
+    */
+  private def maintainedAggQuery = QueryDef(
+    "stream_incremental_agg_events",
+    (s, dir) => withStreamSession(s) { iso =>
+      withTempDirs("graft_stream_magg_src", "graft_stream_magg_ckpt") {
+      case Seq(staged, ckpt) =>
+        val ev = graft.io.Tables.load(iso, dir, "events",
+          parallelize = false)
+        ev.filter(col("event_id") % 5 === 0)
+          .select(lit("I").as("op"), col("event_type"),
+            (col("value") + 100.0).as("value"))
+          .unionByName(ev.filter(col("event_id") % 7 === 0)
+            .select(lit("D").as("op"), col("event_type"), col("value")))
+          .repartition(4)
+          .write.mode("overwrite").parquet(staged)
+        val m = new MaintainedAgg.Maintainer(
+          graft.pipeline.IncrementalAgg.aggState(ev, Seq("event_type"),
+            Seq("value")).localCheckpoint(true),
+          Seq("event_type"), Seq("value"), opCol = "op")
+        val schema = iso.read.parquet(staged).schema
+        val q = iso.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(staged)
+          .writeStream
+          .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+            m.processBatch(b, id))
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.awaitTermination()
+        graft.util.Frames.localized(m.report.orderBy("event_type"))
+      }
+    },
+    // identical oracle to the batch agg_incremental_events — the
+    // equality IS the gate's point (micro-batched maintenance ≡ full
+    // recompute of the after-table)
+    Some("""WITH ins AS (SELECT event_type, value + 100.0 AS value
+           |    FROM events WHERE event_id % 5 = 0),
+           |b AS (SELECT event_type, value FROM events
+           |    WHERE event_id % 7 <> 0
+           |    UNION ALL SELECT event_type, value FROM ins)
+           |SELECT event_type, count(*) AS cnt,
+           |  CAST(sum(CAST(round(CAST(value AS DOUBLE), 4)
+           |    AS DECIMAL(20,4))) AS DOUBLE) AS sum_value,
+           |  CAST(sum(CAST(round(CAST(value AS DOUBLE), 4)
+           |    AS DECIMAL(20,4))) AS DOUBLE) / count(*) AS avg_value
+           |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+      .replace("\n", " ")))
+
   override def queries: Seq[QueryDef] =
     Seq(windowedQuery, sessionizeQuery, dedupQuery, intervalJoinQuery,
-      pipelineQuery, profileQuery, funnelQuery)
+      pipelineQuery, profileQuery, funnelQuery, maintainedAggQuery)
 }
