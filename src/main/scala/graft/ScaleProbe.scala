@@ -205,17 +205,17 @@ object ScaleProbe {
     // query count, reading a quarter of the floats the float brute
     // force reads
     ("sim_topk_projected", None, SparkEntry.queries("sim_topk_projected")),
-    // resample + forward fill over the users-grow events corpus: the
-    // grid is keys×slots (slots constant per key), the fill window does
-    // constant per-key work → expect near-flat
+    // resample + forward fill over the users-grow events corpus: more
+    // keys, constant slots per key — work linear in keys, window state
+    // bounded per key → expect near-linear with flat per-key cost
     ("events_resample", None, SparkEntry.queries("events_resample_ffill")),
     // robust anomalies composed on the resampled series: two grouped
     // exact percentiles whose per-key state is bounded by the key's
-    // slot count → expect near-flat (more keys, same per-key work)
+    // slot count → expect near-linear in keys, never superlinear
     ("events_anomaly", None, SparkEntry.queries("events_anomaly_robust")),
     // change-point detection composed on the resampled series: one
     // bounded-frame window pass per key + report-sized suppression →
-    // expect near-flat (more keys, same per-key slot count)
+    // expect near-linear in keys, never superlinear
     ("events_changepoint", None, SparkEntry.queries("events_changepoints")),
     // collocations — explode + two combinable counts; the unigram join
     // is vocabulary-sized (fixed word domain here) → expect scan-bound

@@ -575,6 +575,56 @@ object PipelineQueries extends QueryPack {
         " ORDER BY layout"))
   }
 
+  /** Bucketed range join ([[RangeJoin.pointInInterval]]): events joined
+    * to three deterministic 36-hour maintenance windows per user
+    * (staggered by `user_id % 7` days — windows discriminate per user)
+    * with 24-hour buckets, rolled up per (user, window). The ORACLE
+    * runs the raw inequality join — hash equality proves the bucketed
+    * equi-join + residual is EXACTLY the containment join, while the
+    * spec pins that the plan contains no nested-loop/cartesian.
+    */
+  private def rangeJoinQuery = {
+    val dayUs = 86400000000L
+    val anchor = "unix_micros(timestamp'2024-01-01')"
+    QueryDef("range_join_events",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val intervals = ev.select(col("user_id")).distinct()
+          .select(col("user_id"),
+            explode(sequence(lit(0L), lit(2L))).as("window_id"))
+          .withColumn("lo", expr(s"$anchor + (user_id % 7) * ${dayUs}L " +
+            s"+ window_id * ${9 * dayUs}L"))
+          .withColumn("hi", col("lo") + lit(36L * 3600L * 1000000L))
+        val points = ev.select(col("user_id"),
+          unix_micros(col("ts")).as("t_us"), col("value"))
+        RangeJoin.pointInInterval(points, intervals, Seq("user_id"),
+            "t_us", "lo", "hi", widthUs = dayUs)
+          .groupBy("user_id", "window_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value").cast("double"), 4)
+              .cast("decimal(20,4)")).cast("double").as("value_sum"))
+          .orderBy("user_id", "window_id")
+      },
+      Some(s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |w AS (SELECT user_id, unnest(generate_series(0, 2))
+             |    AS window_id FROM u),
+             |iv AS (SELECT user_id, window_id,
+             |    epoch_us(TIMESTAMP '2024-01-01') +
+             |    (user_id % 7) * $dayUs + window_id * ${9 * dayUs}
+             |      AS lo FROM w),
+             |iv2 AS (SELECT user_id, window_id, lo,
+             |    lo + ${36L * 3600L * 1000000L} AS hi FROM iv),
+             |j AS (SELECT e.user_id, iv2.window_id, e.value FROM events e
+             |    JOIN iv2 ON e.user_id = iv2.user_id
+             |    AND iv2.lo <= epoch_us(e.ts)
+             |    AND epoch_us(e.ts) < iv2.hi)
+             |SELECT user_id, window_id, count(*) AS n_events,
+             |  CAST(sum(CAST(round(CAST(value AS DOUBLE), 4)
+             |    AS DECIMAL(20,4))) AS DOUBLE) AS value_sum
+             |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        .replace("\n", " ")))
+  }
+
   private def saltedQuery = QueryDef(
     "salted_agg_events",
     (s, dir) => Salting.saltedDistinctCount(
@@ -714,7 +764,8 @@ object PipelineQueries extends QueryPack {
   override def queries: Seq[QueryDef] =
     Seq(latestQuery, mergeQuery, asofQuery, featuresQuery, funnelQuery,
       retentionQuery, resampleQuery, anomalyQuery, changepointQuery,
-      incrementalAggQuery, binningQuery, zorderQuery, snapshotDiffQuery,
+      incrementalAggQuery, binningQuery, zorderQuery, rangeJoinQuery,
+      snapshotDiffQuery,
       snapshotDiffBucketedQuery, saltedQuery, saltedJoinQuery,
       scd2HistoryQuery, scd2MergeQuery)
 }

@@ -172,4 +172,27 @@ object Pii {
       .agg(count(lit(1)).as("group_n"))
       .filter(col("group_n") < k)
   }
+
+  /** l-diversity audit — the attack k-anonymity misses: a group can be
+    * large (k-safe) yet carry ONE sensitive value for every member, so
+    * linking someone into the group discloses their attribute anyway
+    * (the homogeneity attack; Machanavajjhala et al. 2007). A release
+    * is l-diverse when every quasi-identifier equivalence class holds
+    * at least `l` DISTINCT sensitive values; this returns the classes
+    * that fail, with their size and diversity. Same scale shape as the
+    * k audit: one hash aggregation (count + count-distinct per group —
+    * the distinct dominated by the class size, not the corpus) +
+    * filter, map-side combinable. Null is a sensitive value like any
+    * other (disclosing "balance unknown" is disclosure), counted via a
+    * null-sentinel the caller's domain cannot collide with.
+    */
+  def lDiversityViolations(df: DataFrame, quasi: Seq[Column],
+      sensitive: Column, l: Int): DataFrame = {
+    require(l > 1, s"l must exceed 1, got $l")
+    df.groupBy(quasi: _*)
+      .agg(count(lit(1)).as("group_n"),
+        countDistinct(coalesce(sensitive.cast("string"),
+          lit(" null"))).as("distinct_sensitive"))
+      .filter(col("distinct_sensitive") < l)
+  }
 }

@@ -159,6 +159,30 @@ object PiiQueries extends QueryPack {
       "count(*) AS group_n FROM customer GROUP BY 1, 2, 3 " +
       "HAVING count(*) < 5 ORDER BY 1, 2, 3"))
 
+  /** l-diversity audit ([[Pii.lDiversityViolations]]) on the released
+    * quasi grain (nation, 2000-wide balance band) with the market
+    * segment as the sensitive attribute: l = 5 = the segment domain
+    * size, so a flagged class is one where at least one segment value
+    * is absent — size and diversity both in the report. The null
+    * sentinel coalesce is mirrored because COUNT(DISTINCT) skips nulls
+    * in both engines.
+    */
+  private def ldivQuery = QueryDef(
+    "pii_ldiversity_customer",
+    (s, dir) => Pii.lDiversityViolations(
+        Tables.load(s, dir, "customer"),
+        Seq(col("c_nationkey"),
+          floor(col("c_acctbal") / 2000).as("acctbal_band")),
+        col("c_mktsegment"), l = 5)
+      .orderBy("c_nationkey", "acctbal_band"),
+    Some("SELECT c_nationkey, " +
+      "CAST(floor(c_acctbal / 2000) AS BIGINT) AS acctbal_band, " +
+      "count(*) AS group_n, " +
+      "count(DISTINCT coalesce(CAST(c_mktsegment AS VARCHAR), ' null')) " +
+      "AS distinct_sensitive FROM customer GROUP BY 1, 2 " +
+      "HAVING count(DISTINCT coalesce(CAST(c_mktsegment AS VARCHAR), " +
+      "' null')) < 5 ORDER BY 1, 2"))
+
   override def queries: Seq[QueryDef] =
-    Seq(maskQuery, detectQuery, scrubQuery, kanonQuery)
+    Seq(maskQuery, detectQuery, scrubQuery, kanonQuery, ldivQuery)
 }
