@@ -239,7 +239,11 @@ object ScaleProbe {
     ("features_bins", None, SparkEntry.queries("features_quantile_bins")),
     // z-order layout evaluation — two combinable file-stat aggregations
     // over a codegen'd bit-interleave projection → expect scan-bound
-    ("layout_zorder", None, SparkEntry.queries("layout_zorder_pruning")))
+    ("layout_zorder", None, SparkEntry.queries("layout_zorder_pruning")),
+    // growth accounting — one combinable (user, bucket) distinct + a
+    // user×buckets self-join; the windows run at bucket grain (fixed
+    // time range) → expect near-linear in users
+    ("events_growth", None, SparkEntry.queries("events_user_growth")))
 
   /** Drift probe: numeric drift on l_extendedprice between two
     * key-modulo snapshots of the scaled lineitem (the registered gate

@@ -625,6 +625,52 @@ object PipelineQueries extends QueryPack {
         .replace("\n", " ")))
   }
 
+  /** Growth accounting ([[Growth.accounting]]) at daily buckets. Every
+    * corpus user is active nearly every day (new-then-retained forever
+    * — no churn to show), so the gate INJECTS periodic silence the
+    * retention-lane way: a user sits out days where
+    * `(day + user_id) % 4 = 0`, replayed verbatim in the oracle —
+    * churn and resurrection appear every bucket and the ledger
+    * identity carries real numbers.
+    */
+  private def growthQuery = {
+    val dayUs = 86400000000L
+    QueryDef("events_user_growth",
+      (s, dir) => Growth.accounting(
+        Tables.load(s, dir, "events")
+          .filter((expr(s"unix_micros(ts) DIV ${dayUs}L")
+            + col("user_id")) % 4 =!= 0),
+        "user_id", "ts", dayUs),
+      Some(s"""WITH e AS (SELECT user_id, ts FROM events
+             |    WHERE ((epoch_us(ts) // $dayUs) + user_id) % 4 <> 0),
+             |ub AS (SELECT DISTINCT user_id AS u,
+             |    epoch_us(ts) // $dayUs AS b FROM e),
+             |f AS (SELECT u, min(b) AS fb FROM ub GROUP BY 1),
+             |fl AS (SELECT ub.b, CASE WHEN ub.b = f.fb THEN 'new'
+             |    WHEN p.u IS NOT NULL THEN 'retained'
+             |    ELSE 'resurrected' END AS s
+             |    FROM ub JOIN f ON ub.u = f.u
+             |    LEFT JOIN ub p ON p.u = ub.u AND p.b = ub.b - 1),
+             |pb AS (SELECT b, count(*) AS active,
+             |    CAST(sum(CASE WHEN s = 'new' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS new_users,
+             |    CAST(sum(CASE WHEN s = 'retained' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS retained,
+             |    CAST(sum(CASE WHEN s = 'resurrected' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS resurrected
+             |    FROM fl GROUP BY 1)
+             |SELECT b AS bucket, b * $dayUs AS bucket_ts_us, active,
+             |  new_users, retained, resurrected,
+             |  CAST(CASE WHEN lag(b) OVER (ORDER BY b) = b - 1
+             |    THEN lag(active) OVER (ORDER BY b) - retained
+             |    ELSE 0 END AS BIGINT) AS churned,
+             |  CAST(sum(new_users) OVER (ORDER BY b
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |    AS cumulative_users
+             |FROM pb ORDER BY bucket""".stripMargin
+        .replace("\n", " ")))
+  }
+
   private def saltedQuery = QueryDef(
     "salted_agg_events",
     (s, dir) => Salting.saltedDistinctCount(
@@ -765,7 +811,7 @@ object PipelineQueries extends QueryPack {
     Seq(latestQuery, mergeQuery, asofQuery, featuresQuery, funnelQuery,
       retentionQuery, resampleQuery, anomalyQuery, changepointQuery,
       incrementalAggQuery, binningQuery, zorderQuery, rangeJoinQuery,
-      snapshotDiffQuery,
+      growthQuery, snapshotDiffQuery,
       snapshotDiffBucketedQuery, saltedQuery, saltedJoinQuery,
       scd2HistoryQuery, scd2MergeQuery)
 }
