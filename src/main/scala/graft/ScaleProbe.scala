@@ -243,7 +243,11 @@ object ScaleProbe {
     // growth accounting — one combinable (user, bucket) distinct + a
     // user×buckets self-join; the windows run at bucket grain (fixed
     // time range) → expect near-linear in users
-    ("events_growth", None, SparkEntry.queries("events_user_growth")))
+    ("events_growth", None, SparkEntry.queries("events_user_growth")),
+    // association rules — one basket aggregation + map-side C(k,2)
+    // pair expansion bounded by maxBasket → expect near-linear in
+    // baskets
+    ("events_assoc", None, SparkEntry.queries("events_assoc_rules")))
 
   /** Drift probe: numeric drift on l_extendedprice between two
     * key-modulo snapshots of the scaled lineitem (the registered gate

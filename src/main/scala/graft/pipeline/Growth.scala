@@ -54,8 +54,12 @@ object Growth {
           .as("retained"),
         sum(when(col("__s") === "resurrected", 1L).otherwise(0L))
           .as("resurrected"))
-    // bucket-grain frame: bounded by the time range, one-task windows
-    val w = Window.orderBy(col("__b"))
+    // bucket-grain frame: bounded by the time range, one-task windows.
+    // The constant partition key states the intent — ONE partition,
+    // chosen knowingly over an input bounded by construction — where a
+    // bare Window.orderBy would emit the planner's move-everything
+    // warning for a frame that is already report-sized
+    val w = Window.partitionBy(lit(0)).orderBy(col("__b"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perBucket
       .select(col("__b").as("bucket"),

@@ -671,6 +671,49 @@ object PipelineQueries extends QueryPack {
         .replace("\n", " ")))
   }
 
+  /** Association rules ([[AssociationRules.pairRules]]) over user-day
+    * event-type baskets. The lift/confidence division trees are
+    * mirrored verbatim (exact longs in, fixed IEEE tree out — the
+    * collocations ruling), and the DuckDB replay re-derives the
+    * i < j pair expansion from the same sorted item lists.
+    */
+  private def assocQuery = {
+    val dayUs = 86400000000L
+    QueryDef("events_assoc_rules",
+      (s, dir) => AssociationRules.pairRules(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            expr(s"unix_micros(ts) DIV ${dayUs}L").as("day"),
+            col("event_type")),
+        Seq("user_id", "day"), "event_type", minSupport = 5),
+      Some(s"""WITH it AS (SELECT DISTINCT user_id,
+             |    epoch_us(ts) // $dayUs AS day, event_type FROM events),
+             |bk AS (SELECT user_id, day, list_sort(list(event_type))
+             |    AS items FROM it GROUP BY 1, 2),
+             |ok AS (SELECT * FROM bk WHERE len(items) <= 256),
+             |px AS (SELECT items, unnest(generate_series(1,
+             |    len(items) - 1)) AS i FROM ok WHERE len(items) >= 2),
+             |py AS (SELECT items, i, unnest(generate_series(i + 1,
+             |    len(items))) AS j FROM px),
+             |p AS (SELECT items[i] AS item_a, items[j] AS item_b FROM py),
+             |pc AS (SELECT item_a, item_b, count(*) AS pair_n FROM p
+             |    GROUP BY 1, 2 HAVING count(*) >= 5),
+             |ic AS (SELECT i0, count(*) AS n FROM (SELECT unnest(items)
+             |    AS i0 FROM ok) GROUP BY 1),
+             |tot AS (SELECT count(*)::BIGINT AS baskets FROM ok)
+             |SELECT item_a, item_b, pair_n, ia.n AS a_n, ib.n AS b_n,
+             |  baskets,
+             |  CAST(pair_n AS DOUBLE) / CAST(ia.n AS DOUBLE) AS conf_a_b,
+             |  CAST(pair_n AS DOUBLE) / CAST(ib.n AS DOUBLE) AS conf_b_a,
+             |  (CAST(pair_n AS DOUBLE) / CAST(baskets AS DOUBLE)) /
+             |  ((CAST(ia.n AS DOUBLE) / CAST(baskets AS DOUBLE)) *
+             |   (CAST(ib.n AS DOUBLE) / CAST(baskets AS DOUBLE))) AS lift
+             |FROM pc JOIN ic ia ON pc.item_a = ia.i0
+             |  JOIN ic ib ON pc.item_b = ib.i0 CROSS JOIN tot
+             |ORDER BY lift DESC, item_a, item_b""".stripMargin
+        .replace("\n", " ")))
+  }
+
   private def saltedQuery = QueryDef(
     "salted_agg_events",
     (s, dir) => Salting.saltedDistinctCount(
@@ -811,7 +854,7 @@ object PipelineQueries extends QueryPack {
     Seq(latestQuery, mergeQuery, asofQuery, featuresQuery, funnelQuery,
       retentionQuery, resampleQuery, anomalyQuery, changepointQuery,
       incrementalAggQuery, binningQuery, zorderQuery, rangeJoinQuery,
-      growthQuery, snapshotDiffQuery,
+      growthQuery, assocQuery, snapshotDiffQuery,
       snapshotDiffBucketedQuery, saltedQuery, saltedJoinQuery,
       scd2HistoryQuery, scd2MergeQuery)
 }

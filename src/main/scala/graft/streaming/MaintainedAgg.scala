@@ -34,9 +34,16 @@ object MaintainedAgg {
     * feed carries `opCol` ∈ {"I", "D"}; unknown ops fail fast (a CDC
     * feed with "U" rows must be exploded to delete+insert upstream —
     * silently ignoring them would corrupt the state).
+    *
+    * @param validate guard each batch against unknown ops BEFORE
+    *   applying it — one extra (short-circuiting) pass over the batch.
+    *   Default on: a corrupted state is unrecoverable without a
+    *   bootstrap rescan, so the pass is cheap insurance. A feed whose
+    *   producer already enforces the I/D contract can turn it off.
     */
   final class Maintainer(state0: DataFrame, groupCols: Seq[String],
-      valueCols: Seq[String], opCol: String = "op") {
+      valueCols: Seq[String], opCol: String = "op",
+      validate: Boolean = true) {
     @volatile private var current: DataFrame = state0
 
     /** The maintained state as of the last completed batch. */
@@ -47,9 +54,11 @@ object MaintainedAgg {
       IncrementalAgg.report(current, groupCols, valueCols)
 
     def processBatch(batch: DataFrame, batchId: Long): Unit = {
-      val bad = batch.filter(!col(opCol).isin("I", "D")).limit(1).count()
-      require(bad == 0,
-        s"CDC feed contains ops other than I/D (batch $batchId)")
+      if (validate) {
+        val bad = batch.filter(!col(opCol).isin("I", "D")).limit(1).count()
+        require(bad == 0,
+          s"CDC feed contains ops other than I/D (batch $batchId)")
+      }
       val next = IncrementalAgg.applyDelta(current,
         batch.filter(col(opCol) === "I").drop(opCol),
         batch.filter(col(opCol) === "D").drop(opCol),

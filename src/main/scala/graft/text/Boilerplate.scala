@@ -25,17 +25,23 @@ import org.apache.spark.sql.functions._
   * `ceil` (exact for any plausible document count), so the oracle
   * replays bit-for-bit.
   *
-  * Scale shape: one `posexplode` pass makes line rows (linear); the
-  * per-(source, line) document frequency is a distinct + map-side-
-  * combinable count whose output is template-cardinality-sized; the
-  * boilerplate set (lines that CLEARED the threshold — far smaller
-  * still) broadcasts onto the line stream under `broadcastCommon`
-  * (default true; at pathological template cardinality drop to false
-  * and the same plan shuffles); reassembly is ONE shuffle by document
-  * id. The corpus text itself is never joined against anything
-  * corpus-sized. At 100 TB the only sizing dial is the line-frequency
-  * frame: host-level grouping keeps it bounded by templates-per-host,
-  * the exact shape CCNet runs at crawl scale.
+  * Scale shape: the `posexplode` line stream is PRODUCED TWICE — once
+  * for the document-frequency count, once for the rebuild join — a
+  * deliberate recompute-over-cache call: splitting strings is cheap
+  * codegen'd scan work, while persisting a corpus-sized line frame at
+  * 100 TB would evict everything else (contrast [[Collocations]],
+  * whose persisted frame feeds THREE consumers and is token-sized
+  * before any explode multiplies it). The per-(source, line) document
+  * frequency is a distinct + map-side-combinable count whose output is
+  * template-cardinality-sized; the boilerplate set (lines that CLEARED
+  * the threshold — far smaller still) broadcasts onto the line stream
+  * under `broadcastCommon` (default true; at pathological template
+  * cardinality drop to false and the same plan shuffles); reassembly
+  * is ONE shuffle by document id. The corpus text itself is never
+  * joined against anything corpus-sized. At 100 TB the only sizing
+  * dial is the line-frequency frame: host-level grouping keeps it
+  * bounded by templates-per-host, the exact shape CCNet runs at crawl
+  * scale.
   */
 object Boilerplate {
 
