@@ -50,7 +50,12 @@ object AssociationRules {
       minSupport: Int = 2, maxBasket: Int = 256): DataFrame = {
     require(basketCols.nonEmpty, "need at least one basket column")
     require(maxBasket >= 2, "maxBasket must allow at least a pair")
+    // null items are dropped EXPLICITLY (not by collect_set's silent
+    // skip): "unknown item" is not a rule antecedent, and making the
+    // policy a visible filter keeps the engine and any SQL replay
+    // agreeing on basket size, supports, and the maxBasket cutoff
     val baskets = df
+      .filter(col(itemCol).isNotNull)
       .groupBy(basketCols.map(col): _*)
       .agg(sort_array(collect_set(col(itemCol).cast("string")))
         .as("__items"))

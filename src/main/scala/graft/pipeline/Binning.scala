@@ -27,9 +27,10 @@ import org.apache.spark.sql.functions._
   */
 object Binning {
 
-  /** Appends `bin` ∈ 1..k (null value → null bin): the value's
-    * within-`groupCol` quantile bucket under cut points at
-    * `i/k, i = 1..k−1`.
+  /** Appends `bin` ∈ 1..k: the value's within-`groupCol` quantile
+    * bucket under cut points at `i/k, i = 1..k−1`. Rows are NEVER
+    * dropped: a null value, a null group, or a group with no non-null
+    * values gets a null bin instead.
     */
   def withQuantileBins(df: DataFrame, groupCol: String, valueCol: String,
       k: Int): DataFrame = {
@@ -39,9 +40,15 @@ object Binning {
     val cuts = df.groupBy(col(groupCol))
       .agg(expr(s"transform(percentile($valueCol, $probs), " +
         "x -> round(x, 4))").as("__cuts"))
-    df.join(broadcast(cuts), groupCol)
+    // LEFT join: an inner join's EqualTo would silently DROP every
+    // null-group row (the transform contract is one row out per row
+    // in); unmatched rows — null group, or a group whose values were
+    // all null (percentile null → null cuts) — keep their row and get
+    // a null bin via the guard below
+    df.join(broadcast(cuts), Seq(groupCol), "left")
       .withColumn("bin",
-        when(col(valueCol).isNull, lit(null).cast("int"))
+        when(col(valueCol).isNull || col("__cuts").isNull,
+          lit(null).cast("int"))
           .otherwise(size(filter(col("__cuts"),
             b => b < col(valueCol))) + 1))
       .drop("__cuts")

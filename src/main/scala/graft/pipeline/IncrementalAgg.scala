@@ -71,8 +71,22 @@ object IncrementalAgg {
           val v = round(col(c).cast("double"), 4).cast("decimal(20,4)")
           sum(when(col("__sign") > 0, v).otherwise(-v)).as(s"__d_sum_$c")
         }: _*)
-    state.join(delta, groupCols, "full_outer")
-      .select(groupCols.map(col) ++
+    // null-SAFE key equality: a NULL group is a group like any other
+    // (the Drift value-join ruling) — a USING join's EqualTo would
+    // leave a null-keyed state row and its delta unmatched, silently
+    // discarding the delete and duplicating the insert
+    val st = state.select(
+      groupCols.map(c => col(c).as(s"__s_$c")) ++
+        Seq(col("cnt")) ++ valueCols.map(c => col(s"sum_$c")): _*)
+    val cond = groupCols.map(c => col(s"__s_$c") <=> col(s"__d_$c"))
+      .reduce(_ && _)
+    val dl = delta.select(
+      groupCols.map(c => col(c).as(s"__d_$c")) ++
+        Seq(col("__d_cnt")) ++
+        valueCols.map(c => col(s"__d_sum_$c")): _*)
+    st.join(dl, cond, "full_outer")
+      .select(groupCols.map(c =>
+        coalesce(col(s"__s_$c"), col(s"__d_$c")).as(c)) ++
         Seq((coalesce(col("cnt"), lit(0L)) +
           coalesce(col("__d_cnt"), lit(0L))).as("cnt")) ++
         valueCols.map { c =>

@@ -334,7 +334,7 @@ object PipelineQueries extends QueryPack {
            |  AND g.slot = o.slot
            |ORDER BY 1, 2""".stripMargin.replace("\n", " ")))
 
-  /** Robust per-user anomaly detection composed over the resampled
+  /** Robust per-user anomaly detection over the per-slot deduped
     * series ([[Timeseries.robustAnomalies]]): modified z-score
     * (median/MAD, 4dp-rounded stats) on OBSERVED slots — synthetic
     * forward-fills are continuity for downstream features, not
@@ -343,11 +343,13 @@ object PipelineQueries extends QueryPack {
     */
   private def anomalyQuery = QueryDef(
     "events_anomaly_robust",
+    // lastPerSlot, not resampleFfill(...).filter(observed): identical
+    // frame, but without materializing and forward-filling the full
+    // grid only to discard the fills (review finding, fourth pass)
     (s, dir) => Timeseries.robustAnomalies(
-        Timeseries.resampleFfill(
+        Timeseries.lastPerSlot(
           Tables.load(s, dir, "events"), "user_id", "ts", "value",
-          ResampleStepUs, "event_id")
-          .filter(col("observed")),
+          ResampleStepUs, "event_id"),
         "user_id", "slot", "value")
       .orderBy("user_id", "slot"),
     Some(s"""WITH s AS (SELECT user_id,
@@ -687,7 +689,8 @@ object PipelineQueries extends QueryPack {
             col("event_type")),
         Seq("user_id", "day"), "event_type", minSupport = 5),
       Some(s"""WITH it AS (SELECT DISTINCT user_id,
-             |    epoch_us(ts) // $dayUs AS day, event_type FROM events),
+             |    epoch_us(ts) // $dayUs AS day, event_type FROM events
+             |    WHERE event_type IS NOT NULL),
              |bk AS (SELECT user_id, day, list_sort(list(event_type))
              |    AS items FROM it GROUP BY 1, 2),
              |ok AS (SELECT * FROM bk WHERE len(items) <= 256),

@@ -39,20 +39,12 @@ object Timeseries {
   def resampleFfill(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, stepUs: Long,
       tieBreaker: String): DataFrame = {
-    require(stepUs > 0, "stepUs must be positive")
-    val slotted = df.select(col(keyCol),
-      expr(s"unix_micros($tsCol) DIV ${stepUs}L").as("slot"),
-      col(valueCol).as("__v"), col(tieBreaker).as("__tb"),
-      unix_micros(col(tsCol)).as("__ts"))
-    // last observation per (key, slot) — deterministic under the
-    // (ts desc, tiebreak desc) total order
-    val wSlot = Window.partitionBy(col(keyCol), col("slot"))
-      .orderBy(col("__ts").desc, col("__tb").desc)
-    val obs = slotted.withColumn("__rn", row_number().over(wSlot))
-      .filter(col("__rn") === 1)
-      .select(col(keyCol), col("slot"), col("__v"))
-    // per-key slot grid, exploded map-side from the bounds row
-    val grid = slotted.groupBy(col(keyCol))
+    val obs = lastPerSlot(df, keyCol, tsCol, valueCol, stepUs, tieBreaker)
+      .withColumnRenamed("value", "__v")
+    // per-key slot grid, exploded map-side from the bounds row (bounds
+    // of the deduped frame ≡ bounds of the raw observations — dedup
+    // keeps every distinct (key, slot))
+    val grid = obs.groupBy(col(keyCol))
       .agg(min(col("slot")).as("__lo"), max(col("slot")).as("__hi"))
       .select(col(keyCol),
         explode(sequence(col("__lo"), col("__hi"))).as("slot"))
@@ -63,6 +55,31 @@ object Timeseries {
         (col("slot") * stepUs).as("slot_ts_us"),
         last(col("__v"), ignoreNulls = true).over(wFill).as("value"),
         col("__v").isNotNull.as("observed"))
+  }
+
+  /** The dedup stage alone: `(keyCol, slot, value)` — each key-slot's
+    * LAST observation, no grid, no fill. [[resampleFfill]] composes
+    * this; a consumer that only wants OBSERVED slots (e.g.
+    * [[robustAnomalies]], which scores measurements, not synthetic
+    * fills) calls it directly and skips the grid explode + fill window
+    * entirely — `resampleFfill(...).filter(observed)` computes the
+    * identical frame at the cost of materializing and filling the full
+    * grid first.
+    */
+  def lastPerSlot(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, stepUs: Long, tieBreaker: String): DataFrame = {
+    require(stepUs > 0, "stepUs must be positive")
+    val slotted = df.select(col(keyCol),
+      expr(s"unix_micros($tsCol) DIV ${stepUs}L").as("slot"),
+      col(valueCol).as("__v"), col(tieBreaker).as("__tb"),
+      unix_micros(col(tsCol)).as("__ts"))
+    // last observation per (key, slot) — deterministic under the
+    // (ts desc, tiebreak desc) total order
+    val wSlot = Window.partitionBy(col(keyCol), col("slot"))
+      .orderBy(col("__ts").desc, col("__tb").desc)
+    slotted.withColumn("__rn", row_number().over(wSlot))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("slot"), col("__v").as("value"))
   }
 
   /** Per-key robust anomaly detection over a (key, slot, value) series —

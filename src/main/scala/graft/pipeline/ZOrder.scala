@@ -32,7 +32,13 @@ object ZOrder {
     val cells = 1L << bits
     val raw = floor(((v.cast("double") - lit(lo)) / lit(hi - lo))
       * lit(cells.toDouble)).cast("long")
-    greatest(lit(0L), least(lit(cells - 1), raw))
+    // null and NaN pin to cell 0 EXPLICITLY: least/greatest skip nulls
+    // (a bare clamp would z-order every null row into the TOP corner,
+    // polluting the max-cell's min/max stats), and a NaN reaching the
+    // long cast would throw under ANSI. Cell 0 keeps unknowns in one
+    // corner, as a layout policy should.
+    when(v.isNull || isnan(v.cast("double")), lit(0L))
+      .otherwise(greatest(lit(0L), least(lit(cells - 1), raw)))
   }
 
   /** Morton interleave of two `bits`-wide cell indices: bit i of `cx`

@@ -306,7 +306,7 @@ object ProfileQueries extends QueryPack {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
     def m(x: String, y: String): String = {
       def d(c: String) = s"CAST(round(CAST($c AS DOUBLE), 2) " +
-        s"AS DECIMAL(12,2))"
+        s"AS DECIMAL(18,2))"
       val b = s"$x IS NOT NULL AND $y IS NOT NULL"
       s"count(CASE WHEN $b THEN 1 END) AS n_${x}_$y, " +
         s"CAST(sum(CASE WHEN $b THEN ${d(x)} END) AS DOUBLE) AS sx_${x}_$y, " +

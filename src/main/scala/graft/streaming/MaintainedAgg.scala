@@ -45,6 +45,7 @@ object MaintainedAgg {
       valueCols: Seq[String], opCol: String = "op",
       validate: Boolean = true) {
     @volatile private var current: DataFrame = state0
+    @volatile private var lastApplied: Long = Long.MinValue
 
     /** The maintained state as of the last completed batch. */
     def state: DataFrame = current
@@ -54,6 +55,17 @@ object MaintainedAgg {
       IncrementalAgg.report(current, groupCols, valueCols)
 
     def processBatch(batch: DataFrame, batchId: Long): Unit = {
+      // foreachBatch is AT-LEAST-once: a failure between this method
+      // completing and the streaming commit re-delivers the same
+      // batchId — applying it twice would double the delta. Batch ids
+      // are monotone within a checkpointed query, so the standard
+      // skip-if-seen guard makes the apply effectively-once. (A
+      // RESTARTED query resuming an old checkpoint against a fresh
+      // in-memory Maintainer is the caller's contract: bootstrap
+      // state0 from the durably-stored state that matches the
+      // checkpoint, exactly as any foreachBatch sink pairs its
+      // storage with the checkpoint location.)
+      if (batchId <= lastApplied) return
       if (validate) {
         val bad = batch.filter(!col(opCol).isin("I", "D")).limit(1).count()
         require(bad == 0,
@@ -64,6 +76,7 @@ object MaintainedAgg {
         batch.filter(col(opCol) === "D").drop(opCol),
         groupCols, valueCols).localCheckpoint(true)
       current = next
+      lastApplied = batchId
     }
   }
 }

@@ -54,8 +54,15 @@ object Boilerplate {
       textCol: String, minFrac: Double = 0.5, minDocs: Int = 2,
       broadcastCommon: Boolean = true): DataFrame = {
     require(minFrac > 0 && minFrac <= 1, "minFrac must be in (0, 1]")
+    // null text → empty text BEFORE the explode: posexplode of a null
+    // array emits no rows, which would silently DROP the document from
+    // the output — breaking the one-row-per-document contract this
+    // scaladoc promises. An empty string explodes to one empty line,
+    // keeping the row (and, like any line, an empty line only becomes
+    // template if enough documents of the source share it).
     val lines = docs.select(col(idCol), col(sourceCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+        .as(Seq("__pos", "__line")))
     val srcSizes = docs.groupBy(col(sourceCol))
       .agg(countDistinct(col(idCol)).as("__src_docs"))
     // document frequency per (source, line): distinct docs, then count

@@ -70,6 +70,18 @@ class AssociationRulesSpec extends SparkSpec {
     assert(tc._9 < 1.0, s"expected lift < 1, got ${tc._9}")
   }
 
+  test("null items are excluded from baskets, supports, and pairs") {
+    val df = Seq((Option("b1"), Option("a")), (Option("b1"), None),
+      (Option("b1"), Option("b")), (Option("b2"), Option("a")))
+      .map { case (b, i) => (b.get, i) }.toDF("basket", "item")
+    val out = AssociationRules.pairRules(df, Seq("basket"), "item", 1)
+      .as[(String, String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    // basket b1 = {a, b} (null dropped), supports a=2 b=1, baskets=2
+    assert(out.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)) ===
+      Seq(("a", "b", 1L, 2L, 1L, 2L)))
+  }
+
   test("plan: pairs expand map-side from the basket frame — no self-join") {
     val baskets = basketsOf(("b1", "a"), ("b1", "b"), ("b2", "a"))
       .groupBy("basket")

@@ -54,6 +54,20 @@ class BinningSpec extends SparkSpec {
     assert(sorted.map(_._3.get) === sorted.map(_._3.get).sorted)
   }
 
+  test("rows are never dropped: null group and all-null group get null bins") {
+    val df = Seq((Option("a"), Option(1.0)), (Option("a"), Option(2.0)),
+      (None, Option(5.0)), (Option("allnull"), Option.empty[Double]))
+      .toDF("g", "v")
+    val out = Binning.withQuantileBins(df, "g", "v", 2)
+    assert(out.count() === 4, "binning must preserve every input row")
+    val nullGroup = out.filter(col("g").isNull)
+      .select("bin").as[Option[Int]].collect()
+    assert(nullGroup.toSeq === Seq(None))
+    val allNull = out.filter(col("g") === "allnull")
+      .select("bin").as[Option[Int]].collect()
+    assert(allNull.toSeq === Seq(None))
+  }
+
   test("plan: cut table broadcasts; no window over the corpus; no cartesian") {
     val df = (1 to 20).map(i => ("a", i.toDouble)).toDF("g", "v")
     val plan = Binning.withQuantileBins(df, "g", "v", 4)

@@ -72,6 +72,24 @@ class IncrementalAggSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(snapshot(next) === Seq(("x", 1L, 0.1, 0.1)))
   }
 
+  test("null group keys are groups like any other (null-safe delta join)") {
+    val a = Seq((Option("x"), 1.0), (None, 2.0), (None, 3.0))
+      .toDF("g", "v")
+    val del = Seq((Option.empty[String], 2.0)).toDF("g", "v")
+    val ins = Seq((Option.empty[String], 10.0)).toDF("g", "v")
+    val next = IncrementalAgg.applyDelta(
+      IncrementalAgg.aggState(a, Seq("g"), Seq("v")), ins, del,
+      Seq("g"), Seq("v"))
+    val out = IncrementalAgg.report(next, Seq("g"), Seq("v"))
+      .as[(Option[String], Long, Double, Double)].collect().toSeq
+    val nullRow = out.find(_._1.isEmpty).get
+    // (null: 2,3) − delete(2) + insert(10) → cnt 2, sum 13 — a non-
+    // null-safe join would leave the stale (2, 5.0) row AND drop the
+    // delta entirely
+    assert(nullRow._2 === 2L && nullRow._3 === 13.0)
+    assert(out.size === 2)
+  }
+
   test("plan: applying a delta never rescans the corpus side") {
     // state materialized (as a maintained aggregate table would be);
     // the delta plan must reference only the change feed + state

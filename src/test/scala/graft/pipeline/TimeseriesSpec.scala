@@ -113,6 +113,21 @@ class TimeseriesSpec extends SparkSpec {
     assert(flagged === Set(("A", 4L)))
   }
 
+  test("lastPerSlot ≡ resampleFfill filtered to observed slots") {
+    val events = eventsOf(
+      (1 to 60).map(i => ("K" + i % 4, i * 37L % 900, i.toDouble,
+        i.toLong)): _*)
+    val direct = Timeseries.lastPerSlot(events, "k", "ts", "v", Step, "id")
+      .select("k", "slot", "value")
+      .as[(String, Long, Double)].collect().toSeq.sorted
+    val viaGrid = Timeseries
+      .resampleFfill(events, "k", "ts", "v", Step, "id")
+      .filter(col("observed"))
+      .select("k", "slot", "value")
+      .as[(String, Long, Double)].collect().toSeq.sorted
+    assert(direct === viaGrid)
+  }
+
   test("plan: grid explodes map-side from bounds; no corpus-sized join") {
     val events = eventsOf(
       (1 to 50).map(i => ("K" + i % 5, i * 40L, i.toDouble, i.toLong)): _*)

@@ -60,6 +60,16 @@ class ZOrderSpec extends SparkSpec {
     assert(zScan <= 9, s"box should touch ≤9 z-files, got $zScan")
   }
 
+  test("null and NaN pin to cell 0, never the top corner") {
+    val out = Seq(Option(25.0), None, Option(Double.NaN))
+      .toDF("v")
+      .select(ZOrder.cell(col("v"), 0.0, 50.0, 3).as("c"))
+      .as[Long].collect().toSeq
+    // least/greatest SKIP nulls — an unguarded clamp would send null
+    // to cell 7 (the max corner), poisoning that cell's min/max stats
+    assert(out === Seq(4L, 0L, 0L))
+  }
+
   test("zValue is deterministic and stable across evaluation") {
     val df = Seq((3.7, 91.2), (49.9, 0.1)).toDF("a", "b")
     val z = ZOrder.zValue(col("a"), 0.0, 50.0, col("b"), 0.0, 100.0, 5)

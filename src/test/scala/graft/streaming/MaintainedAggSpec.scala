@@ -82,6 +82,19 @@ class MaintainedAggSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("CDC feed")))
   }
 
+  test("a redelivered batchId is applied once (at-least-once safety)") {
+    val m = new MaintainedAgg.Maintainer(
+      IncrementalAgg.aggState(rowsOf(("x", 1.0)), Seq("g"), Seq("v"))
+        .localCheckpoint(true), Seq("g"), Seq("v"))
+    val batch = Seq(("I", "x", 5.0)).toDF("op", "g", "v")
+    m.processBatch(batch, 0L)
+    m.processBatch(batch, 0L) // foreachBatch retry after a commit race
+    assert(snapshot(m) === Seq(("x", 2L, 6.0, 3.0)),
+      "the retried batch must not double-apply")
+    m.processBatch(batch, 1L)
+    assert(snapshot(m) === Seq(("x", 3L, 11.0, 11.0 / 3)))
+  }
+
   test("state lineage stays one plan deep across many batches") {
     val m = run(
       IncrementalAgg.aggState(rowsOf(base: _*), Seq("g"), Seq("v"))

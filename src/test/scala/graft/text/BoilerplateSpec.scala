@@ -64,6 +64,16 @@ class BoilerplateSpec extends SparkSpec {
     assert(out.head._5 === "promo\na")
   }
 
+  test("a null-text document keeps its row (one row per input document)") {
+    val df = Seq((1L, "s", Option("a\nb")), (2L, "s", Option.empty[String]))
+      .toDF("doc_id", "source", "text")
+    val out = Boilerplate
+      .removeCommonLines(df, "doc_id", "source", "text")
+      .as[(Long, String, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(out.size === 2, "null text must not drop the document")
+    assert(out(1)._5 === "" && out(1)._3 === 1L)
+  }
+
   test("plan: no cartesian; the boilerplate set broadcasts onto the lines") {
     val df = docsOf((1L, "s", "H\na"), (2L, "s", "H\nb"))
     val plan = Boilerplate.removeCommonLines(df, "doc_id", "source", "text")
