@@ -101,6 +101,9 @@ class AssociationRulesSpec extends SparkSpec {
   }
 
   test("releases its persisted basket frame") {
+    // clean baseline first: a PRIOR suite's leftover cache entry must
+    // not be attributed to pairRules (the assert below is global)
+    spark.catalog.clearCache()
     val out = AssociationRules.pairRules(
       basketsOf(("b1", "a"), ("b1", "b")), Seq("basket"), "item", 1)
     assert(out.count() === 1)

@@ -72,6 +72,9 @@ class CollocationsSpec extends SparkSpec {
   }
 
   test("releases its persisted tokens frame (no cache leak per call)") {
+    // clean baseline first: a PRIOR suite's leftover cache entry must
+    // not be attributed to topBigrams (the assert below is global)
+    spark.catalog.clearCache()
     val docs = docsOf("a b", "b c")
     val out = Collocations.topBigrams(docs, "text", minCount = 1, k = 5)
     assert(out.count() === 2)
