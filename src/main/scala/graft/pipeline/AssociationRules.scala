@@ -47,7 +47,8 @@ object AssociationRules {
     * returning (the [[graft.text.Vocab]] lifecycle).
     */
   def pairRules(df: DataFrame, basketCols: Seq[String], itemCol: String,
-      minSupport: Int = 2, maxBasket: Int = 256): DataFrame = {
+      minSupport: Int = 2, maxBasket: Int = 256,
+      broadcastSupports: Boolean = true): DataFrame = {
     require(basketCols.nonEmpty, "need at least one basket column")
     require(maxBasket >= 2, "maxBasket must allow at least a pair")
     // null items are dropped EXPLICITLY (not by collect_set's silent
@@ -61,7 +62,8 @@ object AssociationRules {
         .as("__items"))
       .filter(size(col("__items")) <= maxBasket)
       .persist()
-    try pairRulesPlan(baskets, minSupport).localCheckpoint(true)
+    try pairRulesPlan(baskets, minSupport, broadcastSupports)
+      .localCheckpoint(true)
     finally { baskets.unpersist(blocking = false); () }
   }
 
@@ -70,7 +72,7 @@ object AssociationRules {
     * map-side pair expansion and broadcast joins.
     */
   private[pipeline] def pairRulesPlan(baskets: DataFrame,
-      minSupport: Int): DataFrame = {
+      minSupport: Int, broadcastSupports: Boolean = true): DataFrame = {
     val pairs = baskets
       .filter(size(col("__items")) >= 2)
       .select(explode(expr(
@@ -84,10 +86,15 @@ object AssociationRules {
     val itemN = baskets.select(explode(col("__items")).as("__i"))
       .groupBy("__i").agg(count(lit(1)).as("n"))
     val total = broadcast(baskets.agg(count(lit(1)).as("baskets")))
+    // item-cardinality frames: broadcast under the dial, never forced
+    // past it (the corpus-sized-broadcast lesson from the resample
+    // probe applies to any frame that grows with the data)
+    def maybe(f: DataFrame): DataFrame =
+      if (broadcastSupports) broadcast(f) else f
     pairs
-      .join(broadcast(itemN.select(col("__i").as("item_a"),
+      .join(maybe(itemN.select(col("__i").as("item_a"),
         col("n").as("a_n"))), "item_a")
-      .join(broadcast(itemN.select(col("__i").as("item_b"),
+      .join(maybe(itemN.select(col("__i").as("item_b"),
         col("n").as("b_n"))), "item_b")
       .crossJoin(total)
       .select(col("item_a"), col("item_b"), col("pair_n"), col("a_n"),

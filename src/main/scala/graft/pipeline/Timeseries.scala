@@ -50,7 +50,15 @@ object Timeseries {
         explode(sequence(col("__lo"), col("__hi"))).as("slot"))
     val wFill = Window.partitionBy(col(keyCol)).orderBy(col("slot"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(obs, Seq(keyCol, "slot"), "left")
+    // the obs side is CORPUS-SIZED (one row per observed key-slot — it
+    // grows with the data), so it must never broadcast; without the
+    // hint, Catalyst's static size estimate squeezed a 766k-row obs
+    // frame under the 10 MB threshold at probe x10 and collected it
+    // through the driver (measured 14.5s vs 4.7s for 3× MORE data at
+    // x30, where the estimate tipped over into the correct shuffle
+    // join). Both sides are (key, slot)-keyed; the merge join is the
+    // plan that survives any scale.
+    grid.join(obs.hint("merge"), Seq(keyCol, "slot"), "left")
       .select(col(keyCol), col("slot"),
         (col("slot") * stepUs).as("slot_ts_us"),
         last(col("__v"), ignoreNulls = true).over(wFill).as("value"),
@@ -107,14 +115,19 @@ object Timeseries {
   def robustAnomalies(series: DataFrame, keyCol: String, slotCol: String,
       valueCol: String, threshold: Double = 3.5): DataFrame = {
     val v = col(valueCol).cast("double")
+    // med/mad are KEY-cardinality frames — small for bounded key
+    // domains but unbounded in general (billions of users), so the
+    // broadcast decision belongs to Catalyst's stats, not a forced
+    // hint: under the threshold it broadcasts anyway; above it the
+    // keyed shuffle join is the only plan that works at all
     val med = series.groupBy(col(keyCol))
       .agg(round(expr(s"percentile($valueCol, 0.5)"), 4).as("med"))
-    val withMed = series.join(broadcast(med), Seq(keyCol))
+    val withMed = series.join(med, Seq(keyCol))
       .select(col(keyCol), col(slotCol).as("slot"), v.as("value"),
         col("med"), abs(v - col("med")).as("__dev"))
     val mad = withMed.groupBy(col(keyCol))
       .agg(round(expr("percentile(__dev, 0.5)"), 4).as("mad"))
-    withMed.join(broadcast(mad), Seq(keyCol))
+    withMed.join(mad, Seq(keyCol))
       .select(col(keyCol), col("slot"), col("value"), col("med"),
         col("mad"),
         when(col("mad") === 0, lit(0.0))
