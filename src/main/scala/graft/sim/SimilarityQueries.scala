@@ -445,8 +445,55 @@ object SimilarityQueries extends QueryPack {
         s"WHERE rn <= $K ORDER BY query_id, rank"
     })
 
+  /** Hybrid retrieval ([[HybridSearch.rrf]]): the BM25 sparse ranking
+    * (same gate terms as `text_bm25_documents`, cut at 20) fused with a
+    * dense cosine ranking against document 0's embedding (brute top-20
+    * — exact, so the fusion is graded on its own semantics, not on ANN
+    * recall). Both rankers and the RRF tree are replayed verbatim in
+    * the oracle; the two contribution divisions commute, so the fused
+    * doubles hash-match.
+    */
+  private def hybridQuery = {
+    val terms = Seq("dup", "window", "scan")
+    QueryDef("search_hybrid_documents",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents", parallelize = true)
+        val emb = Tables.load(s, dir, "embeddings")
+        val sparse = graft.text.Bm25.rank(docs, "doc_id", "text", terms,
+          k = 20, rationalIdf = true).select(col("doc_id"), col("rank"))
+        val dense = Similarity.bruteForceTopK(emb,
+            emb.filter(col("vec_id") === 0), "vec_id", "embedding", 20)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        HybridSearch.rrf(Seq(("bm25", sparse), ("dense", dense)),
+          c = 60, k = 10)
+      },
+      Some("WITH " + graft.text.TextQueries.bm25ScoredCtes(terms) + ", " +
+        "sparse AS (SELECT CAST(row_number() OVER (ORDER BY score DESC, " +
+        "doc_id) AS BIGINT) AS rank_bm25, doc_id FROM scored " +
+        "ORDER BY score DESC, doc_id LIMIT 20), " +
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "qv AS (SELECT v FROM e WHERE vec_id = 0), " +
+        "sc AS (SELECT c.vec_id AS doc_id, " +
+        "CASE WHEN sqrt(list_dot_product(qv.v, qv.v)) * " +
+        "sqrt(list_dot_product(c.v, c.v)) = 0 THEN 0.0 " +
+        "ELSE list_dot_product(qv.v, c.v) / " +
+        "(sqrt(list_dot_product(qv.v, qv.v)) * " +
+        "sqrt(list_dot_product(c.v, c.v))) END AS cosine " +
+        "FROM e c, qv WHERE c.vec_id <> 0), " +
+        "dense AS (SELECT CAST(row_number() OVER (ORDER BY cosine DESC, " +
+        "doc_id) AS BIGINT) AS rank_dense, doc_id FROM sc " +
+        "ORDER BY cosine DESC, doc_id LIMIT 20), " +
+        "f AS (SELECT coalesce(sparse.doc_id, dense.doc_id) AS doc_id, " +
+        "rank_bm25, rank_dense FROM sparse FULL OUTER JOIN dense " +
+        "ON sparse.doc_id = dense.doc_id) " +
+        "SELECT doc_id, rank_bm25, rank_dense, " +
+        "coalesce(1.0 / (60.0 + CAST(rank_bm25 AS DOUBLE)), 0.0) + " +
+        "coalesce(1.0 / (60.0 + CAST(rank_dense AS DOUBLE)), 0.0) " +
+        "AS rrf_score FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10"))
+  }
+
   override def queries: Seq[QueryDef] =
     Seq(bruteQuery, lshQuery, ivfQuery, ivfTrainedQuery, knnBruteQuery,
       knnLshQuery, quantizeQuery, quantTopkQuery,
-      centroidQuery, projectQuery, projTopkQuery)
+      centroidQuery, projectQuery, projTopkQuery, hybridQuery)
 }

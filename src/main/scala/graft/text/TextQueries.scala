@@ -643,43 +643,49 @@ object TextQueries extends QueryPack {
     * so the SCORES hash-compare bit-identically (not just the ranking).
     * The oracle mirrors the expression tree term by term.
     */
+  /** The BM25 rational-idf oracle's CTE chain up to `scored(doc_id,
+    * score)` — shared with the hybrid-retrieval lane
+    * ([[graft.sim.SimilarityQueries]]), which fuses the same sparse
+    * ranking with a dense one.
+    */
+  private[graft] def bm25ScoredCtes(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val tfCols = terms.map(t =>
+      s"max(CASE WHEN term = '$t' THEN tf END) AS tf_$t").mkString(", ")
+    val dfCols = terms.map(t =>
+      s"max(CASE WHEN term = '$t' THEN df END) AS df_$t").mkString(", ")
+    val scoreSum = terms.map { t =>
+      s"CASE WHEN tf_$t IS NOT NULL AND df_$t IS NOT NULL THEN " +
+        s"(CAST(2 * n - 2 * df_$t + 1 AS DOUBLE) / " +
+        s"CAST(2 * df_$t + 1 AS DOUBLE)) * " +
+        s"(CAST(22 * d_total * tf_$t AS DOUBLE) / " +
+        s"CAST(10 * d_total * tf_$t + 3 * d_total + 9 * dl * n " +
+        "AS DOUBLE)) ELSE 0.0 END"
+    }.mkString(" + ")
+    s"toks AS (SELECT doc_id, $tokensSql AS t FROM documents), " +
+      "b AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM toks), " +
+      "stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) " +
+      "AS d_total FROM b), " +
+      "tr AS (SELECT doc_id, dl, unnest(t) AS term FROM b), " +
+      "tfr AS (SELECT doc_id, dl, term, count(*) AS tf FROM tr " +
+      s"WHERE term IN ($inList) GROUP BY 1, 2, 3), " +
+      s"piv AS (SELECT doc_id, dl, $tfCols FROM tfr GROUP BY 1, 2), " +
+      s"dfs AS (SELECT $dfCols FROM (SELECT term, " +
+      "count(DISTINCT doc_id) AS df FROM tfr GROUP BY 1)), " +
+      "scored AS (SELECT doc_id, " + scoreSum + " AS score " +
+      "FROM piv CROSS JOIN stats CROSS JOIN dfs)"
+  }
+
   private def bm25Query = QueryDef(
     "text_bm25_documents",
     (s, dir) => Bm25.rank(
         Tables.load(s, dir, "documents", parallelize = true),
         "doc_id", "text", Bm25GateTerms, k = 10, rationalIdf = true)
       .orderBy("rank"),
-    Some {
-      val terms = Bm25GateTerms
-      val inList = terms.map(t => s"'$t'").mkString(", ")
-      val tfCols = terms.map(t =>
-        s"max(CASE WHEN term = '$t' THEN tf END) AS tf_$t").mkString(", ")
-      val dfCols = terms.map(t =>
-        s"max(CASE WHEN term = '$t' THEN df END) AS df_$t").mkString(", ")
-      val scoreSum = terms.map { t =>
-        s"CASE WHEN tf_$t IS NOT NULL AND df_$t IS NOT NULL THEN " +
-          s"(CAST(2 * n - 2 * df_$t + 1 AS DOUBLE) / " +
-          s"CAST(2 * df_$t + 1 AS DOUBLE)) * " +
-          s"(CAST(22 * d_total * tf_$t AS DOUBLE) / " +
-          s"CAST(10 * d_total * tf_$t + 3 * d_total + 9 * dl * n " +
-          "AS DOUBLE)) ELSE 0.0 END"
-      }.mkString(" + ")
-      s"WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents), " +
-        "b AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM toks), " +
-        "stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) " +
-        "AS d_total FROM b), " +
-        "tr AS (SELECT doc_id, dl, unnest(t) AS term FROM b), " +
-        "tfr AS (SELECT doc_id, dl, term, count(*) AS tf FROM tr " +
-        s"WHERE term IN ($inList) GROUP BY 1, 2, 3), " +
-        s"piv AS (SELECT doc_id, dl, $tfCols FROM tfr GROUP BY 1, 2), " +
-        s"dfs AS (SELECT $dfCols FROM (SELECT term, " +
-        "count(DISTINCT doc_id) AS df FROM tfr GROUP BY 1)), " +
-        "scored AS (SELECT doc_id, " + scoreSum + " AS score " +
-        "FROM piv CROSS JOIN stats CROSS JOIN dfs) " +
-        "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) " +
-        "AS BIGINT) AS rank, doc_id, score FROM scored " +
-        "ORDER BY score DESC, doc_id LIMIT 10"
-    })
+    Some("WITH " + bm25ScoredCtes(Bm25GateTerms) +
+      " SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) " +
+      "AS BIGINT) AS rank, doc_id, score FROM scored " +
+      "ORDER BY score DESC, doc_id LIMIT 10"))
 
   /** One rare term (`dup`: df ~ 5% of docs) and two common ones — the
     * spread that makes idf weighting visible in the gate result.
