@@ -244,6 +244,11 @@ object ScaleProbe {
     // user×buckets self-join; the windows run at bucket grain (fixed
     // time range) → expect near-linear in users
     ("events_growth", None, SparkEntry.queries("events_user_growth")),
+    // semantic decontam — broadcast eval probe, map-side n×|eval|
+    // scoring, combinable per-item max → expect linear in corpus at
+    // fixed eval size
+    ("decontam_semantic", None,
+      SparkEntry.queries("decontam_semantic_embeddings")),
     // association rules — one basket aggregation + map-side C(k,2)
     // pair expansion bounded by maxBasket → expect near-linear in
     // baskets

@@ -512,9 +512,46 @@ object DedupQueries extends QueryPack {
       .orderBy("id_a", "id_b"),
     None)
 
+  /** Semantic decontamination ([[EmbeddingDedup.evalOverlap]]): the
+    * held-out eval set is every tenth embedding, the corpus is the
+    * rest; flagged = best eval cosine ≥ 0.38 (the corpus p95 — the tail,
+    * not the bulk) with the argmax neighbor
+    * named. The struct-max argmax is replayed as a ranked window under
+    * the identical (cosine desc, eval_id) order.
+    */
+  private def semanticDecontamQuery = QueryDef(
+    "decontam_semantic_embeddings",
+    (s, dir) => {
+      val em = graft.io.Tables.load(s, dir, "embeddings")
+      EmbeddingDedup.evalOverlap(
+          em.filter(col("vec_id") % 10 =!= 0),
+          em.filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", threshold = 0.38)
+        .orderBy("vec_id")
+    },
+    Some(
+      """WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |c AS (SELECT * FROM em WHERE vec_id % 10 <> 0),
+        |ev AS (SELECT vec_id AS eval_id, v AS w FROM em
+        |  WHERE vec_id % 10 = 0),
+        |s AS (SELECT c.vec_id, ev.eval_id,
+        |  CASE WHEN sqrt(list_dot_product(c.v, c.v)) *
+        |    sqrt(list_dot_product(ev.w, ev.w)) = 0 THEN 0.0
+        |  ELSE list_dot_product(c.v, ev.w) /
+        |    (sqrt(list_dot_product(c.v, c.v)) *
+        |     sqrt(list_dot_product(ev.w, ev.w))) END AS cosine
+        |  FROM c, ev),
+        |r AS (SELECT vec_id, eval_id, cosine, row_number() OVER
+        |  (PARTITION BY vec_id ORDER BY cosine DESC, eval_id) AS rn
+        |  FROM s)
+        |SELECT vec_id, eval_id, cosine FROM r
+        |WHERE rn = 1 AND cosine >= 0.38
+        |ORDER BY vec_id""".stripMargin.replace("\n", " ")))
+
   override def queries: Seq[QueryDef] = Seq(
     exactQuery, jaccardQuery, clustersQuery, minhashQuery, simhashQuery,
     minhashProdQuery, simhashProdQuery,
     embBlockedQuery, embLshQuery, semdedupQuery, spanQuery,
-    incrementalQuery, sourceOverlapQuery)
+    incrementalQuery, sourceOverlapQuery, semanticDecontamQuery)
 }

@@ -73,6 +73,38 @@ object EmbeddingDedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Semantic decontamination — the embedding-space complement of
+    * [[graft.text.Decontam]]'s n-gram overlap: flag corpus items whose
+    * best cosine against ANY held-out eval embedding clears
+    * `threshold` (paraphrased benchmark questions share no n-grams but
+    * land next to each other in embedding space). Output:
+    * `(idCol, eval_id, cosine)` — the ARGMAX eval neighbor per flagged
+    * item (ties break to the lowest eval id via the struct order).
+    *
+    * Scale shape: the eval side is benchmark-sized by definition, so
+    * it BROADCASTS and the corpus×eval scoring is map-side (the
+    * Decontam broadcast-gram-probe shape); the per-item max is a
+    * map-side-combinable aggregate, so only n corpus rows ever
+    * shuffle, none of the n×m scored pairs. For an eval set too big to
+    * broadcast, compose [[lshCandidatePairs]] on the union instead —
+    * same verdict, candidate-bounded.
+    */
+  def evalOverlap(corpus: DataFrame, eval: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("__cv"))
+    val e = eval.select(col(idCol).as("eval_id"),
+      asDouble(col(vecCol)).as("__ev"))
+    c.crossJoin(broadcast(e))
+      .select(col(idCol), col("eval_id"),
+        Similarity.cosine(col("__cv"), col("__ev")).as("cosine"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("cosine"), (-col("eval_id")).as("__nid")))
+        .as("__m"))
+      .select(col(idCol), (-col("__m.__nid")).as("eval_id"),
+        col("__m.cosine").as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Candidate pairs (id_a < id_b) from corpus-scaled sign-LSH buckets —
     * public so the O(n) bound is directly testable.
     *

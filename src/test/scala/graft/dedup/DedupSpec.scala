@@ -296,6 +296,46 @@ class DedupSpec extends SparkSpec {
         "drifted")
   }
 
+  test("semantic decontam: planted paraphrase flagged with its argmax eval neighbor") {
+    // eval vector e0 = (1,0,0); corpus: c1 ≈ e0 (paraphrase), c2 ⟂ e0
+    val eval_ = Seq((0L, Seq(1f, 0f, 0f)), (10L, Seq(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(0.9f, 0.1f, 0f)), // near e0
+      (2L, Seq(0f, 0f, 1f)))     // orthogonal to both
+      .toDF("vec_id", "embedding")
+    val out = EmbeddingDedup
+      .evalOverlap(corpus, eval_, "vec_id", "embedding", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) === Seq((1L, 0L)))
+    assert(out.head._3 > 0.9)
+  }
+
+  test("semantic decontam: exact cosine ties break to the lowest eval id") {
+    val eval_ = Seq((30L, Seq(1f, 0f)), (10L, Seq(1f, 0f)),
+      (20L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val corpus = Seq((1L, Seq(2f, 0f))).toDF("vec_id", "embedding")
+    val out = EmbeddingDedup
+      .evalOverlap(corpus, eval_, "vec_id", "embedding", 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 10L, 1.0)))
+  }
+
+  test("semantic decontam plan: eval broadcasts; only corpus-grain rows shuffle") {
+    val eval_ = Seq((0L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val corpus = (1 to 50).map(i => (i.toLong, Seq(i.toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    val plan = EmbeddingDedup
+      .evalOverlap(corpus, eval_, "vec_id", "embedding", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"eval side must broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "the corpus-times-eval scoring must be a broadcast, never a " +
+        "shuffled cartesian")
+  }
+
   test("exact dedup collapses identical texts") {
     val df = Seq((1, "same"), (2, "same"), (3, "other")).toDF("id", "text")
     assert(Dedup.exact(df, Seq("text")).count() === 2)
