@@ -513,7 +513,10 @@ object DedupQueries extends QueryPack {
     None)
 
   /** Semantic decontamination ([[EmbeddingDedup.evalOverlap]]): the
-    * held-out eval set is every tenth embedding, the corpus is the
+    * held-out eval set is the first 50 embeddings — FIXED SIZE, the
+    * operator's contract (an eval benchmark does not grow with the
+    * corpus; the first probe cut eval as a corpus fraction and went
+    * superlinear, by construction) — the corpus is the
     * rest; flagged = best eval cosine ≥ 0.38 (the corpus p95 — the tail,
     * not the bulk) with the argmax neighbor
     * named. The struct-max argmax is replayed as a ranked window under
@@ -524,17 +527,17 @@ object DedupQueries extends QueryPack {
     (s, dir) => {
       val em = graft.io.Tables.load(s, dir, "embeddings")
       EmbeddingDedup.evalOverlap(
-          em.filter(col("vec_id") % 10 =!= 0),
-          em.filter(col("vec_id") % 10 === 0),
+          em.filter(col("vec_id") >= 50),
+          em.filter(col("vec_id") < 50),
           "vec_id", "embedding", threshold = 0.38)
         .orderBy("vec_id")
     },
     Some(
       """WITH em AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |  FROM embeddings),
-        |c AS (SELECT * FROM em WHERE vec_id % 10 <> 0),
+        |c AS (SELECT * FROM em WHERE vec_id >= 50),
         |ev AS (SELECT vec_id AS eval_id, v AS w FROM em
-        |  WHERE vec_id % 10 = 0),
+        |  WHERE vec_id < 50),
         |s AS (SELECT c.vec_id, ev.eval_id,
         |  CASE WHEN sqrt(list_dot_product(c.v, c.v)) *
         |    sqrt(list_dot_product(ev.w, ev.w)) = 0 THEN 0.0
