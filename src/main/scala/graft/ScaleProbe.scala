@@ -249,6 +249,10 @@ object ScaleProbe {
     // fixed eval size
     ("decontam_semantic", None,
       SparkEntry.queries("decontam_semantic_embeddings")),
+    // bucketed range join — interval explode bounded by length÷width,
+    // points key into one bucket, equi-join + residual → expect
+    // near-linear in events (users and their windows grow together)
+    ("range_join", None, SparkEntry.queries("range_join_events")),
     // association rules — one basket aggregation + map-side C(k,2)
     // pair expansion bounded by maxBasket → expect near-linear in
     // baskets

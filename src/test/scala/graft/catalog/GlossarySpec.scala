@@ -60,16 +60,22 @@ class GlossarySpec extends SparkSpec {
     // appends once: the Spark job count must be IDENTICAL for a 4-column
     // and a 100-column regenerate (any per-column job would scale)
     val tracker = spark.sparkContext.statusTracker
-    def jobCount: Int = tracker.getJobIdsForGroup(null).length
     def jobsFor(cols: Int): Int = {
       val p = s"${System.getProperty("java.io.tmpdir")}/graft_gw_$cols"
       Glossary.deleteForTest(p)
       val meta = GlossaryQueries.wideMeta.take(cols)
-      Thread.sleep(500) // status store is listener-fed (async)
-      val before = jobCount
-      Glossary.regenerate(spark, p, meta, None)
-      Thread.sleep(500)
-      val n = jobCount - before
+      // count within a DEDICATED job group: a delta against the
+      // default group races with stray background jobs (deferred
+      // streaming-state cleanup, context-cleaner work) when the whole
+      // suite runs — this thread's regenerate jobs inherit the group,
+      // nothing else lands in it
+      val group = s"graft-glossary-width-$cols"
+      spark.sparkContext.setJobGroup(group, "width probe")
+      val n = try {
+        Glossary.regenerate(spark, p, meta, None)
+        Thread.sleep(500) // status store is listener-fed (async)
+        tracker.getJobIdsForGroup(group).length
+      } finally spark.sparkContext.clearJobGroup()
       Glossary.deleteForTest(p)
       n
     }
