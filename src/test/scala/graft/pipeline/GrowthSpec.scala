@@ -76,5 +76,14 @@ class GrowthSpec extends SparkSpec {
     }
     assert(winInputs.nonEmpty && winInputs.forall(_.nonEmpty),
       "window input must be the bucket-grain aggregate")
+    // the single-partition choice must be EXPRESSED in the spec — a
+    // pure-literal key constant-folds away and the empty spec both
+    // warns and reads as an accident (regression pin for the pmod key)
+    val winSpecs = out.queryExecution.optimizedPlan.collect {
+      case wnd: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        wnd.partitionSpec
+    }
+    assert(winSpecs.forall(_.nonEmpty),
+      "window partition spec must survive optimization")
   }
 }
