@@ -91,6 +91,18 @@ object EmbeddingDedup {
     */
   def evalOverlap(corpus: DataFrame, eval: DataFrame, idCol: String,
       vecCol: String, threshold: Double): DataFrame = {
+    // the combinable argmax below encodes "max cosine, ties to LOWEST
+    // eval id" as max(struct(cosine, −eval_id)) — which requires a
+    // numeric id. Fail at plan-build time with the precondition named:
+    // under ANSI a string id would fail analysis cryptically, and
+    // without ANSI it would cast to null and CORRUPT the neighbor
+    // column silently. (A generic-id variant would rank with a keyed
+    // window — at the cost of shuffling all n×|eval| scored rows
+    // instead of the corpus-grain max frame.)
+    require(eval.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"evalOverlap needs a numeric id column, got " +
+        s"${eval.schema(idCol).dataType.simpleString}")
     val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("__cv"))
     val e = eval.select(col(idCol).as("eval_id"),
       asDouble(col(vecCol)).as("__ev"))

@@ -454,7 +454,9 @@ object SimilarityQueries extends QueryPack {
     * doubles hash-match.
     */
   private def hybridQuery = {
-    val terms = Seq("dup", "window", "scan")
+    // the SAME term list as text_bm25_documents by reference, not by a
+    // copy that could silently drift
+    val terms = graft.text.TextQueries.Bm25GateTerms
     QueryDef("search_hybrid_documents",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents", parallelize = true)

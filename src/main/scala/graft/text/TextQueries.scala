@@ -690,7 +690,7 @@ object TextQueries extends QueryPack {
   /** One rare term (`dup`: df ~ 5% of docs) and two common ones — the
     * spread that makes idf weighting visible in the gate result.
     */
-  private val Bm25GateTerms = Seq("dup", "window", "scan")
+  private[graft] val Bm25GateTerms = Seq("dup", "window", "scan")
 
   /** Collocation extraction ([[Collocations.topBigrams]]): top-100
     * adjacent-pair lifts at `pair_count >= 5`. The lift division tree is

@@ -100,6 +100,28 @@ class AssociationRulesSpec extends SparkSpec {
       s"got ${joins.size}")
   }
 
+  test("broadcastSupports=false shuffles the support joins, same result") {
+    val rows = Seq(("b1", "a"), ("b1", "b"), ("b2", "a"), ("b2", "b"),
+      ("b3", "a"))
+    val on = rules(rows, minSupport = 1)
+    val off = AssociationRules.pairRules(basketsOf(rows: _*),
+        Seq("basket"), "item", 1, broadcastSupports = false)
+      .as[(String, String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(off === on, "the dial changes the plan, never the rules")
+    // and the plan actually differs: no broadcast on the support joins
+    val baskets = basketsOf(rows: _*).groupBy("basket")
+      .agg(sort_array(collect_set(col("item"))).as("__items"))
+    val plan = AssociationRules
+      .pairRulesPlan(baskets, 1, broadcastSupports = false)
+      .queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+    // only the single-row basket total keeps its (harmless) hint
+    assert(plan.size === 1,
+      s"expected only the scalar-total hint, got ${plan.size}")
+  }
+
   test("releases its persisted basket frame") {
     // clean baseline first: a PRIOR suite's leftover cache entry must
     // not be attributed to pairRules (the assert below is global)

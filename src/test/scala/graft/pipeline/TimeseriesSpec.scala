@@ -128,6 +128,34 @@ class TimeseriesSpec extends SparkSpec {
     assert(direct === viaGrid)
   }
 
+  test("plan: the corpus-sized obs side NEVER broadcasts into the grid join") {
+    // regression pin for the x10 probe catch: Catalyst's static size
+    // estimate squeezed a 766k-row obs frame under the auto-broadcast
+    // threshold and collected it through the driver. On this tiny
+    // fixture Spark WOULD broadcast without the merge hint, so the
+    // sort-merge join's presence proves the hint holds.
+    val events = eventsOf(
+      (1 to 30).map(i => ("K" + i % 3, i * 40L, i.toDouble, i.toLong)): _*)
+    val plan = Timeseries.resampleFfill(events, "k", "ts", "v", Step, "id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"grid⋈obs must stay a merge join, got:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "the obs side grows with the corpus and must never broadcast")
+  }
+
+  test("robustAnomalies carries no forced broadcast hints (stats decide)") {
+    // med/mad are key-cardinality frames — unbounded in general; the
+    // analyzed plan must contain NO ResolvedHint (a forced broadcast
+    // would crash past the 8 GB limit at real key cardinality)
+    val s = seriesOf((1 to 10).map(i => ("A", i.toLong, i.toDouble)): _*)
+    val hints = Timeseries.robustAnomalies(s, "k", "slot", "v")
+      .queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+    assert(hints.isEmpty, s"unexpected join hints: $hints")
+  }
+
   test("plan: grid explodes map-side from bounds; no corpus-sized join") {
     val events = eventsOf(
       (1 to 50).map(i => ("K" + i % 5, i * 40L, i.toDouble, i.toLong)): _*)
