@@ -108,4 +108,146 @@ object IncrementalAgg {
         col(s"sum_$c").cast("double").as(s"sum_$c"),
         (col(s"sum_$c").cast("double") / col("cnt"))
           .as(s"avg_$c"))): _*)
+
+  // ---- min/max extension: delta-advance with group-scoped repair ----
+  //
+  // min/max are NOT decomposable under deletes (the module scaladoc's
+  // textbook boundary) — but real warehouses still maintain them
+  // incrementally, the way this extension does: inserts advance an
+  // extreme for free (min(old, new) is always safe), and a delete only
+  // invalidates a group's extreme when the deleted batch TOUCHES it
+  // (batch min ≤ stored min, or batch max ≥ stored max). Only those
+  // groups re-read the base table — at 100 TB a partition/cluster-
+  // pruned scan of the day's touched groups, not a rebuild.
+
+  /** Bootstrap incl. extremes:
+    * `(groupCols..., cnt, sum_<v>..., min_<v>..., max_<v>...)`.
+    */
+  def aggStateMinMax(rows: DataFrame, groupCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty && valueCols.nonEmpty,
+      "need at least one group and one value column")
+    rows.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        valueCols.flatMap(c => Seq(
+          sumCol(c).as(s"sum_$c"),
+          min(col(c).cast("double")).as(s"min_$c"),
+          max(col(c).cast("double")).as(s"max_$c"))): _*)
+  }
+
+  /** Groups whose stored extreme is touched by the delete batch —
+    * exactly the groups [[applyDeltaMinMax]] re-reads from `base`.
+    * Exposed so the repair scope is directly testable.
+    */
+  private[pipeline] def touchedGroups(state: DataFrame,
+      deletes: DataFrame, groupCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    val delExt = deletes.groupBy(groupCols.map(col): _*)
+      .agg(valueCols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__d_min_$c"),
+        max(col(c).cast("double")).as(s"__d_max_$c"))).head,
+        valueCols.flatMap(c => Seq(
+          min(col(c).cast("double")).as(s"__d_min_$c"),
+          max(col(c).cast("double")).as(s"__d_max_$c"))).tail: _*)
+    val st = state.select(
+      groupCols.map(c => col(c).as(s"__s_$c")) ++
+        valueCols.flatMap(c =>
+          Seq(col(s"min_$c"), col(s"max_$c"))): _*)
+    val cond = groupCols.map(c => col(s"__s_$c") <=> col(c))
+      .reduce(_ && _)
+    val touched = valueCols.map(c =>
+      col(s"__d_min_$c") <= col(s"min_$c") ||
+        col(s"__d_max_$c") >= col(s"max_$c")).reduce(_ || _)
+    delExt.join(st, cond, "inner").filter(touched)
+      .select(groupCols.map(col): _*)
+  }
+
+  /** Advance a [[aggStateMinMax]] state by one change batch. `base` is
+    * the maintained table AFTER the batch (deletes applied, inserts
+    * appended — the warehouse always has it); it is read ONLY for the
+    * groups whose stored extreme a delete touched, via a broadcast
+    * semi-join on that (delete-batch-bounded) key set. Decomposable
+    * parts advance exactly as [[applyDelta]]; untouched groups'
+    * extremes advance from the insert extremes alone and never read
+    * `base` — the property the spec pins with a poisoned-base test.
+    */
+  def applyDeltaMinMax(state: DataFrame, inserts: DataFrame,
+      deletes: DataFrame, base: DataFrame, groupCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    val core = applyDelta(
+      state.select(groupCols.map(col) ++ Seq(col("cnt")) ++
+        valueCols.map(c => col(s"sum_$c")): _*),
+      inserts, deletes, groupCols, valueCols)
+    val insExt = inserts.groupBy(groupCols.map(col): _*)
+      .agg(valueCols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__i_min_$c"),
+        max(col(c).cast("double")).as(s"__i_max_$c"))).head,
+        valueCols.flatMap(c => Seq(
+          min(col(c).cast("double")).as(s"__i_min_$c"),
+          max(col(c).cast("double")).as(s"__i_max_$c"))).tail: _*)
+    // candidates: stored extreme advanced by insert extremes
+    // (least/greatest SKIP nulls — here that is exactly right: a new
+    // group has no stored extreme, an uninserted group no insert one)
+    val st = state.select(
+      groupCols.map(c => col(c).as(s"__s_$c")) ++
+        valueCols.flatMap(c =>
+          Seq(col(s"min_$c"), col(s"max_$c"))): _*)
+    val condSI = groupCols.map(c => col(s"__s_$c") <=> col(c))
+      .reduce(_ && _)
+    val cand = st.join(insExt, condSI, "full_outer")
+      .select(groupCols.map(c =>
+        coalesce(col(s"__s_$c"), col(c)).as(c)) ++
+        valueCols.flatMap(c => Seq(
+          least(col(s"min_$c"), col(s"__i_min_$c")).as(s"min_$c"),
+          greatest(col(s"max_$c"), col(s"__i_max_$c")).as(s"max_$c"))): _*)
+    // repair: recompute extremes from base for the touched groups only
+    val touched = touchedGroups(state, deletes, groupCols, valueCols)
+    val baseCond = groupCols.map(c => col(c) <=> col(s"__t_$c"))
+      .reduce(_ && _)
+    val repaired = base
+      .join(broadcast(touched.select(
+        groupCols.map(c => col(c).as(s"__t_$c")): _*)),
+        baseCond, "left_semi")
+      .groupBy(groupCols.map(col): _*)
+      .agg(valueCols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__r_min_$c"),
+        max(col(c).cast("double")).as(s"__r_max_$c"))).head,
+        valueCols.flatMap(c => Seq(
+          min(col(c).cast("double")).as(s"__r_min_$c"),
+          max(col(c).cast("double")).as(s"__r_max_$c"))).tail: _*)
+    val condCR = groupCols.map(c => col(c) <=> col(s"__r_$c"))
+      .reduce(_ && _)
+    val rep = repaired.select(
+      groupCols.map(c => col(c).as(s"__r_$c")) ++
+        valueCols.flatMap(c =>
+          Seq(col(s"__r_min_$c"), col(s"__r_max_$c"))): _*)
+    val extremes = cand.join(rep, condCR, "left")
+      .select(groupCols.map(col) ++
+        valueCols.flatMap(c => Seq(
+          coalesce(col(s"__r_min_$c"), col(s"min_$c")).as(s"min_$c"),
+          coalesce(col(s"__r_max_$c"), col(s"max_$c")).as(s"max_$c"))): _*)
+    // surviving groups come from core; every survivor has a candidate
+    // row (state ∪ inserts covers it), so the inner join loses nothing
+    val condCE = groupCols.map(c => col(c) <=> col(s"__e_$c"))
+      .reduce(_ && _)
+    core.join(extremes.select(
+        groupCols.map(c => col(c).as(s"__e_$c")) ++
+          valueCols.flatMap(c =>
+            Seq(col(s"min_$c"), col(s"max_$c"))): _*),
+        condCE, "inner")
+      .select(groupCols.map(col) ++ Seq(col("cnt")) ++
+        valueCols.flatMap(c => Seq(col(s"sum_$c"), col(s"min_$c"),
+          col(s"max_$c"))): _*)
+  }
+
+  /** [[report]] plus the extremes, for [[aggStateMinMax]]-shaped
+    * state.
+    */
+  def reportMinMax(state: DataFrame, groupCols: Seq[String],
+      valueCols: Seq[String]): DataFrame =
+    state.select(groupCols.map(col) ++ Seq(col("cnt")) ++
+      valueCols.flatMap(c => Seq(
+        col(s"sum_$c").cast("double").as(s"sum_$c"),
+        (col(s"sum_$c").cast("double") / col("cnt")).as(s"avg_$c"),
+        col(s"min_$c"), col(s"max_$c"))): _*)
 }

@@ -477,6 +477,47 @@ object PipelineQueries extends QueryPack {
            |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
       .replace("\n", " ")))
 
+  /** Min/max incremental maintenance ([[IncrementalAgg.applyDeltaMinMax]]):
+    * the same change set as `agg_incremental_events`, now with extremes
+    * — inserts advance them for free, and only the groups whose stored
+    * extreme a delete TOUCHED re-read the (in-query-assembled) after
+    * table through a broadcast semi-join. The oracle again aggregates
+    * the after table directly: hash equality proves the repair-scoped
+    * path ≡ full recompute, extremes included.
+    */
+  private def incrementalMinMaxQuery = QueryDef(
+    "agg_incremental_minmax_events",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val deletes = ev.filter(col("event_id") % 7 === 0)
+      val inserts = ev.filter(col("event_id") % 5 === 0)
+        .withColumn("event_id", col("event_id") + 1000000000L)
+        .withColumn("value", col("value") + 100.0)
+      val base = ev.filter(col("event_id") % 7 =!= 0)
+        .unionByName(inserts)
+      val state = IncrementalAgg.aggStateMinMax(ev, Seq("event_type"),
+        Seq("value"))
+      IncrementalAgg.reportMinMax(
+        IncrementalAgg.applyDeltaMinMax(state, inserts, deletes, base,
+          Seq("event_type"), Seq("value")),
+        Seq("event_type"), Seq("value"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ins AS (SELECT event_type, value + 100.0 AS value
+           |    FROM events WHERE event_id % 5 = 0),
+           |b AS (SELECT event_type, value FROM events
+           |    WHERE event_id % 7 <> 0
+           |    UNION ALL SELECT event_type, value FROM ins)
+           |SELECT event_type, count(*) AS cnt,
+           |  CAST(sum(CAST(round(CAST(value AS DOUBLE), 4)
+           |    AS DECIMAL(20,4))) AS DOUBLE) AS sum_value,
+           |  CAST(sum(CAST(round(CAST(value AS DOUBLE), 4)
+           |    AS DECIMAL(20,4))) AS DOUBLE) / count(*) AS avg_value,
+           |  min(CAST(value AS DOUBLE)) AS min_value,
+           |  max(CAST(value AS DOUBLE)) AS max_value
+           |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+      .replace("\n", " ")))
+
   /** Quantile-bin feature discretization ([[Binning.withQuantileBins]])
     * reported as a per-(type, decile) histogram. Decile populations are
     * NOT uniform by construction — cuts are interpolated and values
@@ -856,7 +897,8 @@ object PipelineQueries extends QueryPack {
   override def queries: Seq[QueryDef] =
     Seq(latestQuery, mergeQuery, asofQuery, featuresQuery, funnelQuery,
       retentionQuery, resampleQuery, anomalyQuery, changepointQuery,
-      incrementalAggQuery, binningQuery, zorderQuery, rangeJoinQuery,
+      incrementalAggQuery, incrementalMinMaxQuery, binningQuery,
+      zorderQuery, rangeJoinQuery,
       growthQuery, assocQuery, snapshotDiffQuery,
       snapshotDiffBucketedQuery, saltedQuery, saltedJoinQuery,
       scd2HistoryQuery, scd2MergeQuery)

@@ -90,6 +90,69 @@ class IncrementalAggSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(out.size === 2)
   }
 
+  private def snapshotMM(state: DataFrame) =
+    IncrementalAgg.reportMinMax(state, Seq("g"), Seq("v"))
+      .as[(String, Long, Double, Double, Double, Double)]
+      .collect().toSeq.sortBy(_._1)
+
+  test("min/max invariant: repair-scoped delta == full recompute") {
+    val a = rowsOf(("x", 1.0), ("x", 5.0), ("y", 2.0), ("y", 9.0))
+    val del = rowsOf(("x", 1.0), ("y", 2.0)) // x loses its MIN, y too
+    val ins = rowsOf(("x", 7.0), ("z", 4.0))
+    val after = rowsOf(("x", 5.0), ("y", 9.0), ("x", 7.0), ("z", 4.0))
+    val incremental = snapshotMM(IncrementalAgg.applyDeltaMinMax(
+      IncrementalAgg.aggStateMinMax(a, Seq("g"), Seq("v")), ins, del,
+      after, Seq("g"), Seq("v")))
+    val direct = snapshotMM(
+      IncrementalAgg.aggStateMinMax(after, Seq("g"), Seq("v")))
+    assert(incremental === direct)
+    assert(incremental.find(_._1 == "x").get._5 === 5.0,
+      "x's min must repair to 5 after losing 1")
+  }
+
+  test("touchedGroups is exactly the groups whose extreme a delete hits") {
+    val state = IncrementalAgg.aggStateMinMax(
+      rowsOf(("lo", 1.0), ("lo", 9.0), ("mid", 1.0), ("mid", 9.0),
+        ("hi", 1.0), ("hi", 9.0)), Seq("g"), Seq("v"))
+    // lo: deletes its min; mid: deletes an interior value; hi: its max
+    val del = rowsOf(("lo", 1.0), ("mid", 5.0), ("hi", 9.0))
+    val touched = IncrementalAgg
+      .touchedGroups(state, del, Seq("g"), Seq("v"))
+      .as[String].collect().toSet
+    assert(touched === Set("lo", "hi"),
+      "interior deletes must not trigger a repair scan")
+  }
+
+  test("untouched groups never read base: the poisoned-base proof") {
+    val a = rowsOf(("safe", 2.0), ("safe", 8.0), ("hit", 1.0),
+      ("hit", 6.0))
+    val del = rowsOf(("hit", 1.0)) // touches hit's min; safe untouched
+    val ins = rowsOf(("safe", 5.0))
+    // base is CORRECT for hit but POISONED for safe — if the untouched
+    // path consulted base, safe's extremes would come out absurd
+    val base = rowsOf(("hit", 6.0), ("safe", 999999.0),
+      ("safe", -999999.0), ("safe", 0.0))
+    val out = snapshotMM(IncrementalAgg.applyDeltaMinMax(
+      IncrementalAgg.aggStateMinMax(a, Seq("g"), Seq("v")), ins, del,
+      base, Seq("g"), Seq("v")))
+    val safe = out.find(_._1 == "safe").get
+    assert(safe._5 === 2.0 && safe._6 === 8.0,
+      "safe's extremes must come from state+inserts, not base")
+    val hit = out.find(_._1 == "hit").get
+    assert(hit._5 === 6.0 && hit._6 === 6.0)
+  }
+
+  test("min/max: inserts alone advance extremes with no repair read") {
+    val a = rowsOf(("x", 3.0), ("x", 4.0))
+    // base deliberately EMPTY: any repair read would change nothing /
+    // an accidental full recompute would blank the extremes
+    val out = snapshotMM(IncrementalAgg.applyDeltaMinMax(
+      IncrementalAgg.aggStateMinMax(a, Seq("g"), Seq("v")),
+      rowsOf(("x", 10.0), ("x", 1.0)), rowsOf(),
+      rowsOf(), Seq("g"), Seq("v")))
+    assert(out === Seq(("x", 4L, 18.0, 4.5, 1.0, 10.0)))
+  }
+
   test("plan: applying a delta never rescans the corpus side") {
     // state materialized (as a maintained aggregate table would be);
     // the delta plan must reference only the change feed + state
