@@ -518,6 +518,27 @@ object PipelineQueries extends QueryPack {
            |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
       .replace("\n", " ")))
 
+  /** First-order Markov transition matrix ([[Transitions.matrix]]) over
+    * per-user event sequences, terminal transitions included — each
+    * event emits exactly one (src, dst) pair so per-src probabilities
+    * sum to 1. One user-keyed window exchange, then domain²-sized
+    * aggregation; the oracle replays the lead() sequence verbatim.
+    */
+  private def transitionsQuery = QueryDef(
+    "events_transitions",
+    (s, dir) => Transitions.matrix(Tables.load(s, dir, "events"),
+      "user_id", "event_type", Seq("ts", "event_id"))
+      .orderBy("src", "dst"),
+    Some("""WITH seq AS (SELECT event_type AS src,
+           |  coalesce(lead(event_type) OVER (PARTITION BY user_id
+           |    ORDER BY ts, event_id), '__END__') AS dst FROM events),
+           |p AS (SELECT src, dst, count(*) AS cnt FROM seq GROUP BY 1, 2),
+           |t AS (SELECT src, sum(cnt) AS total FROM p GROUP BY 1)
+           |SELECT p.src, p.dst, p.cnt,
+           |  CAST(p.cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS prob
+           |FROM p JOIN t USING (src) ORDER BY 1, 2""".stripMargin
+      .replace("\n", " ")))
+
   /** Quantile-bin feature discretization ([[Binning.withQuantileBins]])
     * reported as a per-(type, decile) histogram. Decile populations are
     * NOT uniform by construction — cuts are interpolated and values
@@ -897,8 +918,8 @@ object PipelineQueries extends QueryPack {
   override def queries: Seq[QueryDef] =
     Seq(latestQuery, mergeQuery, asofQuery, featuresQuery, funnelQuery,
       retentionQuery, resampleQuery, anomalyQuery, changepointQuery,
-      incrementalAggQuery, incrementalMinMaxQuery, binningQuery,
-      zorderQuery, rangeJoinQuery,
+      incrementalAggQuery, incrementalMinMaxQuery, transitionsQuery,
+      binningQuery, zorderQuery, rangeJoinQuery,
       growthQuery, assocQuery, snapshotDiffQuery,
       snapshotDiffBucketedQuery, saltedQuery, saltedJoinQuery,
       scd2HistoryQuery, scd2MergeQuery)
