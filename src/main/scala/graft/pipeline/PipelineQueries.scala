@@ -539,6 +539,49 @@ object PipelineQueries extends QueryPack {
            |FROM p JOIN t USING (src) ORDER BY 1, 2""".stripMargin
       .replace("\n", " ")))
 
+  /** Winsorized z-score standardization ([[Standardize.withZScore]])
+    * reported as per-type clip counts, cuts and z extremes. The z
+    * extremes hash-match because each row's z is a fixed two-op IEEE
+    * tree over 4dp-rounded stats — the [[Binning]]/profile recipe.
+    */
+  private def standardizeQuery = QueryDef(
+    "features_standardize",
+    (s, dir) => {
+      val z = Standardize.withZScore(Tables.load(s, dir, "events"),
+        "event_type", "value")
+      z.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("value") < col("lo_cut"), 1L).otherwise(0L))
+            .as("n_lo"),
+          sum(when(col("value") > col("hi_cut"), 1L).otherwise(0L))
+            .as("n_hi"),
+          min(col("lo_cut")).as("lo_cut"),
+          max(col("hi_cut")).as("hi_cut"),
+          min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+        .orderBy("event_type")
+    },
+    Some("""WITH cuts AS (SELECT event_type,
+           |    round(quantile_cont(value, 0.01), 4) AS lo,
+           |    round(quantile_cont(value, 0.99), 4) AS hi
+           |  FROM events GROUP BY 1),
+           |c AS (SELECT e.event_type, e.value,
+           |    least(greatest(e.value, lo), hi) AS vc, lo, hi
+           |  FROM events e JOIN cuts USING (event_type)),
+           |m AS (SELECT event_type, round(avg(vc), 4) AS mean_c,
+           |    round(stddev_samp(vc), 4) AS std_c FROM c GROUP BY 1)
+           |SELECT c.event_type, count(*) AS cnt,
+           |  CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_lo,
+           |  CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_hi,
+           |  min(lo) AS lo_cut, max(hi) AS hi_cut,
+           |  min(CASE WHEN std_c IS NULL OR std_c = 0 THEN NULL
+           |    ELSE (vc - mean_c) / std_c END) AS z_min,
+           |  max(CASE WHEN std_c IS NULL OR std_c = 0 THEN NULL
+           |    ELSE (vc - mean_c) / std_c END) AS z_max
+           |FROM c JOIN m USING (event_type) GROUP BY 1 ORDER BY 1"""
+      .stripMargin.replace("\n", " ")))
+
   /** Quantile-bin feature discretization ([[Binning.withQuantileBins]])
     * reported as a per-(type, decile) histogram. Decile populations are
     * NOT uniform by construction — cuts are interpolated and values
@@ -919,7 +962,7 @@ object PipelineQueries extends QueryPack {
     Seq(latestQuery, mergeQuery, asofQuery, featuresQuery, funnelQuery,
       retentionQuery, resampleQuery, anomalyQuery, changepointQuery,
       incrementalAggQuery, incrementalMinMaxQuery, transitionsQuery,
-      binningQuery, zorderQuery, rangeJoinQuery,
+      standardizeQuery, binningQuery, zorderQuery, rangeJoinQuery,
       growthQuery, assocQuery, snapshotDiffQuery,
       snapshotDiffBucketedQuery, saltedQuery, saltedJoinQuery,
       scd2HistoryQuery, scd2MergeQuery)
