@@ -230,6 +230,35 @@ object TextQueries extends QueryPack {
       "SELECT rank, token, cnt, CAST(cum AS DOUBLE) / total AS cum_share " +
       "FROM r WHERE rank <= 50 ORDER BY rank"))
 
+  /** Unigram-LM quality scores ([[LmScore.score]]): mean corpus
+    * relative-frequency per document over the top-64 vocabulary. All
+    * operands are exact longs; the single trailing IEEE division tree
+    * is mirrored verbatim, so the 500 per-doc rows hash EXACT.
+    */
+  private def lmScoreQuery = QueryDef(
+    "text_lm_score_documents",
+    (s, dir) => LmScore.score(
+        Tables.load(s, dir, "documents", parallelize = true),
+        "doc_id", "text", topV = 64)
+      .orderBy("doc_id"),
+    Some(s"WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents), " +
+      "tok AS (SELECT doc_id, unnest(t) AS token FROM toks), " +
+      "c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1), " +
+      "v AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 64), " +
+      "tot AS (SELECT sum(cnt) AS total FROM c), " +
+      "per AS (SELECT tk.doc_id, count(*) AS n_tokens, " +
+      "count(v.cnt) AS in_vocab, " +
+      "CAST(coalesce(sum(v.cnt), 0) AS BIGINT) AS sum_cnt " +
+      "FROM tok tk LEFT JOIN v USING (token) GROUP BY 1) " +
+      "SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens, " +
+      "coalesce(in_vocab, 0) AS in_vocab, " +
+      "coalesce(sum_cnt, 0) AS sum_cnt, " +
+      "CASE WHEN coalesce(n_tokens, 0) = 0 THEN NULL " +
+      "ELSE CAST(sum_cnt AS DOUBLE) / " +
+      "(CAST(n_tokens AS DOUBLE) * CAST(total AS DOUBLE)) END AS lm_score " +
+      "FROM documents d LEFT JOIN per USING (doc_id) CROSS JOIN tot " +
+      "ORDER BY doc_id"))
+
   /** Per-doc salient terms ([[TermSalience]]): TF-IDF-shaped ranking in
     * exact integer arithmetic — (tf DESC, df ASC, term ASC) — so the
     * oracle replays it verbatim (idf = log(N/df) is monotone in df, so
@@ -778,6 +807,7 @@ object TextQueries extends QueryPack {
   override def queries: Seq[QueryDef] =
     Seq(statsQuery, curateQuery, pipelineQuery, pipelineFullQuery,
       sampleQuery, shardQuery, splitQuery, termsQuery, vocabQuery,
+      lmScoreQuery,
       decontamQuery,
       scrubSpansQuery, repetitionQuery, packQuery, decontamPipelineQuery,
       chunkQuery, mixQuery, mixWeightedQuery, bm25Query,
