@@ -38,4 +38,14 @@ object VectorExpressions {
     ColumnShim.column(org.apache.spark.sql.graft.TopKSketch(
       ColumnShim.expression(v), capacity, k)
       .toAggregateExpression())
+
+  /** Count-Min sketch aggregate over a string column: `depth·width`
+    * exact slot counters (`array<long>`, row-major). Point estimates
+    * come from `min_d counter[d·width + md5word_d(v) % width]` — never
+    * an undercount. See [[org.apache.spark.sql.graft.CmsSketch]].
+    */
+  def cms(v: Column, depth: Int, width: Int): Column =
+    ColumnShim.column(org.apache.spark.sql.graft.CmsSketch(
+      ColumnShim.expression(v), depth, width)
+      .toAggregateExpression())
 }

@@ -344,8 +344,47 @@ object ProfileQueries extends QueryPack {
         " ORDER BY col_x, col_y"))
   }
 
+  /** Count-Min point-frequency estimates ([[Cms]] /
+    * [[org.apache.spark.sql.graft.CmsSketch]]): ONE scalar aggregate
+    * builds the 4×32 counter array, broadcast onto the key frame for
+    * `min_d` lookups. The counters are exact slot sums (layout-
+    * independent), and the md5 hash family replays in SQL, so the
+    * oracle rebuilds every counter relationally and the hash match
+    * pins the native update/merge/serialize/eval path end to end.
+    * `exact_cnt` sits alongside so the report shows the (over-)estimate
+    * against truth; at width 32 with a handful of event types the
+    * estimates are collision-free and equal the exact counts.
+    */
+  private def cmsQuery = QueryDef(
+    "profile_cms_events",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events", parallelize = true)
+      val depth = 4
+      val width = 32
+      val ctr = ev.agg(graft.functions.VectorExpressions
+        .cms(col("event_type"), depth, width).as("ctr"))
+      ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact_cnt"))
+        .crossJoin(broadcast(ctr))
+        .select(col("event_type"), col("exact_cnt"),
+          Cms.estimate(col("ctr"), col("event_type"), depth, width)
+            .as("cms_est"))
+        .orderBy("event_type")
+    },
+    Some("WITH ds AS (SELECT unnest(generate_series(0, 3)) AS d), " +
+      "s AS (SELECT d, ('0x' || substr(md5(event_type), 1 + 8*d, 8))" +
+      "::BIGINT % 32 AS slot FROM events CROSS JOIN ds), " +
+      "ctr AS (SELECT d, slot, count(*) AS c FROM s GROUP BY 1, 2), " +
+      "k AS (SELECT event_type, count(*) AS exact_cnt FROM events " +
+      "GROUP BY 1), " +
+      "ke AS (SELECT event_type, exact_cnt, d, ('0x' || " +
+      "substr(md5(event_type), 1 + 8*d, 8))::BIGINT % 32 AS slot " +
+      "FROM k CROSS JOIN ds) " +
+      "SELECT event_type, exact_cnt, CAST(min(c) AS BIGINT) AS cms_est " +
+      "FROM ke JOIN ctr USING (d, slot) GROUP BY 1, 2 ORDER BY 1"))
+
   override def queries: Seq[QueryDef] =
     Seq(profileQuery("lineitem"), profileQuery("orders"), approxQuery,
       quantileQuery("lineitem"), quantileApproxQuery, topkExactQuery,
-      topkSketchQuery, topkGroupedQuery, groupedQuantileQuery, corrQuery)
+      topkSketchQuery, topkGroupedQuery, groupedQuantileQuery, corrQuery,
+      cmsQuery)
 }

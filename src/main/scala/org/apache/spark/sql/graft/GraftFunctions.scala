@@ -83,6 +83,19 @@ object GraftFunctions {
           }
           TopKSketch(args.head, intLit(args(1), "capacity"),
             intLit(args(2), "k"))
+        }),
+      (FunctionIdentifier("graft_cms"),
+        new ExpressionInfo(classOf[CmsSketch].getName, "graft_cms"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3,
+            "graft_cms expects (value, depth, width)")
+          def intLit(e: Expression, what: String): Int = e match {
+            case Literal(v: Int, IntegerType) => v
+            case other => throw new IllegalArgumentException(
+              s"graft_cms: $what must be an integer literal, got $other")
+          }
+          CmsSketch(args.head, intLit(args(1), "depth"),
+            intLit(args(2), "width"))
         }))
 
   /** Idempotent registration on an existing session (temp-function scope,

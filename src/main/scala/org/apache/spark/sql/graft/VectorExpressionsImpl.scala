@@ -528,4 +528,19 @@ object GraftDigest {
     while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
     v >>> 4
   }
+
+  /** Full 16-byte digest (for consumers deriving several independent
+    * words from ONE digest per row, e.g. [[CmsSketch]]).
+    */
+  def md5Full(s: org.apache.spark.unsafe.types.UTF8String): Array[Byte] =
+    md5.get().digest(s.getBytes)
+
+  /** Word `d` (0..3) of a digest as an unsigned 32-bit value — equal to
+    * `conv(substr(md5hex, 1 + 8d, 8), 16, 10)`, big-endian.
+    */
+  def word32(digest: Array[Byte], d: Int): Long = {
+    val o = d * 4
+    ((digest(o) & 0xFFL) << 24) | ((digest(o + 1) & 0xFFL) << 16) |
+      ((digest(o + 2) & 0xFFL) << 8) | (digest(o + 3) & 0xFFL)
+  }
 }
