@@ -256,7 +256,30 @@ object ScaleProbe {
     // association rules — one basket aggregation + map-side C(k,2)
     // pair expansion bounded by maxBasket → expect near-linear in
     // baskets
-    ("events_assoc", None, SparkEntry.queries("events_assoc_rules")))
+    ("events_assoc", None, SparkEntry.queries("events_assoc_rules")),
+    // r9 fifth pass: min/max maintained-view delta — bootstrap agg +
+    // feed-sized delta + touched-group repair scan (repair scope is
+    // delete-bounded, not corpus-bounded) → expect scan-bound like
+    // agg_incremental
+    ("agg_incremental_minmax", None,
+      SparkEntry.queries("agg_incremental_minmax_events")),
+    // transition matrix — ONE user-key window exchange then a
+    // domain²-sized count over the users-grow corpus → expect the
+    // keyed-window constant (sessionize/features_rolling family)
+    ("events_transitions", None, SparkEntry.queries("events_transitions")),
+    // winsorized z-score — two group-bounded stat aggregations +
+    // broadcast joins + final histogram-grain agg → expect scan-bound
+    ("features_standardize", None,
+      SparkEntry.queries("features_standardize")),
+    // unigram-LM scoring — two tokenize passes (counts → top-V +
+    // total, then per-doc join agg); the scaled corpus suffixes tokens
+    // per copy so the counts frame grows ×mult while the broadcast
+    // vocab stays V rows → expect near-linear in tokens
+    ("text_lm_score", None, SparkEntry.queries("text_lm_score_documents")),
+    // CMS — one fixed-state scalar aggregate (4×32 longs) + a
+    // domain-sized estimate join: the flattest sketch row, like
+    // topk_sketch_subcap
+    ("profile_cms", None, SparkEntry.queries("profile_cms_events")))
 
   /** Drift probe: numeric drift on l_extendedprice between two
     * key-modulo snapshots of the scaled lineitem (the registered gate
