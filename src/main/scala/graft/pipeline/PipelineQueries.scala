@@ -539,6 +539,38 @@ object PipelineQueries extends QueryPack {
            |FROM p JOIN t USING (src) ORDER BY 1, 2""".stripMargin
       .replace("\n", " ")))
 
+  /** First-/last-touch attribution ([[Attribution.firstLast]]):
+    * purchases credited to the earliest/latest {click, view, signup}
+    * touch of the same user inside a 7-day lookback. The struct-extreme
+    * trick makes timestamp ties deterministic in both engines; the
+    * oracle replays the same RANGE window verbatim.
+    */
+  private def attributionQuery = QueryDef(
+    "events_attribution",
+    (s, dir) => Attribution.firstLast(Tables.load(s, dir, "events"),
+      "user_id", "event_type", "ts", "event_id", "purchase",
+      Seq("click", "signup", "view"))
+      .orderBy("channel"),
+    Some("""WITH e AS (SELECT user_id, event_type,
+           |    epoch_us(ts) AS ts_us, event_id FROM events),
+           |t AS (SELECT *, CASE WHEN event_type IN
+           |    ('click', 'signup', 'view') THEN
+           |    {'t': ts_us, 'i': event_id, 'c': event_type}
+           |    END AS tch FROM e),
+           |wnd AS (SELECT user_id, event_type,
+           |    min(tch) OVER w AS fst, max(tch) OVER w AS lst FROM t
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+           |    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)),
+           |conv AS (SELECT coalesce(fst.c, '(none)') AS first_ch,
+           |    coalesce(lst.c, '(none)') AS last_ch FROM wnd
+           |  WHERE event_type = 'purchase'),
+           |u AS (SELECT first_ch AS channel, 1 AS f, 0 AS l FROM conv
+           |  UNION ALL SELECT last_ch, 0, 1 FROM conv)
+           |SELECT channel, CAST(sum(f) AS BIGINT) AS first_touch,
+           |  CAST(sum(l) AS BIGINT) AS last_touch
+           |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+      .replace("\n", " ")))
+
   /** Winsorized z-score standardization ([[Standardize.withZScore]])
     * reported as per-type clip counts, cuts and z extremes. The z
     * extremes hash-match because each row's z is a fixed two-op IEEE
@@ -962,7 +994,8 @@ object PipelineQueries extends QueryPack {
     Seq(latestQuery, mergeQuery, asofQuery, featuresQuery, funnelQuery,
       retentionQuery, resampleQuery, anomalyQuery, changepointQuery,
       incrementalAggQuery, incrementalMinMaxQuery, transitionsQuery,
-      standardizeQuery, binningQuery, zorderQuery, rangeJoinQuery,
+      attributionQuery, standardizeQuery, binningQuery, zorderQuery,
+      rangeJoinQuery,
       growthQuery, assocQuery, snapshotDiffQuery,
       snapshotDiffBucketedQuery, saltedQuery, saltedJoinQuery,
       scd2HistoryQuery, scd2MergeQuery)
