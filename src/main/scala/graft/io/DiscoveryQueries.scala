@@ -1,5 +1,7 @@
 package graft.io
 
+import org.apache.spark.sql.functions.{col, lit}
+
 import graft.{QueryDef, QueryPack}
 
 /** Registered discovery queries: file → inferred schema rows, checked
@@ -285,6 +287,51 @@ object DiscoveryQueries extends QueryPack {
       }.mkString(" UNION ALL ") + " ORDER BY ordinal_position"
     })
 
+  /** Schema-evolution audit ([[SchemaDrift.diff]]): the orders catalog
+    * vs an in-query-mutated successor — one column dropped, one
+    * retyped FLOAT→VARCHAR, one added non-nullable BOOLEAN — so every
+    * status class except nullability_changed carries a row (that class
+    * is spec-pinned instead). The oracle rebuilds both catalogs from
+    * the literal schema spec and replays the same full-outer diff.
+    */
+  private def schemaDriftQuery = QueryDef(
+    "catalog_schema_drift",
+    (s, dir) => {
+      val before = Tables.load(s, dir, "orders")
+      val after = before
+        .drop("o_orderpriority")
+        .withColumn("o_totalprice", col("o_totalprice").cast("string"))
+        .withColumn("o_fulfilled", lit(true))
+      SchemaDrift.diff(
+        Catalog.columnsFrame(s, before, "orders"),
+        Catalog.columnsFrame(s, after, "orders"))
+        .orderBy("column_name")
+    },
+    Some {
+      def lits(rows: Seq[(String, String, String)]) = rows.map {
+        case (n, t, nl) => s"SELECT '$n' AS column_name, " +
+          s"'$t' AS data_type, '$nl' AS is_nullable"
+      }.mkString(" UNION ALL ")
+      val cols = Schemas.byTable("orders")
+      val before = cols.map(c => (c.name.toUpperCase, c.engineType, "YES"))
+      val after = cols.filterNot(_.name == "o_orderpriority").map { c =>
+        val t = if (c.name == "o_totalprice") "VARCHAR" else c.engineType
+        (c.name.toUpperCase, t, "YES")
+      } :+ (("O_FULFILLED", "BOOLEAN", "NO"))
+      s"WITH b AS (${lits(before)}), a AS (${lits(after)}) " +
+        "SELECT column_name, " +
+        "CASE WHEN a.data_type IS NULL THEN 'removed' " +
+        "WHEN b.data_type IS NULL THEN 'added' " +
+        "WHEN b.data_type <> a.data_type THEN 'type_changed' " +
+        "WHEN b.is_nullable <> a.is_nullable THEN 'nullability_changed' " +
+        "ELSE 'unchanged' END AS status, " +
+        "b.data_type AS before_type, a.data_type AS after_type, " +
+        "b.is_nullable AS before_nullable, " +
+        "a.is_nullable AS after_nullable " +
+        "FROM b FULL OUTER JOIN a USING (column_name) " +
+        "ORDER BY column_name"
+    })
+
   /** Declared FK-candidate audit pairs: the star schema's four true
     * FKs plus one deliberate NON-relationship (order keys inside
     * customer keys) so the gate shows the metric discriminating, not
@@ -332,5 +379,5 @@ object DiscoveryQueries extends QueryPack {
   override def queries: Seq[QueryDef] =
     Seq(parquetQuery, csvQuery, jsonQuery, xmlQuery, xlsxQuery, xlsQuery,
       orcQuery, avroQuery, propsQuery, catalogQuery("customer"),
-      catalogQuery("lineitem"), fkQuery)
+      catalogQuery("lineitem"), schemaDriftQuery, fkQuery)
 }
