@@ -279,7 +279,12 @@ object ScaleProbe {
     // CMS — one fixed-state scalar aggregate (4×32 longs) + a
     // domain-sized estimate join: the flattest sketch row, like
     // topk_sketch_subcap
-    ("profile_cms", None, SparkEntry.queries("profile_cms_events")))
+    ("profile_cms", None, SparkEntry.queries("profile_cms_events")),
+    // attribution — one key-window pass (shared frame for both
+    // extremes) over the users-grow corpus + a channel-domain agg →
+    // expect the keyed-window constant (transitions family)
+    ("events_attribution", None,
+      SparkEntry.queries("events_attribution")))
 
   /** Drift probe: numeric drift on l_extendedprice between two
     * key-modulo snapshots of the scaled lineitem (the registered gate
