@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   * wholesale each run — `ORCHESTRATE_INGESTION.sql`'s CTAS-per-cycle —
   * which is exactly what stops working at scale).
   *
-  * Only DECOMPOSABLE state is maintained: `cnt` and per-column decimal
-  * sums (avg derives). min/max are deliberately absent — they are not
-  * delta-maintainable under deletes (a deleted minimum forces a rescan
-  * of its group), which is the textbook boundary of incremental view
-  * maintenance; a caller needing them recomputes the affected groups.
+  * The core API ([[aggState]]/[[applyDelta]]) maintains DECOMPOSABLE
+  * state only: `cnt` and per-column decimal sums (avg derives). min/max
+  * are not delta-maintainable under deletes (a deleted minimum forces a
+  * rescan of its group) — the textbook boundary of incremental view
+  * maintenance — so they get the dedicated repair-scoped extension
+  * below ([[aggStateMinMax]]/[[applyDeltaMinMax]]), which recomputes
+  * exactly the touched groups instead of excluding extremes outright.
   *
   * Determinism: values round to 4dp and sum as DECIMAL — exact,
   * order-independent addition ([[graft.dq.Drift]] ruling) — so the
@@ -135,6 +137,18 @@ object IncrementalAgg {
           max(col(c).cast("double")).as(s"max_$c"))): _*)
   }
 
+  /** Per-group min/max of `valueCols` with `<prefix>min_<c>` /
+    * `<prefix>max_<c>` names — the shared builder for the delete-,
+    * insert- and repair-side extreme frames.
+    */
+  private def extremesAgg(df: DataFrame, groupCols: Seq[String],
+      valueCols: Seq[String], prefix: String): DataFrame = {
+    val aggs = valueCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"${prefix}min_$c"),
+      max(col(c).cast("double")).as(s"${prefix}max_$c")))
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Groups whose stored extreme is touched by the delete batch —
     * exactly the groups [[applyDeltaMinMax]] re-reads from `base`.
     * Exposed so the repair scope is directly testable.
@@ -142,13 +156,7 @@ object IncrementalAgg {
   private[pipeline] def touchedGroups(state: DataFrame,
       deletes: DataFrame, groupCols: Seq[String],
       valueCols: Seq[String]): DataFrame = {
-    val delExt = deletes.groupBy(groupCols.map(col): _*)
-      .agg(valueCols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"__d_min_$c"),
-        max(col(c).cast("double")).as(s"__d_max_$c"))).head,
-        valueCols.flatMap(c => Seq(
-          min(col(c).cast("double")).as(s"__d_min_$c"),
-          max(col(c).cast("double")).as(s"__d_max_$c"))).tail: _*)
+    val delExt = extremesAgg(deletes, groupCols, valueCols, "__d_")
     val st = state.select(
       groupCols.map(c => col(c).as(s"__s_$c")) ++
         valueCols.flatMap(c =>
@@ -178,13 +186,7 @@ object IncrementalAgg {
       state.select(groupCols.map(col) ++ Seq(col("cnt")) ++
         valueCols.map(c => col(s"sum_$c")): _*),
       inserts, deletes, groupCols, valueCols)
-    val insExt = inserts.groupBy(groupCols.map(col): _*)
-      .agg(valueCols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"__i_min_$c"),
-        max(col(c).cast("double")).as(s"__i_max_$c"))).head,
-        valueCols.flatMap(c => Seq(
-          min(col(c).cast("double")).as(s"__i_min_$c"),
-          max(col(c).cast("double")).as(s"__i_max_$c"))).tail: _*)
+    val insExt = extremesAgg(inserts, groupCols, valueCols, "__i_")
     // candidates: stored extreme advanced by insert extremes
     // (least/greatest SKIP nulls — here that is exactly right: a new
     // group has no stored extreme, an uninserted group no insert one)
@@ -204,28 +206,29 @@ object IncrementalAgg {
     val touched = touchedGroups(state, deletes, groupCols, valueCols)
     val baseCond = groupCols.map(c => col(c) <=> col(s"__t_$c"))
       .reduce(_ && _)
-    val repaired = base
-      .join(broadcast(touched.select(
-        groupCols.map(c => col(c).as(s"__t_$c")): _*)),
-        baseCond, "left_semi")
-      .groupBy(groupCols.map(col): _*)
-      .agg(valueCols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"__r_min_$c"),
-        max(col(c).cast("double")).as(s"__r_max_$c"))).head,
-        valueCols.flatMap(c => Seq(
-          min(col(c).cast("double")).as(s"__r_min_$c"),
-          max(col(c).cast("double")).as(s"__r_max_$c"))).tail: _*)
+    val repaired = extremesAgg(
+      base.join(broadcast(touched.select(
+          groupCols.map(c => col(c).as(s"__t_$c")): _*)),
+        baseCond, "left_semi"),
+      groupCols, valueCols, "__r_")
     val condCR = groupCols.map(c => col(c) <=> col(s"__r_$c"))
       .reduce(_ && _)
+    // __r_hit marks "a repair row EXISTS" separately from the repaired
+    // value: a touched group whose surviving values are all null must
+    // repair to NULL, which a bare coalesce would mistake for "no
+    // repair row" and resurrect the stale deleted extreme
     val rep = repaired.select(
       groupCols.map(c => col(c).as(s"__r_$c")) ++
+        Seq(lit(true).as("__r_hit")) ++
         valueCols.flatMap(c =>
           Seq(col(s"__r_min_$c"), col(s"__r_max_$c"))): _*)
     val extremes = cand.join(rep, condCR, "left")
       .select(groupCols.map(col) ++
         valueCols.flatMap(c => Seq(
-          coalesce(col(s"__r_min_$c"), col(s"min_$c")).as(s"min_$c"),
-          coalesce(col(s"__r_max_$c"), col(s"max_$c")).as(s"max_$c"))): _*)
+          when(col("__r_hit"), col(s"__r_min_$c"))
+            .otherwise(col(s"min_$c")).as(s"min_$c"),
+          when(col("__r_hit"), col(s"__r_max_$c"))
+            .otherwise(col(s"max_$c")).as(s"max_$c"))): _*)
     // surviving groups come from core; every survivor has a candidate
     // row (state ∪ inserts covers it), so the inner join loses nothing
     val condCE = groupCols.map(c => col(c) <=> col(s"__e_$c"))

@@ -529,9 +529,11 @@ object PipelineQueries extends QueryPack {
     (s, dir) => Transitions.matrix(Tables.load(s, dir, "events"),
       "user_id", "event_type", Seq("ts", "event_id"))
       .orderBy("src", "dst"),
-    Some("""WITH seq AS (SELECT event_type AS src,
-           |  coalesce(lead(event_type) OVER (PARTITION BY user_id
-           |    ORDER BY ts, event_id), '__END__') AS dst FROM events),
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           |  coalesce(event_type, '__NULL__') AS st FROM events),
+           |seq AS (SELECT st AS src,
+           |  coalesce(lead(st) OVER (PARTITION BY user_id
+           |    ORDER BY ts_us, event_id), '__END__') AS dst FROM e),
            |p AS (SELECT src, dst, count(*) AS cnt FROM seq GROUP BY 1, 2),
            |t AS (SELECT src, sum(cnt) AS total FROM p GROUP BY 1)
            |SELECT p.src, p.dst, p.cnt,

@@ -30,6 +30,14 @@ object Transitions {
   /** Sentinel destination for each key's final event. */
   val EndState = "__END__"
 
+  /** Sentinel for a null state value. Mapping nulls to a REAL state —
+    * rather than letting them ride as null keys — keeps both
+    * conservation laws intact: a null `lead()` result would otherwise
+    * be indistinguishable from end-of-sequence (a fake terminal), and
+    * a null src would silently vanish in the totals equi-join.
+    */
+  val NullState = "__NULL__"
+
   /** `(src, dst, cnt, prob)` for every observed transition, including
     * terminal `src → __END__` rows. `orderCols` must totally order each
     * key's events (ties would make `lead` nondeterministic).
@@ -39,9 +47,10 @@ object Transitions {
     require(orderCols.nonEmpty, "need at least one ordering column")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(orderCols.map(col): _*)
+    val st = coalesce(col(stateCol), lit(NullState))
     val pairs = events
-      .select(col(stateCol).as("src"),
-        coalesce(lead(col(stateCol), 1).over(w), lit(EndState)).as("dst"))
+      .select(st.as("src"),
+        coalesce(lead(st, 1).over(w), lit(EndState)).as("dst"))
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("cnt"))
     val totals = pairs.groupBy(col("src"))

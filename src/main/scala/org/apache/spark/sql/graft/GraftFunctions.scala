@@ -33,6 +33,18 @@ import org.apache.spark.sql.types.IntegerType
   */
 object GraftFunctions {
 
+  /** Integer-literal argument of a summary-sizing parameter (capacity,
+    * k, depth, width, numHashes): these fix buffer/codegen sizes, so —
+    * like the built-in `approx_percentile` accuracy argument — a
+    * non-literal is a usage error reported eagerly.
+    */
+  private def intLit(fn: String, what: String)(e: Expression): Int =
+    e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be an integer literal, got $other")
+    }
+
   private def binary(name: String, clazz: Class[_],
       make: (Expression, Expression) => Expression)
       : (FunctionIdentifier, ExpressionInfo, FunctionBuilder) =
@@ -56,13 +68,8 @@ object GraftFunctions {
         new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
         (args: Seq[Expression]) => {
           require(args.length == 2, "graft_minhash_sig expects 2 arguments")
-          val n = args(1) match {
-            case Literal(v: Int, IntegerType) => v
-            case other => throw new IllegalArgumentException(
-              "graft_minhash_sig: numHashes must be an integer literal, " +
-                s"got $other")
-          }
-          MinHashSig(args.head, n)
+          MinHashSig(args.head,
+            intLit("graft_minhash_sig", "numHashes")(args(1)))
         }),
       (FunctionIdentifier("graft_double_bits"),
         new ExpressionInfo(classOf[SortableDoubleBits].getName,
@@ -76,26 +83,18 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 3,
             "graft_topk expects (value, capacity, k)")
-          def intLit(e: Expression, what: String): Int = e match {
-            case Literal(v: Int, IntegerType) => v
-            case other => throw new IllegalArgumentException(
-              s"graft_topk: $what must be an integer literal, got $other")
-          }
-          TopKSketch(args.head, intLit(args(1), "capacity"),
-            intLit(args(2), "k"))
+          TopKSketch(args.head,
+            intLit("graft_topk", "capacity")(args(1)),
+            intLit("graft_topk", "k")(args(2)))
         }),
       (FunctionIdentifier("graft_cms"),
         new ExpressionInfo(classOf[CmsSketch].getName, "graft_cms"),
         (args: Seq[Expression]) => {
           require(args.length == 3,
             "graft_cms expects (value, depth, width)")
-          def intLit(e: Expression, what: String): Int = e match {
-            case Literal(v: Int, IntegerType) => v
-            case other => throw new IllegalArgumentException(
-              s"graft_cms: $what must be an integer literal, got $other")
-          }
-          CmsSketch(args.head, intLit(args(1), "depth"),
-            intLit(args(2), "width"))
+          CmsSketch(args.head,
+            intLit("graft_cms", "depth")(args(1)),
+            intLit("graft_cms", "width")(args(2)))
         }))
 
   /** Idempotent registration on an existing session (temp-function scope,

@@ -142,6 +142,38 @@ class IncrementalAggSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(hit._5 === 6.0 && hit._6 === 6.0)
   }
 
+  test("a touched group whose survivors are all null repairs to NULL, " +
+      "not the stale deleted extreme") {
+    // state from {(g,5.0),(g,null)}: min=max=5.0, cnt=2. Deleting the
+    // 5.0 leaves only the null row — the repair must report null
+    // extremes (what a full recompute says), not resurrect 5.0 via a
+    // null-blind coalesce.
+    val a = Seq(("g", Some(5.0)), ("g", None))
+      .toDF("g", "v")
+    val del = rowsOf(("g", 5.0))
+    val base = Seq(("g", None: Option[Double])).toDF("g", "v")
+    val out = IncrementalAgg.reportMinMax(
+      IncrementalAgg.applyDeltaMinMax(
+        IncrementalAgg.aggStateMinMax(a, Seq("g"), Seq("v")),
+        spark.emptyDataFrame.selectExpr("'x' AS g", "1.0 AS v"),
+        del, base, Seq("g"), Seq("v")),
+      Seq("g"), Seq("v"))
+      .as[(String, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().toSeq
+    assert(out.size === 1)
+    val g = out.head
+    assert(g._2 === 1L)
+    assert(g._5.isEmpty && g._6.isEmpty,
+      "all-null survivors must repair the extremes to null")
+    val direct = IncrementalAgg.reportMinMax(
+      IncrementalAgg.aggStateMinMax(base, Seq("g"), Seq("v")),
+      Seq("g"), Seq("v"))
+      .as[(String, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._5, r._6)) ===
+      direct.map(r => (r._1, r._2, r._5, r._6)))
+  }
+
   test("min/max: inserts alone advance extremes with no repair read") {
     val a = rowsOf(("x", 3.0), ("x", 4.0))
     // base deliberately EMPTY: any repair read would change nothing /

@@ -50,6 +50,22 @@ class TransitionsSpec extends SparkSpec {
       Seq(("a", "b"), ("b", "c"), ("c", "__END__")))
   }
 
+  test("null states are a real state: conservation survives nulls") {
+    // a null mid-sequence must NOT look like end-of-sequence, and a
+    // null src must NOT vanish in the totals join
+    val df = Seq((1L, 10L, 5L, Some("a")), (1L, 20L, 6L, None),
+      (1L, 30L, 7L, Some("b")))
+      .map { case (u, t, i, s) => (u, t, i, s.orNull) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Transitions.matrix(df, "user_id", "event_type",
+      Seq("ts", "event_id"))
+      .as[(String, String, Long, Double)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(out.map(r => (r._1, r._2)) === Seq(
+      ("__NULL__", "b"), ("a", "__NULL__"), ("b", "__END__")))
+    assert(out.map(_._3).sum === 3L, "every event emits one transition")
+  }
+
   test("plan: one key-partitioned window; totals join is broadcast") {
     val plan = Transitions.matrix(fixture, "user_id", "event_type",
       Seq("ts", "event_id")).queryExecution.executedPlan.toString
