@@ -21,7 +21,8 @@ object SparkEntry {
     mm.MultimodalQueries,
     orch.OrchQueries,
     streaming.StreamingQueries,
-    catalog.GlossaryQueries)
+    catalog.GlossaryQueries,
+    graph.GraphQueries)
 
   private lazy val all: Seq[QueryDef] = packs.flatMap(_.queries)
 

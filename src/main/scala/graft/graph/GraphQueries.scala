@@ -1,0 +1,73 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryPack}
+import graft.io.Tables
+
+/** Registered graph-analytics queries.
+  *
+  * The PageRank oracle is the integer update rule unrolled: one CTE
+  * pair (contribution sum + dangling scalar) per iteration, generated
+  * by the same loop the engine runs — every operation integer, so the
+  * hash match pins the whole iterative dataflow bit-exactly.
+  */
+object GraphQueries extends QueryPack {
+
+  private val Iters = 3
+
+  /** PageRank over the bipartite order↔part co-occurrence graph (both
+    * directions of every lineitem pair), 3 iterations, top-20 by rank.
+    * At 100 TB this is the product-affinity centrality ranking; the
+    * bidirectional construction means no dangling mass here (the
+    * dangling term is exercised by `PageRankSpec`'s directed fixture).
+    */
+  private def pagerankQuery = QueryDef(
+    "graph_pagerank_parts",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem", parallelize = true)
+      val pairs = li.select(
+        concat(lit("O"), col("l_orderkey").cast("string")).as("o"),
+        concat(lit("P"), col("l_partkey").cast("string")).as("p"))
+        .distinct()
+      val edges = pairs.select(col("o").as("src"), col("p").as("dst"))
+        .unionByName(pairs.select(col("p").as("src"), col("o").as("dst")))
+      PageRank.ranks(edges, Iters)
+        .select(col("node"), col("r").as("rank_pico"))
+        .orderBy(col("rank_pico").desc, col("node"))
+        .limit(20)
+    },
+    Some {
+      val header =
+        "WITH pairs AS (SELECT DISTINCT 'O' || CAST(l_orderkey AS " +
+          "VARCHAR) AS o, 'P' || CAST(l_partkey AS VARCHAR) AS p " +
+          "FROM lineitem), " +
+          "edges AS (SELECT o AS src, p AS dst FROM pairs " +
+          "UNION ALL SELECT p, o FROM pairs), " +
+          "outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg " +
+          "FROM edges GROUP BY 1), " +
+          "nodes AS (SELECT src AS node FROM edges " +
+          "UNION SELECT dst FROM edges), " +
+          "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes), " +
+          "r0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS r " +
+          "FROM nodes CROSS JOIN nn)"
+      val iters = (1 to Iters).map { k =>
+        s"c$k AS (SELECT e.dst AS node, sum(r.r // d.deg) AS s " +
+          s"FROM edges e JOIN outdeg d ON e.src = d.src " +
+          s"JOIN r${k - 1} r ON e.src = r.node GROUP BY 1), " +
+          s"g$k AS (SELECT coalesce(sum(r.r), 0) // " +
+          s"(SELECT n FROM nn) AS dper FROM r${k - 1} r " +
+          "LEFT JOIN outdeg d ON r.node = d.src WHERE d.src IS NULL), " +
+          s"r$k AS (SELECT n2.node, CAST((SELECT (100 - 85) * " +
+          "1000000000000 // (100 * n) FROM nn) + " +
+          s"(coalesce(c.s, 0) + (SELECT dper FROM g$k)) * 85 // 100 " +
+          s"AS BIGINT) AS r FROM nodes n2 " +
+          s"LEFT JOIN c$k c ON n2.node = c.node)"
+      }.mkString(", ")
+      header + ", " + iters +
+        s" SELECT node, r AS rank_pico FROM r$Iters " +
+        "ORDER BY rank_pico DESC, node LIMIT 20"
+    })
+
+  override def queries: Seq[QueryDef] = Seq(pagerankQuery)
+}
