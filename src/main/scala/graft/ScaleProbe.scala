@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit}
 
 /** Scaling-evidence harness: times the scale-claim operators across
   * synthesized corpus multiples (tools/make_scale_corpus.py) so the
@@ -284,12 +284,32 @@ object ScaleProbe {
     // extremes) over the users-grow corpus + a channel-domain agg →
     // expect the keyed-window constant (transitions family)
     ("events_attribution", None,
-      SparkEntry.queries("events_attribution")))
+      SparkEntry.queries("events_attribution")),
+    // PageRank — 3 × (edge join + dst sum) over the FULL order-part
+    // graph (the gate lane runs a category slice; the probe stresses
+    // the whole thing); edges grow ×mult, the rank frame with the node
+    // count → expect near-linear in edges with the per-iteration
+    // shuffle as the slope
+    ("graph_pagerank", None, pagerankFullProbe _))
 
   /** Drift probe: numeric drift on l_extendedprice between two
     * key-modulo snapshots of the scaled lineitem (the registered gate
     * lane's shape over the corpus-scaled table).
     */
+  /** PageRank over the UNFILTERED order-part graph (the gate lane's
+    * category slice removed): the full per-iteration shuffle volume.
+    */
+  private def pagerankFullProbe(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.io.Tables.load(s, dir, "lineitem", parallelize = true)
+    val pairs = li.select(
+      (col("l_orderkey") * 2).cast("long").as("o"),
+      (col("l_partkey") * 2 + 1).cast("long").as("p"))
+    val edges = pairs.select(col("o").as("src"), col("p").as("dst"))
+      .unionByName(pairs.select(col("p").as("src"), col("o").as("dst")))
+    graft.graph.PageRank.ranks(edges, 3)
+      .orderBy(col("r").desc, col("node")).limit(20)
+  }
+
   private def driftProbe(s: SparkSession, dir: String): DataFrame = {
     val li = graft.io.Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"))

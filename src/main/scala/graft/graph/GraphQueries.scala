@@ -21,15 +21,24 @@ object GraphQueries extends QueryPack {
     * At 100 TB this is the product-affinity centrality ranking; the
     * bidirectional construction means no dangling mass here (the
     * dangling term is exercised by `PageRankSpec`'s directed fixture).
+    *
+    * The GATE graph is the `l_partkey % 8 = 0` category slice — an
+    * eighth of the part catalog with all its orders, the per-category
+    * affinity run a curation pipeline schedules per slice; the FULL
+    * unfiltered graph is what the scale probe measures (x1–x10,
+    * `graph_pagerank` row). Node ids are packed longs
+    * (`2·orderkey` / `2·partkey+1`) — integer keys, not concatenated
+    * strings, because every shuffle in the operator keys on them. Edge
+    * dedup happens inside [[PageRank.ranks]]; no pre-distinct here.
     */
   private def pagerankQuery = QueryDef(
     "graph_pagerank_parts",
     (s, dir) => {
       val li = Tables.load(s, dir, "lineitem", parallelize = true)
+        .filter(col("l_partkey") % 8 === 0)
       val pairs = li.select(
-        concat(lit("O"), col("l_orderkey").cast("string")).as("o"),
-        concat(lit("P"), col("l_partkey").cast("string")).as("p"))
-        .distinct()
+        (col("l_orderkey") * 2).cast("long").as("o"),
+        (col("l_partkey") * 2 + 1).cast("long").as("p"))
       val edges = pairs.select(col("o").as("src"), col("p").as("dst"))
         .unionByName(pairs.select(col("p").as("src"), col("o").as("dst")))
       PageRank.ranks(edges, Iters)
@@ -39,9 +48,9 @@ object GraphQueries extends QueryPack {
     },
     Some {
       val header =
-        "WITH pairs AS (SELECT DISTINCT 'O' || CAST(l_orderkey AS " +
-          "VARCHAR) AS o, 'P' || CAST(l_partkey AS VARCHAR) AS p " +
-          "FROM lineitem), " +
+        "WITH pairs AS (SELECT DISTINCT CAST(l_orderkey * 2 AS BIGINT) " +
+          "AS o, CAST(l_partkey * 2 + 1 AS BIGINT) AS p " +
+          "FROM lineitem WHERE l_partkey % 8 = 0), " +
           "edges AS (SELECT o AS src, p AS dst FROM pairs " +
           "UNION ALL SELECT p, o FROM pairs), " +
           "outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg " +

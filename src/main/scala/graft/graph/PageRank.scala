@@ -39,52 +39,97 @@ object PageRank {
   val TotalPico: Long = 1000000000000L
 
   /** `(node, rank_pico)` after `iters` synchronous iterations over the
-    * directed `edges` (`src`, `dst` string columns; parallel edges are
-    * collapsed). Nodes are every endpoint of any edge.
+    * directed `edges` (`src`, `dst` columns of any atomic type, which
+    * the node ids inherit; parallel edges are collapsed). Nodes are
+    * every endpoint of any edge. Prefer INTEGER node ids: every
+    * construction shuffle and per-iteration join keys on them, and
+    * packed longs measured ~2× cheaper than concatenated strings on
+    * the gate graph.
     */
+  /** Above this node count the per-iteration rank joins fall back to
+    * shuffle joins; below it the rank frame broadcasts. The gate exists
+    * because a `localCheckpoint`ed frame carries NO size statistics —
+    * Catalyst assumes worst-case and plans SortMergeJoin, re-sorting
+    * the cached edge frame EVERY iteration (measured 2× the whole
+    * lane's cost at sf0.1). Same decision shape as
+    * `IncrementalDedup`'s candidate-count gate.
+    */
+  val MaxBroadcastNodes: Long = 4000000L
+
   def ranks(edges: DataFrame, iters: Int, dampNum: Int = 85,
       dampDen: Int = 100): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     require(dampNum > 0 && dampNum < dampDen,
       "damping must be a proper fraction")
-    val e = edges.select(col("src").cast("string").as("src"),
-      col("dst").cast("string").as("dst")).distinct()
+    // e is persisted so the three consumers below (outdeg, nodes,
+    // edgesDeg) all read the cached deduped frame instead of re-running
+    // the distinct
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgesDeg = e.join(outdeg, Seq("src")).persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
       .persist()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val edgesDeg = e.join(outdeg, Seq("src")).persist()
+    // the DANGLING NODE SET is static across iterations (it depends on
+    // edges, not ranks) — materialize it once; when it is empty (every
+    // bidirectional graph), the per-iteration dangling aggregate, its
+    // broadcast and its cross join are skipped outright
     try {
-      val n = nodes.count()
+      // ONE stats job answers both setup questions (node count +
+      // dangling presence): nodes left-joined to outdeg, aggregated —
+      // instead of a count job plus a checkpointed anti-join job
+      val Array(n, danglingCount) = nodes
+        .join(outdeg, nodes("node") === outdeg("src"), "left")
+        .agg(count(lit(1)), count(when(col("deg").isNull, lit(1))))
+        .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+        .head() match { case (a, b) => Array(a, b) }
       require(n > 0, "empty graph")
+      val hasDangling = danglingCount > 0
+      lazy val danglingNodes = nodes
+        .join(outdeg, nodes("node") === outdeg("src"), "left_anti")
+        .localCheckpoint(true)
+      val small = n <= MaxBroadcastNodes
+      def ranksSide(df: DataFrame) = if (small) broadcast(df) else df
       val base = ((dampDen - dampNum).toLong * TotalPico) /
         (dampDen.toLong * n)
-      var r = nodes.select(col("node"),
-        lit(TotalPico / n).as("r")).localCheckpoint(true)
+      // r0 is nodes + a literal — lineage depth 1, nothing to truncate,
+      // so no checkpoint; the first iteration's checkpoint covers it
+      var r = nodes.select(col("node"), lit(TotalPico / n).as("r"))
       var i = 0
       while (i < iters) {
         val contrib = edgesDeg
-          .join(r, edgesDeg("src") === r("node"))
+          .join(ranksSide(r), edgesDeg("src") === r("node"))
           .select(col("dst"), expr("r DIV deg").as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-        // dangling nodes: rank mass with no out-edges, spread evenly
-        val dangling = r.join(outdeg, r("node") === outdeg("src"),
-            "left_anti")
-          .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
-          .select(expr(s"dm DIV ${n}L").as("dper"))
-        r = nodes
-          .join(contrib, nodes("node") === contrib("dst"), "left")
-          .crossJoin(broadcast(dangling))
+        val joined = nodes
+          .join(ranksSide(contrib), nodes("node") === contrib("dst"),
+            "left")
+        val withDangling =
+          if (!hasDangling) joined.withColumn("dper", lit(0L))
+          else joined.crossJoin(broadcast(
+            r.join(broadcast(danglingNodes.select(
+                col("node").as("__dn"))),
+              col("node") === col("__dn"), "left_semi")
+              .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+              .select(expr(s"dm DIV ${n}L").as("dper"))))
+        val next = withDangling
           .select(nodes("node"),
             (lit(base) +
               expr(s"(coalesce(s, 0L) + dper) * ${dampNum}L DIV " +
                 s"${dampDen}L")).as("r"))
-          .localCheckpoint(true)
+        // checkpoint every SECOND iteration (and at the end): halves
+        // the materialization jobs while still keeping lineage bounded
+        // at any iteration count
+        r = if (i % 2 == 1 || i == iters - 1) next.localCheckpoint(true)
+            else next
         i += 1
       }
       r
     } finally {
+      e.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
       edgesDeg.unpersist(blocking = false)
       ()
