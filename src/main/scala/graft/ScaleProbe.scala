@@ -290,7 +290,13 @@ object ScaleProbe {
     // the whole thing); edges grow ×mult, the rank frame with the node
     // count → expect near-linear in edges with the per-iteration
     // shuffle as the slope
-    ("graph_pagerank", None, pagerankFullProbe _))
+    ("graph_pagerank", None, pagerankFullProbe _),
+    // triangle counting — basket C(k,2) expansion is map-side, the
+    // wedge join fans out on ORIENTED out-degrees (√m-bounded), closing
+    // is one semi-join: expect near-linear in wedges, which grow with
+    // co-purchase density, not corpus length alone
+    ("graph_triangles", None,
+      SparkEntry.queries("graph_triangles_parts")))
 
   /** Drift probe: numeric drift on l_extendedprice between two
     * key-modulo snapshots of the scaled lineitem (the registered gate

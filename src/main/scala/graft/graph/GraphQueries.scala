@@ -78,5 +78,55 @@ object GraphQueries extends QueryPack {
         "ORDER BY rank_pico DESC, node LIMIT 20"
     })
 
-  override def queries: Seq[QueryDef] = Seq(pagerankQuery)
+  /** Triangle participation over the part co-purchase projection
+    * (parts sharing an order, order-sliced to every fourth order so
+    * baskets stay WHOLE — slicing parts would thin the very cliques
+    * the measurement is about). Basket pairs expand MAP-SIDE via the
+    * AssociationRules nested-transform idiom (C(k,2) bounded by basket
+    * size — no self-join of the order-part relation on the Spark
+    * side); the oracle builds the same edge set with the plain
+    * self-join and replays orientation + wedge + closing joins
+    * verbatim. Top-20 parts by (tri_cnt desc, node asc).
+    */
+  private def trianglesQuery = QueryDef(
+    "graph_triangles_parts",
+    (s, dir) => {
+      val t = Tables.load(s, dir, "lineitem", parallelize = true)
+        .filter(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey").as("o"),
+          col("l_partkey").cast("long").as("p"))
+        .distinct()
+      val pairs = t.groupBy(col("o"))
+        .agg(sort_array(collect_set(col("p"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), " +
+            "y -> struct(x AS src, y AS dst))))")).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      Triangles.perNode(pairs)
+        .orderBy(col("tri_cnt").desc, col("node"))
+        .limit(20)
+    },
+    Some("WITH t AS (SELECT DISTINCT l_orderkey AS o, " +
+      "CAST(l_partkey AS BIGINT) AS p FROM lineitem " +
+      "WHERE l_orderkey % 4 = 0), " +
+      "e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM t a " +
+      "JOIN t b ON a.o = b.o AND a.p < b.p), " +
+      "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM " +
+      "(SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1), " +
+      "o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg " +
+      "AND e.a < e.b) THEN e.a ELSE e.b END AS u, " +
+      "CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b) " +
+      "THEN e.b ELSE e.a END AS v " +
+      "FROM e JOIN deg da ON e.a = da.node " +
+      "JOIN deg db ON e.b = db.node), " +
+      "wdg AS (SELECT o1.u, o1.v, o2.v AS w FROM o o1 " +
+      "JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v), " +
+      "tri AS (SELECT wdg.u, wdg.v, wdg.w FROM wdg WHERE EXISTS " +
+      "(SELECT 1 FROM e WHERE e.a = wdg.v AND e.b = wdg.w)), " +
+      "x AS (SELECT unnest([u, v, w]) AS node FROM tri) " +
+      "SELECT node, count(*) AS tri_cnt FROM x GROUP BY 1 " +
+      "ORDER BY tri_cnt DESC, node LIMIT 20"))
+
+  override def queries: Seq[QueryDef] = Seq(pagerankQuery, trianglesQuery)
 }

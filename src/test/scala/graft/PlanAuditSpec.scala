@@ -29,6 +29,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("triangle lane: keyed wedge join + semi-join closing, no cartesian") {
+    val p = plan("graph_triangles_parts")
+    assert(!p.contains("CartesianProduct"),
+      "wedge/closing joins must stay equi-keyed")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("LeftSemi"),
+      s"closing-edge check must be a semi-join:\n$p")
+  }
+
   test("brute-force top-k broadcasts the query side only") {
     val p = plan("sim_topk_bruteforce")
     // corpus×queries is a broadcast nested loop over the SMALL query set —

@@ -44,6 +44,9 @@ class PageRankSpec extends SparkSpec {
   }
 
   test("releases every persisted frame before returning") {
+    // clean baseline first: a PRIOR suite's leftover cache entry must
+    // not be attributed to ranks (the assert below is global)
+    spark.catalog.clearCache()
     run(2, 2, ("A", "B"), ("B", "A"))
     assert(spark.sharedState.cacheManager.isEmpty,
       "nodes/edges persists must be released")
