@@ -296,7 +296,13 @@ object ScaleProbe {
     // is one semi-join: expect near-linear in wedges, which grow with
     // co-purchase density, not corpus length alone
     ("graph_triangles", None,
-      SparkEntry.queries("graph_triangles_parts")))
+      SparkEntry.queries("graph_triangles_parts")),
+    // BPE merge induction — ONE corpus pass (word counts) then
+    // O(steps · W) iteration off the checkpointed top-W frame: expect
+    // scan-bound (the scaled corpus suffixes tokens per copy, growing
+    // the counts frame ×mult while W stays fixed)
+    ("text_bpe", None,
+      SparkEntry.queries("text_bpe_merges_documents")))
 
   /** Drift probe: numeric drift on l_extendedprice between two
     * key-modulo snapshots of the scaled lineitem (the registered gate

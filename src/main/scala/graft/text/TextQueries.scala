@@ -804,6 +804,74 @@ object TextQueries extends QueryPack {
            |FROM f GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
       .replace("\n", " ")))
 
+  private val BpeSteps = 6
+  private val BpeTopWords = 512
+
+  /** BPE merge induction ([[Bpe.merges]]): the first 6 tokenizer merge
+    * rules learned from the corpus word distribution — one corpus pass
+    * (word counts → top-512 word frame), then O(steps · W) iteration
+    * entirely off the checkpointed frame. The oracle is the SAME loop
+    * unrolled into CTEs: per step one pair-count aggregation (list_zip
+    * over the symbol lists), a 1-row (weight DESC, lhs, rhs) cut, and
+    * the greedy-scan rewrite replayed with run-parity window logic
+    * (lhs = rhs: a run's odd members start merges; lhs ≠ rhs:
+    * adjacencies cannot overlap, all merge; a started merge CONSUMES
+    * its right neighbor via lag). Step CTEs are MATERIALIZED — DuckDB
+    * inlines CTEs by default, and each step referencing the previous
+    * twice would expand the plan exponentially in steps.
+    */
+  private def bpeQuery = QueryDef(
+    "text_bpe_merges_documents",
+    (s, dir) => Bpe.merges(
+        Tables.load(s, dir, "documents", parallelize = true),
+        "text", BpeSteps, BpeTopWords)
+      .orderBy("step"),
+    Some {
+      val header =
+        "WITH wc AS MATERIALIZED (SELECT word, " +
+          "CAST(count(*) AS BIGINT) AS cnt FROM (SELECT lower(t) AS " +
+          s"word FROM (SELECT unnest($tokensSql) AS t FROM documents)) " +
+          "WHERE regexp_matches(word, '^[a-z]+$') GROUP BY 1 " +
+          s"ORDER BY cnt DESC, word LIMIT $BpeTopWords), " +
+          "s0 AS MATERIALIZED (SELECT row_number() OVER " +
+          "(ORDER BY word) AS wid, " +
+          "list_append(regexp_extract_all(word, '.'), '_') AS l, cnt " +
+          "FROM wc)"
+      val steps = (1 to BpeSteps).map { k =>
+        val p = k - 1
+        s"p$k AS MATERIALIZED (SELECT pr[1] AS lhs, pr[2] AS rhs, " +
+          "CAST(sum(cnt) AS BIGINT) AS weight FROM (SELECT " +
+          "unnest(list_zip(list_slice(l, 1, len(l)-1), " +
+          s"list_slice(l, 2, len(l)))) AS pr, cnt FROM s$p) " +
+          "GROUP BY 1, 2), " +
+          s"m$k AS MATERIALIZED (SELECT lhs, rhs, weight FROM p$k " +
+          "ORDER BY weight DESC, lhs, rhs LIMIT 1), " +
+          s"e$k AS (SELECT wid, cnt, unnest(l) AS sym, " +
+          s"generate_subscripts(l, 1) AS pos FROM s$p), " +
+          s"f$k AS (SELECT *, lead(sym) OVER (PARTITION BY wid " +
+          "ORDER BY pos) AS nxt, sum(CASE WHEN sym = " +
+          s"(SELECT lhs FROM m$k) THEN 0 ELSE 1 END) OVER " +
+          s"(PARTITION BY wid ORDER BY pos) AS runid FROM e$k), " +
+          s"g$k AS (SELECT *, row_number() OVER (PARTITION BY wid, " +
+          s"runid, sym ORDER BY pos) AS rin FROM f$k), " +
+          s"h$k AS (SELECT *, CASE WHEN sym = (SELECT lhs FROM m$k) " +
+          s"AND nxt IS NOT DISTINCT FROM (SELECT rhs FROM m$k) AND " +
+          s"((SELECT lhs FROM m$k) <> (SELECT rhs FROM m$k) OR " +
+          s"rin % 2 = 1) THEN TRUE ELSE FALSE END AS mstart FROM g$k), " +
+          s"i$k AS (SELECT *, coalesce(lag(mstart) OVER " +
+          s"(PARTITION BY wid ORDER BY pos), FALSE) AS consumed FROM h$k), " +
+          s"s$k AS MATERIALIZED (SELECT wid, cnt, " +
+          "list(CASE WHEN mstart THEN sym || nxt ELSE sym END " +
+          "ORDER BY pos) FILTER (NOT consumed) AS l " +
+          s"FROM i$k GROUP BY wid, cnt)"
+      }.mkString(", ")
+      val sel = (1 to BpeSteps).map(k =>
+        s"SELECT $k AS step, lhs, rhs, lhs || rhs AS merged, weight " +
+          s"FROM m$k").mkString(" UNION ALL ")
+      header + ", " + steps +
+        " SELECT * FROM (" + sel + ") ORDER BY step"
+    })
+
   override def queries: Seq[QueryDef] =
     Seq(statsQuery, curateQuery, pipelineQuery, pipelineFullQuery,
       sampleQuery, shardQuery, splitQuery, termsQuery, vocabQuery,
@@ -811,5 +879,5 @@ object TextQueries extends QueryPack {
       decontamQuery,
       scrubSpansQuery, repetitionQuery, packQuery, decontamPipelineQuery,
       chunkQuery, mixQuery, mixWeightedQuery, bm25Query,
-      collocationsQuery, boilerplateQuery)
+      collocationsQuery, boilerplateQuery, bpeQuery)
 }
