@@ -302,7 +302,13 @@ object ScaleProbe {
     // scan-bound (the scaled corpus suffixes tokens per copy, growing
     // the counts frame ×mult while W stays fixed)
     ("text_bpe", None,
-      SparkEntry.queries("text_bpe_merges_documents")))
+      SparkEntry.queries("text_bpe_merges_documents")),
+    // connected components — per round one edge join + one node-sized
+    // self-join; scaled copies re-slice %16 over offset orderkeys, so
+    // edges grow ×mult while the fixed 8 relax+jump rounds stay put:
+    // expect near-linear in edges with the round count as the constant
+    ("graph_components", None,
+      SparkEntry.queries("graph_components_parts")))
 
   /** Drift probe: numeric drift on l_extendedprice between two
     * key-modulo snapshots of the scaled lineitem (the registered gate

@@ -1,0 +1,117 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via min-label propagation with
+  * POINTER JUMPING: each round (a) relaxes — every node takes the
+  * minimum of its own and its neighbors' labels (one edge join + one
+  * map-side-combinable min) — and (b) jumps — every node re-reads the
+  * label OF its current label (one node-sized self-join). Relax alone
+  * needs diameter-many rounds; the jump doubles how far the minimum
+  * has effectively travelled, so convergence is O(log diameter) — the
+  * difference between 10 and 1000 synchronous rounds on a 100 TB
+  * web-graph-shaped corpus. Labels only ever decrease, and every label
+  * is itself a node id of the same component (induction: relax takes a
+  * neighbor's id, jump takes a label's label), so the fixed point is
+  * exactly the per-component minimum id.
+  *
+  * Same dataflow contract as [[PageRank]]: edges mirrored/deduped and
+  * persisted once, the relaxed label frame re-materialized per round
+  * (`localCheckpoint`, node-sized) so lineage stays bounded, label
+  * sides of joins broadcast under the [[PageRank.MaxBroadcastNodes]]
+  * gate (checkpointed frames carry no size statistics — Catalyst
+  * would SMJ-re-sort the cached edge frame every round), everything
+  * persisted released before returning. All operations are integer /
+  * equality, so a SQL oracle replays the rounds verbatim as unrolled
+  * CTEs.
+  *
+  * Self-loops are dropped and isolated nodes (no surviving edge) are
+  * absent — components are defined over edge endpoints, as in
+  * [[Triangles]].
+  */
+object Components {
+
+  private def mirrored(edges: DataFrame): DataFrame = {
+    val pairs = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
+  /** One relax + jump round; `side` wraps label frames with the
+    * broadcast gate. The relaxed frame is CHECKPOINTED before the jump
+    * — it feeds both sides of the jump self-join, and a lazy broadcast
+    * side would re-run the whole edge join + aggregation (measured 2×
+    * the lane); the jump itself stays lazy (node-sized joins over the
+    * checkpointed frame), so each round costs exactly one action.
+    */
+  private def round(dir: DataFrame, l: DataFrame,
+      side: DataFrame => DataFrame): DataFrame = {
+    val relaxed = dir
+      .join(side(l.withColumnRenamed("node", "src")), Seq("src"))
+      .select(col("dst").as("node"), col("lbl"))
+      .unionByName(l)
+      .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+      .localCheckpoint(true)
+    // jump: label of label — relaxed covers every node and labels are
+    // node ids, so the self-join is total; checkpointed too, because
+    // the next round's relax (and its broadcast wrap) consumes the
+    // result three times
+    relaxed
+      .join(side(relaxed.select(col("node").as("__ln"),
+        col("lbl").as("__ll"))), col("lbl") === col("__ln"))
+      .select(col("node"), col("__ll").as("lbl"))
+      .localCheckpoint(true)
+  }
+
+  private def run(edges: DataFrame, rounds: Int,
+      stopWhenStable: Boolean): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val dir = mirrored(edges).persist()
+    try {
+      // the persist-materializing count doubles as the broadcast gate:
+      // mirrored-edge count ≥ node count, so edges ≤ threshold is a
+      // CONSERVATIVE broadcast decision (no separate node-count job)
+      val m = dir.count()
+      val small = m <= PageRank.MaxBroadcastNodes
+      def side(df: DataFrame) = if (small) broadcast(df) else df
+      val nodes = dir.select(col("src").as("node")).distinct()
+      var l = nodes.select(col("node"), col("node").as("lbl"))
+      // labels only decrease, so the exact label sum strictly
+      // decreases iff ANY label changed — one scalar aggregate per
+      // round instead of a change-count join (numeric ids required
+      // for the stability check; the fixed-round form has no such
+      // constraint)
+      var prevSum: java.math.BigDecimal = null
+      var i = 0
+      var stable = false
+      while (i < rounds && !stable) {
+        l = round(dir, l, side)
+        if (stopWhenStable) {
+          val s = l.agg(sum(col("lbl").cast("decimal(38,0)")))
+            .head().getDecimal(0)
+          stable = prevSum != null && s.compareTo(prevSum) == 0
+          prevSum = s
+        }
+        i += 1
+      }
+      l
+    } finally { dir.unpersist(blocking = false); () }
+  }
+
+  /** `(node, lbl)` after exactly `rounds` relax+jump rounds — the
+    * oracle-replayable form (deterministic round count; correct when
+    * the minimum can reach every node, roughly 2^rounds ≥ diameter).
+    */
+  def labels(edges: DataFrame, rounds: Int): DataFrame =
+    run(edges, rounds, stopWhenStable = false)
+
+  /** The production form: rounds until the label assignment is stable
+    * (true components), bounded by `maxRounds`. Requires numeric node
+    * ids (the stability check sums labels exactly).
+    */
+  def converged(edges: DataFrame, maxRounds: Int = 64): DataFrame =
+    run(edges, maxRounds, stopWhenStable = true)
+}

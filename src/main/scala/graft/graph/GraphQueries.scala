@@ -128,5 +128,63 @@ object GraphQueries extends QueryPack {
       "SELECT node, count(*) AS tri_cnt FROM x GROUP BY 1 " +
       "ORDER BY tri_cnt DESC, node LIMIT 20"))
 
-  override def queries: Seq[QueryDef] = Seq(pagerankQuery, trianglesQuery)
+  private val CcRounds = 6
+
+  /** Connected components over the part co-purchase projection
+    * (`l_orderkey % 16` slice — sparse enough that the graph is NOT one
+    * giant blob: 42 components at sf0.1), top-20 components by size.
+    * Fixed [[CcRounds]] relax+jump rounds (2^6 ≫ the measured ≤12
+    * diameter, and both gate corpora converge in ≤7) so the DuckDB
+    * oracle replays the exact round count as unrolled MATERIALIZED
+    * CTEs; [[Components.converged]] is the production stop rule,
+    * spec-pinned equal. Basket pairs expand map-side as in the
+    * triangles lane; [[Components]] mirrors directions internally, the
+    * oracle mirrors via `a.p <> b.p`.
+    */
+  private def componentsQuery = QueryDef(
+    "graph_components_parts",
+    (s, dir) => {
+      val t = Tables.load(s, dir, "lineitem", parallelize = true)
+        .filter(col("l_orderkey") % 16 === 0)
+        .select(col("l_orderkey").as("o"),
+          col("l_partkey").cast("long").as("p"))
+        .distinct()
+      val pairs = t.groupBy(col("o"))
+        .agg(sort_array(collect_set(col("p"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), " +
+            "y -> struct(x AS src, y AS dst))))")).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      Components.labels(pairs, CcRounds)
+        .groupBy(col("lbl").as("component"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("component"))
+        .limit(20)
+    },
+    Some {
+      val header =
+        "WITH t AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, " +
+          "CAST(l_partkey AS BIGINT) AS p FROM lineitem " +
+          "WHERE l_orderkey % 16 = 0), " +
+          "ep AS MATERIALIZED (SELECT DISTINCT a.p AS src, b.p AS dst " +
+          "FROM t a JOIN t b ON a.o = b.o AND a.p <> b.p), " +
+          "r0 AS MATERIALIZED (SELECT node, node AS lbl FROM " +
+          "(SELECT DISTINCT src AS node FROM ep))"
+      val rounds = (1 to CcRounds).map { k =>
+        s"a$k AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM " +
+          s"(SELECT r.node, r.lbl FROM r${k - 1} r UNION ALL " +
+          s"SELECT e.dst, r.lbl FROM ep e JOIN r${k - 1} r " +
+          "ON e.src = r.node) GROUP BY 1), " +
+          s"r$k AS MATERIALIZED (SELECT x.node, y.lbl FROM a$k x " +
+          s"JOIN a$k y ON x.lbl = y.node)"
+      }.mkString(", ")
+      header + ", " + rounds +
+        " SELECT lbl AS component, CAST(count(*) AS BIGINT) AS n_nodes " +
+        s"FROM r$CcRounds GROUP BY 1 " +
+        "ORDER BY n_nodes DESC, component LIMIT 20"
+    })
+
+  override def queries: Seq[QueryDef] =
+    Seq(pagerankQuery, trianglesQuery, componentsQuery)
 }
