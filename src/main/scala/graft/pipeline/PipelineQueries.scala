@@ -992,6 +992,70 @@ object PipelineQueries extends QueryPack {
          |SELECT * FROM newrows
          |ORDER BY user_id, valid_from_us, event_id""".stripMargin))
 
+  /** Two-proportion z-test ([[AbTest]]): conversion = any purchase
+    * above value 150 (≈45% of users at both gate corpora — a
+    * non-degenerate pool), variants = the seeded-md5 hex-prefix cut.
+    * The z's IEEE tree (divisions + one multiply chain + one
+    * correctly-rounded sqrt) is mirrored verbatim in the oracle, so
+    * the score hash-compares bit-identically.
+    */
+  private def abTestQuery = QueryDef(
+    "events_ab_test",
+    (s, dir) => AbTest.twoProportionZ(
+      Tables.load(s, dir, "events", parallelize = true), "user_id",
+      expr("event_type = 'purchase' AND value > 150"), "exp1"),
+    Some("WITH u AS (SELECT user_id, " +
+      "CAST(max(CASE WHEN event_type = 'purchase' AND value > 150 " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS converted FROM events " +
+      "GROUP BY 1), " +
+      "a AS (SELECT converted, substring(md5('exp1:' || " +
+      "user_id::VARCHAR), 1, 4) < '8000' AS is_a FROM u), " +
+      "g AS (SELECT " +
+      "CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+      "CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b, " +
+      "CAST(sum(CASE WHEN is_a THEN converted ELSE 0 END) AS BIGINT) " +
+      "AS conv_a, " +
+      "CAST(sum(CASE WHEN is_a THEN 0 ELSE converted END) AS BIGINT) " +
+      "AS conv_b FROM a) " +
+      "SELECT n_a, n_b, conv_a, conv_b, " +
+      "CASE WHEN n_a = 0 THEN NULL ELSE " +
+      "CAST(conv_a AS DOUBLE) / n_a END AS rate_a, " +
+      "CASE WHEN n_b = 0 THEN NULL ELSE " +
+      "CAST(conv_b AS DOUBLE) / n_b END AS rate_b, " +
+      "CASE WHEN n_a = 0 OR n_b = 0 OR " +
+      "sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
+      "(1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
+      "(1.0 / n_a + 1.0 / n_b)) = 0.0 THEN NULL ELSE " +
+      "(CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) / " +
+      "sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
+      "(1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
+      "(1.0 / n_a + 1.0 / n_b)) END AS z_score FROM g"))
+
+  /** Rolling 7-day distinct actives ([[Actives]]): DAU/WAU/stickiness
+    * per observed day; each active (user, day) expands map-side to the
+    * ≤7 report days it serves — never a range join. Oracle replays the
+    * expansion with generate_series.
+    */
+  private def activesQuery = QueryDef(
+    "events_active_users",
+    (s, dir) => Actives.rolling(
+        Tables.load(s, dir, "events", parallelize = true),
+        "user_id", "ts", 7)
+      .orderBy("day"),
+    Some("WITH ud AS (SELECT DISTINCT user_id AS u, " +
+      s"epoch_us(ts) // ${Actives.DayUs} AS day FROM events), " +
+      "b AS (SELECT min(day) AS lo, max(day) AS hi FROM ud), " +
+      "dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud " +
+      "GROUP BY 1), " +
+      "w AS (SELECT DISTINCT u, day FROM (SELECT u, " +
+      "unnest(generate_series(day, day + 6)) AS day FROM ud)), " +
+      "wau AS (SELECT day, CAST(count(*) AS BIGINT) AS " +
+      "rolling_actives FROM w GROUP BY 1) " +
+      "SELECT wau.day, coalesce(dau.dau, 0) AS dau, rolling_actives, " +
+      "CAST(coalesce(dau.dau, 0) AS DOUBLE) / rolling_actives AS " +
+      "stickiness FROM wau LEFT JOIN dau ON wau.day = dau.day, b " +
+      "WHERE wau.day BETWEEN b.lo AND b.hi ORDER BY 1"))
+
   override def queries: Seq[QueryDef] =
     Seq(latestQuery, mergeQuery, asofQuery, featuresQuery, funnelQuery,
       retentionQuery, resampleQuery, anomalyQuery, changepointQuery,
@@ -1000,5 +1064,5 @@ object PipelineQueries extends QueryPack {
       rangeJoinQuery,
       growthQuery, assocQuery, snapshotDiffQuery,
       snapshotDiffBucketedQuery, saltedQuery, saltedJoinQuery,
-      scd2HistoryQuery, scd2MergeQuery)
+      scd2HistoryQuery, scd2MergeQuery, abTestQuery, activesQuery)
 }
