@@ -1056,6 +1056,75 @@ object PipelineQueries extends QueryPack {
       "stickiness FROM wau LEFT JOIN dau ON wau.day = dau.day, b " +
       "WHERE wau.day BETWEEN b.lo AND b.hi ORDER BY 1"))
 
+  /** Golden-record entity resolution ([[GoldenRecord]]): customers get
+    * collision-sparse 8-hex md5 names; every 10th customer plants a
+    * DIRTY twin (id offset past the key space, last name char typo'd to
+    * the non-hex 'x' — a guaranteed d=1 substitution — acctbal bumped,
+    * segment nulled). FuzzyJoin d=1 finds the twins, Components closes
+    * clusters (3 rounds ≫ the planted diameter 1), survivorship merges:
+    * max(acctbal) takes the bump, max(mktsegment) skips the NULL,
+    * min(id)/min(nationkey) keep the parent. Report = merged clusters
+    * only. The oracle replays match (brute levenshtein — proving
+    * blocked ≡ brute again), the unrolled component rounds, and the
+    * same aggregates.
+    */
+  private def goldenQuery = QueryDef(
+    "mdm_golden_customers",
+    (s, dir) => {
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          substring(md5(concat(lit("c:"),
+            col("c_custkey").cast("string")).cast("binary")), 1, 8)
+            .as("name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      val dirty = base.filter(col("id") % 10 === 0)
+        .select((col("id") + 1000000L).as("id"),
+          concat(substring(col("name"), 1, 7), lit("x")).as("name"),
+          col("c_nationkey"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"),
+          lit(null).cast("string").as("c_mktsegment"))
+      GoldenRecord.resolve(base.unionByName(dirty), "id", "name",
+          maxDist = 1, rounds = 3,
+          rules = Seq("c_nationkey" -> "min", "c_acctbal" -> "max",
+            "c_mktsegment" -> "max"))
+        .filter(col("n_members") >= 2)
+        .orderBy("cluster_name")
+    },
+    Some {
+      val header =
+        "WITH r AS MATERIALIZED (SELECT c_custkey AS id, " +
+          "substring(md5('c:' || c_custkey::VARCHAR), 1, 8) AS name, " +
+          "c_nationkey, c_acctbal, c_mktsegment FROM customer " +
+          "UNION ALL SELECT c_custkey + 1000000, " +
+          "substring(md5('c:' || c_custkey::VARCHAR), 1, 7) || 'x', " +
+          "c_nationkey, c_acctbal + 100.0, NULL FROM customer " +
+          "WHERE c_custkey % 10 = 0), " +
+          "nm AS (SELECT DISTINCT name FROM r), " +
+          "p AS MATERIALIZED (SELECT a.name AS na, b.name AS nb " +
+          "FROM nm a JOIN nm b ON a.name < b.name " +
+          "AND levenshtein(a.name, b.name) <= 1), " +
+          "ep AS MATERIALIZED (SELECT na AS src, nb AS dst FROM p " +
+          "UNION ALL SELECT nb, na FROM p), " +
+          "c0 AS MATERIALIZED (SELECT node, node AS lbl FROM " +
+          "(SELECT DISTINCT src AS node FROM ep))"
+      val rounds = (1 to 3).map { k =>
+        s"ca$k AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM " +
+          s"(SELECT c.node, c.lbl FROM c${k - 1} c UNION ALL " +
+          s"SELECT e.dst, c.lbl FROM ep e JOIN c${k - 1} c " +
+          "ON e.src = c.node) GROUP BY 1), " +
+          s"c$k AS MATERIALIZED (SELECT x.node, y.lbl FROM ca$k x " +
+          s"JOIN ca$k y ON x.lbl = y.node)"
+      }.mkString(", ")
+      header + ", " + rounds + ", " +
+        "j AS (SELECT r.*, coalesce(c3.lbl, r.name) AS cluster_name " +
+        "FROM r LEFT JOIN c3 ON r.name = c3.node) " +
+        "SELECT cluster_name, CAST(count(*) AS BIGINT) AS n_members, " +
+        "min(id) AS golden_id, min(c_nationkey) AS c_nationkey, " +
+        "max(c_acctbal) AS c_acctbal, max(c_mktsegment) AS " +
+        "c_mktsegment FROM j GROUP BY 1 HAVING count(*) >= 2 " +
+        "ORDER BY cluster_name"
+    })
+
   override def queries: Seq[QueryDef] =
     Seq(latestQuery, mergeQuery, asofQuery, featuresQuery, funnelQuery,
       retentionQuery, resampleQuery, anomalyQuery, changepointQuery,
@@ -1064,5 +1133,6 @@ object PipelineQueries extends QueryPack {
       rangeJoinQuery,
       growthQuery, assocQuery, snapshotDiffQuery,
       snapshotDiffBucketedQuery, saltedQuery, saltedJoinQuery,
-      scd2HistoryQuery, scd2MergeQuery, abTestQuery, activesQuery)
+      scd2HistoryQuery, scd2MergeQuery, abTestQuery, activesQuery,
+      goldenQuery)
 }
