@@ -1125,6 +1125,99 @@ object PipelineQueries extends QueryPack {
         "ORDER BY cluster_name"
     })
 
+  private val MarkovIters = 12
+
+  /** Markov removal-effect attribution ([[MarkovAttribution]]):
+    * journeys = touches before the first qualifying purchase (the
+    * X75 conversion cut, so both CONV and NULL absorb), value
+    * iteration in exact BIGINT picoprob — the oracle unrolls the same
+    * [[MarkovIters]] steps as MATERIALIZED CTEs over the same
+    * per-edge `cnt·p DIV total` rule, so everything up to the final
+    * share division hash-compares as integers.
+    */
+  private def markovQuery = QueryDef(
+    "events_markov_attribution",
+    (s, dir) => MarkovAttribution.removalEffects(
+      MarkovAttribution.transitions(
+        Tables.load(s, dir, "events", parallelize = true),
+        "user_id", "ts", "event_id", "event_type",
+        expr("event_type = 'purchase' AND value > 150")),
+      MarkovIters).orderBy("channel"),
+    Some {
+      val header =
+        "WITH b AS (SELECT user_id AS u, ts, event_id AS id, " +
+          "event_type AS ch, " +
+          "(event_type = 'purchase' AND value > 150) AS c FROM events), " +
+          "m AS (SELECT *, row_number() OVER (PARTITION BY u " +
+          "ORDER BY ts, id) AS rn FROM b), " +
+          "cp AS (SELECT u, min(rn) AS crn FROM m WHERE c GROUP BY 1), " +
+          "t AS (SELECT m.*, cp.crn FROM m LEFT JOIN cp USING (u)), " +
+          "tch AS (SELECT u, ch, rn, crn FROM t WHERE NOT c AND " +
+          "ch IS NOT NULL AND (crn IS NULL OR rn < crn)), " +
+          "sq AS (SELECT *, row_number() OVER (PARTITION BY u " +
+          "ORDER BY rn) AS trn, lead(ch) OVER (PARTITION BY u " +
+          "ORDER BY rn) AS nxt FROM tch), " +
+          "se AS (SELECT '__START__' AS src, ch AS dst FROM sq " +
+          "WHERE trn = 1), " +
+          "st AS (SELECT ch AS src, coalesce(nxt, CASE WHEN crn IS " +
+          "NOT NULL THEN '__CONV__' ELSE '__NULL__' END) AS dst " +
+          "FROM sq), " +
+          "ej AS (SELECT '__START__' AS src, CASE WHEN conv = 1 THEN " +
+          "'__CONV__' ELSE '__NULL__' END AS dst FROM (SELECT u, " +
+          "max(CASE WHEN NOT c AND ch IS NOT NULL AND (crn IS NULL " +
+          "OR rn < crn) THEN 1 ELSE 0 END) AS hast, " +
+          "max(CASE WHEN c THEN 1 ELSE 0 END) AS conv FROM t " +
+          "GROUP BY 1) WHERE hast = 0), " +
+          "tr AS MATERIALIZED (SELECT src, dst, " +
+          "CAST(count(*) AS BIGINT) AS cnt FROM (SELECT * FROM se " +
+          "UNION ALL SELECT * FROM st UNION ALL SELECT * FROM ej) " +
+          "GROUP BY 1, 2), " +
+          "chs AS (SELECT DISTINCT ch FROM (SELECT src AS ch FROM tr " +
+          "UNION ALL SELECT dst FROM tr) WHERE ch NOT IN " +
+          "('__START__', '__CONV__', '__NULL__')), " +
+          "vars AS (SELECT ch AS variant FROM chs " +
+          "UNION ALL SELECT '__BASE__'), " +
+          "tot AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS total " +
+          "FROM tr GROUP BY 1), " +
+          "ed AS MATERIALIZED (SELECT v.variant, t.src, t.dst, t.cnt, " +
+          "tot.total FROM vars v CROSS JOIN tr t JOIN tot " +
+          "ON t.src = tot.src WHERE v.variant = '__BASE__' OR " +
+          "(t.src <> v.variant AND t.dst <> v.variant)), " +
+          "sts AS MATERIALIZED (SELECT v.variant, s.state FROM vars v " +
+          "CROSS JOIN (SELECT ch AS state FROM chs UNION ALL " +
+          "SELECT unnest(['__START__', '__CONV__', '__NULL__'])) s), " +
+          "p0 AS MATERIALIZED (SELECT variant, state, " +
+          "CAST(CASE WHEN state = '__CONV__' THEN 1000000000000 " +
+          "ELSE 0 END AS BIGINT) AS p FROM sts)"
+      val iters = (1 to MarkovIters).map { k =>
+        s"q$k AS (SELECT e.variant, e.src AS state, " +
+          "CAST(sum(e.cnt * p.p // e.total) AS BIGINT) AS pc " +
+          s"FROM ed e JOIN p${k - 1} p ON e.variant = p.variant " +
+          "AND e.dst = p.state GROUP BY 1, 2), " +
+          s"p$k AS MATERIALIZED (SELECT s.variant, s.state, " +
+          "CAST(CASE WHEN s.state = '__CONV__' THEN 1000000000000 " +
+          s"ELSE coalesce(q.pc, 0) END AS BIGINT) AS p FROM sts s " +
+          s"LEFT JOIN q$k q ON s.variant = q.variant " +
+          "AND s.state = q.state)"
+      }.mkString(", ")
+      header + ", " + iters + ", " +
+        "ast AS (SELECT variant, p FROM " + s"p$MarkovIters" +
+        " WHERE state = '__START__'), " +
+        "bs AS (SELECT p AS conv_base_pico FROM ast " +
+        "WHERE variant = '__BASE__'), " +
+        "re AS (SELECT variant AS channel, " +
+        "(SELECT conv_base_pico FROM bs) AS conv_base_pico, " +
+        "p AS conv_removed_pico, " +
+        "(SELECT conv_base_pico FROM bs) - p AS removal_effect_pico " +
+        "FROM ast WHERE variant <> '__BASE__'), " +
+        "tt AS (SELECT CAST(sum(removal_effect_pico) AS BIGINT) AS " +
+        "tot FROM re) " +
+        "SELECT channel, conv_base_pico, conv_removed_pico, " +
+        "removal_effect_pico, CASE WHEN tot = 0 OR tot IS NULL THEN " +
+        "NULL ELSE CAST(removal_effect_pico AS DOUBLE) / tot END AS " +
+        "share FROM re, tt ORDER BY channel"
+    })
+
   override def queries: Seq[QueryDef] =
     Seq(latestQuery, mergeQuery, asofQuery, featuresQuery, funnelQuery,
       retentionQuery, resampleQuery, anomalyQuery, changepointQuery,
@@ -1134,5 +1227,5 @@ object PipelineQueries extends QueryPack {
       growthQuery, assocQuery, snapshotDiffQuery,
       snapshotDiffBucketedQuery, saltedQuery, saltedJoinQuery,
       scd2HistoryQuery, scd2MergeQuery, abTestQuery, activesQuery,
-      goldenQuery)
+      goldenQuery, markovQuery)
 }
