@@ -140,7 +140,67 @@ object DqQueries extends QueryPack {
         "ORDER BY col_name, value"
     })
 
+  /** Declarative expectation suite ([[RuleSuite]]): seven checks over
+    * orders compiled into ONE aggregation pass; `price_under_1k` is
+    * deliberately failing (min o_totalprice ≈ 1013 at the gate corpus)
+    * so the report carries a real `passed = false` row. Metrics are
+    * exact counts → one IEEE division, mirrored verbatim in the
+    * oracle.
+    */
+  private def suiteRules = Seq(
+    RuleSuite.Rule("orderkey_complete", "o_orderkey", "complete", 1.0),
+    RuleSuite.Rule("orderkey_unique", "o_orderkey", "unique", 1.0),
+    RuleSuite.Rule("status_accepted", "o_orderstatus", "accepted", 1.0,
+      "O,F,P"),
+    RuleSuite.Rule("price_nonneg", "o_totalprice", "min_at_least", 0.0),
+    RuleSuite.Rule("price_under_500k", "o_totalprice", "max_at_most",
+      500000.0),
+    RuleSuite.Rule("price_under_1k", "o_totalprice", "between_frac",
+      0.9, "0,1000"),
+    RuleSuite.Rule("priority_matches", "o_orderpriority", "matches",
+      1.0, "^[0-9]-[A-Z ]+$"))
+
+  private def suiteQuery = QueryDef(
+    "dq_suite_orders",
+    (s, dir) => RuleSuite.run(Tables.load(s, dir, "orders"), suiteRules)
+      .orderBy("rule"),
+    Some {
+      def metricSql(r: RuleSuite.Rule): String = r.kind match {
+        case "complete" =>
+          s"count(${r.column})::DOUBLE / count(*)"
+        case "unique" =>
+          s"count(DISTINCT ${r.column})::DOUBLE / count(*)"
+        case "min_at_least" => s"CAST(min(${r.column}) AS DOUBLE)"
+        case "max_at_most" => s"CAST(max(${r.column}) AS DOUBLE)"
+        case "between_frac" =>
+          val Array(lo, hi) = r.param.split(",").map(_.trim)
+          s"sum(CASE WHEN ${r.column} BETWEEN $lo AND $hi THEN 1 " +
+            s"ELSE 0 END)::DOUBLE / count(*)"
+        case "matches" =>
+          s"sum(CASE WHEN regexp_matches(${r.column}, '${r.param}') " +
+            s"THEN 1 ELSE 0 END)::DOUBLE / count(*)"
+        case "accepted" =>
+          val vs = r.param.split(",").map(v => s"'${v.trim}'")
+            .mkString(", ")
+          s"sum(CASE WHEN ${r.column} IN ($vs) THEN 1 ELSE 0 " +
+            s"END)::DOUBLE / count(*)"
+      }
+      val aggs = suiteRules.zipWithIndex.map { case (r, i) =>
+        s"${metricSql(r)} AS m_$i"
+      }.mkString(", ")
+      val legs = suiteRules.zipWithIndex.map { case (r, i) =>
+        val cmp = if (r.kind == "max_at_most") "<=" else ">="
+        s"SELECT '${r.name}' AS rule, '${r.column}' AS col_name, " +
+          s"'${r.kind}' AS kind, m_$i AS metric, " +
+          s"CAST(${r.threshold} AS DOUBLE) AS threshold, " +
+          s"m_$i $cmp ${r.threshold} AS passed FROM a"
+      }.mkString(" UNION ALL ")
+      s"WITH a AS (SELECT $aggs FROM orders) " +
+        s"SELECT * FROM ($legs) ORDER BY rule"
+    })
+
   override def queries: Seq[QueryDef] = Seq(
     dqQuery("lineitem"), dqQuery("orders"), dqQuery("events"),
-    scoreQuery("lineitem"), scoreQuery("documents"), driftQuery)
+    scoreQuery("lineitem"), scoreQuery("documents"), driftQuery,
+    suiteQuery)
 }

@@ -382,9 +382,50 @@ object ProfileQueries extends QueryPack {
       "SELECT event_type, exact_cnt, CAST(min(c) AS BIGINT) AS cms_est " +
       "FROM ke JOIN ctr USING (d, slot) GROUP BY 1, 2 ORDER BY 1"))
 
+  /** Melted (long-form) profile: UNPIVOT the numeric measure columns
+    * into `(metric, value)` rows, then ONE grouped aggregation over
+    * the metric domain — the long-form dual of the per-column wide
+    * aggregation `profile_lineitem` runs, and the shape SURVEY §4
+    * names for all-pairs FD sweeps. Spark's native `unpivot`
+    * (Expand-based — a map-side ×k row expansion, no shuffle before
+    * the aggregation) replays in DuckDB as the equivalent UNION ALL
+    * (its UNPIVOT lowers the same way). DECIMAL-exact sums; avg is
+    * one IEEE division of the exact operands.
+    */
+  private def meltedQuery = QueryDef(
+    "profile_melted_lineitem",
+    (s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      Tables.load(s, dir, "lineitem")
+        .select(cols.map(col): _*)
+        .unpivot(Array.empty, cols.map(col).toArray, "metric", "value")
+        .groupBy(col("metric"))
+        .agg(count(col("value")).as("n"),
+          min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"),
+          sum(col("value").cast("decimal(18,4)")).as("sum_v"),
+          (sum(col("value").cast("decimal(18,4)")).cast("double") /
+            count(col("value"))).as("avg_v"))
+        .orderBy(col("metric"))
+    },
+    Some {
+      val legs = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax").map(c =>
+          s"SELECT '$c' AS metric, $c AS value FROM lineitem")
+        .mkString(" UNION ALL ")
+      s"WITH m AS ($legs) SELECT metric, " +
+        "CAST(count(value) AS BIGINT) AS n, min(value) AS min_v, " +
+        "max(value) AS max_v, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) " +
+        "AS sum_v, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / " +
+        "count(value) AS avg_v FROM m GROUP BY 1 ORDER BY 1"
+    })
+
   override def queries: Seq[QueryDef] =
     Seq(profileQuery("lineitem"), profileQuery("orders"), approxQuery,
       quantileQuery("lineitem"), quantileApproxQuery, topkExactQuery,
       topkSketchQuery, topkGroupedQuery, groupedQuantileQuery, corrQuery,
-      cmsQuery)
+      cmsQuery, meltedQuery)
 }
