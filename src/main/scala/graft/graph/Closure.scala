@@ -1,0 +1,64 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Transitive ancestor closure with depths — the recursive-CTE
+  * capability Spark SQL lacks natively (org charts, bill-of-materials
+  * explosions, category trees), done scale-first by PATH DOUBLING:
+  * round k joins the closure-so-far with itself (`a.ancestor = b.descendant`,
+  * depths add), so paths up to length 2^rounds materialize in
+  * O(log depth) self-joins instead of one join per level — the
+  * difference between 5 and 40 rounds on a deep product taxonomy.
+  *
+  * Multiple routes to the same ancestor (DAGs) collapse per round to
+  * the MINIMUM depth (`groupBy(descendant, ancestor).min(depth)`), which also
+  * makes the fixed-round form TERMINATE on cyclic inputs — the pair
+  * frame is bounded by nodes², unlike a naive recursive CTE whose
+  * UNION ALL diverges on a cycle. Everything is integer/equality, so
+  * a SQL oracle replays the closure either as the identical doubling
+  * rounds or (on acyclic input, as the gate does) as a genuine
+  * `WITH RECURSIVE` — matching the recursive oracle additionally
+  * PROVES the fixed rounds converged to the true closure.
+  *
+  * Dataflow contract as [[PageRank]]/[[Components]]: the depth-1 frame
+  * is checkpointed once, each round's result re-materializes
+  * (node-pair-sized), joins broadcast under the conservative
+  * [[PageRank.MaxBroadcastNodes]] edge-count gate.
+  */
+object Closure {
+
+  /** `(descendant, ancestor, depth)` for every ancestor reachable in ≤ 2^rounds
+    * parent steps from `edges` rows `(child, parent)`; `depth` is the
+    * minimum step count. Self-pairs are not emitted.
+    */
+  def ancestors(edges: DataFrame, childCol: String, parentCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    var p = edges
+      .select(col(childCol).as("descendant"), col(parentCol).as("ancestor"))
+      .filter(col("descendant") =!= col("ancestor"))
+      .distinct()
+      .select(col("descendant"), col("ancestor"), lit(1).as("depth"))
+      .localCheckpoint(true)
+    val m = p.count()
+    val small = m <= PageRank.MaxBroadcastNodes
+    def side(df: DataFrame) = if (small) broadcast(df) else df
+    var k = 0
+    while (k < rounds) {
+      val hops = p
+        .join(side(p.select(col("descendant").as("__mid"),
+          col("ancestor").as("__anc2"), col("depth").as("__d2"))),
+          col("ancestor") === col("__mid"))
+        .select(col("descendant"), col("__anc2").as("ancestor"),
+          (col("depth") + col("__d2")).as("depth"))
+      p = p.unionByName(hops)
+        .filter(col("descendant") =!= col("ancestor")) // cycles fold to self-pairs
+        .groupBy(col("descendant"), col("ancestor"))
+        .agg(min(col("depth")).as("depth"))
+        .localCheckpoint(true)
+      k += 1
+    }
+    p
+  }
+}

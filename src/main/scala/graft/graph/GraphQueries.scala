@@ -185,6 +185,32 @@ object GraphQueries extends QueryPack {
         "ORDER BY n_nodes DESC, component LIMIT 20"
     })
 
+  /** Hierarchy flattening over the synthetic binary org tree
+    * `parent(k) = k DIV 2` on customer keys (≈14 levels at sf0.1):
+    * full ancestor closure with minimum depths in 4 path-doubling
+    * rounds (2⁴ = 16 ≥ the tree height). The oracle is a genuine
+    * `WITH RECURSIVE` — hash-matching it proves the fixed doubling
+    * rounds converged to the TRUE closure, not merely that both
+    * engines ran the same loop.
+    */
+  private def closureQuery = QueryDef(
+    "graph_closure_customers",
+    (s, dir) => Closure.ancestors(
+        Tables.load(s, dir, "customer")
+          .filter(col("c_custkey") >= 1)
+          .select(col("c_custkey").as("child"),
+            expr("c_custkey DIV 2").as("parent")),
+        "child", "parent", rounds = 4)
+      .orderBy(col("descendant"), col("depth")),
+    Some("WITH RECURSIVE e AS (SELECT c_custkey AS child, " +
+      "c_custkey // 2 AS parent FROM customer WHERE c_custkey >= 1), " +
+      "r AS (SELECT child AS descendant, parent AS ancestor, 1 AS depth " +
+      "FROM e UNION ALL SELECT r.descendant, e.parent, r.depth + 1 " +
+      "FROM r JOIN e ON r.ancestor = e.child) " +
+      "SELECT descendant, ancestor, CAST(min(depth) AS INT) AS depth " +
+      "FROM r WHERE descendant <> ancestor GROUP BY 1, 2 " +
+      "ORDER BY descendant, depth"))
+
   override def queries: Seq[QueryDef] =
-    Seq(pagerankQuery, trianglesQuery, componentsQuery)
+    Seq(pagerankQuery, trianglesQuery, componentsQuery, closureQuery)
 }
