@@ -376,8 +376,39 @@ object DiscoveryQueries extends QueryPack {
         ") ORDER BY child_col, parent_col"
     })
 
+  /** Hive-partition pruning ([[PartitionedStage]]): the events table
+    * staged once `partitionBy(event_type)`, then a per-day purchase
+    * roll-up whose type predicate is satisfied at PLANNING time —
+    * `PartitionFilters` on the scan, zero I/O for the four pruned
+    * type directories (plan-pinned in `PlanAuditSpec`). The oracle
+    * aggregates the raw table under the same predicate, so the hash
+    * match proves layout-invariance of the result while the plan pin
+    * carries the pruning evidence.
+    */
+  private def partitionPrunedQuery = QueryDef(
+    "scan_partition_pruned_events",
+    (s, dir) => {
+      val staged = PartitionedStage.ensure(s, dir)
+      s.read.parquet(staged)
+        .filter(col("event_type") === "purchase")
+        .groupBy(org.apache.spark.sql.functions.expr(
+          s"unix_micros(ts) DIV ${graft.pipeline.Actives.DayUs}L")
+          .as("day"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum(
+            col("value").cast("decimal(18,4)")).as("sum_value"))
+        .orderBy(col("day"))
+    },
+    Some("SELECT epoch_us(ts) // " +
+      s"${graft.pipeline.Actives.DayUs} AS day, " +
+      "CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS " +
+      "sum_value FROM events WHERE event_type = 'purchase' " +
+      "GROUP BY 1 ORDER BY 1"))
+
   override def queries: Seq[QueryDef] =
     Seq(parquetQuery, csvQuery, jsonQuery, xmlQuery, xlsxQuery, xlsQuery,
       orcQuery, avroQuery, propsQuery, catalogQuery("customer"),
-      catalogQuery("lineitem"), schemaDriftQuery, fkQuery)
+      catalogQuery("lineitem"), schemaDriftQuery, fkQuery,
+      partitionPrunedQuery)
 }

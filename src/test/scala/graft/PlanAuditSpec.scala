@@ -38,6 +38,23 @@ class PlanAuditSpec extends SparkSpec {
       s"closing-edge check must be a semi-join:\n$p")
   }
 
+  test("partition-pruned scan satisfies the type predicate at planning " +
+      "time") {
+    val p = plan("scan_partition_pruned_events")
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("event_type") && pf.contains("purchase"),
+      s"the type predicate must prune partitions, not filter rows:\n$p")
+    // and it must NOT fall through to a row-level pushed/data filter
+    // (FileScan prints everything on one line — extract the brackets)
+    for (field <- Seq("PushedFilters", "DataFilters")) {
+      val inside = s"$field: \\[([^\\]]*)\\]".r
+        .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+      assert(!inside.contains("event_type"),
+        s"partition predicate leaked into $field: [$inside]")
+    }
+  }
+
   test("brute-force top-k broadcasts the query side only") {
     val p = plan("sim_topk_bruteforce")
     // corpus×queries is a broadcast nested loop over the SMALL query set —
