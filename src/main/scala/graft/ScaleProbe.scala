@@ -308,7 +308,24 @@ object ScaleProbe {
     // edges grow ×mult while the fixed 8 relax+jump rounds stay put:
     // expect near-linear in edges with the round count as the constant
     ("graph_components", None,
-      SparkEntry.queries("graph_components_parts")))
+      SparkEntry.queries("graph_components_parts")),
+    // sixth-pass lanes over scaled fact tables: journeys/actives/
+    // ab-test are one combinable corpus pass + domain-sized tails →
+    // expect scan-bound; the markov value iteration is domain-fixed
+    ("events_markov", None,
+      SparkEntry.queries("events_markov_attribution")),
+    ("events_actives", None, SparkEntry.queries("events_active_users")),
+    ("events_abtest", None, SparkEntry.queries("events_ab_test")),
+    ("dq_suite", None, SparkEntry.queries("dq_suite_orders")),
+    ("profile_melted", None,
+      SparkEntry.queries("profile_melted_lineitem")),
+    // golden records — fuzzy signatures fan out map-side over the
+    // scaled customer dim; component rounds fixed → near-linear in
+    // names until signature-bucket occupancy grows
+    ("mdm_golden", None, SparkEntry.queries("mdm_golden_customers")),
+    // closure — pairs grow as keys·log(keys); 5 doubling rounds fixed
+    ("graph_closure", None,
+      SparkEntry.queries("graph_closure_customers")))
 
   /** Drift probe: numeric drift on l_extendedprice between two
     * key-modulo snapshots of the scaled lineitem (the registered gate

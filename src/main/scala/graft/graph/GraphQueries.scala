@@ -187,8 +187,9 @@ object GraphQueries extends QueryPack {
 
   /** Hierarchy flattening over the synthetic binary org tree
     * `parent(k) = k DIV 2` on customer keys (≈14 levels at sf0.1):
-    * full ancestor closure with minimum depths in 4 path-doubling
-    * rounds (2⁴ = 16 ≥ the tree height). The oracle is a genuine
+    * full ancestor closure with minimum depths in 5 path-doubling
+    * rounds (2⁵ = 32 covers a 4-billion-key tree — depth-correct at
+    * any realistic corpus multiple, incl. the ×10 probe's 18 levels). The oracle is a genuine
     * `WITH RECURSIVE` — hash-matching it proves the fixed doubling
     * rounds converged to the TRUE closure, not merely that both
     * engines ran the same loop.
@@ -200,7 +201,7 @@ object GraphQueries extends QueryPack {
           .filter(col("c_custkey") >= 1)
           .select(col("c_custkey").as("child"),
             expr("c_custkey DIV 2").as("parent")),
-        "child", "parent", rounds = 4)
+        "child", "parent", rounds = 5)
       .orderBy(col("descendant"), col("depth")),
     Some("WITH RECURSIVE e AS (SELECT c_custkey AS child, " +
       "c_custkey // 2 AS parent FROM customer WHERE c_custkey >= 1), " +
