@@ -305,7 +305,7 @@ object ScaleProbe {
       SparkEntry.queries("text_bpe_merges_documents")),
     // connected components — per round one edge join + one node-sized
     // self-join; scaled copies re-slice %16 over offset orderkeys, so
-    // edges grow ×mult while the fixed 8 relax+jump rounds stay put:
+    // edges grow ×mult while the fixed 6 relax+jump rounds stay put:
     // expect near-linear in edges with the round count as the constant
     ("graph_components", None,
       SparkEntry.queries("graph_components_parts")),

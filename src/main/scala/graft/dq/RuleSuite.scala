@@ -38,22 +38,26 @@ object RuleSuite {
   private def metricExpr(r: Rule): Column = {
     val c = col(r.column)
     val n = count(lit(1))
+    // fraction kinds guard the empty input: count(*) = 0 would divide
+    // by zero (an ERROR under ANSI, not a NULL) — an empty or
+    // fully-filtered table must yield a NULL metric (and through it a
+    // NULL `passed`), never a crash; min/max go NULL on empty already
+    def frac(num: Column): Column =
+      when(n === 0, lit(null).cast("double"))
+        .otherwise(num.cast("double") / n)
     r.kind match {
-      case "complete" => count(c).cast("double") / n
-      case "unique" => countDistinct(c).cast("double") / n
+      case "complete" => frac(count(c))
+      case "unique" => frac(countDistinct(c))
       case "min_at_least" => min(c).cast("double")
       case "max_at_most" => max(c).cast("double")
       case "between_frac" =>
         val Array(lo, hi) = r.param.split(",").map(_.trim.toDouble)
-        sum(when(c.between(lo, hi), 1L).otherwise(0L))
-          .cast("double") / n
+        frac(sum(when(c.between(lo, hi), 1L).otherwise(0L)))
       case "matches" =>
-        sum(when(c.rlike(r.param), 1L).otherwise(0L))
-          .cast("double") / n
+        frac(sum(when(c.rlike(r.param), 1L).otherwise(0L)))
       case "accepted" =>
         val vs = r.param.split(",").map(_.trim)
-        sum(when(c.isin(vs: _*), 1L).otherwise(0L))
-          .cast("double") / n
+        frac(sum(when(c.isin(vs: _*), 1L).otherwise(0L)))
       case k =>
         throw new IllegalArgumentException(s"unknown check kind '$k'")
     }

@@ -41,8 +41,12 @@ object Closure {
       .distinct()
       .select(col("descendant"), col("ancestor"), lit(1).as("depth"))
       .localCheckpoint(true)
-    val m = p.count()
-    val small = m <= PageRank.MaxBroadcastNodes
+    // the broadcast gate re-evaluates EVERY round on the materialized
+    // closure frame: unlike PageRank/Components, whose broadcast sides
+    // are node-bounded, this frame GROWS (keys·log depth, nodes² on
+    // dense DAGs) — a once-at-entry decision on the depth-1 count
+    // would keep broadcasting long after the frame outgrew the driver
+    var small = p.count() <= PageRank.MaxBroadcastNodes
     def side(df: DataFrame) = if (small) broadcast(df) else df
     var k = 0
     while (k < rounds) {
@@ -57,6 +61,7 @@ object Closure {
         .groupBy(col("descendant"), col("ancestor"))
         .agg(min(col("depth")).as("depth"))
         .localCheckpoint(true)
+      small = small && p.count() <= PageRank.MaxBroadcastNodes
       k += 1
     }
     p

@@ -24,13 +24,15 @@ object PartitionedStage {
     * `dir`, writing at most once per (JVM, corpus version).
     */
   def ensure(s: SparkSession, dir: String): String = synchronized {
-    val key = s"$dir:${sourceKey(s, dir)}"
+    val key = s"$dir:${Tables.sourceStamp(s, dir, "events")}"
     built.getOrElseUpdate(key, {
       val pid = ProcessHandle.current().pid()
       val dh = Integer.toHexString(dir.hashCode)
-      val path = new java.io.File(
+      val wh = new java.io.File(
         new java.net.URI(s.conf.get("spark.sql.warehouse.dir")))
-        .toPath.resolve(s"graft_events_parted_${pid}_$dh").toString
+      reapStaleSiblings(wh, pid)
+      val path = wh.toPath
+        .resolve(s"graft_events_parted_${pid}_$dh").toString
       Tables.load(s, dir, "events")
         .write.mode("overwrite").partitionBy("event_type")
         .parquet(path)
@@ -38,13 +40,24 @@ object PartitionedStage {
     })
   }
 
-  private def sourceKey(s: SparkSession, dir: String): String =
+  /** Dead pids' staged dirs untouched for an hour are deleted here —
+    * in the staging step, never inside a timed query — otherwise every
+    * gate/bench JVM would leave an events-sized parquet copy behind
+    * forever (path-only staging: no catalog entries to drop).
+    */
+  private def reapStaleSiblings(wh: java.io.File, pid: Long): Unit =
     try {
-      val hp = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-      val st = hp.getFileSystem(s.sessionState.newHadoopConf())
-        .getFileStatus(hp)
-      s"${st.getModificationTime}:${st.getLen}"
-    } catch {
-      case _: java.io.IOException => s"nostat:${System.nanoTime()}"
-    }
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      Option(wh.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.matches("graft_events_parted_\\d+_[0-9a-f]+")
+          && !f.getName.startsWith(s"graft_events_parted_${pid}_")
+          && f.lastModified() < cutoff)
+        .foreach { dead =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(): Unit
+          }
+          rm(dead)
+        }
+    } catch { case _: Exception => () } // cleanup is best-effort
 }

@@ -63,6 +63,22 @@ object Tables {
           size() > SchemaCacheMax
       })
 
+  /** mtime+size stamp of a corpus source parquet — the shared memo-key
+    * ingredient for the staging layers ([[graft.pipeline.BucketedStage]],
+    * [[PartitionedStage]]): a memo must never serve artifacts staged
+    * from a rewritten corpus, and an unstat-able source must never
+    * memoize (the nanoTime fallback makes every call a fresh key).
+    */
+  def sourceStamp(spark: SparkSession, dir: String, name: String): String =
+    try {
+      val hp = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val st = hp.getFileSystem(spark.sessionState.newHadoopConf())
+        .getFileStatus(hp)
+      s"${st.getModificationTime}:${st.getLen}"
+    } catch {
+      case _: java.io.IOException => s"nostat:${System.nanoTime()}"
+    }
+
   def load(spark: SparkSession, dir: String, name: String,
       parallelize: Boolean): DataFrame = {
     val path = s"$dir/$name.parquet"

@@ -46,8 +46,8 @@ object BucketedStage {
     */
   def ensure(s: SparkSession, dir: String): (String, String) =
     synchronized {
-      val key = s"$dir:${sourceKey(s, dir, "lineitem")}:" +
-        sourceKey(s, dir, "orders")
+      val key = s"$dir:${Tables.sourceStamp(s, dir, "lineitem")}:" +
+        Tables.sourceStamp(s, dir, "orders")
       built.getOrElseUpdate(key, {
         val pid = ProcessHandle.current().pid()
         // names carry pid AND a corpus-dir hash: the bench warms at
@@ -72,19 +72,6 @@ object BucketedStage {
           .sortBy("o_orderkey").format("parquet").saveAsTable(ot)
         (lt, ot)
       })
-    }
-
-  /** mtime+size of the source parquet — the memo must not serve buckets
-    * staged from a rewritten corpus. Unstat-able sources never memoize.
-    */
-  private def sourceKey(s: SparkSession, dir: String, name: String): String =
-    try {
-      val hp = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
-      val st = hp.getFileSystem(s.sessionState.newHadoopConf())
-        .getFileStatus(hp)
-      s"${st.getModificationTime}:${st.getLen}"
-    } catch {
-      case _: java.io.IOException => s"nostat:${System.nanoTime()}"
     }
 
   /** Delete dead pids' bucketed table dirs untouched for an hour (a LIVE

@@ -60,23 +60,25 @@ object MarkovAttribution {
       col(channelCol).as("ch"), convExpr.as("__c"))
     val w = Window.partitionBy(col("u"))
       .orderBy(col("__ts"), col("__id"))
-    // first conversion point per user, carried to every row
+    // first conversion point per user carried to every row, and the
+    // touch predicate materialized ONCE (both consumers below read the
+    // same column — the oracle-parity contract cannot tolerate the two
+    // copies drifting apart)
     val marked = base
       .withColumn("__cts", min(when(col("__c"),
         struct(col("__ts"), col("__id")))).over(w
           .rowsBetween(Window.unboundedPreceding,
             Window.unboundedFollowing)))
-    val touches = marked
-      .filter(!col("__c") && col("ch").isNotNull &&
-        !col("ch").isin(Start, Conv, Null) &&
-        (col("__cts").isNull ||
-          struct(col("__ts"), col("__id")) < col("__cts")))
-    val tw = Window.partitionBy(col("u"))
-      .orderBy(col("__ts"), col("__id"))
-    val seq = touches.select(col("u"), col("ch"),
-      row_number().over(tw).as("__rn"),
-      lead(col("ch"), 1).over(tw).as("__next"),
-      col("__cts"))
+      .withColumn("__isTouch",
+        !col("__c") && col("ch").isNotNull &&
+          !col("ch").isin(Start, Conv, Null) &&
+          (col("__cts").isNull ||
+            struct(col("__ts"), col("__id")) < col("__cts")))
+    val seq = marked.filter(col("__isTouch"))
+      .select(col("u"), col("ch"),
+        row_number().over(w).as("__rn"),
+        lead(col("ch"), 1).over(w).as("__next"),
+        col("__cts"))
     val endOf = when(col("__cts").isNotNull, lit(Conv)).otherwise(lit(Null))
     val startEdges = seq.filter(col("__rn") === 1)
       .select(lit(Start).as("src"), col("ch").as("dst"))
@@ -85,11 +87,8 @@ object MarkovAttribution {
     // users with zero touches: START straight to their end state
     val emptyJourneys = marked
       .groupBy(col("u"))
-      .agg(max(when(!col("__c") && col("ch").isNotNull &&
-          !col("ch").isin(Start, Conv, Null) &&
-          (col("__cts").isNull ||
-            struct(col("__ts"), col("__id")) < col("__cts")),
-        lit(1)).otherwise(lit(0))).as("__hasTouch"),
+      .agg(max(when(col("__isTouch"), lit(1)).otherwise(lit(0)))
+          .as("__hasTouch"),
         max(when(col("__c"), lit(1)).otherwise(lit(0))).as("__conv"))
       .filter(col("__hasTouch") === 0)
       .select(lit(Start).as("src"),
@@ -145,8 +144,13 @@ object MarkovAttribution {
       val stepped = edges
         .join(p.select(col("variant"), col("state").as("dst"),
           col("p").as("pt")), Seq("variant", "dst"))
+        // the product runs in DECIMAL(38,0): cnt is a raw corpus-scale
+        // transition count and pt ≤ 10¹², so a Long product overflows
+        // past cnt ≈ 9.2·10⁶ (ANSI would throw, non-ANSI would wrap
+        // picoprobs negative); integral DIV back to Long is exact
         .select(col("variant"), col("src").as("state"),
-          expr("cnt * pt DIV total").as("c"))
+          expr("CAST(CAST(cnt AS DECIMAL(38,0)) * pt AS DECIMAL(38,0)) " +
+            "DIV total").as("c"))
         .groupBy(col("variant"), col("state"))
         .agg(sum(col("c")).as("pc"))
       val next = states

@@ -1010,13 +1010,18 @@ object PipelineQueries extends QueryPack {
       "GROUP BY 1), " +
       "a AS (SELECT converted, substring(md5('exp1:' || " +
       "user_id::VARCHAR), 1, 4) < '8000' AS is_a FROM u), " +
+      // the arm tests are explicit =true/=false so a NULL user (NULL
+      // md5 prefix → NULL is_a) lands in NEITHER arm, matching the
+      // Spark side's three-valued when(isA)/when(!isA)
       "g AS (SELECT " +
-      "CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
-      "CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b, " +
-      "CAST(sum(CASE WHEN is_a THEN converted ELSE 0 END) AS BIGINT) " +
-      "AS conv_a, " +
-      "CAST(sum(CASE WHEN is_a THEN 0 ELSE converted END) AS BIGINT) " +
-      "AS conv_b FROM a) " +
+      "CAST(sum(CASE WHEN is_a = true THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_a, " +
+      "CAST(sum(CASE WHEN is_a = false THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_b, " +
+      "CAST(sum(CASE WHEN is_a = true THEN converted ELSE 0 END) " +
+      "AS BIGINT) AS conv_a, " +
+      "CAST(sum(CASE WHEN is_a = false THEN converted ELSE 0 END) " +
+      "AS BIGINT) AS conv_b FROM a) " +
       "SELECT n_a, n_b, conv_a, conv_b, " +
       "CASE WHEN n_a = 0 THEN NULL ELSE " +
       "CAST(conv_a AS DOUBLE) / n_a END AS rate_a, " +
@@ -1153,7 +1158,8 @@ object PipelineQueries extends QueryPack {
           "cp AS (SELECT u, min(rn) AS crn FROM m WHERE c GROUP BY 1), " +
           "t AS (SELECT m.*, cp.crn FROM m LEFT JOIN cp USING (u)), " +
           "tch AS (SELECT u, ch, rn, crn FROM t WHERE NOT c AND " +
-          "ch IS NOT NULL AND (crn IS NULL OR rn < crn)), " +
+          "ch IS NOT NULL AND ch NOT IN ('__START__', '__CONV__', " +
+          "'__NULL__') AND (crn IS NULL OR rn < crn)), " +
           "sq AS (SELECT *, row_number() OVER (PARTITION BY u " +
           "ORDER BY rn) AS trn, lead(ch) OVER (PARTITION BY u " +
           "ORDER BY rn) AS nxt FROM tch), " +
@@ -1164,7 +1170,8 @@ object PipelineQueries extends QueryPack {
           "FROM sq), " +
           "ej AS (SELECT '__START__' AS src, CASE WHEN conv = 1 THEN " +
           "'__CONV__' ELSE '__NULL__' END AS dst FROM (SELECT u, " +
-          "max(CASE WHEN NOT c AND ch IS NOT NULL AND (crn IS NULL " +
+          "max(CASE WHEN NOT c AND ch IS NOT NULL AND ch NOT IN " +
+          "('__START__', '__CONV__', '__NULL__') AND (crn IS NULL " +
           "OR rn < crn) THEN 1 ELSE 0 END) AS hast, " +
           "max(CASE WHEN c THEN 1 ELSE 0 END) AS conv FROM t " +
           "GROUP BY 1) WHERE hast = 0), " +
@@ -1191,7 +1198,8 @@ object PipelineQueries extends QueryPack {
           "ELSE 0 END AS BIGINT) AS p FROM sts)"
       val iters = (1 to MarkovIters).map { k =>
         s"q$k AS (SELECT e.variant, e.src AS state, " +
-          "CAST(sum(e.cnt * p.p // e.total) AS BIGINT) AS pc " +
+          "CAST(sum(CAST(e.cnt AS HUGEINT) * p.p // e.total) " +
+          "AS BIGINT) AS pc " +
           s"FROM ed e JOIN p${k - 1} p ON e.variant = p.variant " +
           "AND e.dst = p.state GROUP BY 1, 2), " +
           s"p$k AS MATERIALIZED (SELECT s.variant, s.state, " +

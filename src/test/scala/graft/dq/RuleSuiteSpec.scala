@@ -42,6 +42,15 @@ class RuleSuiteSpec extends SparkSpec {
     assert(got === Seq(("r1", "status", "accepted", 0.5, 0.25, true)))
   }
 
+  test("an empty input reports NULL metrics, never a divide-by-zero") {
+    val empty = df.filter($"price" > 1e9)
+    val got = RuleSuite.run(empty, Seq(
+      Rule("c", "k", "complete", 1.0),
+      Rule("m", "price", "min_at_least", 0.0))).collect()
+    assert(got.forall(_.isNullAt(3)), "metrics must be NULL on empty")
+    assert(got.forall(_.isNullAt(5)), "passed must be NULL, not false")
+  }
+
   test("unknown kinds and duplicate names fail loud") {
     val e1 = intercept[IllegalArgumentException] {
       run(Rule("r", "k", "bogus", 1.0))

@@ -66,6 +66,16 @@ class AbTestSpec extends SparkSpec {
     assert(solo.getLong(1) === 0L && solo.isNullAt(6))
   }
 
+  test("a NULL user joins neither arm (three-valued assignment)") {
+    val df = Seq((Some(1L), "view", 1.0), (None, "purchase", 200.0))
+      .toDF("user_id", "event_type", "value")
+    val r = AbTest.twoProportionZ(df, "user_id",
+      expr("event_type = 'purchase' AND value > 150"), "t").head()
+    assert(r.getLong(0) + r.getLong(1) === 1L,
+      "the NULL user must not inflate either arm")
+    assert(r.getLong(2) + r.getLong(3) === 0L)
+  }
+
   test("assignment is deterministic and threshold-boundary stable") {
     val r1 = run((1L, "view", 1.0), (2L, "purchase", 200.0),
       (3L, "view", 1.0))

@@ -70,6 +70,20 @@ class MarkovAttributionSpec extends SparkSpec {
     assert(got.forall(_.isNullAt(4)), "share must be NULL at zero total")
   }
 
+  test("corpus-scale transition counts do not overflow the picoprob " +
+      "product") {
+    // cnt · pt would overflow a Long past cnt ≈ 9.2e6; the decimal
+    // product must keep the exact chain START → a → CONV at ~1.0
+    val big = Seq(
+      (MarkovAttribution.Start, "a", 10000000000L),
+      ("a", MarkovAttribution.Conv, 10000000000L))
+      .toDF("src", "dst", "cnt")
+    val r = MarkovAttribution.removalEffects(big, 4)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(r === Seq(("a", MarkovAttribution.TotalPico, 0L,
+      MarkovAttribution.TotalPico, 1.0)))
+  }
+
   test("bit-identical under partition layout") {
     val rows = Seq(
       (1L, 1L, 1L, "view", 0.0), (1L, 2L, 2L, "click", 0.0),
