@@ -920,6 +920,38 @@ object PipelineQueries extends QueryPack {
            |FROM events
            |ORDER BY user_id, valid_from_us, event_id""".stripMargin))
 
+  /** SCD2 point-in-time read ([[Scd2.asOf]]): the events history as of
+    * the [[SplitTs]] instant — the time-travel query the history
+    * exists for. A pure closed-open interval filter (no window, no
+    * join); the oracle rebuilds the same history and applies the same
+    * predicate.
+    */
+  private def scd2AsofQuery = QueryDef(
+    "scd2_asof_events",
+    (s, dir) => {
+      val events = Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      Scd2.asOf(
+          Scd2.historize(events, Seq("user_id"), "ts",
+            tieBreakers = Seq("event_id")),
+          lit(SplitTs).cast("timestamp"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"),
+          unix_micros(col(Scd2.ValidFrom)).as("valid_from_us"))
+        .orderBy("user_id")
+    },
+    Some(s"""WITH h AS (SELECT event_id, user_id, event_type, value,
+           |  epoch_us(ts) AS valid_from_us,
+           |  LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+           |    ORDER BY epoch_us(ts), event_id) AS valid_to_us
+           |FROM events)
+           |SELECT event_id, user_id, event_type, value, valid_from_us
+           |FROM h
+           |WHERE valid_from_us <= epoch_us(TIMESTAMP '$SplitTs')
+           |  AND (valid_to_us IS NULL OR
+           |    epoch_us(TIMESTAMP '$SplitTs') < valid_to_us)
+           |ORDER BY user_id""".stripMargin.replace("\n", " ")))
+
   /** SCD2 merge: pre-split history + post-split batch. Only the latest
     * batch row per user is considered; it versions the user iff
     * event_type or value differs null-safely from the current version
@@ -1234,6 +1266,6 @@ object PipelineQueries extends QueryPack {
       rangeJoinQuery,
       growthQuery, assocQuery, snapshotDiffQuery,
       snapshotDiffBucketedQuery, saltedQuery, saltedJoinQuery,
-      scd2HistoryQuery, scd2MergeQuery, abTestQuery, activesQuery,
-      goldenQuery, markovQuery)
+      scd2HistoryQuery, scd2MergeQuery, scd2AsofQuery, abTestQuery,
+      activesQuery, goldenQuery, markovQuery)
 }

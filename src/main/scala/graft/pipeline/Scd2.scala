@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -120,4 +120,18 @@ object Scd2 {
     history.unionByName(closed).unionByName(untouchedCurrent)
       .unionByName(newRows)
   }
+
+  /** Point-in-time snapshot of a history frame: the version of each key
+    * whose validity interval contains `at` — `valid_from ≤ at` and
+    * (`valid_to` is NULL or `at < valid_to`), i.e. intervals are
+    * closed-open exactly as [[historize]]/[[merge]] emit them. This is
+    * the READ side of SCD2 (the time-travel query a warehouse runs
+    * against the dimension): a pure filter over the history — no
+    * window, no join, fully pushdown-eligible, so at 100 TB a
+    * `valid_from`-partitioned or z-ordered layout prunes it to the
+    * files that can contain live versions.
+    */
+  def asOf(history: DataFrame, at: Column): DataFrame =
+    history.filter(col(ValidFrom) <= at &&
+      (col(ValidTo).isNull || at < col(ValidTo)))
 }

@@ -105,6 +105,23 @@ class Scd2Spec extends SparkSpec {
     assert(edge.filter(!col(Scd2.IsCurrent)).count() === 1)
   }
 
+  test("asOf reads the version whose closed-open interval contains t") {
+    val h = Scd2.historize(
+      log((1, 10L, "a"), (1, 20L, "b"), (1, 30L, "c"), (2, 5L, "x")),
+      Seq("k"), "t")
+    def at(t: Long) = Scd2.asOf(h, lit(t))
+      .select("k", "a").as[(Int, String)].collect().toSet
+    assert(at(25L) === Set((1, "b"), (2, "x")))
+    assert(at(20L) === Set((1, "b"), (2, "x")),
+      "valid_from is inclusive (closed-open)")
+    assert(at(19L) === Set((1, "a"), (2, "x")),
+      "valid_to is exclusive")
+    assert(at(99L) === Set((1, "c"), (2, "x")),
+      "open current versions satisfy any later t")
+    assert(at(4L) === Set.empty,
+      "before a key's first version, the key is absent")
+  }
+
   test("intervals partition each key's timeline with no overlap") {
     val target = Scd2.historize(
       log((1, 10L, "a"), (1, 20L, "b")), Seq("k"), "t")
