@@ -36,12 +36,25 @@ object Actives {
     * still report (dau 0).
     */
   def rolling(events: DataFrame, userCol: String, tsCol: String,
-      window: Int): DataFrame = {
-    require(window >= 1, "need a positive window")
-    val userDay = events
+      window: Int): DataFrame =
+    rollingFromPairs(pairs(events, userCol, tsCol), window)
+
+  /** The reduced `(user, day)` distinct frame — the ONE corpus-sized
+    * pass, exposed so the streaming maintainer can keep exactly this
+    * frame as its state.
+    */
+  def pairs(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame =
+    events
       .select(col(userCol).as("user"),
         expr(s"unix_micros($tsCol) DIV ${DayUs}L").as("day"))
       .distinct()
+
+  /** The report over an already-reduced `(user, day)` distinct frame
+    * (state-sized work — nothing here touches the corpus).
+    */
+  def rollingFromPairs(userDay: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, "need a positive window")
     val bounds = userDay.agg(min(col("day")).as("__lo"),
       max(col("day")).as("__hi"))
     val dau = userDay.groupBy(col("day"))

@@ -1073,25 +1073,33 @@ object PipelineQueries extends QueryPack {
     * ≤7 report days it serves — never a range join. Oracle replays the
     * expansion with generate_series.
     */
+  /** Shared by the batch lane and `stream_actives_events` — the
+    * streaming maintainer's equality-to-batch claim IS the identical
+    * oracle.
+    */
+  private[graft] def activesOracleSql(window: Int): String =
+    "WITH ud AS (SELECT DISTINCT user_id AS u, " +
+      s"epoch_us(ts) // ${Actives.DayUs} AS day FROM events), " +
+      "b AS (SELECT min(day) AS lo, max(day) AS hi FROM ud), " +
+      "dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud " +
+      "GROUP BY 1), " +
+      "w AS (SELECT DISTINCT u, day FROM (SELECT u, " +
+      s"unnest(generate_series(day, day + ${window - 1})) AS day " +
+      "FROM ud)), " +
+      "wau AS (SELECT day, CAST(count(*) AS BIGINT) AS " +
+      "rolling_actives FROM w GROUP BY 1) " +
+      "SELECT wau.day, coalesce(dau.dau, 0) AS dau, rolling_actives, " +
+      "CAST(coalesce(dau.dau, 0) AS DOUBLE) / rolling_actives AS " +
+      "stickiness FROM wau LEFT JOIN dau ON wau.day = dau.day, b " +
+      "WHERE wau.day BETWEEN b.lo AND b.hi ORDER BY 1"
+
   private def activesQuery = QueryDef(
     "events_active_users",
     (s, dir) => Actives.rolling(
         Tables.load(s, dir, "events", parallelize = true),
         "user_id", "ts", 7)
       .orderBy("day"),
-    Some("WITH ud AS (SELECT DISTINCT user_id AS u, " +
-      s"epoch_us(ts) // ${Actives.DayUs} AS day FROM events), " +
-      "b AS (SELECT min(day) AS lo, max(day) AS hi FROM ud), " +
-      "dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud " +
-      "GROUP BY 1), " +
-      "w AS (SELECT DISTINCT u, day FROM (SELECT u, " +
-      "unnest(generate_series(day, day + 6)) AS day FROM ud)), " +
-      "wau AS (SELECT day, CAST(count(*) AS BIGINT) AS " +
-      "rolling_actives FROM w GROUP BY 1) " +
-      "SELECT wau.day, coalesce(dau.dau, 0) AS dau, rolling_actives, " +
-      "CAST(coalesce(dau.dau, 0) AS DOUBLE) / rolling_actives AS " +
-      "stickiness FROM wau LEFT JOIN dau ON wau.day = dau.day, b " +
-      "WHERE wau.day BETWEEN b.lo AND b.hi ORDER BY 1"))
+    Some(activesOracleSql(7)))
 
   /** Golden-record entity resolution ([[GoldenRecord]]): customers get
     * collision-sparse 8-hex md5 names; every 10th customer plants a

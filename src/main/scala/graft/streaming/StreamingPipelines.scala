@@ -173,4 +173,41 @@ object StreamingPipelines {
         ()
       }
       .start()
+
+  /** Streaming rolling-actives maintenance ([[graft.pipeline.Actives]]
+    * incrementally): per micro-batch, the batch's `(user, day)` pairs
+    * union-distinct into the STATE frame (the reduced pairs frame —
+    * user×active-days rows, never events; write-temp-swap like
+    * [[scd1Stream]]), then the DAU/rolling/stickiness report
+    * recomputes from state alone and overwrites `reportPath`.
+    * Distinct-union is commutative and idempotent, so the result is
+    * independent of the micro-batch cut and equals the batch operator
+    * on the same corpus — the [[graft.streaming.MaintainedAgg]]
+    * equality story, which is exactly what the gate lane's
+    * batch-identical oracle pins.
+    */
+  def activesStream(source: DataFrame, userCol: String, tsCol: String,
+      window: Int, statePath: String, reportPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val newPairs = graft.pipeline.Actives.pairs(batch, userCol, tsCol)
+        val merged = existingTarget(s, statePath, newPairs)
+          .unionByName(newPairs).distinct()
+        val tmp = s"${statePath}__tmp_$batchId"
+        merged.write.mode("overwrite").parquet(tmp)
+        deleteRecursively(new java.io.File(statePath))
+        require(new java.io.File(tmp).renameTo(
+          new java.io.File(statePath)), s"swap failed for $statePath")
+        graft.pipeline.Actives
+          .rollingFromPairs(s.read.parquet(statePath), window)
+          .write.mode("overwrite").parquet(reportPath)
+        ()
+      }
+      .start()
 }

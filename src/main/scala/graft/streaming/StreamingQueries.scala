@@ -452,7 +452,37 @@ object StreamingQueries extends QueryPack {
            |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
       .replace("\n", " ")))
 
+  /** Streaming rolling actives ([[StreamingPipelines.activesStream]]):
+    * the events corpus drains through 4 micro-batches
+    * (`maxFilesPerTrigger = 1`), each union-distincting its (user, day)
+    * pairs into the state frame and recomputing the report from STATE
+    * alone. Oracle identical to the batch `events_active_users` — the
+    * equality is the gate's point: micro-batched maintenance ≡ the
+    * batch operator, independent of the batch cut.
+    */
+  private def activesQuery = QueryDef(
+    "stream_actives_events",
+    (s, dir) => withStreamSession(s) { iso =>
+      withTempDirs("graft_stream_act_src", "graft_stream_act_state",
+        "graft_stream_act_out", "graft_stream_act_ckpt") {
+      case Seq(staged, state, out, ckpt) =>
+        graft.io.Tables.load(iso, dir, "events", parallelize = false)
+          .select("user_id", "ts")
+          .repartition(4)
+          .write.mode("overwrite").parquet(staged)
+        val schema = iso.read.parquet(staged).schema
+        val src = iso.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(staged)
+        val q = StreamingPipelines.activesStream(src, "user_id", "ts",
+          7, state, out, ckpt)
+        q.awaitTermination()
+        graft.util.Frames.localized(iso.read.parquet(out).orderBy("day"))
+      }
+    },
+    Some(graft.pipeline.PipelineQueries.activesOracleSql(7)))
+
   override def queries: Seq[QueryDef] =
     Seq(windowedQuery, sessionizeQuery, dedupQuery, intervalJoinQuery,
-      pipelineQuery, profileQuery, funnelQuery, maintainedAggQuery)
+      pipelineQuery, profileQuery, funnelQuery, maintainedAggQuery,
+      activesQuery)
 }

@@ -155,4 +155,29 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed > 0)
   }
+
+  test("streaming actives: result is independent of the micro-batch " +
+      "cut and state holds exactly the (user, day) distinct") {
+    val events = Tables.load(spark, sf, "events").select("user_id", "ts")
+    def run(files: Int, tag: String): Seq[org.apache.spark.sql.Row] = {
+      val (src, state, out, ckpt) = (tmpDir(s"act_src_$tag"),
+        tmpDir(s"act_state_$tag"), tmpDir(s"act_out_$tag"),
+        tmpDir(s"act_ckpt_$tag"))
+      events.repartition(files).write.mode("overwrite").parquet(src)
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      StreamingPipelines.activesStream(stream, "user_id", "ts", 7,
+        state, out, ckpt).awaitTermination()
+      // the state frame must be EXACTLY the reduced pairs frame
+      assert(spark.read.parquet(state).count() ===
+        graft.pipeline.Actives.pairs(events, "user_id", "ts").count())
+      spark.read.parquet(out).orderBy("day").collect().toSeq
+    }
+    val one = run(1, "one")
+    assert(one === run(5, "five"),
+      "5 micro-batches must equal the single-batch drain")
+    val batch = graft.pipeline.Actives.rolling(events, "user_id", "ts", 7)
+      .orderBy("day").collect().toSeq
+    assert(one === batch, "maintenance must equal the batch operator")
+  }
 }
