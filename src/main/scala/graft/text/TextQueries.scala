@@ -872,6 +872,36 @@ object TextQueries extends QueryPack {
         " SELECT * FROM (" + sel + ") ORDER BY step"
     })
 
+  /** Inverted-index build ([[InvertedIndex.postings]]) bounded to the
+    * top-20-df dictionary slice — the postings a sharded index would
+    * persist for its head terms. The oracle replays tokenize-with-
+    * position (generate_subscripts, 0-based like posexplode), the
+    * posting aggregation, df, the dictionary cut and the semi-join.
+    */
+  private def indexQuery = QueryDef(
+    "text_index_documents",
+    (s, dir) => {
+      val posts = InvertedIndex.postings(
+        Tables.load(s, dir, "documents", parallelize = true),
+        "doc_id", "text")
+      val top = posts.select(col("term"), col("df")).distinct()
+        .orderBy(col("df").desc, col("term")).limit(20)
+      posts.join(broadcast(top.select(col("term"))), Seq("term"),
+          "left_semi")
+        .orderBy(col("term"), col("doc"))
+    },
+    Some("WITH tok AS (SELECT doc, unnest(l) AS term, " +
+      "generate_subscripts(l, 1) - 1 AS pos FROM (SELECT doc_id AS " +
+      s"doc, $tokensSql AS l FROM documents)), " +
+      "p AS (SELECT term, doc, CAST(count(*) AS BIGINT) AS tf, " +
+      "CAST(min(pos) AS INT) AS first_pos FROM tok GROUP BY 1, 2), " +
+      "d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p " +
+      "GROUP BY 1), " +
+      "dict AS (SELECT term FROM d ORDER BY df DESC, term LIMIT 20) " +
+      "SELECT p.term, d.df, p.doc, p.tf, p.first_pos " +
+      "FROM p JOIN d USING (term) JOIN dict USING (term) " +
+      "ORDER BY term, doc"))
+
   override def queries: Seq[QueryDef] =
     Seq(statsQuery, curateQuery, pipelineQuery, pipelineFullQuery,
       sampleQuery, shardQuery, splitQuery, termsQuery, vocabQuery,
@@ -879,5 +909,5 @@ object TextQueries extends QueryPack {
       decontamQuery,
       scrubSpansQuery, repetitionQuery, packQuery, decontamPipelineQuery,
       chunkQuery, mixQuery, mixWeightedQuery, bm25Query,
-      collocationsQuery, boilerplateQuery, bpeQuery)
+      collocationsQuery, boilerplateQuery, bpeQuery, indexQuery)
 }
