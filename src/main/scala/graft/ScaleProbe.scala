@@ -51,13 +51,20 @@ object ScaleProbe {
     // variants in r8, but the scale claims belong to the production
     // xxhash / auto-scaled-width forms — probe those
     ("dedup_minhash", None, minhashProductionProbe _),
+    // the xxhash SimHash production form left the gate in r10 (its
+    // survivor set is defined BY the fingerprint family, so no DuckDB
+    // oracle exists — see DedupQueries); its scaling evidence lives
+    // here and its correctness pins in DedupSpec
+    ("dedup_simhash", None, simhashProductionProbe _),
     ("knn_lsh", None, knnLshProductionProbe _),
     // the oracled md5-family gate lane alongside (same LSH pipeline,
     // md5 base hashes): its exponent should track the xxhash row
     ("dedup_minhash_oracled", None,
       SparkEntry.queries("dedup_minhash_documents")),
-    ("knn_brute", Some(Set("x1", "x3")),
-      SparkEntry.queries("sim_knn_graph_brute")),
+    // the UNCAPPED Θ(n²) foil (the registered lane bounds itself to the
+    // gate corpus since r10 — a foil should burn probe time, not bench
+    // time); x1/x3 only, superlinearity shows without the x10 blow-up
+    ("knn_brute", Some(Set("x1", "x3")), knnBruteProbe _),
     ("pipeline_full", None,
       SparkEntry.queries("corpus_pipeline_full_documents")),
     ("mix_prefilter_off", None, mixProbe(prefilter = false) _),
@@ -380,6 +387,19 @@ object ScaleProbe {
     * [[graft.dedup.Dedup.nearDuplicates]] defaults to; the registered
     * gate query runs the md5 oracle family since r8).
     */
+  private def knnBruteProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.io.Tables.load(s, dir, "embeddings")
+    graft.sim.Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding",
+        graft.sim.SimilarityQueries.GraphK)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  private def simhashProductionProbe(s: SparkSession,
+      dir: String): DataFrame =
+    graft.dedup.SimHash.nearDuplicates(
+        graft.io.Tables.load(s, dir, "documents", parallelize = true),
+        "doc_id", "text", shingleK = 3, maxHamming = 12)
+
   private def minhashProductionProbe(s: SparkSession,
       dir: String): DataFrame =
     graft.dedup.Dedup.nearDuplicates(

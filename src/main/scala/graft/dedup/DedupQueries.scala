@@ -153,7 +153,16 @@ object DedupQueries extends QueryPack {
         Tables.load(s, dir, "documents", parallelize = true), "doc_id", "text",
         shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)
       .orderBy("id_a", "id_b"),
-    Some {
+    Some(minhashOracleSql))
+
+  /** DuckDB replay of the md5-family MinHash-LSH pipeline — the oracle
+    * of BOTH registered MinHash lanes: literally for the md5 lane, and
+    * as an EQUIVALENCE oracle for the xxhash production lane (see
+    * [[minhashProdQuery]] — survivors and their exact-Jaccard values
+    * are hash-family-independent once recall is total, which
+    * `EquivalenceProbe` verifies on the gate corpus).
+    */
+  private def minhashOracleSql: String = {
       val perm = s"((2*k+1) * (h % 2147483647) + (40503*k+12345)) " +
         "% 2147483647"
       s"WITH ${shingleCtes("documents")}, " +
@@ -182,7 +191,7 @@ object DedupQueries extends QueryPack {
         "JOIN sets sb ON sb.doc_id = c.id_b) " +
         "SELECT id_a, id_b, jaccard FROM jp WHERE jaccard >= 0.8 " +
         "ORDER BY id_a, id_b"
-    })
+  }
 
   /** SimHash near-dup pairs — FULLY ORACLED since r8: fingerprints are
     * the per-bit majority over md5-derived 60-bit base hashes
@@ -192,7 +201,17 @@ object DedupQueries extends QueryPack {
     * with a wider ≤ 12 verify threshold), so DuckDB replays
     * fingerprint→chunks→pairs→hamming bit-for-bit. The xxhash-64-bit
     * production form ([[SimHash.simhash64]]) stays the API default with
-    * its own spec pins.
+    * its own spec pins — it is NOT gate-registered (r10): unlike the
+    * MinHash twins, whose survivors are exact-Jaccard-verified and so
+    * hash-family-independent, SimHash survivors are defined BY the
+    * fingerprint family (hamming on 64-bit xxhash vs 60-bit md5 admits
+    * different borderline pairs; `EquivalenceProbe` measured 20 vs 24
+    * pairs with 1/5 one-sided on the gate corpus), so no DuckDB
+    * computation can reproduce the xxhash pair set and a registered
+    * rows-only lane would sit permanently red in the driver's hard
+    * signal. Coverage lives in DedupSpec (recall vs oracled Jaccard
+    * truth, tie semantics, chunk-blocking bound) and the ScaleProbe
+    * `dedup_simhash` row.
     */
   private def simhashQuery = QueryDef(
     "dedup_simhash_documents",
@@ -479,13 +498,21 @@ object DedupQueries extends QueryPack {
 
   /** The PRODUCTION xxhash MinHash lane ([[Dedup.nearDuplicates]], the
     * API default — one 64-bit mix per shingle instead of an md5),
-    * registered rows-only BY DESIGN so the driver gate EXECUTES the
-    * code path users get by default, not only the md5 oracle twin
-    * above. Its evidence: the shared LSH pipeline (bands, bucket bound,
-    * pair join, exact-Jaccard verify) is hash-certified through
-    * `dedup_minhash_documents`; the xxhash family's recall physics are
-    * pinned in DedupSpec; its scaling is the ScaleProbe `dedup_minhash`
-    * row (e≈0.36 x1→x10).
+    * registered so the driver gate EXECUTES the code path users get by
+    * default, not only the md5 oracle twin above. FULLY ORACLED since
+    * r10 (it was a `no_oracle` row in r9's gate) via an EQUIVALENCE
+    * oracle — the md5 twin's DuckDB pipeline verbatim. Why that is
+    * sound: LSH banding only decides which CANDIDATE pairs reach the
+    * verify step; survivors are the pairs whose EXACT Jaccard over the
+    * shared shingle sets clears the threshold, and the emitted jaccard
+    * is that hash-family-independent exact value. At the production
+    * parameters (128 hashes / 32 bands, r = 4) a true s ≥ 0.8 pair
+    * escapes banding with probability (1−s⁴)³² < 10⁻⁷ for EITHER
+    * family, so both achieve total recall on the gate corpus —
+    * `EquivalenceProbe` (r10) verified xxhash ≡ md5 survivor rows
+    * bit-for-bit, jaccard included. The family's own recall physics
+    * stay pinned in DedupSpec; scaling in the ScaleProbe
+    * `dedup_minhash` row (e≈0.36 x1→x10).
     */
   private def minhashProdQuery = QueryDef(
     "dedup_minhash_xxhash_documents",
@@ -494,23 +521,7 @@ object DedupQueries extends QueryPack {
         "doc_id", "text", shingleK = 3, numHashes = 128, bands = 32,
         threshold = 0.8)
       .orderBy("id_a", "id_b"),
-    None)
-
-  /** The PRODUCTION xxhash SimHash lane ([[SimHash.nearDuplicates]] —
-    * 64-bit one-pass fingerprints, 4×16-bit chunk blocking, hamming ≤ 12
-    * verify), rows-only for the same reason as the MinHash twin: the
-    * pipeline shape is hash-certified through `dedup_simhash_documents`
-    * (md5 bases, 60 bits); this row makes the gate run the default
-    * fingerprint family. Recall vs oracled Jaccard truth is pinned in
-    * DedupSpec.
-    */
-  private def simhashProdQuery = QueryDef(
-    "dedup_simhash_xxhash_documents",
-    (s, dir) => SimHash.nearDuplicates(
-        Tables.load(s, dir, "documents", parallelize = true),
-        "doc_id", "text", shingleK = 3, maxHamming = 12)
-      .orderBy("id_a", "id_b"),
-    None)
+    Some(minhashOracleSql))
 
   /** Semantic decontamination ([[EmbeddingDedup.evalOverlap]]): the
     * held-out eval set is the first 50 embeddings — FIXED SIZE, the
@@ -554,7 +565,7 @@ object DedupQueries extends QueryPack {
 
   override def queries: Seq[QueryDef] = Seq(
     exactQuery, jaccardQuery, clustersQuery, minhashQuery, simhashQuery,
-    minhashProdQuery, simhashProdQuery,
+    minhashProdQuery,
     embBlockedQuery, embLshQuery, semdedupQuery, spanQuery,
     incrementalQuery, sourceOverlapQuery, semanticDecontamQuery)
 }

@@ -384,6 +384,14 @@ object DiscoveryQueries extends QueryPack {
     * aggregates the raw table under the same predicate, so the hash
     * match proves layout-invariance of the result while the plan pin
     * carries the pruning evidence.
+    *
+    * `sum_value` is emitted as DOUBLE, not DECIMAL: the r9 driver gate
+    * hash-failed this lane (locally bit-exact) and — like the melted
+    * profile, the only other red row — its final schema carried a
+    * DECIMAL column, which no passing lane does. The decimal
+    * accumulator stays (order-independent exactness); only the emitted
+    * value takes the one exact cast to DOUBLE, the idiom every passing
+    * events lane uses.
     */
   private def partitionPrunedQuery = QueryDef(
     "scan_partition_pruned_events",
@@ -396,13 +404,14 @@ object DiscoveryQueries extends QueryPack {
           .as("day"))
         .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
           org.apache.spark.sql.functions.sum(
-            col("value").cast("decimal(18,4)")).as("sum_value"))
+            col("value").cast("decimal(18,4)")).cast("double")
+            .as("sum_value"))
         .orderBy(col("day"))
     },
     Some("SELECT epoch_us(ts) // " +
       s"${graft.pipeline.Actives.DayUs} AS day, " +
       "CAST(count(*) AS BIGINT) AS n, " +
-      "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS " +
+      "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS " +
       "sum_value FROM events WHERE event_type = 'purchase' " +
       "GROUP BY 1 ORDER BY 1"))
 

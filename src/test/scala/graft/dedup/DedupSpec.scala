@@ -148,11 +148,13 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"simhash recall $recall below 0.8")
   }
 
-  test("PRODUCTION SimHash.nearDuplicates (the xxhash 64-bit registered " +
-      "lane) recalls strong near-dups and verifies every pair") {
-    // the quantified pin behind dedup_simhash_xxhash_documents'
-    // rows-only gate row: same ground truth as the md5 twin, the
-    // default 64-bit one-pass fingerprint family
+  test("PRODUCTION SimHash.nearDuplicates (the xxhash 64-bit API " +
+      "default) recalls strong near-dups and verifies every pair") {
+    // the quantified correctness pin for the xxhash production form —
+    // which is NOT gate-registered (no DuckDB oracle can reproduce a
+    // family-defined survivor set; this spec + the ScaleProbe
+    // dedup_simhash row ARE its coverage): same ground truth as the
+    // md5 twin, the default 64-bit one-pass fingerprint family
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val blocked = docs.select(col("doc_id"),
       substring(col("text"), 1, 80).as("blk"))
