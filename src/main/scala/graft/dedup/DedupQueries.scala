@@ -225,6 +225,9 @@ object DedupQueries extends QueryPack {
       // persist: the fingerprint frame is exploded into 4 chunks and
       // self-joined — without it the whole base pipeline re-evaluates
       // per chunk element and per join side (the r4 SimHash lesson).
+      // The survivor set is report-sized, so it localizes and the
+      // persist releases INSIDE the query (the jaccardQuery lifecycle),
+      // leaving the cache empty on return.
       val fps = docs
         .select(col("doc_id"), Dedup.tokensOf(col("text")).as("__toks"))
         .select(col("doc_id"),
@@ -233,23 +236,26 @@ object DedupQueries extends QueryPack {
               Dedup.wordShinglesFromTokens(col("__toks"), 3)), 60)
             .as("fp"))
         .persist()
-      val chunks = fps.select(col("doc_id"), col("fp"),
-        posexplode(array((0 until 4).map(i =>
-          shiftrightunsigned(col("fp"), i * 15).bitwiseAND(0x7FFFL)): _*))
-          .as(Seq("chunk_idx", "chunk_val")))
-      val cands = chunks.as("a")
-        .join(chunks.as("b"),
-          col("a.chunk_idx") === col("b.chunk_idx") &&
-            col("a.chunk_val") === col("b.chunk_val") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
-        .distinct()
-      cands.select(col("id_a"), col("id_b"),
-          SimHash.hamming(col("fp_a"), col("fp_b")).cast("long")
-            .as("hamming"))
-        .filter(col("hamming") <= 12)
-        .orderBy("id_a", "id_b")
+      try {
+        val chunks = fps.select(col("doc_id"), col("fp"),
+          posexplode(array((0 until 4).map(i =>
+            shiftrightunsigned(col("fp"), i * 15).bitwiseAND(0x7FFFL)): _*))
+            .as(Seq("chunk_idx", "chunk_val")))
+        val cands = chunks.as("a")
+          .join(chunks.as("b"),
+            col("a.chunk_idx") === col("b.chunk_idx") &&
+              col("a.chunk_val") === col("b.chunk_val") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+          .distinct()
+        graft.util.Frames.localized(
+          cands.select(col("id_a"), col("id_b"),
+              SimHash.hamming(col("fp_a"), col("fp_b")).cast("long")
+                .as("hamming"))
+            .filter(col("hamming") <= 12))
+          .orderBy("id_a", "id_b")
+      } finally { fps.unpersist(blocking = false); () }
     },
     Some {
       s"WITH ${shingleCtes("documents")}, " +

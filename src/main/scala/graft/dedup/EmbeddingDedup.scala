@@ -128,6 +128,13 @@ object EmbeddingDedup {
     *                   bits a healthy bucket sits near `targetBucket`, so
     *                   the cap only fires on pathological data.
     * @param corpusSize pass when known to skip the sizing count
+    *
+    * Cache lifecycle: the returned pair frame is LAZY over the persisted
+    * bounded-bucket index (consumed by both self-join sides), so the
+    * persist outlives this call by design — callers release via
+    * `clearCache()` (the gate/bench/spec boundaries) or materialize the
+    * pairs and unpersist; releasing here would rebuild the index once
+    * per join side.
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
       tables: Int = 8, bits: Int = 0, dims: Int = 64,

@@ -51,6 +51,13 @@ object SimHash {
     * equality self-join on (chunk_idx, chunk_val), exact hamming
     * verify. Never all-pairs: the join is a hash join on the chunk
     * key.
+    *
+    * Cache lifecycle: the returned frame is LAZY and derives from the
+    * persisted fingerprint frame, so the persist outlives this call by
+    * design (the [[Dedup.clusters]] convention) — the caller releases
+    * it with `clearCache()` (what the gate/bench/spec boundaries do) or
+    * materializes the pair set and unpersists. Unpersisting here would
+    * re-tokenize the corpus on first use of the result.
     */
   def nearDuplicates(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, shingleK: Int = 3,

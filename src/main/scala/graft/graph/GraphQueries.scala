@@ -133,11 +133,14 @@ object GraphQueries extends QueryPack {
   /** Connected components over the part co-purchase projection
     * (`l_orderkey % 16` slice — sparse enough that the graph is NOT one
     * giant blob: 42 components at sf0.1), top-20 components by size.
-    * Fixed [[CcRounds]] relax+jump rounds (2^6 ≫ the measured ≤12
-    * diameter, and both gate corpora converge in ≤7) so the DuckDB
-    * oracle replays the exact round count as unrolled MATERIALIZED
-    * CTEs; [[Components.converged]] is the production stop rule,
-    * spec-pinned equal. Basket pairs expand map-side as in the
+    * Fixed [[CcRounds]] relax+jump rounds so the DuckDB oracle replays
+    * the exact round count as unrolled MATERIALIZED CTEs;
+    * [[Components.converged]] is the production stop rule, spec-pinned
+    * equal. 6 is the measured MINIMUM, not padding (r10
+    * `CcRoundsProbe`: sf0.01 reaches the fixed point at k=4, but sf0.1
+    * still has 3 mislabeled nodes at k=5) — cutting a round would save
+    * ~0.9s of bench and silently emit non-components at the bench
+    * corpus. Basket pairs expand map-side as in the
     * triangles lane; [[Components]] mirrors directions internally, the
     * oracle mirrors via `a.p <> b.p`.
     */

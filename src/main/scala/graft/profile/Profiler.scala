@@ -207,6 +207,18 @@ object Profiler {
     * `approx_percentile` (t-digest) remains the documented swap when a
     * bounded-error estimate is acceptable, like the HLL distinct path.
     *
+    * DRIVER MEMORY: phase 1's bucket-count frame is collected, and its
+    * size is bounded by `cols.length × 2^prefixBits` ROWS — a function
+    * of the requested width, never of the data volume (the buckets are
+    * the distinct 20-bit sign-exponent-mantissa prefixes actually
+    * present, ≤ 2^20 ≈ 1M per column, ~24 B each ⇒ ≲ 25 MB/column worst
+    * case, typically thousands). Profiling a VERY wide table (hundreds
+    * of numeric columns) multiplies that bound by the column count:
+    * chunk the `cols` argument, lower `prefixBits` (the recursion note
+    * above restores precision inside oversized buckets), or take the
+    * t-digest swap ([[approxQuantiles]]), whose state is O(accuracy)
+    * per column regardless of width.
+    *
     * `reuseScan` caches the projected double columns across the two
     * passes (released before returning — quantiles is eager, so no cache
     * outlives the call); with `reuseScan = false` both passes scan the

@@ -8,6 +8,24 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
+  /** Runs `body` and asserts it left no NEW persisted RDDs behind
+    * (cache-lifecycle pin: an operator that persists must release —
+    * itself, or via its documented caller-release contract exercised by
+    * the test). Pre-existing entries from earlier suites on the shared
+    * session are excluded; async `unpersist(blocking = false)` gets a
+    * short drain window before the check fails.
+    */
+  def assertNoNewPersists[A](body: => A): A = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = body
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    val deadline = System.nanoTime() + 2000000000L
+    while (leaked.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(leaked.isEmpty, s"persisted RDDs leaked by body: $leaked")
+    out
+  }
+
   override def afterAll(): Unit = {
     // Deferred teardown from any streams this suite ran (state-store
     // unload) — keeps finished streams' state maps from taxing later

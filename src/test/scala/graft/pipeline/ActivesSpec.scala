@@ -12,10 +12,14 @@ class ActivesSpec extends SparkSpec {
       (u, new Timestamp(d * 86400000L + 43200000L))
     }.toDF("user_id", "ts")
 
+  // every run doubles as a cache-lifecycle pin (r10 sweep): the rolling
+  // report must not leave persisted frames behind
   private def run(window: Int, rows: (Long, Long)*) =
-    Actives.rolling(ev(rows: _*), "user_id", "ts", window)
-      .orderBy("day")
-      .as[(Long, Long, Long, Double)].collect().toSeq
+    assertNoNewPersists {
+      Actives.rolling(ev(rows: _*), "user_id", "ts", window)
+        .orderBy("day")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+    }
 
   test("hand ledger: dau, rolling window and stickiness") {
     // u1 active d0,d1; u2 active d0; u3 active d2

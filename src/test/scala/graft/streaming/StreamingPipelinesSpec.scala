@@ -173,8 +173,10 @@ class StreamingPipelinesSpec extends SparkSpec {
         graft.pipeline.Actives.pairs(events, "user_id", "ts").count())
       spark.read.parquet(out).orderBy("day").collect().toSeq
     }
-    val one = run(1, "one")
-    assert(one === run(5, "five"),
+    // cache-lifecycle pin (r10 sweep): the whole maintenance loop —
+    // state swaps included — must leave nothing persisted behind
+    val one = assertNoNewPersists { run(1, "one") }
+    assert(one === assertNoNewPersists { run(5, "five") },
       "5 micro-batches must equal the single-batch drain")
     val batch = graft.pipeline.Actives.rolling(events, "user_id", "ts", 7)
       .orderBy("day").collect().toSeq
