@@ -1106,7 +1106,11 @@ object PipelineQueries extends QueryPack {
     * DIRTY twin (id offset past the key space, last name char typo'd to
     * the non-hex 'x' — a guaranteed d=1 substitution — acctbal bumped,
     * segment nulled). FuzzyJoin d=1 finds the twins, Components closes
-    * clusters (3 rounds ≫ the planted diameter 1), survivorship merges:
+    * clusters (2 rounds: the planted clusters are pairs — diameter 1,
+    * converged after round 1; round 2 is the margin round. Each extra
+    * round is a full relax+jump over the label frame on BOTH engines,
+    * ~0.4s of gate wall-clock for nothing — r10 trimmed 3 → 2),
+    * survivorship merges:
     * max(acctbal) takes the bump, max(mktsegment) skips the NULL,
     * min(id)/min(nationkey) keep the parent. Report = merged clusters
     * only. The oracle replays match (brute levenshtein — proving
@@ -1129,7 +1133,7 @@ object PipelineQueries extends QueryPack {
           (col("c_acctbal") + 100.0).as("c_acctbal"),
           lit(null).cast("string").as("c_mktsegment"))
       GoldenRecord.resolve(base.unionByName(dirty), "id", "name",
-          maxDist = 1, rounds = 3,
+          maxDist = 1, rounds = 2,
           rules = Seq("c_nationkey" -> "min", "c_acctbal" -> "max",
             "c_mktsegment" -> "max"))
         .filter(col("n_members") >= 2)
@@ -1152,7 +1156,7 @@ object PipelineQueries extends QueryPack {
           "UNION ALL SELECT nb, na FROM p), " +
           "c0 AS MATERIALIZED (SELECT node, node AS lbl FROM " +
           "(SELECT DISTINCT src AS node FROM ep))"
-      val rounds = (1 to 3).map { k =>
+      val rounds = (1 to 2).map { k =>
         s"ca$k AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM " +
           s"(SELECT c.node, c.lbl FROM c${k - 1} c UNION ALL " +
           s"SELECT e.dst, c.lbl FROM ep e JOIN c${k - 1} c " +
@@ -1161,8 +1165,8 @@ object PipelineQueries extends QueryPack {
           s"JOIN ca$k y ON x.lbl = y.node)"
       }.mkString(", ")
       header + ", " + rounds + ", " +
-        "j AS (SELECT r.*, coalesce(c3.lbl, r.name) AS cluster_name " +
-        "FROM r LEFT JOIN c3 ON r.name = c3.node) " +
+        "j AS (SELECT r.*, coalesce(c2.lbl, r.name) AS cluster_name " +
+        "FROM r LEFT JOIN c2 ON r.name = c2.node) " +
         "SELECT cluster_name, CAST(count(*) AS BIGINT) AS n_members, " +
         "min(id) AS golden_id, min(c_nationkey) AS c_nationkey, " +
         "max(c_acctbal) AS c_acctbal, max(c_mktsegment) AS " +
