@@ -148,6 +148,26 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"simhash recall $recall below 0.8")
   }
 
+  test("xxhash and md5 MinHash-LSH emit IDENTICAL survivors on the gate " +
+      "corpus (the pin behind dedup_minhash_xxhash's equivalence oracle)") {
+    // the xxhash production lane is oracled by the md5 twin's SQL —
+    // sound because survivors are the exact-Jaccard-verified pairs
+    // (hash-family-independent values) and both families achieve total
+    // banding recall at 128/32. This pin re-proves the identity on the
+    // ACTUAL gate corpus every test run, so a corpus regeneration or a
+    // banding-parameter change that breaks the equivalence fails here
+    // before the driver's gate goes red.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val x = Dedup.nearDuplicates(docs, "doc_id", "text",
+      shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)
+    val m = Dedup.nearDuplicatesOracled(docs, "doc_id", "text",
+      shingleK = 3, numHashes = 128, bands = 32, threshold = 0.8)
+    assert(x.exceptAll(m).count() === 0L)
+    assert(m.exceptAll(x).count() === 0L)
+    assert(x.count() === m.count())
+    spark.catalog.clearCache() // both pipelines persist internally
+  }
+
   test("PRODUCTION SimHash.nearDuplicates (the xxhash 64-bit API " +
       "default) recalls strong near-dups and verifies every pair") {
     // the quantified correctness pin for the xxhash production form —

@@ -167,6 +167,33 @@ class SimilaritySpec extends SparkSpec {
       "pinned IVF index must not outlive topKPinned")
   }
 
+  test("IvfGatePinned matches what sim_topk_ivf_trained actually trains " +
+      "on the gate corpus (oracle-drift tripwire)") {
+    // sim_topk_ivf_trained trains LIVE; its DuckDB oracle replays the
+    // pipeline with IvfGatePinned literals — sound only while the gate
+    // corpus (and hence the deterministic seed-42 training output) is
+    // unchanged. If the driver ever regenerates sf0.01, this fails in
+    // sbt test BEFORE the gate goes red, with the fix in the message.
+    val dir = "/root/testdata/sf0.01"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count()
+    assert(IvfSimilarity.autoNlist(n) === IvfGatePinned.Nlist,
+      s"gate corpus size changed (n=$n): regenerate IvfGatePinned via " +
+        s"PinIvfCentroids $dir ${IvfSimilarity.autoNlist(n)}")
+    val model = IvfSimilarity.build(emb, "vec_id", "embedding",
+      IvfGatePinned.Nlist)
+    try {
+      val trained = model.centroids
+      assert(trained.length === IvfGatePinned.centroids.length)
+      val drifted = trained.zip(IvfGatePinned.centroids).zipWithIndex
+        .collect { case ((t, p), i) if !t.sameElements(p) => i }
+      assert(drifted.isEmpty,
+        s"trained centroids ${drifted.mkString(",")} drifted from " +
+          s"IvfGatePinned — gate corpus changed; regenerate via " +
+          s"PinIvfCentroids $dir ${IvfGatePinned.Nlist}")
+    } finally model.close()
+  }
+
   test("IVF recall holds at the SHIPPED auto-nlist configuration") {
     // sim_topk_ivf runs with nlist = autoNlist(n) (√n), not the fixed 16
     // of the pin above — the gate query's own configuration needs recall
