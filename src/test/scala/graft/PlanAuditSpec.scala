@@ -62,6 +62,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("brute kNN-graph foil: the r10 gate-corpus cap reaches the scan") {
+    // the registered Θ(n²) foil bounds itself to vec_id < GraphBruteCap;
+    // the bound only buys its bench time back if the reader prunes
+    // row-groups rather than materializing the corpus first
+    val p = plan("sim_knn_graph_brute")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    assert(pushed.contains(
+        s"LessThan(vec_id,${graft.sim.SimilarityQueries.GraphBruteCap})"),
+      s"the cap must push to the parquet scan:\n$pushed")
+    assert(!p.contains("CartesianProduct"),
+      "the foil is quadratic by arithmetic volume, not by plan shape")
+  }
+
   test("Q5 six-table chain: dims broadcast, filters reach the scans, " +
       "no cartesian") {
     val p = plan("join_q5_region_revenue")
