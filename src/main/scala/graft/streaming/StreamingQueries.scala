@@ -85,13 +85,15 @@ object StreamingQueries extends QueryPack {
   private def windowedQuery = QueryDef(
     "stream_windowed_events",
     (s, dir) => withStreamSession(s) { iso =>
-      withTempDirs("graft_stream_src", "graft_stream_ckpt") {
-      case Seq(staged, ckpt) =>
-        // FileStreamSource needs a DIRECTORY; stage the events table into
-        // one (this also normalizes the nanos-as-long ts to a µs
-        // timestamp via Tables.load before the stream starts).
-        graft.io.Tables.load(iso, dir, "events", parallelize = false)
-          .write.mode("overwrite").parquet(staged)
+      // FileStreamSource needs a DIRECTORY; the staged events table
+      // (ts normalized to µs via Tables.load) is a [[StreamStage]]
+      // fixture — written once per corpus, reused by every execution
+      // and by stream_profile_events, like a production stream's
+      // pre-existing source. Checkpoints stay per-run below.
+      val staged = StreamStage.ensure(iso, dir, "full")(x =>
+        graft.io.Tables.load(x, dir, "events", parallelize = false))
+      withTempDirs("graft_stream_ckpt") {
+      case Seq(ckpt) =>
         val schema = iso.read.parquet(staged).schema
         val conv = iso.readStream.schema(schema).parquet(staged)
           // decimal sum: result must not depend on accumulation order
@@ -158,12 +160,15 @@ object StreamingQueries extends QueryPack {
   private def dedupQuery = QueryDef(
     "stream_dedup_events",
     (s, dir) => withStreamSession(s) { iso =>
-      withTempDirs("graft_stream_dedup_src",
-        "graft_stream_dedup_out", "graft_stream_dedup_ckpt") {
-      case Seq(staged, out, ckpt) =>
-        val ev = graft.io.Tables.load(iso, dir, "events",
+      // the ×2-redelivered feed is a [[StreamStage]] fixture (shared
+      // with stream_pipeline_events); sink + checkpoint stay per-run
+      val staged = StreamStage.ensure(iso, dir, "doubled") { x =>
+        val ev = graft.io.Tables.load(x, dir, "events",
           parallelize = false)
-        ev.union(ev).write.mode("overwrite").parquet(staged)
+        ev.union(ev)
+      }
+      withTempDirs("graft_stream_dedup_out", "graft_stream_dedup_ckpt") {
+      case Seq(out, ckpt) =>
         val schema = iso.read.parquet(staged).schema
         val src = iso.readStream.schema(schema).parquet(staged)
         val deduped = StreamingPipelines.dedupStream(
@@ -198,16 +203,16 @@ object StreamingQueries extends QueryPack {
   private def intervalJoinQuery = QueryDef(
     "stream_interval_join_events",
     (s, dir) => withStreamSession(s) { iso =>
-      withTempDirs("graft_stream_ij_src", "graft_stream_ij_out",
-        "graft_stream_ij_ckpt") {
-      case Seq(staged, out, ckpt) =>
-        // stage only the two joined event types and the columns the join
-        // reads — at any scale the attribution source is the filtered
-        // click/purchase firehose, not the full event stream
-        graft.io.Tables.load(iso, dir, "events", parallelize = false)
+      // stage only the two joined event types and the columns the join
+      // reads — at any scale the attribution source is the filtered
+      // click/purchase firehose, not the full event stream; a
+      // [[StreamStage]] fixture, written once per corpus
+      val staged = StreamStage.ensure(iso, dir, "clickspurch")(x =>
+        graft.io.Tables.load(x, dir, "events", parallelize = false)
           .filter(col("event_type").isin("click", "purchase"))
-          .select("user_id", "ts", "event_type", "value")
-          .write.mode("overwrite").parquet(staged)
+          .select("user_id", "ts", "event_type", "value"))
+      withTempDirs("graft_stream_ij_out", "graft_stream_ij_ckpt") {
+      case Seq(out, ckpt) =>
         val schema = iso.read.parquet(staged).schema
         def src = iso.readStream.schema(schema).parquet(staged)
         val clicks = src.filter(col("event_type") === "click")
@@ -261,12 +266,14 @@ object StreamingQueries extends QueryPack {
   private def pipelineQuery = QueryDef(
     "stream_pipeline_events",
     (s, dir) => withStreamSession(s) { iso =>
-      withTempDirs("graft_stream_pipe_src", "graft_stream_pipe_out",
-        "graft_stream_pipe_ckpt") {
-      case Seq(staged, out, ckpt) =>
-        val ev = graft.io.Tables.load(iso, dir, "events",
+      // same ×2-redelivered [[StreamStage]] fixture as stream_dedup
+      val staged = StreamStage.ensure(iso, dir, "doubled") { x =>
+        val ev = graft.io.Tables.load(x, dir, "events",
           parallelize = false)
-        ev.union(ev).write.mode("overwrite").parquet(staged)
+        ev.union(ev)
+      }
+      withTempDirs("graft_stream_pipe_out", "graft_stream_pipe_ckpt") {
+      case Seq(out, ckpt) =>
         val schema = iso.read.parquet(staged).schema
         val src = iso.readStream.schema(schema).parquet(staged)
           .withColumn("value", col("value").cast("decimal(18,4)"))
@@ -311,11 +318,11 @@ object StreamingQueries extends QueryPack {
   private def profileQuery = QueryDef(
     "stream_profile_events",
     (s, dir) => withStreamSession(s) { iso =>
-      withTempDirs("graft_stream_prof_src", "graft_stream_prof_out",
-        "graft_stream_prof_ckpt") {
-      case Seq(staged, out, ckpt) =>
-        graft.io.Tables.load(iso, dir, "events", parallelize = false)
-          .write.mode("overwrite").parquet(staged)
+      // shares the "full" [[StreamStage]] fixture with stream_windowed
+      val staged = StreamStage.ensure(iso, dir, "full")(x =>
+        graft.io.Tables.load(x, dir, "events", parallelize = false))
+      withTempDirs("graft_stream_prof_out", "graft_stream_prof_ckpt") {
+      case Seq(out, ckpt) =>
         val schema = iso.read.parquet(staged).schema
         val src = iso.readStream.schema(schema).parquet(staged)
         val q = StreamingPipelines.profileStream(src, out, ckpt,
@@ -341,13 +348,14 @@ object StreamingQueries extends QueryPack {
   private def funnelQuery = QueryDef(
     "stream_funnel_events",
     (s, dir) => withStreamSession(s) { iso =>
-      withTempDirs("graft_stream_funnel_src", "graft_stream_funnel_ckpt") {
-      case Seq(staged, ckpt) =>
+      // the 4-column funnel feed as a [[StreamStage]] fixture
+      val staged = StreamStage.ensure(iso, dir, "funnel4")(x =>
+        graft.io.Tables.load(x, dir, "events", parallelize = false)
+          .select("user_id", "ts", "event_id", "event_type"))
+      withTempDirs("graft_stream_funnel_ckpt") {
+      case Seq(ckpt) =>
         import iso.implicits._
         val stages = Seq("view", "click", "purchase")
-        graft.io.Tables.load(iso, dir, "events", parallelize = false)
-          .select("user_id", "ts", "event_id", "event_type")
-          .write.mode("overwrite").parquet(staged)
         val schema = iso.read.parquet(staged).schema
         val src = iso.readStream.schema(schema).parquet(staged)
           .as[graft.pipeline.Funnel.FunnelEvent]
@@ -411,9 +419,10 @@ object StreamingQueries extends QueryPack {
   private def maintainedAggQuery = QueryDef(
     "stream_incremental_agg_events",
     (s, dir) => withStreamSession(s) { iso =>
-      withTempDirs("graft_stream_magg_src", "graft_stream_magg_ckpt") {
-      case Seq(staged, ckpt) =>
-        val ev = graft.io.Tables.load(iso, dir, "events",
+      // the 2-file change-set feed as a [[StreamStage]] fixture; the
+      // base-table state below is rebuilt per run (it IS the operator)
+      val staged = StreamStage.ensure(iso, dir, "magg2") { x =>
+        val ev = graft.io.Tables.load(x, dir, "events",
           parallelize = false)
         ev.filter(col("event_id") % 5 === 0)
           .select(lit("I").as("op"), col("event_type"),
@@ -421,7 +430,11 @@ object StreamingQueries extends QueryPack {
           .unionByName(ev.filter(col("event_id") % 7 === 0)
             .select(lit("D").as("op"), col("event_type"), col("value")))
           .repartition(2)
-          .write.mode("overwrite").parquet(staged)
+      }
+      withTempDirs("graft_stream_magg_ckpt") {
+      case Seq(ckpt) =>
+        val ev = graft.io.Tables.load(iso, dir, "events",
+          parallelize = false)
         val m = new MaintainedAgg.Maintainer(
           graft.pipeline.IncrementalAgg.aggState(ev, Seq("event_type"),
             Seq("value")).localCheckpoint(true),
@@ -470,13 +483,16 @@ object StreamingQueries extends QueryPack {
   private def activesQuery = QueryDef(
     "stream_actives_events",
     (s, dir) => withStreamSession(s) { iso =>
-      withTempDirs("graft_stream_act_src", "graft_stream_act_state",
-        "graft_stream_act_out", "graft_stream_act_ckpt") {
-      case Seq(staged, state, out, ckpt) =>
-        graft.io.Tables.load(iso, dir, "events", parallelize = false)
+      // the 2-file (user_id, ts) feed as a [[StreamStage]] fixture;
+      // state/out/checkpoint stay per-run (state maintenance IS the
+      // operator)
+      val staged = StreamStage.ensure(iso, dir, "act2")(x =>
+        graft.io.Tables.load(x, dir, "events", parallelize = false)
           .select("user_id", "ts")
-          .repartition(2)
-          .write.mode("overwrite").parquet(staged)
+          .repartition(2))
+      withTempDirs("graft_stream_act_state",
+        "graft_stream_act_out", "graft_stream_act_ckpt") {
+      case Seq(state, out, ckpt) =>
         val schema = iso.read.parquet(staged).schema
         val src = iso.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(staged)

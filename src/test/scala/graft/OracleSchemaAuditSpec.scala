@@ -43,6 +43,17 @@ class OracleSchemaAuditSpec extends SparkSpec {
     case _ => false
   }
 
+  test("every registered query has a DuckDB oracle — no rows-only rows") {
+    // r10 reached 0 `no_oracle` rows in the driver's hard signal (a
+    // rows-only lane records as `err`, indistinguishable from broken).
+    // Lock it in: a new lane must ship WITH its oracle — equivalence
+    // oracle, literal pinning, or demotion to spec coverage are the
+    // documented outs (DedupQueries / SimilarityQueries scaladocs).
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty,
+      s"registered without an oracle: ${unoracled.toSeq.sorted.mkString(", ")}")
+  }
+
   test("every registered query's FINAL schema uses only driver-proof " +
       "column types (no decimals, floats, or nested types)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
