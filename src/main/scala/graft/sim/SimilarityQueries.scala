@@ -333,6 +333,43 @@ object SimilarityQueries extends QueryPack {
       "generate_subscripts(embedding, 1) AS dim FROM embeddings) " +
       "GROUP BY label, dim ORDER BY label, dim"))
 
+  private val OutlierK = 5
+
+  /** Intra-cluster outliers ([[Outliers.leastCentral]]): the
+    * [[OutlierK]] least-central members per label by cosine to the
+    * label's mean centroid — the prototypicality curation filter
+    * complementing SemDeDup (which prunes the redundant CORE; this
+    * ranks the straggler TAIL). Oracled exactly: centroid = exact
+    * DECIMAL(38,12) sums + one IEEE division (the `emb_centroid_label`
+    * idiom), every dot/norm product rounded once to DECIMAL(38,12)
+    * before the order-independent sum, ranked under (cosine, id) — the
+    * whole chain is deterministic IEEE arithmetic DuckDB replays
+    * bit-for-bit.
+    */
+  private def outliersQuery = QueryDef(
+    "emb_outliers_label",
+    (s, dir) => Outliers.leastCentral(
+        Tables.load(s, dir, "embeddings"), "label", "vec_id",
+        "embedding", OutlierK)
+      .orderBy("label", "rank"),
+    Some("WITH d AS (SELECT label AS g, vec_id AS id, dim, v::DOUBLE " +
+      "AS v FROM (SELECT label, vec_id, unnest(embedding) AS v, " +
+      "generate_subscripts(embedding, 1) AS dim FROM embeddings)), " +
+      "c AS (SELECT g, dim, CAST(sum(CAST(v AS DECIMAL(38,12))) " +
+      "AS DOUBLE) / count(*) AS c FROM d GROUP BY 1, 2), " +
+      "s AS (SELECT d.g, d.id, " +
+      "CAST(sum(CAST(d.v * c.c AS DECIMAL(38,12))) AS DOUBLE) AS dot, " +
+      "CAST(sum(CAST(d.v * d.v AS DECIMAL(38,12))) AS DOUBLE) AS nv, " +
+      "CAST(sum(CAST(c.c * c.c AS DECIMAL(38,12))) AS DOUBLE) AS nc " +
+      "FROM d JOIN c USING (g, dim) GROUP BY 1, 2), " +
+      "r AS (SELECT g AS label, id AS vec_id, CASE WHEN " +
+      "sqrt(nv) * sqrt(nc) = 0 THEN 0.0 ELSE " +
+      "dot / (sqrt(nv) * sqrt(nc)) END AS cosine FROM s) " +
+      "SELECT label, rn AS rank, vec_id, cosine FROM (" +
+      "SELECT *, row_number() OVER (PARTITION BY label " +
+      "ORDER BY cosine, vec_id) AS rn FROM r) " +
+      s"WHERE rn <= $OutlierK ORDER BY label, rank"))
+
   /** Scalar int8 quantization calibration + code audit ([[Quantize]]):
     * per-dimension (lo, hi) corpus bounds and the resulting code
     * distribution. Every quantization step is a deterministic IEEE op
@@ -527,5 +564,6 @@ object SimilarityQueries extends QueryPack {
   override def queries: Seq[QueryDef] =
     Seq(bruteQuery, lshQuery, ivfQuery, ivfTrainedQuery, knnBruteQuery,
       knnLshQuery, quantizeQuery, quantTopkQuery,
-      centroidQuery, projectQuery, projTopkQuery, hybridQuery)
+      centroidQuery, outliersQuery, projectQuery, projTopkQuery,
+      hybridQuery)
 }
