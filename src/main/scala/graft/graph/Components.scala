@@ -40,35 +40,39 @@ object Components {
       .distinct()
   }
 
-  /** One relax + jump round; `side` wraps label frames with the
-    * broadcast gate. The relaxed frame is CHECKPOINTED before the jump
-    * — it feeds both sides of the jump self-join, and a lazy broadcast
+  /** Relax: every node takes the minimum of its own and its
+    * neighbors' labels — one edge join + one map-side-combinable min.
+    * The result is CHECKPOINTED by the caller before the jump: it
+    * feeds both sides of the jump self-join, and a lazy broadcast
     * side would re-run the whole edge join + aggregation (measured 2×
-    * the lane); the jump itself stays lazy (node-sized joins over the
-    * checkpointed frame), so each round costs exactly one action.
+    * the lane).
     */
-  private def round(dir: DataFrame, l: DataFrame,
-      side: DataFrame => DataFrame): DataFrame = {
-    val relaxed = dir
-      .join(side(l.withColumnRenamed("node", "src")), Seq("src"))
-      .select(col("dst").as("node"), col("lbl"))
-      .unionByName(l)
-      .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-      .localCheckpoint(true)
-    // jump: label of label — relaxed covers every node and labels are
-    // node ids, so the self-join is total; checkpointed too, because
-    // the next round's relax (and its broadcast wrap) consumes the
-    // result three times
-    relaxed
-      .join(side(relaxed.select(col("node").as("__ln"),
-        col("lbl").as("__ll"))), col("lbl") === col("__ln"))
-      .select(col("node"), col("__ll").as("lbl"))
-      .localCheckpoint(true)
-  }
+  private def relax(dir: DataFrame, l: DataFrame,
+      side: DataFrame => DataFrame): DataFrame = dir
+    .join(side(l.withColumnRenamed("node", "src")), Seq("src"))
+    .select(col("dst").as("node"), col("lbl"))
+    .unionByName(l)
+    .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+
+  /** Jump: label of label — `relaxed` covers every node and labels
+    * are node ids, so the self-join is total. Deliberately LAZY on
+    * the broadcast path: over a checkpointed `relaxed` it is one
+    * node-sized broadcast hash join the next round's consumers
+    * recompute far cheaper than the checkpoint job a materialization
+    * costs (dropping the per-round jump checkpoint cut the gate lane
+    * ~25%); the shuffle path checkpoints in [[run]] because there the
+    * re-computation is a real exchange.
+    */
+  private def jump(relaxed: DataFrame,
+      side: DataFrame => DataFrame): DataFrame = relaxed
+    .join(side(relaxed.select(col("node").as("__ln"),
+      col("lbl").as("__ll"))), col("lbl") === col("__ln"))
+    .select(col("node"), col("__ll").as("lbl"))
 
   private def run(edges: DataFrame, rounds: Int,
-      stopWhenStable: Boolean): DataFrame = {
+      stopWhenStable: Boolean, jumps: Int = 1): DataFrame = {
     require(rounds >= 1, "need at least one round")
+    require(jumps >= 1, "need at least one jump per round")
     val dir = mirrored(edges).persist()
     try {
       // the persist-materializing count doubles as the broadcast gate:
@@ -77,18 +81,47 @@ object Components {
       val m = dir.count()
       val small = m <= PageRank.MaxBroadcastNodes
       def side(df: DataFrame) = if (small) broadcast(df) else df
-      val nodes = dir.select(col("src").as("node")).distinct()
-      var l = nodes.select(col("node"), col("node").as("lbl"))
+      def afterJump(relaxed: DataFrame): DataFrame = {
+        var j = relaxed
+        var k = 0
+        while (k < jumps) {
+          // a second (or later) jump re-reads labels through the frame
+          // the previous jump produced: on the broadcast path the lazy
+          // composition is a stack of node-sized broadcast hash joins
+          // over ONE checkpointed frame; on the shuffle path each jump
+          // checkpoints so the self-join input is materialized
+          j = jump(j, side)
+          if (!small) j = j.localCheckpoint(true)
+          k += 1
+        }
+        j
+      }
+      // Round 1's relax FOLDED into initialization: with l0 = identity
+      // labels, relax1(node) = min(node, min of node's neighbors) —
+      // one aggregation over the mirrored frame (every node appears as
+      // src), replacing the nodes-distinct, the edge join and the
+      // union of the general round.
+      var relaxed = dir
+        .groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).as("lbl"))
+        .select(col("src").as("node"), col("lbl"))
+        .localCheckpoint(true)
+      var l = afterJump(relaxed)
       // labels only decrease, so the exact label sum strictly
       // decreases iff ANY label changed — one scalar aggregate per
       // round instead of a change-count join (numeric ids required
       // for the stability check; the fixed-round form has no such
       // constraint)
       var prevSum: java.math.BigDecimal = null
-      var i = 0
+      var i = 1
       var stable = false
+      if (stopWhenStable) {
+        prevSum = l.agg(sum(col("lbl").cast("decimal(38,0)")))
+          .head().getDecimal(0)
+      }
       while (i < rounds && !stable) {
-        l = round(dir, l, side)
+        relaxed = relax(dir, l, side).localCheckpoint(true)
+        l = afterJump(relaxed)
         if (stopWhenStable) {
           val s = l.agg(sum(col("lbl").cast("decimal(38,0)")))
             .head().getDecimal(0)
@@ -101,17 +134,20 @@ object Components {
     } finally { dir.unpersist(blocking = false); () }
   }
 
-  /** `(node, lbl)` after exactly `rounds` relax+jump rounds — the
-    * oracle-replayable form (deterministic round count; correct when
-    * the minimum can reach every node, roughly 2^rounds ≥ diameter).
+  /** `(node, lbl)` after exactly `rounds` relax + `jumps`-fold jump
+    * rounds — the oracle-replayable form (deterministic round count;
+    * correct when the minimum can reach every node — each extra jump
+    * per round squares the pointer compression, so fewer edge-sized
+    * relax rounds buy the same reach: (jumps+1)^rounds ≳ diameter).
     */
-  def labels(edges: DataFrame, rounds: Int): DataFrame =
-    run(edges, rounds, stopWhenStable = false)
+  def labels(edges: DataFrame, rounds: Int, jumps: Int = 1): DataFrame =
+    run(edges, rounds, stopWhenStable = false, jumps = jumps)
 
   /** The production form: rounds until the label assignment is stable
     * (true components), bounded by `maxRounds`. Requires numeric node
     * ids (the stability check sums labels exactly).
     */
-  def converged(edges: DataFrame, maxRounds: Int = 64): DataFrame =
-    run(edges, maxRounds, stopWhenStable = true)
+  def converged(edges: DataFrame, maxRounds: Int = 64,
+      jumps: Int = 1): DataFrame =
+    run(edges, maxRounds, stopWhenStable = true, jumps = jumps)
 }

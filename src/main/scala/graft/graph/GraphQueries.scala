@@ -91,11 +91,13 @@ object GraphQueries extends QueryPack {
   private def trianglesQuery = QueryDef(
     "graph_triangles_parts",
     (s, dir) => {
-      val t = Tables.load(s, dir, "lineitem", parallelize = true)
+      // no pre-distinct (collect_set IS the dedupe) and no scan
+      // repartition — the lane is shuffle-bound, both measured pure
+      // tax here (same trim as the components lane, r11)
+      val t = Tables.load(s, dir, "lineitem")
         .filter(col("l_orderkey") % 4 === 0)
         .select(col("l_orderkey").as("o"),
           col("l_partkey").cast("long").as("p"))
-        .distinct()
       val pairs = t.groupBy(col("o"))
         .agg(sort_array(collect_set(col("p"))).as("ps"))
         .select(explode(expr(
@@ -128,43 +130,60 @@ object GraphQueries extends QueryPack {
       "SELECT node, count(*) AS tri_cnt FROM x GROUP BY 1 " +
       "ORDER BY tri_cnt DESC, node LIMIT 20"))
 
-  private val CcRounds = 6
+  /** Fixed round/jump counts for the components gate lane — see
+    * [[componentsQuery]]. `CcRoundsConvergenceSpec` pins
+    * `labels(pairs, CcRounds, CcJumps) == converged(pairs)` on BOTH
+    * gate corpora, so corpus drift that would under-close components
+    * fails `sbt test` loudly instead of staying silently green against
+    * an equally-under-closed oracle. Exposed (package-private) so the
+    * spec and the round probe replay the exact gate form.
+    */
+  private[graft] val CcRounds = 5
+  private[graft] val CcJumps = 2
+
+  /** The gate lane's basket-pair edge construction, shared with the
+    * convergence spec and probe: no pre-`distinct` (collect_set IS the
+    * dedupe) and no scan repartition (the lane is shuffle-bound, not
+    * scan-fused — both measured pure tax here).
+    */
+  private[graft] def ccPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 16 === 0)
+      .select(col("l_orderkey").as("o"),
+        col("l_partkey").cast("long").as("p"))
+      .groupBy(col("o"))
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), " +
+          "y -> struct(x AS src, y AS dst))))")).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
 
   /** Connected components over the part co-purchase projection
     * (`l_orderkey % 16` slice — sparse enough that the graph is NOT one
     * giant blob: 42 components at sf0.1), top-20 components by size.
-    * Fixed [[CcRounds]] relax+jump rounds so the DuckDB oracle replays
-    * the exact round count as unrolled MATERIALIZED CTEs;
-    * [[Components.converged]] is the production stop rule, spec-pinned
-    * equal. 6 is the measured MINIMUM, not padding (r10
-    * `CcRoundsProbe`: sf0.01 reaches the fixed point at k=4, but sf0.1
-    * still has 3 mislabeled nodes at k=5) — cutting a round would save
-    * ~0.9s of bench and silently emit non-components at the bench
-    * corpus. Basket pairs expand map-side as in the
-    * triangles lane; [[Components]] mirrors directions internally, the
-    * oracle mirrors via `a.p <> b.p`.
+    * Fixed [[CcRounds]] relax rounds with [[CcJumps]] pointer jumps
+    * each so the DuckDB oracle replays the exact schedule as unrolled
+    * MATERIALIZED CTEs; [[Components.converged]] is the production
+    * stop rule, spec-pinned equal. (5, 2) is the measured minimum that
+    * converges on BOTH corpora (r11 `CcRoundsProbe`: single-jump needs
+    * 6 rounds at sf0.1 — 3 nodes still mislabeled at k=5 — while the
+    * second node-sized jump closes them; relax is the edge-sized cost,
+    * so trading one relax round for two cheap jumps wins ~0.6s);
+    * `CcRoundsConvergenceSpec` guards the zero-margin choice. Basket
+    * pairs expand map-side as in the triangles lane; [[Components]]
+    * mirrors directions internally, the oracle mirrors via
+    * `a.p <> b.p`.
     */
   private def componentsQuery = QueryDef(
     "graph_components_parts",
-    (s, dir) => {
-      val t = Tables.load(s, dir, "lineitem", parallelize = true)
-        .filter(col("l_orderkey") % 16 === 0)
-        .select(col("l_orderkey").as("o"),
-          col("l_partkey").cast("long").as("p"))
-        .distinct()
-      val pairs = t.groupBy(col("o"))
-        .agg(sort_array(collect_set(col("p"))).as("ps"))
-        .select(explode(expr(
-          "flatten(transform(ps, (x, i) -> " +
-            "transform(slice(ps, i + 2, size(ps)), " +
-            "y -> struct(x AS src, y AS dst))))")).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      Components.labels(pairs, CcRounds)
+    (s, dir) =>
+      Components.labels(ccPairs(s, dir), CcRounds, jumps = CcJumps)
         .groupBy(col("lbl").as("component"))
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("n_nodes").desc, col("component"))
-        .limit(20)
-    },
+        .limit(20),
     Some {
       val header =
         "WITH t AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, " +
@@ -175,12 +194,18 @@ object GraphQueries extends QueryPack {
           "r0 AS MATERIALIZED (SELECT node, node AS lbl FROM " +
           "(SELECT DISTINCT src AS node FROM ep))"
       val rounds = (1 to CcRounds).map { k =>
-        s"a$k AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM " +
-          s"(SELECT r.node, r.lbl FROM r${k - 1} r UNION ALL " +
-          s"SELECT e.dst, r.lbl FROM ep e JOIN r${k - 1} r " +
-          "ON e.src = r.node) GROUP BY 1), " +
-          s"r$k AS MATERIALIZED (SELECT x.node, y.lbl FROM a$k x " +
-          s"JOIN a$k y ON x.lbl = y.node)"
+        val relax =
+          s"a${k}j0 AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM " +
+            s"(SELECT r.node, r.lbl FROM r${k - 1} r UNION ALL " +
+            s"SELECT e.dst, r.lbl FROM ep e JOIN r${k - 1} r " +
+            "ON e.src = r.node) GROUP BY 1)"
+        val jumps = (1 to CcJumps).map { j =>
+          val out = if (j == CcJumps) s"r$k" else s"a${k}j$j"
+          s"$out AS MATERIALIZED (SELECT x.node, y.lbl " +
+            s"FROM a${k}j${j - 1} x JOIN a${k}j${j - 1} y " +
+            "ON x.lbl = y.node)"
+        }
+        (relax +: jumps).mkString(", ")
       }.mkString(", ")
       header + ", " + rounds +
         " SELECT lbl AS component, CAST(count(*) AS BIGINT) AS n_nodes " +
