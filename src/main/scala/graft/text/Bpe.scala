@@ -66,29 +66,40 @@ object Bpe {
       "array(concat(lhs, rhs))) " +
       "ELSE concat(acc, array(x)) END)"
 
-  /** Learn the first `steps` merges over the top-`topWords` word frame
-    * of `docs(textCol)` (whitespace tokens, lowercased, alphabetic
-    * words only — the end-marker alphabet guard). Returns one row per
+  /** The word/alphabet normalization every BPE entry point shares:
+    * whitespace tokens, lowercased, alphabetic words only (the
+    * end-marker alphabet guard). `(word, cnt)` with exact corpus
+    * occurrence counts — map-side-combinable, ONE corpus pass.
+    */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame = docs
+    .select(explode(TextAnalysis.tokens(col(textCol))).as("t"))
+    .select(lower(col("t")).as("word"))
+    .filter(col("word").rlike("^[a-z]+$"))
+    .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** A word as its initial symbol list: characters plus the `_`
+    * end-of-word marker.
+    */
+  private[text] val InitSymbolsExpr =
+    "concat(transform(sequence(1, length(word)), " +
+      "i -> substring(word, i, 1)), array('_'))"
+
+  /** Learn the first `steps` merges over the top-`topWords` rows of a
+    * `(word, cnt)` frame (see [[wordCounts]]). Returns one row per
     * merge: `(step, lhs, rhs, merged, weight)`, `weight` = the exact
     * corpus occurrence count the pair had when chosen. EAGER: each
     * step's winning pair and rewritten word frame are materialized
     * (`localCheckpoint`) so step k+1 plans against ≤W checkpointed
     * rows, not a k-deep replay.
     */
-  def merges(docs: DataFrame, textCol: String, steps: Int,
+  def mergesFromCounts(wordCounts: DataFrame, steps: Int,
       topWords: Int): DataFrame = {
     require(steps > 0, "need at least one merge step")
     require(topWords > 0, "need a positive word-frame bound")
-    val wordFrame = docs
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("t"))
-      .select(lower(col("t")).as("word"))
-      .filter(col("word").rlike("^[a-z]+$"))
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val wordFrame = wordCounts
       .orderBy(col("cnt").desc, col("word").asc).limit(topWords)
     var words = wordFrame
-      .select(expr("concat(transform(sequence(1, length(word)), " +
-        "i -> substring(word, i, 1)), array('_'))").as("l"),
-        col("cnt"))
+      .select(expr(InitSymbolsExpr).as("l"), col("cnt"))
       .localCheckpoint(true)
     val out = (1 to steps).map { k =>
       val top1 = pairCounts(words)
@@ -102,5 +113,45 @@ object Bpe {
         concat(col("lhs"), col("rhs")).as("merged"), col("weight"))
     }
     out.reduce(_ unionByName _)
+  }
+
+  /** Learn merges straight from a document frame — one corpus pass for
+    * the word counts, then O(steps · topWords) iteration.
+    */
+  def merges(docs: DataFrame, textCol: String, steps: Int,
+      topWords: Int): DataFrame =
+    mergesFromCounts(wordCounts(docs, textCol), steps, topWords)
+
+  /** ENCODE: apply a trained merge table to a `(word)` frame in step
+    * order — the same greedy leftmost fold the trainer uses, one
+    * map-side pass per merge rule. Returns `(word, l)` with the final
+    * symbol list. Dictionary-encoded by design: callers pass DISTINCT
+    * words and join occurrences back, so merge application costs
+    * O(rules · vocabulary), never O(rules · corpus) — the only shape
+    * that survives a 32k-rule table at 100 TB (each step is a
+    * broadcast-1-row cross join, so the chain stays whole-stage
+    * codegen with zero exchanges).
+    *
+    * `mergesDf` must carry `(step, lhs, rhs)` for steps `1..steps`
+    * exactly (it is checkpointed once here; a missing step would empty
+    * the frame via its cross join, so the step count is `require`d
+    * against the table).
+    */
+  def encodeWords(words: DataFrame, mergesDf: DataFrame,
+      steps: Int): DataFrame = {
+    require(steps > 0, "need at least one merge step")
+    val m = mergesDf.select(col("step"), col("lhs"), col("rhs"))
+      .localCheckpoint(true)
+    require(m.filter(col("step").between(1, steps)).count() == steps,
+      s"merge table must carry exactly steps 1..$steps")
+    var w = words.select(col("word"), expr(InitSymbolsExpr).as("l"))
+    var k = 1
+    while (k <= steps) {
+      w = w.crossJoin(broadcast(m.filter(col("step") === k)
+          .select(col("lhs"), col("rhs"))))
+        .select(col("word"), expr(ApplyMergeExpr).as("l"))
+      k += 1
+    }
+    w
   }
 }

@@ -807,6 +807,41 @@ object TextQueries extends QueryPack {
   private val BpeSteps = 6
   private val BpeTopWords = 512
 
+  /** One unrolled greedy-scan rewrite block — the [[Bpe]] fold
+    * replayed with run-parity window logic (lhs = rhs: a run's odd
+    * members start merges; lhs ≠ rhs: adjacencies cannot overlap, all
+    * merge; a started merge CONSUMES its right neighbor via lag).
+    * Reads `(wid, l, carry…)` from `src`, applies the 1-row merge CTE
+    * `merge`, emits `out` MATERIALIZED (DuckDB inlines CTEs by
+    * default, and each step referencing the previous twice would
+    * expand the plan exponentially in steps). Shared by the merges
+    * (training replay) and encode (application replay) oracles.
+    */
+  private def bpeRewriteSql(src: String, out: String, merge: String,
+      tag: String, carry: Seq[String]): String = {
+    val cs = carry.map(c => s", $c").mkString
+    val grp = ("wid" +: carry).mkString(", ")
+    s"e$tag AS (SELECT wid$cs, unnest(l) AS sym, " +
+      s"generate_subscripts(l, 1) AS pos FROM $src), " +
+      s"f$tag AS (SELECT *, lead(sym) OVER (PARTITION BY wid " +
+      s"ORDER BY pos) AS nxt, sum(CASE WHEN sym = " +
+      s"(SELECT lhs FROM $merge) THEN 0 ELSE 1 END) OVER " +
+      s"(PARTITION BY wid ORDER BY pos) AS runid FROM e$tag), " +
+      s"g$tag AS (SELECT *, row_number() OVER (PARTITION BY wid, " +
+      s"runid, sym ORDER BY pos) AS rin FROM f$tag), " +
+      s"h$tag AS (SELECT *, CASE WHEN sym = (SELECT lhs FROM $merge) " +
+      s"AND nxt IS NOT DISTINCT FROM (SELECT rhs FROM $merge) AND " +
+      s"((SELECT lhs FROM $merge) <> (SELECT rhs FROM $merge) OR " +
+      s"rin % 2 = 1) THEN TRUE ELSE FALSE END AS mstart FROM g$tag), " +
+      s"i$tag AS (SELECT *, coalesce(lag(mstart) OVER " +
+      s"(PARTITION BY wid ORDER BY pos), FALSE) AS consumed " +
+      s"FROM h$tag), " +
+      s"$out AS MATERIALIZED (SELECT $grp, " +
+      "list(CASE WHEN mstart THEN sym || nxt ELSE sym END " +
+      s"ORDER BY pos) FILTER (NOT consumed) AS l FROM i$tag " +
+      s"GROUP BY $grp)"
+  }
+
   /** BPE merge induction ([[Bpe.merges]]): the first 6 tokenizer merge
     * rules learned from the corpus word distribution — one corpus pass
     * (word counts → top-512 word frame), then O(steps · W) iteration
@@ -846,30 +881,110 @@ object TextQueries extends QueryPack {
           "GROUP BY 1, 2), " +
           s"m$k AS MATERIALIZED (SELECT lhs, rhs, weight FROM p$k " +
           "ORDER BY weight DESC, lhs, rhs LIMIT 1), " +
-          s"e$k AS (SELECT wid, cnt, unnest(l) AS sym, " +
-          s"generate_subscripts(l, 1) AS pos FROM s$p), " +
-          s"f$k AS (SELECT *, lead(sym) OVER (PARTITION BY wid " +
-          "ORDER BY pos) AS nxt, sum(CASE WHEN sym = " +
-          s"(SELECT lhs FROM m$k) THEN 0 ELSE 1 END) OVER " +
-          s"(PARTITION BY wid ORDER BY pos) AS runid FROM e$k), " +
-          s"g$k AS (SELECT *, row_number() OVER (PARTITION BY wid, " +
-          s"runid, sym ORDER BY pos) AS rin FROM f$k), " +
-          s"h$k AS (SELECT *, CASE WHEN sym = (SELECT lhs FROM m$k) " +
-          s"AND nxt IS NOT DISTINCT FROM (SELECT rhs FROM m$k) AND " +
-          s"((SELECT lhs FROM m$k) <> (SELECT rhs FROM m$k) OR " +
-          s"rin % 2 = 1) THEN TRUE ELSE FALSE END AS mstart FROM g$k), " +
-          s"i$k AS (SELECT *, coalesce(lag(mstart) OVER " +
-          s"(PARTITION BY wid ORDER BY pos), FALSE) AS consumed FROM h$k), " +
-          s"s$k AS MATERIALIZED (SELECT wid, cnt, " +
-          "list(CASE WHEN mstart THEN sym || nxt ELSE sym END " +
-          "ORDER BY pos) FILTER (NOT consumed) AS l " +
-          s"FROM i$k GROUP BY wid, cnt)"
+          bpeRewriteSql(s"s$p", s"s$k", s"m$k", s"t$k", Seq("cnt"))
       }.mkString(", ")
       val sel = (1 to BpeSteps).map(k =>
         s"SELECT $k AS step, lhs, rhs, lhs || rhs AS merged, weight " +
           s"FROM m$k").mkString(" UNION ALL ")
       header + ", " + steps +
         " SELECT * FROM (" + sel + ") ORDER BY step"
+    })
+
+  /** BPE ENCODE ([[Bpe.encodeWords]]): train the [[BpeSteps]]-rule
+    * merge table live (same schedule as the merges lane), apply it in
+    * step order to the corpus DICTIONARY (distinct words — merge cost
+    * ∝ vocabulary, never ∝ corpus), then join occurrences back and
+    * emit each document's bag of token ids: `(doc_id, token_id,
+    * token, n)`. Token ids are dense ranks of the final symbol set in
+    * symbol order — corpus-deterministic, replayed verbatim by the
+    * oracle. ONE corpus pass builds the per-(doc, word) counts; the
+    * global word counts (training input) and the dictionary both
+    * derive from that frame. This is the lane that upgrades packing
+    * from whitespace-token budgets to real token budgets
+    * (`PackingSpec` consumes these counts).
+    *
+    * The vocab-id window is a single-partition window over the FINAL
+    * SYMBOL SET — alphabet + one symbol per merge rule (≤ 26 + 1 +
+    * [[BpeSteps]] rows), bounded by construction, never corpus-sized.
+    */
+  private def bpeEncodeQuery = QueryDef(
+    "text_bpe_encode_documents",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents", parallelize = true)
+      val occ = docs
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .select(col("doc_id"), lower(col("t")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("k"))
+        .localCheckpoint(true) // feeds training counts AND the join back
+      val wc = occ.groupBy(col("word")).agg(sum(col("k")).as("cnt"))
+      val mergesDf = Bpe.mergesFromCounts(wc, BpeSteps, BpeTopWords)
+      val enc = Bpe.encodeWords(wc.select(col("word")), mergesDf,
+          BpeSteps)
+        .localCheckpoint(true) // dictionary-sized; consumed twice below
+      // checkpointed frames carry no size statistics, so gate the
+      // dictionary side's broadcast on its (already materialized)
+      // count — the PageRank/IncrementalDedup decision shape
+      val encSide =
+        if (enc.count() <= graft.graph.PageRank.MaxBroadcastNodes)
+          broadcast(enc)
+        else enc
+      val vocab = enc.select(explode(col("l")).as("token")).distinct()
+        .select(col("token"), row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("token"))
+          .as("token_id"))
+      occ.join(encSide, Seq("word"))
+        .select(col("doc_id"), col("k"), explode(col("l")).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(sum(col("k")).as("n"))
+        .join(broadcast(vocab), Seq("token"))
+        .select(col("doc_id"), col("token_id"), col("token"), col("n"))
+        .orderBy(col("doc_id"), col("token_id"))
+    },
+    Some {
+      val header =
+        "WITH occ AS MATERIALIZED (SELECT doc_id, word, " +
+          "CAST(count(*) AS BIGINT) AS k FROM (SELECT doc_id, " +
+          "lower(t) AS word FROM (SELECT doc_id, " +
+          s"unnest($tokensSql) AS t FROM documents)) " +
+          "WHERE regexp_matches(word, '^[a-z]+$') GROUP BY 1, 2), " +
+          "wc AS MATERIALIZED (SELECT word, CAST(sum(k) AS BIGINT) " +
+          "AS cnt FROM occ GROUP BY 1), " +
+          "s0 AS MATERIALIZED (SELECT row_number() OVER " +
+          "(ORDER BY word) AS wid, " +
+          "list_append(regexp_extract_all(word, '.'), '_') AS l, cnt " +
+          "FROM (SELECT word, cnt FROM wc " +
+          s"ORDER BY cnt DESC, word LIMIT $BpeTopWords)), " +
+          "w0 AS MATERIALIZED (SELECT row_number() OVER " +
+          "(ORDER BY word) AS wid, word, " +
+          "list_append(regexp_extract_all(word, '.'), '_') AS l " +
+          "FROM wc)"
+      val train = (1 to BpeSteps).map { k =>
+        val p = k - 1
+        s"p$k AS MATERIALIZED (SELECT pr[1] AS lhs, pr[2] AS rhs, " +
+          "CAST(sum(cnt) AS BIGINT) AS weight FROM (SELECT " +
+          "unnest(list_zip(list_slice(l, 1, len(l)-1), " +
+          s"list_slice(l, 2, len(l)))) AS pr, cnt FROM s$p) " +
+          "GROUP BY 1, 2), " +
+          s"m$k AS MATERIALIZED (SELECT lhs, rhs, weight FROM p$k " +
+          "ORDER BY weight DESC, lhs, rhs LIMIT 1), " +
+          bpeRewriteSql(s"s$p", s"s$k", s"m$k", s"t$k", Seq("cnt"))
+      }.mkString(", ")
+      val encode = (1 to BpeSteps).map { k =>
+        bpeRewriteSql(s"w${k - 1}", s"w$k", s"m$k", s"u$k",
+          Seq("word"))
+      }.mkString(", ")
+      header + ", " + train + ", " + encode +
+        ", vocab AS MATERIALIZED (SELECT token, CAST(row_number() " +
+        "OVER (ORDER BY token) AS INT) AS token_id FROM (SELECT " +
+        s"DISTINCT unnest(l) AS token FROM w$BpeSteps)), " +
+        "tk AS (SELECT occ.doc_id, occ.k, unnest(w.l) AS token " +
+        s"FROM occ JOIN w$BpeSteps w USING (word)), " +
+        "agg AS (SELECT doc_id, token, CAST(sum(k) AS BIGINT) AS n " +
+        "FROM tk GROUP BY 1, 2) " +
+        "SELECT a.doc_id, v.token_id, a.token, a.n FROM agg a " +
+        "JOIN vocab v USING (token) ORDER BY doc_id, token_id"
     })
 
   /** Inverted-index build ([[InvertedIndex.postings]]) bounded to the
@@ -909,5 +1024,6 @@ object TextQueries extends QueryPack {
       decontamQuery,
       scrubSpansQuery, repetitionQuery, packQuery, decontamPipelineQuery,
       chunkQuery, mixQuery, mixWeightedQuery, bm25Query,
-      collocationsQuery, boilerplateQuery, bpeQuery, indexQuery)
+      collocationsQuery, boilerplateQuery, bpeQuery, bpeEncodeQuery,
+      indexQuery)
 }

@@ -86,6 +86,38 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("packs consume real BPE token budgets end to end") {
+    // the X73/X19 composition the r10 verdict asked for: per-doc token
+    // counts come from a live-trained BPE table applied to the corpus
+    // dictionary (graft.text.Bpe.encodeWords), not whitespace counts
+    val docs = Seq.tabulate(30)(i => (i.toLong,
+      s"the quick brown fox ${"jumps " * (i % 5)}over the lazy dog"))
+      .toDF("doc_id", "text")
+    val occ = docs.select(col("doc_id"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), lower(col("t")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("k"))
+    val wc = occ.groupBy(col("word")).agg(sum(col("k")).as("cnt"))
+    val enc = graft.text.Bpe.encodeWords(wc.select(col("word")),
+      graft.text.Bpe.mergesFromCounts(wc, 4, 100), 4)
+    val perDoc = occ.join(enc, Seq("word"))
+      .select(col("doc_id"), (col("k") * size(col("l"))).as("toks"))
+      .groupBy(col("doc_id")).agg(sum(col("toks")).as("n_tokens"))
+    val total = perDoc.agg(sum(col("n_tokens"))).head().getLong(0)
+    val nDocs = perDoc.count()
+    val packs = Packing.packs(perDoc, "doc_id", "n_tokens", budget = 60)
+    assert(packs.agg(sum(col("pack_tokens"))).head().getLong(0)
+      === total, "token conservation from BPE ids into packs")
+    assert(packs.agg(sum(col("n_docs"))).head().getLong(0) === nDocs)
+    // real merges happened: some word's encoding is shorter than
+    // chars+marker, so BPE totals sit BELOW the char-level count
+    val charTotal = occ.join(wc.select(col("word")), Seq("word"))
+      .select((col("k") * (length(col("word")) + 1)).as("c"))
+      .agg(sum(col("c"))).head().getLong(0)
+    assert(total < charTotal, "merges must compress the token stream")
+  }
+
   test("shard windows parallelize: one sort per shard, no global window") {
     val plan = Packing.packs(corpus(100), "doc_id", "n_tokens", 512)
       .queryExecution.executedPlan.toString

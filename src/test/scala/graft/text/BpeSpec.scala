@@ -93,6 +93,45 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.merges(df, "text", 3, 10).count() === 0)
   }
 
+  /** Driver reference for ENCODE: apply merge rules in step order,
+    * each with the greedy leftmost-non-overlapping scan.
+    */
+  private def refEncode(word: String,
+      merges: Seq[(String, String)]): Vector[String] = {
+    var syms = word.map(_.toString).toVector :+ "_"
+    for ((a, b) <- merges) {
+      val buf = mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < syms.size) {
+        if (i < syms.size - 1 && syms(i) == a && syms(i + 1) == b) {
+          buf += a + b; i += 2
+        } else { buf += syms(i); i += 1 }
+      }
+      syms = buf.toVector
+    }
+    syms
+  }
+
+  test("encodeWords applies the trained table like the reference") {
+    val words = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L)
+    val rules = refBpe(words, 6).map { case (_, a, b, _, _) => (a, b) }
+    val mergesDf = Bpe.merges(docsOf(words: _*), "text", 6, 100)
+    val enc = Bpe.encodeWords(
+      Seq("low", "lower", "newest", "widest", "unseen", "aaaaaaaa")
+        .toDF("word"), mergesDf, 6)
+      .as[(String, Seq[String])].collect().toMap
+    for (w <- enc.keys)
+      assert(enc(w) === refEncode(w, rules), s"word $w")
+  }
+
+  test("encodeWords rejects a merge table missing requested steps") {
+    val mergesDf = Bpe.merges(docsOf("low" -> 3L), "text", 2, 10)
+    intercept[IllegalArgumentException] {
+      Bpe.encodeWords(Seq("low").toDF("word"), mergesDf, 4)
+    }
+  }
+
   test("leaves no cache entries (checkpoint lifecycle only)") {
     spark.catalog.clearCache()
     run(2, 10, "abc" -> 2L)
