@@ -327,8 +327,8 @@ object DedupQueries extends QueryPack {
       .orderBy("id_a", "id_b"),
     Some {
       def planeSql(t: Int, j: Int): String =
-        graft.sim.Similarity.planeValues(t, j, LshDims)
-          .map(_.toString).mkString("[", ", ", "]")
+        graft.util.OracleSql.dblArray(
+          graft.sim.Similarity.planeValues(t, j, LshDims))
       def bucketSql(t: Int): String = (0 until LshBits).map { j =>
         s"(CASE WHEN list_dot_product(v, ${planeSql(t, j)}::DOUBLE[]) " +
           s">= 0 THEN ${1L << j} ELSE 0 END)"

@@ -30,10 +30,10 @@ import org.apache.spark.sql.functions._
   */
 object IvfSimilarity {
 
-  private def asDouble(c: Column): Column =
+  private[sim] def asDouble(c: Column): Column =
     transform(c, x => x.cast("double"))
 
-  private def normalize(c: Column): Column = {
+  private[sim] def normalize(c: Column): Column = {
     val n = sqrt(Similarity.dot(c, c))
     when(n === 0.0, c).otherwise(transform(c, x => x / n))
   }
@@ -113,7 +113,7 @@ object IvfSimilarity {
     * clusters keep their previous centroid; fewer points than k
     * degenerates to one centroid per point (correct, just underfilled).
     */
-  private def localKMeans(points: Array[Array[Double]], k: Int,
+  private[sim] def localKMeans(points: Array[Array[Double]], k: Int,
       iters: Int, seed: Long): Array[Array[Double]] = {
     require(points.nonEmpty, "cannot train a quantizer on zero vectors")
     val rnd = new scala.util.Random(seed)

@@ -1,0 +1,109 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** First-class k-means clustering over an embedding column — the lane
+  * that completes the curation loop around [[EmbeddingAgg]] /
+  * [[Outliers]]: cluster the corpus, prune the redundant core per
+  * cluster (SemDeDup), rank the straggler tail ([[Outliers]]). The
+  * coarse-quantizer Lloyd's that already powers IVF training
+  * ([[IvfSimilarity.localKMeans]]) is promoted here to a clustering
+  * operator with labels, distances and per-cluster inertia.
+  *
+  * Scale shape: TRAINING reads a bounded deterministic sample (a few
+  * hundred vectors per cluster — centroid quality needs samples, not
+  * the corpus; the [[IvfSimilarity.build]] contract), while ASSIGNMENT
+  * scans everything exactly once, map-side: the k centroids embed as
+  * literal arrays in one codegen'd expression (argmin over an
+  * array_sort of (d², label) structs — no join, no shuffle, no window).
+  * Per-cluster stats aggregate the assigned frame once with exact
+  * DECIMAL(38,12) sums, so inertia is partition-order-independent.
+  *
+  * Geometry: vectors are L2-NORMALIZED first (cosine geometry — the
+  * corpus convention shared with every similarity lane); distances are
+  * euclidean on the unit sphere, `d² = v·v − 2·(v·c) + c·c` with the
+  * centroid self-dot folded in Scala and embedded as one literal, so
+  * the whole per-row tree is deterministic IEEE arithmetic a SQL
+  * engine replays bit-for-bit (the [[IvfGatePinned]] idiom).
+  */
+object Kmeans {
+
+  /** Train `k` centroids with the seed-deterministic driver Lloyd's
+    * over a bounded sample (256 vectors per cluster) of the normalized
+    * corpus. `k` is capped at [[IvfSimilarity.DriverTrainThreshold]] —
+    * above it, train with the Spark ML path [[IvfSimilarity.build]]
+    * uses and pass the centroids to [[assign]] yourself.
+    *
+    * @param totalRows corpus size when known (footer statistics keep
+    *                  sizing jobless); a count() runs as the fallback.
+    */
+  def fit(df: DataFrame, vecCol: String, k: Int, iters: Int = 10,
+      seed: Long = 42L,
+      totalRows: Option[Long] = None): Array[Array[Double]] = {
+    require(k >= 1 && k <= IvfSimilarity.DriverTrainThreshold,
+      s"k must be in [1, ${IvfSimilarity.DriverTrainThreshold}] for " +
+        "the driver-local trainer")
+    val normed = df.select(
+      IvfSimilarity.normalize(IvfSimilarity.asDouble(col(vecCol)))
+        .as("__nv"))
+    val target = 256L * k
+    val total = totalRows.getOrElse(df.count())
+    val sampled =
+      if (total > target)
+        normed.sample(withReplacement = false,
+          target.toDouble / total, seed)
+      else normed
+    val pts = sampled.limit(target.toInt).collect()
+      .map(_.getSeq[Double](0).toArray)
+    IvfSimilarity.localKMeans(pts, k, iters, seed)
+  }
+
+  /** `(idCol, label, d2, distance)` — every vector's nearest centroid
+    * by squared euclidean distance on the normalized sphere, ties
+    * broken by label. One map-side codegen'd expression per row; `d2`
+    * is clamped at 0 before the sqrt (the self-centroid case can land
+    * a few ulps negative).
+    */
+  def assign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit(_)).toIndexedSeq: _*)
+      val c2 = c.map(x => x * x).sum
+      struct(
+        (Similarity.dot(col("__nv"), col("__nv"))
+          - lit(2.0) * Similarity.dot(col("__nv"), cLit)
+          + lit(c2)).as("d2"),
+        lit(i).as("lbl"))
+    }.toIndexedSeq: _*)
+    df.select(col(idCol),
+        IvfSimilarity.normalize(IvfSimilarity.asDouble(col(vecCol)))
+          .as("__nv"))
+      .select(col(idCol),
+        element_at(array_sort(scored), 1).as("__best"))
+      .select(col(idCol), col("__best.lbl").as("label"),
+        col("__best.d2").as("d2"),
+        sqrt(greatest(col("__best.d2"), lit(0.0))).as("distance"))
+  }
+
+  /** The full clustering report: `(idCol, label, distance, cluster_n,
+    * cluster_inertia)` — member assignments joined (broadcast, k rows)
+    * with per-cluster size and inertia (exact DECIMAL sums of the IEEE
+    * d² terms, then one cast). Train + assign + aggregate; the
+    * assigned frame is checkpointed once (it feeds both the stats and
+    * the output).
+    */
+  def cluster(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val assigned = assign(df, idCol, vecCol, centroids)
+      .localCheckpoint(true)
+    val stats = assigned.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_n"),
+        sum(col("d2").cast("decimal(38,12)")).cast("double")
+          .as("cluster_inertia"))
+    assigned.join(broadcast(stats), Seq("label"))
+      .select(col(idCol), col("label"), col("distance"),
+        col("cluster_n"), col("cluster_inertia"))
+  }
+}

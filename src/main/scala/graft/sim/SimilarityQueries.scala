@@ -71,8 +71,7 @@ object SimilarityQueries extends QueryPack {
     },
     Some {
       def planeSql(t: Int, j: Int): String =
-        Similarity.planeValues(t, j, LshDims)
-          .map(_.toString).mkString("[", ", ", "]")
+        graft.util.OracleSql.dblArray(Similarity.planeValues(t, j, LshDims))
       def bucketSql(t: Int): String = (0 until LshBits).map { j =>
         s"(CASE WHEN list_dot_product(v, ${planeSql(t, j)}::DOUBLE[]) " +
           s">= 0 THEN ${1L << j} ELSE 0 END)"
@@ -177,8 +176,7 @@ object SimilarityQueries extends QueryPack {
       // (hits desc, id) top-64·k cut, then cosine + rank — every step
       // deterministic, so the cut is hash-exact across engines
       def planeSql(t: Int, j: Int): String =
-        Similarity.planeValues(t, j, LshDims)
-          .map(_.toString).mkString("[", ", ", "]")
+        graft.util.OracleSql.dblArray(Similarity.planeValues(t, j, LshDims))
       def bucketSql(t: Int): String = (0 until KnnGateBits).map { j =>
         s"(CASE WHEN list_dot_product(v, ${planeSql(t, j)}::DOUBLE[]) " +
           s">= 0 THEN ${1L << j} ELSE 0 END)"
@@ -240,9 +238,26 @@ object SimilarityQueries extends QueryPack {
     * ([[IvfGatePinned]]: the exact centroids the production training
     * deterministically produces on the gate corpus).
     */
-  private def ivfOracleSql(centroids: Array[Array[Double]]): String = {
-      def centSql(i: Int): String = centroids(i)
-        .map(_.toString).mkString("[", ", ", "]")
+  /** DuckDB-side fail-fast for trained-literal oracles (r10 ADVICE): a
+    * 1-row guard CTE cross-joined into the final select calls
+    * `error(...)` with a CLEAR message when the corpus size differs
+    * from the one the pinned literals were trained on — a regenerated
+    * gate corpus then reports as an oracle ERROR naming the fix, not a
+    * baffling hash mismatch. Only attached to oracles whose literals
+    * replay LIVE training ([[IvfGatePinned]], [[KmeansGatePinned]]);
+    * fixed-artifact quantizers ([[IvfPinned]]) are corpus-independent
+    * and carry no guard.
+    */
+  private def gateGuardSql(expectRows: Long, what: String): String =
+    "gg AS (SELECT CASE WHEN (SELECT count(*) FROM embeddings) = " +
+      s"$expectRows THEN 1 ELSE error('$what trained-literal oracle " +
+      s"is only valid at the $expectRows-row gate corpus: regenerate " +
+      "the pinned centroids') END AS ok)"
+
+  private def ivfOracleSql(centroids: Array[Array[Double]],
+      guardRows: Option[Long] = None): String = {
+      def centSql(i: Int): String =
+        graft.util.OracleSql.dblArray(centroids(i).toIndexedSeq)
       val arms = centroids.indices.map(i =>
         s"SELECT vec_id, $i AS list_id, " +
           s"list_dot_product(nv, ${centSql(i)}::DOUBLE[]) AS cs FROM n")
@@ -269,11 +284,13 @@ object SimilarityQueries extends QueryPack {
         s"AND r.vec_id < $QueryIds), " +
         "sc AS (SELECT qp.query_id, a.vec_id AS neighbor_id, " +
         s"$cosNorm AS cosine FROM qp JOIN a USING (list_id) " +
-        "WHERE a.vec_id <> qp.query_id) " +
-        "SELECT query_id, rn AS rank, neighbor_id, cosine FROM (" +
+        "WHERE a.vec_id <> qp.query_id)" +
+        guardRows.map(r => ", " + gateGuardSql(r, "IVF")).getOrElse("") +
+        " SELECT query_id, rn AS rank, neighbor_id, cosine FROM (" +
         "SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
-        "ORDER BY cosine DESC, neighbor_id) AS rn FROM sc) " +
-        s"WHERE rn <= $K ORDER BY query_id, rank"
+        "ORDER BY cosine DESC, neighbor_id) AS rn FROM sc)" +
+        guardRows.map(_ => " CROSS JOIN gg").getOrElse("") +
+        s" WHERE rn <= $K ORDER BY query_id, rank"
   }
 
   private def ivfQuery = QueryDef(
@@ -311,7 +328,62 @@ object SimilarityQueries extends QueryPack {
         .select("query_id", "rank", "neighbor_id", "cosine")
         .orderBy("query_id", "rank")
     },
-    Some(ivfOracleSql(IvfGatePinned.centroids)))
+    Some(ivfOracleSql(IvfGatePinned.centroids,
+      guardRows = Some(500L))))
+
+  /** First-class k-means clustering ([[Kmeans]]): LIVE seed-42 driver
+    * Lloyd's (k = [[KmeansGatePinned.K]], [[KmeansGatePinned.Iters]]
+    * iterations, bounded training sample), then one map-side argmin
+    * assignment scan and one exact-DECIMAL inertia aggregation —
+    * `(vec_id, label, distance, cluster_n, cluster_inertia)`. Oracled
+    * via the proven [[IvfGatePinned]] idiom: training stays live, the
+    * oracle replays assignment + inertia with the centroids the gate
+    * corpus deterministically produces ([[KmeansGatePinned]];
+    * KmeansGateDriftSpec re-trains and compares every `sbt test`, and
+    * the oracle carries the [[gateGuardSql]] fail-fast). Completes the
+    * curation loop with `emb_outliers_label`: cluster → prune core
+    * (SemDeDup) → rank tail.
+    */
+  private def kmeansQuery = QueryDef(
+    "cluster_kmeans_embeddings",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = Kmeans.fit(emb, "embedding", KmeansGatePinned.K,
+        KmeansGatePinned.Iters,
+        totalRows = Some(Tables.rowCount(s, dir, "embeddings")))
+      Kmeans.cluster(emb, "vec_id", "embedding", cents)
+        .orderBy("vec_id")
+    },
+    Some {
+      val cents = KmeansGatePinned.centroids
+      def cSql(i: Int) =
+        graft.util.OracleSql.dblArray(cents(i).toIndexedSeq)
+      val arms = cents.indices.map { i =>
+        val c2 = cents(i).map(x => x * x).sum
+        s"SELECT vec_id, $i AS lbl, (list_dot_product(nv, nv) - " +
+          s"2.0 * list_dot_product(nv, ${cSql(i)}::DOUBLE[]) + " +
+          s"${graft.util.OracleSql.dbl(c2)}) " +
+          "AS d2 FROM n"
+      }.mkString(" UNION ALL ")
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v " +
+        "FROM embeddings), " +
+        "nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) " +
+        "AS nm FROM e), " +
+        "n AS (SELECT vec_id, CASE WHEN nm = 0 THEN v ELSE " +
+        "list_transform(v, x -> x / nm) END AS nv FROM nrm), " +
+        s"d AS ($arms), " +
+        "a AS (SELECT vec_id, lbl AS label, d2 FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d2, lbl) " +
+        "AS rn FROM d) WHERE rn = 1), " +
+        "st AS (SELECT label, count(*) AS cluster_n, " +
+        "CAST(sum(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE) " +
+        "AS cluster_inertia FROM a GROUP BY 1), " +
+        gateGuardSql(KmeansGatePinned.GateRows, "k-means") + " " +
+        "SELECT a.vec_id, CAST(a.label AS INT) AS label, " +
+        "sqrt(greatest(d2, 0.0)) AS distance, st.cluster_n, " +
+        "st.cluster_inertia FROM a JOIN st USING (label) " +
+        "CROSS JOIN gg ORDER BY vec_id"
+    })
 
   /** Per-label centroids (mean-pooled embeddings, [[EmbeddingAgg]]) —
     * oracled exactly: both engines sum the widened doubles as
@@ -436,8 +508,8 @@ object SimilarityQueries extends QueryPack {
   private val ProjCoarseK = 32
 
   private def projRowSql(j: Int): String =
-    Projection.signMatrix(ProjK, ProjDims)(j)
-      .map(_.toString).mkString("[", ", ", "]") + "::DOUBLE[]"
+    graft.util.OracleSql.dblArray(
+      Projection.signMatrix(ProjK, ProjDims)(j).toIndexedSeq) + "::DOUBLE[]"
 
   private def projExprSql(j: Int): String =
     s"${Projection.scale(ProjK)} * list_dot_product(v, ${projRowSql(j)})"
@@ -562,8 +634,8 @@ object SimilarityQueries extends QueryPack {
   }
 
   override def queries: Seq[QueryDef] =
-    Seq(bruteQuery, lshQuery, ivfQuery, ivfTrainedQuery, knnBruteQuery,
-      knnLshQuery, quantizeQuery, quantTopkQuery,
+    Seq(bruteQuery, lshQuery, ivfQuery, ivfTrainedQuery, kmeansQuery,
+      knnBruteQuery, knnLshQuery, quantizeQuery, quantTopkQuery,
       centroidQuery, outliersQuery, projectQuery, projTopkQuery,
       hybridQuery)
 }
