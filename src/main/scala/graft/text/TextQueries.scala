@@ -987,6 +987,91 @@ object TextQueries extends QueryPack {
         "JOIN vocab v USING (token) ORDER BY doc_id, token_id"
     })
 
+  /** Domain-grain curation ([[Domains]]): URL → normalized host →
+    * registrable-domain cut (public-suffix-lite), rolled up per domain
+    * into the frame a mixing/blocklist policy consumes — docs, hosts,
+    * exact token sum, mean chars, and each domain's token share of the
+    * corpus. The corpus has no URL column, so the lane PLANTS one
+    * deterministically from (doc_id, source) — mixed-case scheme/host,
+    * userinfo, `www.`/`cdn.` subdomains, a `.co.UK` multi-part suffix,
+    * ports, query strings — every normalization branch exercised and
+    * every step a pure string op DuckDB replays verbatim. The roll-up
+    * is one corpus aggregation; the share division reads the
+    * checkpointed ~|sources|-row report, never the corpus.
+    */
+  private def domainsQuery = QueryDef(
+    "corpus_domains_documents",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents", parallelize = true)
+      val url = concat(
+        lit("HTTPS://"),
+        when(col("doc_id") % 7 === 0, lit("user:pw@")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit("WWW."))
+          .when(col("doc_id") % 3 === 1, lit("cdn."))
+          .otherwise(lit("")),
+        col("source"),
+        when(col("doc_id") % 4 === 0, lit(".co.UK")).otherwise(lit(".com")),
+        when(col("doc_id") % 5 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/p/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 2 === 0, lit("?q=x#f")).otherwise(lit("")))
+      val h = Domains.host(url)
+      val perDoc = docs.select(
+        Domains.registrable(h).as("domain"), h.as("host"),
+        size(TextAnalysis.tokens(col("text"))).as("toks"),
+        col("n_chars"))
+      val agg = perDoc.groupBy(col("domain")).agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"),
+          sum(col("toks").cast("long")).as("n_tokens"),
+          (sum(col("n_chars")).cast("double") / count(lit(1)))
+            .as("avg_chars"))
+        .localCheckpoint(true) // ~|sources| rows; share reads it twice
+      agg.crossJoin(broadcast(
+          agg.agg(sum(col("n_tokens")).as("__tot"))))
+        .select(col("domain"), col("n_docs"), col("n_hosts"),
+          col("n_tokens"), col("avg_chars"),
+          (col("n_tokens").cast("double") / col("__tot").cast("double"))
+            .as("tokens_share"))
+        .orderBy("domain")
+    },
+    Some {
+      val urlExpr =
+        "'HTTPS://' || CASE WHEN doc_id % 7 = 0 THEN 'user:pw@' " +
+          "ELSE '' END || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' " +
+          "WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END || source || " +
+          "CASE WHEN doc_id % 4 = 0 THEN '.co.UK' ELSE '.com' END || " +
+          "CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END || " +
+          "'/p/' || CAST(doc_id AS VARCHAR) || " +
+          "CASE WHEN doc_id % 2 = 0 THEN '?q=x#f' ELSE '' END"
+      val suffixes = Domains.MultiPartSuffixes
+        .map(sx => s"'$sx'").mkString("[", ", ", "]")
+      s"WITH u AS (SELECT doc_id, source, text, n_chars, $urlExpr " +
+        "AS url FROM documents), " +
+        "h AS (SELECT *, regexp_replace(lower(regexp_extract(url, " +
+        "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)), " +
+        "'\\.$', '') AS host FROM u), " +
+        "p AS (SELECT *, string_split(host, '.') AS parts FROM h), " +
+        "d0 AS (SELECT *, array_to_string(list_slice(parts, " +
+        "greatest(1, len(parts) - 1), len(parts)), '.') AS last2 " +
+        "FROM p), " +
+        "d1 AS (SELECT *, CASE WHEN len(parts) >= 3 AND " +
+        s"list_contains($suffixes, last2) THEN 3 " +
+        "ELSE least(len(parts), 2) END AS tk FROM d0), " +
+        "d AS (SELECT doc_id, host, n_chars, " +
+        s"len($tokensSql) AS toks, " +
+        "array_to_string(list_slice(parts, greatest(1, " +
+        "len(parts) - tk + 1), len(parts)), '.') AS domain FROM d1), " +
+        "a AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(DISTINCT host) AS BIGINT) AS n_hosts, " +
+        "CAST(sum(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars " +
+        "FROM d GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM a) " +
+        "SELECT domain, n_docs, n_hosts, n_tokens, avg_chars, " +
+        "CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) " +
+        "AS tokens_share FROM a CROSS JOIN t ORDER BY domain"
+    })
+
   /** Inverted-index build ([[InvertedIndex.postings]]) bounded to the
     * top-20-df dictionary slice — the postings a sharded index would
     * persist for its head terms. The oracle replays tokenize-with-
@@ -1025,5 +1110,5 @@ object TextQueries extends QueryPack {
       scrubSpansQuery, repetitionQuery, packQuery, decontamPipelineQuery,
       chunkQuery, mixQuery, mixWeightedQuery, bm25Query,
       collocationsQuery, boilerplateQuery, bpeQuery, bpeEncodeQuery,
-      indexQuery)
+      domainsQuery, indexQuery)
 }
