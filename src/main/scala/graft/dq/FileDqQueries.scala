@@ -139,22 +139,22 @@ object FileDqQueries extends QueryPack {
     * The memo holds collected ROWS (report-sized by construction), not
     * a DataFrame, so it is session-independent and has no filesystem
     * state to corrupt; a rewritten corpus invalidates via the stamp in
-    * the key, exactly like the stages.
+    * the key, exactly like the stages ([[graft.util.Staging.ValueMemo]]
+    * — the non-filesystem corner of the r11-consolidated staging core).
     */
-  private val reportMemo = scala.collection.mutable.Map[
-    String, (Array[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType)]()
+  private val reportMemo = new graft.util.Staging.ValueMemo[
+    (Array[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType)]
 
   private def stagedReport(s: org.apache.spark.sql.SparkSession,
-      dir: String, table: String): org.apache.spark.sql.DataFrame =
-    synchronized {
-      val key = s"$dir:$table:${Tables.sourceStamp(s, dir, table)}"
-      val (rows, schema) = reportMemo.getOrElseUpdate(key, {
-        val r = builtReport(s, dir, table)
-        (r.collect(), r.schema)
-      })
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      dir: String, table: String): org.apache.spark.sql.DataFrame = {
+    val key = s"$dir:$table:${Tables.sourceStamp(s, dir, table)}"
+    val (rows, schema) = reportMemo.get(key) {
+      val r = builtReport(s, dir, table)
+      (r.collect(), r.schema)
     }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
 
   /** A14: pass/fail rule counts over the STAGED events report (see
     * [[stagedReport]] — the reference summarizes the stored report, so

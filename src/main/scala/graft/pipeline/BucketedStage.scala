@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 
 import graft.io.Tables
+import graft.util.Staging
 
 /** One-time bucketed staging for the co-located join gate.
   *
@@ -12,18 +13,20 @@ import graft.io.Tables
   * the write must not be fused into the query that demonstrates the
   * exchange-free join (r6 timed write+join together, burying the
   * join-only cost). `ensure` memoizes per (corpus dir, source mtime+size):
-  * the first call in a JVM writes both fact tables `bucketBy(8, orderkey)`
+  * the first call in a JVM writes both fact tables `bucketBy(orderkey)`
   * into the session warehouse; every later call — including the bench's
   * 2nd/3rd min-of-3 attempts and every other query that wants co-located
   * orderkey joins — reuses them, exactly like a production lakehouse
-  * reuses a bucketed table across queries. A rewritten source (new
-  * mtime/size) invalidates the memo and re-stages.
+  * reuses a bucketed table across queries.
   *
-  * Table names carry the pid (two gate JVMs on one host must not clobber
-  * each other's buckets mid-query); stale sibling dirs from dead pids are
-  * reaped here — in the staging step, not inside any timed query — and
-  * their catalog entries dropped, so a persistent metastore can't
-  * accumulate dangling tables whose data is gone.
+  * Verify/reap mechanics come from [[graft.util.Staging]] (the r11
+  * consolidation): each staged table's content stamp (row count +
+  * exact decimal orderkey sum) is verified against its source on every
+  * (re-)stage — hardening the one stage family that previously trusted
+  * its write — reuse re-validates marker + file inventory, and dead
+  * siblings are reaped (pid-liveness-checked) with their catalog
+  * entries dropped, so a persistent metastore can't accumulate
+  * dangling tables whose data is gone.
   */
 object BucketedStage {
 
@@ -39,63 +42,69 @@ object BucketedStage {
     */
   val NumBuckets: Int = Tables.ScanParallelism
 
-  private val built = scala.collection.mutable.Map[String, (String, String)]()
+  private case class Entry(lt: String, ot: String,
+    files: Map[String, Map[String, Long]])
+
+  private val built = scala.collection.mutable.Map[String, Entry]()
+
+  private val ReapPattern =
+    "graft_(?:li|ord)_bucketed_(\\d+)(?:_[0-9a-f]+)?".r
+
+  private def tableDir(s: SparkSession, name: String): java.io.File =
+    new java.io.File(Staging.warehouseDir(s), name)
+
+  private def intact(s: SparkSession, e: Entry): Boolean =
+    Seq(e.lt, e.ot).forall { t =>
+      new java.io.File(tableDir(s, t), "_SUCCESS").isFile &&
+        Staging.inventoryOf(tableDir(s, t)) == e.files(t)
+    }
 
   /** Bucketed (lineitem, orders) table names for `dir`, staging at most
-    * once per (JVM, corpus version).
+    * once per (JVM, corpus version) and verifying each staged table's
+    * content stamp against its source.
     */
   def ensure(s: SparkSession, dir: String): (String, String) =
     synchronized {
       val key = s"$dir:${Tables.sourceStamp(s, dir, "lineitem")}:" +
         Tables.sourceStamp(s, dir, "orders")
-      built.getOrElseUpdate(key, {
-        val pid = ProcessHandle.current().pid()
-        // names carry pid AND a corpus-dir hash: the bench warms at
-        // sf0.001 then times sf0.1 in one JVM — with shared names the
-        // second corpus would overwrite the first's buckets while the
-        // memo still maps the first dir to those names (stale data on a
-        // later same-dir call). Distinct names make the memo entries
-        // independent; a REWRITTEN corpus at the same dir reuses its
-        // name via overwrite (the memo key's mtime/size invalidates).
-        val dh = Integer.toHexString(dir.hashCode)
-        val lt = s"graft_li_bucketed_${pid}_$dh"
-        val ot = s"graft_ord_bucketed_${pid}_$dh"
-        reapStaleSiblings(s, pid)
-        Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_extendedprice"),
-            col("l_discount"))
-          .write.mode("overwrite").bucketBy(NumBuckets, "l_orderkey")
-          .sortBy("l_orderkey").format("parquet").saveAsTable(lt)
-        Tables.load(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_orderstatus"))
-          .write.mode("overwrite").bucketBy(NumBuckets, "o_orderkey")
-          .sortBy("o_orderkey").format("parquet").saveAsTable(ot)
-        (lt, ot)
-      })
-    }
-
-  /** Delete dead pids' bucketed table dirs untouched for an hour (a LIVE
-    * concurrent gate rewrites its tables every run, so it is never that
-    * stale) and drop their catalog entries — data-gone dangling tables
-    * would otherwise survive in a persistent metastore.
-    */
-  private def reapStaleSiblings(s: SparkSession, pid: Long): Unit =
-    try {
-      val wh = new java.io.File(
-        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")))
-      val cutoff = System.currentTimeMillis() - 3600L * 1000
-      Option(wh.listFiles()).getOrElse(Array.empty)
-        .filter(f =>
-          f.getName.matches("graft_(li|ord)_bucketed_\\d+(_[0-9a-f]+)?")
-          && !f.getName.matches(s"graft_(li|ord)_bucketed_${pid}(_.*)?")
-          && f.lastModified() < cutoff)
-        .foreach { dead =>
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(): Unit
+      built.get(key) match {
+        case Some(e) if intact(s, e) => (e.lt, e.ot)
+        case _ =>
+          val pid = ProcessHandle.current().pid()
+          // names carry pid AND a corpus-dir hash: the bench warms at
+          // sf0.001 then times sf0.1 in one JVM — with shared names the
+          // second corpus would overwrite the first's buckets while the
+          // memo still maps the first dir to those names (stale data on
+          // a later same-dir call). Distinct names make the memo entries
+          // independent; a REWRITTEN corpus at the same dir reuses its
+          // name via overwrite (the memo key's mtime/size invalidates).
+          val dh = Integer.toHexString(dir.hashCode)
+          val lt = s"graft_li_bucketed_${pid}_$dh"
+          val ot = s"graft_ord_bucketed_${pid}_$dh"
+          Staging.reapStale(Staging.warehouseDir(s), ReapPattern, pid,
+            onDelete = f =>
+              s.sql(s"DROP TABLE IF EXISTS ${f.getName}"): Unit)
+          def stageOne(name: String, src: org.apache.spark.sql.DataFrame,
+              keyCol: String): Unit = {
+            src.write.mode("overwrite").bucketBy(NumBuckets, keyCol)
+              .sortBy(keyCol).format("parquet").saveAsTable(name)
+            val want = Staging.stampOf(src, Some(keyCol))
+            val got = Staging.stampOf(s.table(name), Some(keyCol))
+            if (!got.same(want))
+              throw new IllegalStateException(
+                s"BucketedStage content mismatch in $name: staged " +
+                  s"$got != source $want")
           }
-          rm(dead)
-          s.sql(s"DROP TABLE IF EXISTS ${dead.getName}"): Unit
-        }
-    } catch { case _: Exception => () } // cleanup is best-effort
+          stageOne(lt, Tables.load(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_extendedprice"),
+              col("l_discount")), "l_orderkey")
+          stageOne(ot, Tables.load(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderstatus")),
+            "o_orderkey")
+          built(key) = Entry(lt, ot, Map(
+            lt -> Staging.inventoryOf(tableDir(s, lt)),
+            ot -> Staging.inventoryOf(tableDir(s, ot))))
+          (lt, ot)
+      }
+    }
 }

@@ -3,28 +3,28 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** One-time staging of a streaming lane's SOURCE directory — the
-  * [[graft.io.PartitionedStage]] contract applied to the
-  * `FileStreamSource` fixtures: a production stream reads an EXISTING
-  * source directory, so writing the fixture is setup the operator
-  * should not re-pay on every execution (it was ~0.3-0.6s of every
-  * timed attempt of every streaming gate lane). One write per
-  * (JVM, corpus version, variant), keyed by the events table's
-  * mtime+size; the path carries the pid, a corpus-dir hash and the
-  * variant name so warm-up and timed corpora never clobber each other.
+  * staging contract applied to the `FileStreamSource` fixtures: a
+  * production stream reads an EXISTING source directory, so writing
+  * the fixture is setup the operator should not re-pay on every
+  * execution (it was ~0.3-0.6s of every timed attempt of every
+  * streaming gate lane). One write per (JVM, corpus version, variant).
   *
   * CHECKPOINTS ARE NOT STAGED — every stream run keeps a fresh
   * throwaway checkpoint (re-running an AvailableNow stream against a
   * finished checkpoint would no-op); only the immutable source
   * directory is shared.
   *
-  * Verified, never trusted (the stage hardening rule): after a write
-  * the staged row count must equal the build frame's, or `ensure`
-  * throws; memo reuse re-checks the `_SUCCESS` commit marker and
-  * re-stages if the directory vanished.
+  * All memo/verify/reap mechanics live in [[graft.util.Staging]] (the
+  * r11 consolidation): row-count stamp verified after every write,
+  * reuse re-validates marker + file inventory (a truncated dir with an
+  * intact `_SUCCESS` re-stages — the r10 ADVICE hole), dead siblings
+  * reaped with a pid-liveness check.
   */
 object StreamStage {
 
-  private val built = scala.collection.mutable.Map[String, String]()
+  private val stage =
+    new graft.util.Staging.PathStage("graft_stream_stage",
+      stampKeyCol = None)
 
   /** Path of the staged source for (`dir`, `variant`), building it with
     * `build` at most once per (JVM, corpus version). `build` must be a
@@ -32,50 +32,8 @@ object StreamStage {
     * carries only the corpus stamp and the variant NAME.
     */
   def ensure(s: SparkSession, dir: String, variant: String)(
-      build: SparkSession => DataFrame): String = synchronized {
-    val key =
-      s"$dir:$variant:${graft.io.Tables.sourceStamp(s, dir, "events")}"
-    built.get(key) match {
-      case Some(p) if new java.io.File(p, "_SUCCESS").isFile => p
-      case _ =>
-        val pid = ProcessHandle.current().pid()
-        val dh = Integer.toHexString(dir.hashCode)
-        val wh = new java.io.File(
-          new java.net.URI(s.conf.get("spark.sql.warehouse.dir")))
-        reapStaleSiblings(wh, pid)
-        val path = wh.toPath
-          .resolve(s"graft_stream_stage_${variant}_${pid}_$dh").toString
-        val frame = build(s)
-        frame.write.mode("overwrite").parquet(path)
-        val want = frame.count()
-        val got = s.read.parquet(path).count()
-        if (got != want)
-          throw new IllegalStateException(
-            s"StreamStage content mismatch at $path: " +
-              s"staged $got rows != built $want")
-        built(key) = path
-        path
-    }
-  }
-
-  /** Dead pids' staged dirs untouched for an hour are deleted here — in
-    * the staging step, never inside a timed query (the PartitionedStage
-    * cleanup discipline; path-only staging, no catalog entries).
-    */
-  private def reapStaleSiblings(wh: java.io.File, pid: Long): Unit =
-    try {
-      val cutoff = System.currentTimeMillis() - 3600L * 1000
-      Option(wh.listFiles()).getOrElse(Array.empty)
-        .filter(f =>
-          f.getName.matches("graft_stream_stage_[a-z0-9]+_\\d+_[0-9a-f]+")
-            && !f.getName.matches(s"graft_stream_stage_[a-z0-9]+_${pid}_.*")
-            && f.lastModified() < cutoff)
-        .foreach { dead =>
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(): Unit
-          }
-          rm(dead)
-        }
-    } catch { case _: Exception => () } // cleanup is best-effort
+      build: SparkSession => DataFrame): String =
+    stage.ensure(s, dir, variant,
+      graft.io.Tables.sourceStamp(s, dir, "events"))(build)(
+      (df, path) => df.write.mode("overwrite").parquet(path))
 }

@@ -1,0 +1,165 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, sum}
+
+/** THE staging core — the one implementation of the JVM-memoized,
+  * stamped, verified "write once per (JVM, corpus version), reuse
+  * across queries" contract that [[graft.io.PartitionedStage]],
+  * [[graft.streaming.StreamStage]], [[graft.pipeline.BucketedStage]]
+  * and the DQ report memo previously each carried a private copy of
+  * (r10 verdict: four near-identical correctness-critical memos drift
+  * independently — consolidation keeps the next one honest).
+  *
+  * Contract, enforced here once:
+  *  - staged copies are CORRECTNESS-critical (gate results are hashed
+  *    against oracles reading the RAW tables), so every (re-)stage
+  *    verifies a content stamp of the staged copy against the source
+  *    and THROWS on mismatch — fail loud, never a plausible-but-wrong
+  *    aggregate;
+  *  - memo reuse re-validates the commit marker AND the exact file
+  *    inventory (relative path → length) captured at stage time — a
+  *    truncated directory with an intact `_SUCCESS` re-stages instead
+  *    of being trusted (r10 ADVICE), and the check is pure
+  *    `java.io` — zero Spark jobs inside timed queries;
+  *  - stale sibling dirs are reaped only when their embedded pid is
+  *    NOT alive (r10 ADVICE: age alone deleted a >1h sibling's in-use
+  *    stage) and untouched for an hour, in the staging step, never
+  *    inside a timed query;
+  *  - paths/names carry pid + corpus-dir hash so concurrent JVMs and
+  *    warm-up/timed corpora never clobber each other; a rewritten
+  *    source invalidates via the mtime+size stamp in the memo key.
+  */
+object Staging {
+
+  /** Content stamp: row count plus (when a numeric key column exists)
+    * the exact DECIMAL(38,0) key sum — catches the realistic
+    * corruptions (dropped/duplicated rows, partial write, stale prior
+    * corpus) in one cheap two-column scan, partition-order-independent.
+    */
+  final case class Stamp(rows: Long, keySum: Option[java.math.BigDecimal]) {
+    def same(o: Stamp): Boolean = rows == o.rows && ((keySum, o.keySum) match {
+      case (Some(a), Some(b)) => a.compareTo(b) == 0
+      case (None, None) => true
+      case _ => false
+    })
+  }
+
+  def stampOf(df: DataFrame, keyCol: Option[String]): Stamp = keyCol match {
+    case Some(k) =>
+      val r = df.agg(count(lit(1)), sum(col(k).cast("decimal(38,0)"))).head()
+      Stamp(r.getLong(0), Some(Option(r.getDecimal(1))
+        .getOrElse(java.math.BigDecimal.ZERO)))
+    case None => Stamp(df.count(), None)
+  }
+
+  /** Relative-path → length inventory of a staged directory. */
+  def inventoryOf(root: java.io.File): Map[String, Long] = {
+    def walk(f: java.io.File, rel: String): Seq[(String, Long)] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(c =>
+          walk(c, if (rel.isEmpty) c.getName else s"$rel/${c.getName}"))
+      else Seq(rel -> f.length())
+    walk(root, "").toMap
+  }
+
+  def warehouseDir(s: SparkSession): java.io.File =
+    new java.io.File(new java.net.URI(s.conf.get("spark.sql.warehouse.dir")))
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+    f.delete(): Unit
+  }
+
+  /** Delete siblings' staged dirs whose name matches `pattern` (pid as
+    * capture group 1) when the pid is not ours, NOT ALIVE, and the dir
+    * is untouched for an hour. Best-effort; `onDelete` drops any
+    * catalog entry.
+    */
+  def reapStale(wh: java.io.File, pattern: scala.util.matching.Regex,
+      keepPid: Long, onDelete: java.io.File => Unit = _ => ()): Unit =
+    try {
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      Option(wh.listFiles()).getOrElse(Array.empty).foreach { f =>
+        f.getName match {
+          case pattern(pidStr) =>
+            val pid = pidStr.toLong
+            val alive = ProcessHandle.of(pid)
+              .map[Boolean](_.isAlive).orElse(false)
+            if (pid != keepPid && !alive && f.lastModified() < cutoff) {
+              rm(f); onDelete(f)
+            }
+          case _ => ()
+        }
+      }
+    } catch { case _: Exception => () } // cleanup is best-effort
+
+  /** Memoized verified parquet-directory staging. `namePrefix` owns a
+    * name family `prefix[_tag]_pid_dirhash`; one instance per staged
+    * artifact kind.
+    *
+    * @param stampKeyCol numeric column for the content stamp's key sum
+    *                    (None → row-count-only stamp)
+    */
+  final class PathStage(namePrefix: String, stampKeyCol: Option[String]) {
+
+    private case class Entry(path: String, stamp: Stamp,
+      files: Map[String, Long])
+
+    private val built = scala.collection.mutable.Map[String, Entry]()
+
+    private val reapPattern =
+      (java.util.regex.Pattern.quote(namePrefix) +
+        "_(?:[a-z0-9]+_)?(\\d+)_[0-9a-f]+").r
+
+    private def intact(e: Entry): Boolean =
+      new java.io.File(e.path, "_SUCCESS").isFile &&
+        inventoryOf(new java.io.File(e.path)) == e.files
+
+    /** Staged path for (`dir`, `tag`, `sourceStamp`), writing at most
+      * once per (JVM, corpus version): `frame` builds the source frame
+      * (must be a deterministic function of the corpus at `dir`),
+      * `write` persists it to the given path.
+      */
+    def ensure(s: SparkSession, dir: String, tag: String,
+        sourceStamp: String)(frame: SparkSession => DataFrame)(
+        write: (DataFrame, String) => Unit): String = synchronized {
+      require(tag.isEmpty || tag.matches("[a-z0-9]+"),
+        s"stage tag must be [a-z0-9]+, got '$tag'")
+      val key = s"$dir:$tag:$sourceStamp"
+      built.get(key) match {
+        case Some(e) if intact(e) => e.path
+        case _ =>
+          val pid = ProcessHandle.current().pid()
+          val dh = Integer.toHexString(dir.hashCode)
+          val wh = warehouseDir(s)
+          reapStale(wh, reapPattern, pid)
+          val name =
+            if (tag.isEmpty) s"${namePrefix}_${pid}_$dh"
+            else s"${namePrefix}_${tag}_${pid}_$dh"
+          val path = wh.toPath.resolve(name).toString
+          val src = frame(s)
+          write(src, path)
+          val want = stampOf(src, stampKeyCol)
+          val got = stampOf(s.read.parquet(path), stampKeyCol)
+          if (!got.same(want))
+            throw new IllegalStateException(
+              s"$namePrefix content mismatch at $path: staged $got " +
+                s"!= source $want")
+          built(key) = Entry(path, want,
+            inventoryOf(new java.io.File(path)))
+          path
+      }
+    }
+  }
+
+  /** Stamped in-memory value memo — the non-filesystem corner of the
+    * same contract (the DQ report memo): the key MUST embed the source
+    * mtime+size stamp so a rewritten corpus invalidates.
+    */
+  final class ValueMemo[V] {
+    private val m = scala.collection.mutable.Map[String, V]()
+    def get(key: String)(build: => V): V =
+      synchronized(m.getOrElseUpdate(key, build))
+  }
+}
