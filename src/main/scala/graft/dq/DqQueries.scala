@@ -26,16 +26,21 @@ object DqQueries extends QueryPack {
     val q = c.name
     val comp = s"1 - (COUNT(*) - COUNT($q))::DOUBLE / GREATEST(COUNT(*), 1)"
     val uniq = s"COUNT(DISTINCT $q)::DOUBLE / GREATEST(COUNT(*), 1)"
+    // constant pillars are ::DOUBLE, not bare 1.0 literals: a bare
+    // decimal literal propagates DECIMAL(2,1) through ROUND into the
+    // FINAL schema — the oracle-side half of the r9 representation
+    // fragility, caught by OracleSchemaAuditSpec's DESCRIBE sweep (r11)
     val valid =
       if (c.numeric)
-        s"CASE WHEN COALESCE(AVG($q), 0) >= 0 THEN 1.0 ELSE 0.5 END"
-      else "1.0"
+        s"CASE WHEN COALESCE(AVG($q), 0) >= 0 THEN 1.0::DOUBLE " +
+          "ELSE 0.5::DOUBLE END"
+      else "1.0::DOUBLE"
     val acc =
       if (c.temporal)
         s"1 - (CASE WHEN COUNT(*) > 0 THEN SUM(CASE WHEN $q > TIMESTAMP " +
           s"'$FixedNow' THEN 1 ELSE 0 END)::DOUBLE / COUNT(*) ELSE 0 END)"
-      else "1.0"
-    val cons = "1.0"
+      else "1.0::DOUBLE"
+    val cons = "1.0::DOUBLE"
     val pillars =
       s"ROUND($comp, 3) AS completeness, ROUND($uniq, 3) AS uniqueness, " +
         s"ROUND($valid, 3) AS validity, ROUND($acc, 3) AS accuracy, " +

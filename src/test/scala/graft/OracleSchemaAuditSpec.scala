@@ -54,18 +54,103 @@ class OracleSchemaAuditSpec extends SparkSpec {
       s"registered without an oracle: ${unoracled.toSeq.sorted.mkString(", ")}")
   }
 
+  /** Spark-side final schemas, computed once for both direction sweeps
+    * (schema inspection triggers analysis; streaming/CRUD lanes execute
+    * on call — the sf0.001 corpus keeps the whole sweep in seconds).
+    */
+  private lazy val sparkSchemas: Map[String, StructType] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val schema = fn(spark, dir).schema
+      spark.catalog.clearCache()
+      graft.util.DeferredCleanup.drain()
+      name -> schema
+    }.toMap
+
   test("every registered query's FINAL schema uses only driver-proof " +
       "column types (no decimals, floats, or nested types)") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val bad = fn(spark, dir).schema.fields
-          .filterNot(f => driverProof(f.dataType))
+    val offenders = sparkSchemas.toSeq.sortBy(_._1).flatMap {
+      case (name, schema) =>
+        schema.fields.filterNot(f => driverProof(f.dataType))
           .map(f => s"$name.${f.name}: ${f.dataType.simpleString}")
-        spark.catalog.clearCache()
-        graft.util.DeferredCleanup.drain()
-        bad
     }
     assert(offenders.isEmpty,
       s"representation-fragile final columns:\n${offenders.mkString("\n")}")
+  }
+
+  /** DuckDB type → the Spark type class it must pair with. Anything
+    * NOT in this map is oracle-side fragile (DECIMAL arithmetic left
+    * uncast, HUGEINT from integer SUM, FLOAT, lists/structs) — the
+    * half of the r9 failure class the Spark-side sweep cannot see.
+    */
+  private def duckClass(t: String): Option[DataType] = t match {
+    case "BIGINT" => Some(LongType)
+    case "INTEGER" => Some(IntegerType)
+    case "DOUBLE" => Some(DoubleType)
+    case "VARCHAR" => Some(StringType)
+    case "BOOLEAN" => Some(BooleanType)
+    case "DATE" => Some(DateType)
+    case "TIMESTAMP" | "TIMESTAMP WITH TIME ZONE" => Some(TimestampType)
+    case _ => None
+  }
+
+  test("every oracle's FINAL schema (DuckDB DESCRIBE) is driver-proof " +
+      "and column-compatible with the Spark side") {
+    // r10 ADVICE #6: the Spark-side guard covers half the failure
+    // class — an oracle-side expression can still emit a fragile
+    // intermediate (uncast DECIMAL arithmetic, HUGEINT integer SUMs).
+    // DESCRIBE plans every oracle in the pinned DuckDB without
+    // executing and this sweep compares the result schema per column.
+    val probe = new ProcessBuilder("python3", "-c", "import duckdb")
+      .start()
+    assume(probe.waitFor() == 0,
+      "python3+duckdb unavailable — oracle-side audit needs the " +
+        "driver-side stack")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.createObjectNode()
+    SparkEntry.oracleSql.foreach { case (k, v) => node.put(k, v): Unit }
+    val tmp = java.nio.file.Files.createTempFile("oracle_sql", ".json")
+    java.nio.file.Files.write(tmp, om.writeValueAsBytes(node))
+    val pb = new ProcessBuilder("python3", "tools/oracle_schema_audit.py",
+      dir, tmp.toString)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    assert(proc.waitFor() == 0, s"audit tool failed:\n$out")
+    val rows = out.linesIterator.filter(_.nonEmpty)
+      .map(_.split("\t", 3)).toSeq
+    val errors = rows.filter(_(1) == "!ERROR")
+      .map(r => s"${r(0)}: ${r(2)}")
+    assert(errors.isEmpty,
+      s"oracles that do not plan in DuckDB:\n${errors.mkString("\n")}")
+    val duck: Map[String, Seq[(String, String)]] = rows
+      .filter(_(1) != "!ERROR")
+      .groupBy(_(0)).map { case (n, rs) =>
+        n -> rs.map(r => (r(1), r(2))) }
+    val offenders = SparkEntry.oracleSql.keySet.toSeq.sorted.flatMap {
+      name =>
+        val spark = sparkSchemas(name).fields
+          .map(f => f.name -> f.dataType).toMap
+        duck.getOrElse(name, Seq.empty).flatMap { case (col, typ) =>
+          duckClass(typ) match {
+            case None =>
+              Seq(s"$name.$col: oracle-fragile DuckDB type $typ")
+            case Some(cls) => spark.get(col) match {
+              case None =>
+                Seq(s"$name.$col: oracle column absent from Spark " +
+                  s"schema (${spark.keys.toSeq.sorted.mkString(", ")})")
+              case Some(st) if st != cls =>
+                Seq(s"$name.$col: oracle $typ vs Spark " +
+                  st.simpleString)
+              case _ => Seq.empty
+            }
+          }
+        } ++ {
+          val duckCols = duck.getOrElse(name, Seq.empty).map(_._1).toSet
+          spark.keySet.diff(duckCols).toSeq.sorted
+            .map(c => s"$name.$c: Spark column absent from oracle")
+        }
+    }
+    assert(offenders.isEmpty,
+      s"oracle-side schema offenders:\n${offenders.mkString("\n")}")
   }
 }
