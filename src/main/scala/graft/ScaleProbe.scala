@@ -332,7 +332,23 @@ object ScaleProbe {
     ("mdm_golden", None, SparkEntry.queries("mdm_golden_customers")),
     // closure — pairs grow as keys·log(keys); 5 doubling rounds fixed
     ("graph_closure", None,
-      SparkEntry.queries("graph_closure_customers")))
+      SparkEntry.queries("graph_closure_customers")),
+    // r11 lanes: BPE ENCODE — one corpus (doc, word) aggregation, then
+    // merge application over the DICTIONARY (O(rules·vocab), never
+    // O(rules·corpus)) and the occurrence join back → expect
+    // near-linear in tokens with the dictionary join as the slope
+    ("text_bpe_encode", None,
+      SparkEntry.queries("text_bpe_encode_documents")),
+    // k-means — bounded 256·k training sample + ONE map-side argmin
+    // assignment scan + exact-decimal inertia aggregation → expect
+    // scan-bound
+    ("cluster_kmeans", None,
+      SparkEntry.queries("cluster_kmeans_embeddings")),
+    // domain roll-up — map-side URL normalization + one combinable
+    // domain aggregation (share division reads the report frame) →
+    // expect scan-bound
+    ("corpus_domains", None,
+      SparkEntry.queries("corpus_domains_documents")))
 
   /** Drift probe: numeric drift on l_extendedprice between two
     * key-modulo snapshots of the scaled lineitem (the registered gate

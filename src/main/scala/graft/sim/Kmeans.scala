@@ -66,6 +66,14 @@ object Kmeans {
     * a few ulps negative).
     */
   def assign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    assignWithVec(df, idCol, vecCol, centroids).drop("__nv")
+
+  /** [[assign]] plus the normalized vector (`__nv`) — for consumers
+    * that score members against each other after assignment
+    * ([[SemDedup]]'s within-cluster pairwise cosines).
+    */
+  def assignWithVec(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]]): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
     val scored = array(centroids.zipWithIndex.map { case (c, i) =>
@@ -80,11 +88,12 @@ object Kmeans {
     df.select(col(idCol),
         IvfSimilarity.normalize(IvfSimilarity.asDouble(col(vecCol)))
           .as("__nv"))
-      .select(col(idCol),
+      .select(col(idCol), col("__nv"),
         element_at(array_sort(scored), 1).as("__best"))
       .select(col(idCol), col("__best.lbl").as("label"),
         col("__best.d2").as("d2"),
-        sqrt(greatest(col("__best.d2"), lit(0.0))).as("distance"))
+        sqrt(greatest(col("__best.d2"), lit(0.0))).as("distance"),
+        col("__nv"))
   }
 
   /** The full clustering report: `(idCol, label, distance, cluster_n,

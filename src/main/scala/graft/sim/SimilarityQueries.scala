@@ -355,26 +355,7 @@ object SimilarityQueries extends QueryPack {
         .orderBy("vec_id")
     },
     Some {
-      val cents = KmeansGatePinned.centroids
-      def cSql(i: Int) =
-        graft.util.OracleSql.dblArray(cents(i).toIndexedSeq)
-      val arms = cents.indices.map { i =>
-        val c2 = cents(i).map(x => x * x).sum
-        s"SELECT vec_id, $i AS lbl, (list_dot_product(nv, nv) - " +
-          s"2.0 * list_dot_product(nv, ${cSql(i)}::DOUBLE[]) + " +
-          s"${graft.util.OracleSql.dbl(c2)}) " +
-          "AS d2 FROM n"
-      }.mkString(" UNION ALL ")
-      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v " +
-        "FROM embeddings), " +
-        "nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) " +
-        "AS nm FROM e), " +
-        "n AS (SELECT vec_id, CASE WHEN nm = 0 THEN v ELSE " +
-        "list_transform(v, x -> x / nm) END AS nv FROM nrm), " +
-        s"d AS ($arms), " +
-        "a AS (SELECT vec_id, lbl AS label, d2 FROM (SELECT *, " +
-        "row_number() OVER (PARTITION BY vec_id ORDER BY d2, lbl) " +
-        "AS rn FROM d) WHERE rn = 1), " +
+      "WITH " + kmeansAssignCtes(KmeansGatePinned.centroids) + ", " +
         "st AS (SELECT label, count(*) AS cluster_n, " +
         "CAST(sum(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE) " +
         "AS cluster_inertia FROM a GROUP BY 1), " +
@@ -383,6 +364,75 @@ object SimilarityQueries extends QueryPack {
         "sqrt(greatest(d2, 0.0)) AS distance, st.cluster_n, " +
         "st.cluster_inertia FROM a JOIN st USING (label) " +
         "CROSS JOIN gg ORDER BY vec_id"
+    })
+
+  /** The k-means assignment replay shared by the clustering and
+    * SemDeDup oracles: normalize → per-centroid d² arms → argmin under
+    * (d², label). Emits CTEs `e, nrm, n, d, a` with
+    * `a = (vec_id, label, d2)`.
+    */
+  private def kmeansAssignCtes(cents: Array[Array[Double]]): String = {
+    def cSql(i: Int) =
+      graft.util.OracleSql.dblArray(cents(i).toIndexedSeq)
+    val arms = cents.indices.map { i =>
+      val c2 = cents(i).map(x => x * x).sum
+      s"SELECT vec_id, $i AS lbl, (list_dot_product(nv, nv) - " +
+        s"2.0 * list_dot_product(nv, ${cSql(i)}::DOUBLE[]) + " +
+        s"${graft.util.OracleSql.dbl(c2)}) " +
+        "AS d2 FROM n"
+    }.mkString(" UNION ALL ")
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) " +
+      "AS nm FROM e), " +
+      "n AS (SELECT vec_id, CASE WHEN nm = 0 THEN v ELSE " +
+      "list_transform(v, x -> x / nm) END AS nv FROM nrm), " +
+      s"d AS ($arms), " +
+      "a AS (SELECT vec_id, lbl AS label, d2 FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY d2, lbl) " +
+      "AS rn FROM d) WHERE rn = 1)"
+  }
+
+  private val SemTau = 0.3
+
+  /** SemDeDup core pruning ([[SemDedup.prune]]): cluster with the LIVE
+    * trainer at target occupancy [[SemDedup.TargetOccupancy]]
+    * (k = 8 at the gate corpus — exactly [[KmeansGatePinned]], so the
+    * oracle replays assignment with the same pinned literals the
+    * clustering lane uses, then the within-cluster pair join, the
+    * (d², id) precedence rule and the (cosine DESC, id) best-duplicate
+    * window verbatim — every step deterministic IEEE). Completes the
+    * curation loop: cluster (`cluster_kmeans_embeddings`) → prune core
+    * (this) → rank tail (`emb_outliers_label`).
+    */
+  private def semdedupQuery = QueryDef(
+    "cluster_semdedup_embeddings",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val n = Tables.rowCount(s, dir, "embeddings")
+      val cents = Kmeans.fit(emb, "embedding",
+        SemDedup.clusterCount(n), KmeansGatePinned.Iters,
+        totalRows = Some(n))
+      SemDedup.prune(emb, "vec_id", "embedding", cents, SemTau)
+        .orderBy("vec_id")
+    },
+    Some {
+      val tau = graft.util.OracleSql.dbl(SemTau)
+      "WITH " + kmeansAssignCtes(KmeansGatePinned.centroids) + ", " +
+        "av AS (SELECT a.vec_id, a.label, a.d2, n.nv FROM a " +
+        "JOIN n USING (vec_id)), " +
+        "dups AS (SELECT x.vec_id AS ida, y.vec_id AS idb, " +
+        "list_dot_product(x.nv, y.nv) AS cos FROM av x " +
+        "JOIN av y USING (label) WHERE x.vec_id <> y.vec_id " +
+        "AND (y.d2 < x.d2 OR (y.d2 = x.d2 AND y.vec_id < x.vec_id)) " +
+        s"AND list_dot_product(x.nv, y.nv) >= $tau), " +
+        "best AS (SELECT ida AS vec_id, idb AS dup_of, cos AS dup_cos " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY ida " +
+        "ORDER BY cos DESC, idb) AS rn FROM dups) WHERE rn = 1), " +
+        gateGuardSql(KmeansGatePinned.GateRows, "SemDeDup") + " " +
+        "SELECT a.vec_id, CAST(a.label AS INT) AS label, " +
+        "best.dup_of IS NULL AS kept, best.dup_of, best.dup_cos " +
+        "FROM a LEFT JOIN best USING (vec_id) CROSS JOIN gg " +
+        "ORDER BY a.vec_id"
     })
 
   /** Per-label centroids (mean-pooled embeddings, [[EmbeddingAgg]]) —
@@ -635,7 +685,7 @@ object SimilarityQueries extends QueryPack {
 
   override def queries: Seq[QueryDef] =
     Seq(bruteQuery, lshQuery, ivfQuery, ivfTrainedQuery, kmeansQuery,
-      knnBruteQuery, knnLshQuery, quantizeQuery, quantTopkQuery,
-      centroidQuery, outliersQuery, projectQuery, projTopkQuery,
-      hybridQuery)
+      semdedupQuery, knnBruteQuery, knnLshQuery, quantizeQuery,
+      quantTopkQuery, centroidQuery, outliersQuery, projectQuery,
+      projTopkQuery, hybridQuery)
 }
