@@ -76,20 +76,29 @@ object Kmeans {
   def assignWithVec(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]]): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+    // the argmin is a least() FOLD over (d², label) structs, not an
+    // array_sort: k struct comparisons per row instead of building and
+    // sorting a k-array (measured ~10% off the gate lane at k = 8;
+    // the win grows with k), same (d², label) minimum either way; the
+    // self-dot is hoisted to one column instead of one fold per arm
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
       val cLit = array(c.map(lit(_)).toIndexedSeq: _*)
       val c2 = c.map(x => x * x).sum
       struct(
-        (Similarity.dot(col("__nv"), col("__nv"))
+        (col("__n2")
           - lit(2.0) * Similarity.dot(col("__nv"), cLit)
           + lit(c2)).as("d2"),
         lit(i).as("lbl"))
-    }.toIndexedSeq: _*)
+    }
+    val best =
+      if (scored.length == 1) scored.head
+      else least(scored.toIndexedSeq: _*)
     df.select(col(idCol),
         IvfSimilarity.normalize(IvfSimilarity.asDouble(col(vecCol)))
           .as("__nv"))
       .select(col(idCol), col("__nv"),
-        element_at(array_sort(scored), 1).as("__best"))
+        Similarity.dot(col("__nv"), col("__nv")).as("__n2"))
+      .select(col(idCol), col("__nv"), best.as("__best"))
       .select(col(idCol), col("__best.lbl").as("label"),
         col("__best.d2").as("d2"),
         sqrt(greatest(col("__best.d2"), lit(0.0))).as("distance"),
