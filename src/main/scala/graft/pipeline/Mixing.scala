@@ -70,6 +70,45 @@ object Mixing {
       defaultBudget = 0L, prefilter = prefilter)
   }
 
+  /** Temperature-scaled mixing — the multilingual/multi-domain
+    * REBALANCING rule (the XLM-R sampling recipe, public work): each
+    * source's token target is proportional to `n_src^(1/T)` of the
+    * total budget, so T = 1 reproduces natural proportions and larger
+    * T flattens the mix toward uniform, upweighting small sources
+    * without hand-written weights. This operator fixes **T = 2**: the
+    * exponent is then one correctly-rounded `sqrt`, keeping every
+    * arithmetic step exactly SQL-replayable (a general `pow` is libm —
+    * deterministic per engine but not bit-guaranteed across engines).
+    *
+    * All-dataflow (no driver round-trip): the per-source token frame is
+    * |sources|-sized; its sqrt-mass normalizer accumulates as exact
+    * DECIMAL(38,12) (partition-order-independent) with ONE cast back;
+    * targets broadcast back onto the corpus and selection is the same
+    * md5-order greedy window as [[byTokenBudget]] (a doc is selected if
+    * it STARTS before its source's target).
+    */
+  def byTemperatureT2(df: DataFrame, sourceCol: String, idCol: String,
+      tokenCol: String, totalTokens: Long): DataFrame = {
+    require(totalTokens > 0, "totalTokens must be positive")
+    val n = col(tokenCol).cast("long")
+    val src = df.groupBy(col(sourceCol)).agg(sum(n).as("__stok"))
+      .localCheckpoint(true) // |sources| rows; normalizer + targets
+    val tot = src.agg(
+      sum(sqrt(col("__stok")).cast("decimal(38,12)")).cast("double")
+        .as("__zsum"))
+    val targets = src.crossJoin(broadcast(tot))
+      .select(col(sourceCol),
+        floor(lit(totalTokens.toDouble) * sqrt(col("__stok")) /
+          col("__zsum")).cast("long").as("__graft_mix_target"))
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col("*"), (sum(n).over(w) - n).as("__graft_mix_cum"))
+      .join(broadcast(targets), Seq(sourceCol))
+      .filter(col("__graft_mix_cum") < col("__graft_mix_target"))
+      .drop("__graft_mix_cum", "__graft_mix_target")
+  }
+
   private def budgetCol(sourceCol: String, budgets: Map[String, Long],
       defaultBudget: Long): Column =
     coalesce(

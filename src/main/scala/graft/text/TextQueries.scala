@@ -629,6 +629,43 @@ object TextQueries extends QueryPack {
         "SELECT source, doc_id, n AS n_tokens FROM c " +
         s"WHERE cum - n < $MixBudget ORDER BY source, doc_id"))
 
+  private val TempBudget = 12000L
+
+  /** Temperature-scaled mixing
+    * ([[graft.pipeline.Mixing.byTemperatureT2]]): per-source targets ∝
+    * sqrt(source tokens) of a 12k-token total — the multilingual
+    * rebalancing recipe with the one libm-free exponent, so the oracle
+    * replays sqrt-mass → exact-DECIMAL normalizer → floor targets →
+    * md5-order greedy selection verbatim. Small sources get a LARGER
+    * share than their natural proportion (spec-pinned).
+    */
+  private def mixTemperatureQuery = QueryDef(
+    "corpus_mix_temperature_documents",
+    (s, dir) => graft.pipeline.Mixing.byTemperatureT2(
+        Tables.load(s, dir, "documents", parallelize = true)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).cast("long")
+              .as("n_tokens")),
+        "source", "doc_id", "n_tokens", totalTokens = TempBudget)
+      .select("source", "doc_id", "n_tokens")
+      .orderBy("source", "doc_id"),
+    Some(
+      s"WITH toks AS (SELECT doc_id, source, len($tokensSql)::BIGINT " +
+        "AS n FROM documents), " +
+        "s AS (SELECT source, CAST(sum(n) AS BIGINT) AS stok " +
+        "FROM toks GROUP BY 1), " +
+        "z AS (SELECT CAST(sum(CAST(sqrt(stok) AS DECIMAL(38,12))) " +
+        "AS DOUBLE) AS zsum FROM s), " +
+        "t AS (SELECT source, CAST(floor(" +
+        s"CAST($TempBudget AS DOUBLE) * sqrt(stok) / zsum) AS BIGINT) " +
+        "AS target FROM s CROSS JOIN z), " +
+        "c AS (SELECT doc_id, source, n, SUM(n) OVER (" +
+        "PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM toks) " +
+        "SELECT c.source, c.doc_id, c.n AS n_tokens FROM c " +
+        "JOIN t USING (source) WHERE cum - n < target " +
+        "ORDER BY source, doc_id"))
+
   /** Proportional mixing ([[graft.pipeline.Mixing.byWeights]]): budgets
     * derived as weight fractions of a 1000-token total over a
     * non-divisible weight vector {3, 1.5, 1.5, 1} (norm 7), so
@@ -1108,7 +1145,8 @@ object TextQueries extends QueryPack {
       lmScoreQuery,
       decontamQuery,
       scrubSpansQuery, repetitionQuery, packQuery, decontamPipelineQuery,
-      chunkQuery, mixQuery, mixWeightedQuery, bm25Query,
+      chunkQuery, mixQuery, mixWeightedQuery, mixTemperatureQuery,
+      bm25Query,
       collocationsQuery, boilerplateQuery, bpeQuery, bpeEncodeQuery,
       domainsQuery, indexQuery)
 }

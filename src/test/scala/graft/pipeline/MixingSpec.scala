@@ -141,6 +141,45 @@ class MixingSpec extends SparkSpec {
     assert(viaPartial === exact)
   }
 
+  test("byTemperatureT2: small sources get MORE than their natural share") {
+    // big source 10x the tokens of the small one; sqrt-mass targets
+    // give the small source sqrt(1/10) ~ 31.6% of the budget vs its
+    // natural 9.1% share — the rebalancing property in one assert
+    val df = ((1 to 100).map(i => (i.toLong, "big", 10L)) ++
+      (101 to 110).map(i => (i.toLong, "small", 10L)))
+      .toDF("doc_id", "source", "n_tokens")
+    val sel = Mixing.byTemperatureT2(df, "source", "doc_id",
+        "n_tokens", totalTokens = 300L)
+      .groupBy("source").agg(sum(col("n_tokens")).as("t"))
+      .as[(String, Long)].collect().toMap
+    val smallShare = sel("small").toDouble / (sel("small") + sel("big"))
+    assert(smallShare > 0.2,
+      s"sqrt rebalancing must upweight the small source (got $smallShare)")
+    // targets: z = sqrt(1000)+sqrt(100) = 41.23; small target =
+    // floor(300*10/41.23) = 72 -> 8 docs (last one starts at 70);
+    // big target = floor(300*31.62/41.23) = 230 -> 23 docs
+    assert(sel("small") === 80L)
+    assert(sel("big") === 230L)
+  }
+
+  test("byTemperatureT2: equal sources get equal targets, and the " +
+      "selection is deterministic under repartitioning") {
+    val df = corpus(300, 3, seed = 9)
+    val even = ((1 to 50).map(i => (i.toLong, "a", 4L)) ++
+      (51 to 100).map(i => (i.toLong, "b", 4L)))
+      .toDF("doc_id", "source", "n_tokens")
+    val sel = Mixing.byTemperatureT2(even, "source", "doc_id",
+        "n_tokens", totalTokens = 100L)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(sel("a") === sel("b"), "equal mass -> equal selection")
+    val s1 = Mixing.byTemperatureT2(df, "source", "doc_id", "n_tokens",
+      500L).select("doc_id").as[Long].collect().toSet
+    val s2 = Mixing.byTemperatureT2(df.repartition(7), "source",
+      "doc_id", "n_tokens", 500L).select("doc_id").as[Long]
+      .collect().toSet
+    assert(s1 === s2, "layout-invariant selection")
+  }
+
   test("byWeights: proportional budgets, unlisted sources excluded") {
     val df = corpus(400, 4, seed = 23)
     // weights 3:1 over s0/s1; s2/s3 unlisted -> excluded entirely
