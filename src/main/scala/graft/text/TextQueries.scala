@@ -259,6 +259,75 @@ object TextQueries extends QueryPack {
       "FROM documents d LEFT JOIN per USING (doc_id) CROSS JOIN tot " +
       "ORDER BY doc_id"))
 
+  /** Quality-score bucketing — the CCNet move: score every document
+    * with the unigram LM ([[LmScore]]), cut the corpus into score
+    * DECILES, and roll each bucket up (docs, tokens, score range/mean)
+    * so curation can keep/resample buckets instead of hand-picking
+    * thresholds. Composition of two proven operators: the LM score is
+    * deterministic IEEE (bit-equal both engines), the decile cuts come
+    * from the PROFILER's distributed exact interpolated quantiles
+    * (bucket-count selection — never a corpus sort in one task),
+    * rounded to 4dp before the strict-< comparison (the Binning
+    * determinism recipe; scores are ×1000-scaled first so 4dp carries
+    * real resolution on the narrow LM-score range). Docs with no
+    * tokens take a NULL bucket row — nothing is dropped.
+    */
+  private def qualityBucketsQuery = QueryDef(
+    "corpus_quality_buckets_documents",
+    (s, dir) => {
+      val scores = LmScore.score(
+          Tables.load(s, dir, "documents", parallelize = true),
+          "doc_id", "text", topV = 64)
+        .select(col("doc_id"), col("n_tokens"),
+          (col("lm_score") * 1000).as("q"))
+        .localCheckpoint(true) // feeds the cut estimate AND the binning
+      val ps = (1 to 9).map(_ / 10.0)
+      val names = ps.indices.map(i => s"c$i")
+      val cuts = graft.profile.Profiler
+        .quantiles(scores, Seq("q"), ps, names)
+        .select(array(names.map(n => round(col(n), 4)): _*).as("__cuts"))
+      scores.crossJoin(broadcast(cuts))
+        .withColumn("bucket",
+          when(col("q").isNull, lit(null).cast("int"))
+            .otherwise((size(filter(col("__cuts"),
+              c => c < col("q"))) + 1).cast("int")))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          min(col("q")).as("lo"), max(col("q")).as("hi"),
+          round(sum(col("q").cast("decimal(38,12)")).cast("double") /
+            count(col("q")), 6).as("mean_q"))
+        .orderBy(col("bucket").asc_nulls_first)
+    },
+    Some(
+      s"WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(t) AS token FROM toks), " +
+        "c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1), " +
+        "v AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token " +
+        "LIMIT 64), " +
+        "tot AS (SELECT sum(cnt) AS total FROM c), " +
+        "per AS (SELECT tk.doc_id, count(*) AS n_tokens, " +
+        "CAST(coalesce(sum(v.cnt), 0) AS BIGINT) AS sum_cnt " +
+        "FROM tok tk LEFT JOIN v USING (token) GROUP BY 1), " +
+        "sc AS (SELECT d.doc_id, " +
+        "CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens, " +
+        "CASE WHEN coalesce(n_tokens, 0) = 0 THEN NULL " +
+        "ELSE CAST(sum_cnt AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * " +
+        "CAST(total AS DOUBLE)) * 1000 END AS q " +
+        "FROM documents d LEFT JOIN per USING (doc_id) CROSS JOIN tot), " +
+        "cuts AS (SELECT list_transform(quantile_cont(q, " +
+        "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), " +
+        "x -> round(x, 4)) AS cs FROM sc), " +
+        "b AS (SELECT doc_id, n_tokens, q, CASE WHEN q IS NULL THEN " +
+        "NULL ELSE CAST(len(list_filter(cs, c -> c < q)) + 1 AS INT) " +
+        "END AS bucket FROM sc CROSS JOIN cuts) " +
+        "SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
+        "min(q) AS lo, max(q) AS hi, " +
+        "round(CAST(sum(CAST(q AS DECIMAL(38,12))) AS DOUBLE) / " +
+        "count(q), 6) AS mean_q FROM b GROUP BY 1 " +
+        "ORDER BY bucket NULLS FIRST"))
+
   /** Per-doc salient terms ([[TermSalience]]): TF-IDF-shaped ranking in
     * exact integer arithmetic — (tf DESC, df ASC, term ASC) — so the
     * oracle replays it verbatim (idf = log(N/df) is monotone in df, so
@@ -1146,7 +1215,7 @@ object TextQueries extends QueryPack {
       decontamQuery,
       scrubSpansQuery, repetitionQuery, packQuery, decontamPipelineQuery,
       chunkQuery, mixQuery, mixWeightedQuery, mixTemperatureQuery,
-      bm25Query,
+      qualityBucketsQuery, bm25Query,
       collocationsQuery, boilerplateQuery, bpeQuery, bpeEncodeQuery,
       domainsQuery, indexQuery)
 }
