@@ -569,9 +569,39 @@ object DedupQueries extends QueryPack {
         |WHERE rn = 1 AND cosine >= 0.38
         |ORDER BY vec_id""".stripMargin.replace("\n", " ")))
 
+  /** N-gram novelty audit ([[Novelty.firstOwnership]]): per-doc
+    * fraction of distinct 3-word shingles FIRST OWNED by the doc
+    * (corpus-wide min-id occurrence) — the per-document
+    * marginal-contribution / memorization-risk report complementing
+    * the pairwise dedup lanes. Shingling is the exact [[shingleCtes]]
+    * form the MinHash lanes replay, ownership is min-id + exact
+    * counts + one IEEE division — fully SQL-replayable.
+    */
+  private def noveltyQuery = QueryDef(
+    "dedup_novelty_documents",
+    (s, dir) => Novelty.firstOwnership(
+        Tables.load(s, dir, "documents", parallelize = true),
+        "doc_id", "text", k = 3)
+      .orderBy("doc_id"),
+    Some(s"WITH ${shingleCtes("documents")}, " +
+      "g AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh), " +
+      "pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams " +
+      "FROM g GROUP BY 1), " +
+      "ow AS (SELECT g, min(doc_id) AS doc_id FROM g GROUP BY 1), " +
+      "nv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel " +
+      "FROM ow GROUP BY 1) " +
+      "SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams, " +
+      "coalesce(n_novel, 0) AS n_novel, " +
+      "CASE WHEN coalesce(n_grams, 0) = 0 THEN NULL " +
+      "ELSE CAST(coalesce(n_novel, 0) AS DOUBLE) / " +
+      "CAST(n_grams AS DOUBLE) END AS novelty " +
+      "FROM documents d LEFT JOIN pd USING (doc_id) " +
+      "LEFT JOIN nv USING (doc_id) ORDER BY doc_id"))
+
   override def queries: Seq[QueryDef] = Seq(
     exactQuery, jaccardQuery, clustersQuery, minhashQuery, simhashQuery,
     minhashProdQuery,
     embBlockedQuery, embLshQuery, semdedupQuery, spanQuery,
-    incrementalQuery, sourceOverlapQuery, semanticDecontamQuery)
+    incrementalQuery, sourceOverlapQuery, semanticDecontamQuery,
+    noveltyQuery)
 }
