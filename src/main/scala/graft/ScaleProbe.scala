@@ -348,7 +348,22 @@ object ScaleProbe {
     // domain aggregation (share division reads the report frame) →
     // expect scan-bound
     ("corpus_domains", None,
-      SparkEntry.queries("corpus_domains_documents")))
+      SparkEntry.queries("corpus_domains_documents")),
+    // temperature mixing — one combinable source aggregation +
+    // |sources|-sized target math + the per-source cumsum window →
+    // expect the mixing-family shape (near-linear, window per source)
+    ("mix_temperature", None,
+      SparkEntry.queries("corpus_mix_temperature_documents")),
+    // quality buckets — LM scoring (two tokenize passes) + the
+    // profiler's bounded bucket-count quantile selection + one bucket
+    // roll-up → expect the text_lm_score slope plus a flat cut cost
+    ("quality_buckets", None,
+      SparkEntry.queries("corpus_quality_buckets_documents")),
+    // novelty — shingle explode + per-doc distinct + two combinable
+    // aggregations: the span-dedup frame without the join back →
+    // expect near-linear in shingles
+    ("dedup_novelty", None,
+      SparkEntry.queries("dedup_novelty_documents")))
 
   /** Drift probe: numeric drift on l_extendedprice between two
     * key-modulo snapshots of the scaled lineitem (the registered gate

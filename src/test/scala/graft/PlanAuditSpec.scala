@@ -314,6 +314,49 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("k-means assignment is map-side: no join, no window, no " +
+      "aggregation before the stats pass") {
+    // the argmin runs as one codegen'd projection per row; the only
+    // exchanges belong to the inertia aggregation and the ordering
+    val p = plan("cluster_kmeans_embeddings")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window"),
+      s"assignment must not rank through a window:\n$p")
+  }
+
+  test("SemDeDup pairs join equi-keyed on label, never all-pairs") {
+    val p = plan("cluster_semdedup_embeddings")
+    assert(!p.contains("CartesianProduct"),
+      "within-cluster pairs must come from the label equi-join")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("BPE encode applies rules map-side: every merge is a " +
+      "broadcast-1-row cross join, no shuffle between rules") {
+    val p = plan("text_bpe_encode_documents")
+    assert(!p.contains("CartesianProduct"),
+      "rule application must broadcast the 1-row merge frames")
+    // the dictionary-side occurrence join must not be a nested loop
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("domain roll-up plans no join at all before the share join") {
+    val p = plan("corpus_domains_documents")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      s"the |sources|-row share frame must broadcast:\n$p")
+  }
+
+  test("novelty audit: combinable aggregations, no gram-keyed join back") {
+    val p = plan("dedup_novelty_documents")
+    assert(!p.contains("CartesianProduct"))
+    // the only joins are the doc-grain left joins of two report frames
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window"),
+      "ownership counting is an aggregation, not a ranking window")
+  }
+
   test("packing shuffles once on the shard key, never a global sort") {
     val p = plan("corpus_pack_documents")
     assert(p.contains("hashpartitioning(shard"),
