@@ -363,7 +363,15 @@ object ScaleProbe {
     // aggregations: the span-dedup frame without the join back →
     // expect near-linear in shingles
     ("dedup_novelty", None,
-      SparkEntry.queries("dedup_novelty_documents")))
+      SparkEntry.queries("dedup_novelty_documents")),
+    // r12: SemDeDup COMPOSED run — clusterCount(n) actually grows with
+    // the corpus (x1 = 2k embeddings → k = 20, driver trainer +
+    // literal argmin; x10 = 20k → k = 200, Spark ML trainer +
+    // broadcast-join assignment), so this row exercises the k-growth
+    // machinery end to end: occupancy stays ~100, so within-cluster
+    // pairs grow O(n·occupancy) → expect near-linear with the ML-fit
+    // jobs as a fixed tax at the top scale
+    ("cluster_semdedup", None, semdedupProbe _))
 
   /** Drift probe: numeric drift on l_extendedprice between two
     * key-modulo snapshots of the scaled lineitem (the registered gate
@@ -381,6 +389,18 @@ object ScaleProbe {
       .unionByName(pairs.select(col("p").as("src"), col("o").as("dst")))
     graft.graph.PageRank.ranks(edges, 3)
       .orderBy(col("r").desc, col("node")).limit(20)
+  }
+
+  /** SemDeDup at its own occupancy rule: k = clusterCount(n) grows
+    * with the corpus — the composed fitAuto + prune path (the
+    * registered gate lane pins k at the gate corpus's value; this row
+    * is where k actually grows, per the r11 verdict directive).
+    */
+  private def semdedupProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.io.Tables.load(s, dir, "embeddings")
+    graft.sim.SemDedup.run(emb, "vec_id", "embedding", tau = 0.3,
+        totalRows = Some(graft.io.Tables.rowCount(s, dir, "embeddings")))
+      .orderBy("vec_id")
   }
 
   private def driftProbe(s: SparkSession, dir: String): DataFrame = {

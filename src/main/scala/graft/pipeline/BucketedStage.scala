@@ -88,6 +88,7 @@ object BucketedStage {
               keyCol: String): Unit = {
             src.write.mode("overwrite").bucketBy(NumBuckets, keyCol)
               .sortBy(keyCol).format("parquet").saveAsTable(name)
+            Staging.requireSuccessMarker(tableDir(s, name), name)
             val want = Staging.stampOf(src, Some(keyCol))
             val got = Staging.stampOf(s.table(name), Some(keyCol))
             if (!got.same(want))

@@ -29,11 +29,49 @@ import org.apache.spark.sql.functions._
   */
 object Kmeans {
 
+  /** Train `k` centroids at ANY `k`: the seed-deterministic driver
+    * Lloyd's under [[IvfSimilarity.DriverTrainThreshold]] (bounded
+    * collect — microseconds of arithmetic where a distributed fit pays
+    * whole scheduled jobs per iteration), the Spark ML KMeans above it
+    * (the [[IvfSimilarity.build]] trainer: bounded 512·k sample,
+    * random init, normalized vectors) — the composed path the
+    * SemDeDup occupancy rule (k = n/100) needs past ~6,400 rows, where
+    * [[fit]]'s driver bound would throw. Both regimes train on the
+    * L2-normalized corpus with a deterministic seed.
+    */
+  def fitAuto(df: DataFrame, vecCol: String, k: Int, iters: Int = 10,
+      seed: Long = 42L,
+      totalRows: Option[Long] = None): Array[Array[Double]] =
+    if (k <= IvfSimilarity.DriverTrainThreshold)
+      fit(df, vecCol, k, iters, seed, totalRows)
+    else {
+      val normed = df.select(
+        IvfSimilarity.normalize(IvfSimilarity.asDouble(col(vecCol)))
+          .as("__nv"))
+      val target = 512L * k
+      val total = totalRows.getOrElse(df.count())
+      val sampled =
+        if (total > target)
+          normed.sample(withReplacement = false,
+            target.toDouble / total, seed)
+        else normed
+      val withVec = sampled.withColumn("__mlv",
+        org.apache.spark.ml.functions.array_to_vector(col("__nv")))
+      // random init, not k-means||: the parallel init is itself several
+      // passes, and at occupancy-targeted k the assignment quality is
+      // insensitive to init at this level (the IvfSimilarity ruling)
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(k).setSeed(seed).setMaxIter(iters)
+        .setInitMode("random")
+        .setFeaturesCol("__mlv").setPredictionCol("__lbl")
+        .fit(withVec).clusterCenters.map(_.toArray)
+    }
+
   /** Train `k` centroids with the seed-deterministic driver Lloyd's
     * over a bounded sample (256 vectors per cluster) of the normalized
     * corpus. `k` is capped at [[IvfSimilarity.DriverTrainThreshold]] —
-    * above it, train with the Spark ML path [[IvfSimilarity.build]]
-    * uses and pass the centroids to [[assign]] yourself.
+    * above it, [[fitAuto]] routes to the Spark ML path
+    * [[IvfSimilarity.build]] uses.
     *
     * @param totalRows corpus size when known (footer statistics keep
     *                  sizing jobless); a count() runs as the fallback.
@@ -71,16 +109,32 @@ object Kmeans {
 
   /** [[assign]] plus the normalized vector (`__nv`) — for consumers
     * that score members against each other after assignment
-    * ([[SemDedup]]'s within-cluster pairwise cosines).
+    * ([[SemDedup]]'s within-cluster pairwise cosines). Dispatches on k:
+    * literal-argmin up to [[IvfSimilarity.JoinProbeThreshold]]
+    * centroids (one map-side codegen'd expression, no shuffle), the
+    * broadcast centroid-frame join above it — k literal arrays past
+    * that bound would blow codegen method limits (an O(k·dim) PLAN),
+    * while the join path keeps the plan constant-size and the per-row
+    * work identical. Both paths take the same (d², label) minimum over
+    * the same IEEE arithmetic, so the switch is invisible to results
+    * (KmeansAssignJoinSpec pins frame equality across it).
     */
   def assignWithVec(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]]): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
-    // the argmin is a least() FOLD over (d², label) structs, not an
-    // array_sort: k struct comparisons per row instead of building and
-    // sorting a k-array (measured ~10% off the gate lane at k = 8;
-    // the win grows with k), same (d², label) minimum either way; the
-    // self-dot is hoisted to one column instead of one fold per arm
+    if (centroids.length <= IvfSimilarity.JoinProbeThreshold)
+      assignLiteral(df, idCol, vecCol, centroids)
+    else assignJoin(df, idCol, vecCol, centroids)
+  }
+
+  /** The literal-argmin form: a least() FOLD over (d², label) structs,
+    * not an array_sort — k struct comparisons per row instead of
+    * building and sorting a k-array (measured ~10% off the gate lane
+    * at k = 8); the self-dot is hoisted to one column instead of one
+    * fold per arm.
+    */
+  private[sim] def assignLiteral(df: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]]): DataFrame = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       val cLit = array(c.map(lit(_)).toIndexedSeq: _*)
       val c2 = c.map(x => x * x).sum
@@ -99,6 +153,47 @@ object Kmeans {
       .select(col(idCol), col("__nv"),
         Similarity.dot(col("__nv"), col("__nv")).as("__n2"))
       .select(col(idCol), col("__nv"), best.as("__best"))
+      .select(col(idCol), col("__best.lbl").as("label"),
+        col("__best.d2").as("d2"),
+        sqrt(greatest(col("__best.d2"), lit(0.0))).as("distance"),
+        col("__nv"))
+  }
+
+  /** The broadcast-join form: the centroid frame (k rows, broadcast)
+    * cross-joins the normalized corpus, each row scores its k
+    * candidates with the same hoisted-self-dot d² arithmetic, and a
+    * groupBy-argmin keeps the (d², label) minimum. The aggregation is
+    * map-side combinable — each scan partition reduces its own n·k
+    * scored rows to n before any exchange, so the shuffle carries the
+    * corpus once, not k times; grouping carries `__nv` as a key column
+    * (functionally determined by the id, needed downstream by
+    * SemDeDup's pairwise step). Per-row arithmetic is the EXACT
+    * expression tree of [[assignLiteral]] — same op order, same IEEE
+    * results — with centroids read from the broadcast row instead of
+    * plan literals.
+    */
+  private[sim] def assignJoin(df: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = spark.createDataset(
+        centroids.zipWithIndex.map { case (c, i) =>
+          (i, c.toSeq, c.map(x => x * x).sum) }.toSeq)
+      .toDF("__lbl", "__cv", "__c2")
+    df.select(col(idCol),
+        IvfSimilarity.normalize(IvfSimilarity.asDouble(col(vecCol)))
+          .as("__nv"))
+      .select(col(idCol), col("__nv"),
+        Similarity.dot(col("__nv"), col("__nv")).as("__n2"))
+      .crossJoin(broadcast(cents))
+      .select(col(idCol), col("__nv"),
+        struct(
+          (col("__n2")
+            - lit(2.0) * Similarity.dot(col("__nv"), col("__cv"))
+            + col("__c2")).as("d2"),
+          col("__lbl").as("lbl")).as("__scored"))
+      .groupBy(col(idCol), col("__nv"))
+      .agg(min(col("__scored")).as("__best"))
       .select(col(idCol), col("__best.lbl").as("label"),
         col("__best.d2").as("d2"),
         sqrt(greatest(col("__best.d2"), lit(0.0))).as("distance"),

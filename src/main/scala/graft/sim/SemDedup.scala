@@ -37,6 +37,24 @@ object SemDedup {
   def clusterCount(n: Long): Int =
     math.max(8, math.ceil(n.toDouble / TargetOccupancy).toInt)
 
+  /** The composed operator at ANY corpus size: k = [[clusterCount]](n)
+    * trained via [[Kmeans.fitAuto]] (driver Lloyd's under the
+    * [[IvfSimilarity.DriverTrainThreshold]] bound, Spark ML above it —
+    * the occupancy rule outgrows the driver trainer past ~6,400 rows),
+    * then [[prune]]; assignment inside prune switches from literal-
+    * argmin to the broadcast centroid join above
+    * [[IvfSimilarity.JoinProbeThreshold]] centroids, so the plan stays
+    * constant-size however far k grows.
+    */
+  def run(df: DataFrame, idCol: String, vecCol: String, tau: Double,
+      iters: Int = 10, seed: Long = 42L,
+      totalRows: Option[Long] = None): DataFrame = {
+    val n = totalRows.getOrElse(df.count())
+    val cents = Kmeans.fitAuto(df, vecCol, clusterCount(n), iters,
+      seed, totalRows = Some(n))
+    prune(df, idCol, vecCol, cents, tau)
+  }
+
   /** `(idCol, label, kept, dup_of, dup_cos)` for every corpus row —
     * `kept = false` rows carry their best preceding duplicate.
     * `centroids` come from [[Kmeans.fit]] (live) or a pinned table

@@ -409,7 +409,11 @@ object SimilarityQueries extends QueryPack {
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val n = Tables.rowCount(s, dir, "embeddings")
-      val cents = Kmeans.fit(emb, "embedding",
+      // fitAuto: identical to fit at the gate (k = 8 ≤ the driver
+      // bound) — the route that keeps this same call working when
+      // clusterCount(n) outgrows the driver trainer (SemDedupScaleSpec
+      // exercises that regime end to end)
+      val cents = Kmeans.fitAuto(emb, "embedding",
         SemDedup.clusterCount(n), KmeansGatePinned.Iters,
         totalRows = Some(n))
       SemDedup.prune(emb, "vec_id", "embedding", cents, SemTau)

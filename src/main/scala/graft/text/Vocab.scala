@@ -88,10 +88,13 @@ object Vocab {
     * over the capped frame is a one-task pass over ≤ V rows). The
     * running frame is RANGE UNBOUNDED PRECEDING..CURRENT ROW over the
     * strict (cnt desc, token asc) total order, so `cum` includes the
-    * current row — identical to the triangular `<=`.
+    * current row — identical to the triangular `<=`. The pmod partition
+    * constant (the Growth idiom) states the one-partition choice
+    * without the planner's move-everything warning.
     */
   private def rankedWindowed(top: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    val w = Window.partitionBy(pmod(col("cnt"), lit(1L)))
+      .orderBy(col("cnt").desc, col("token").asc)
     top.select(col("token"), col("cnt"),
       row_number().over(w).cast("long").as("rank"),
       sum(col("cnt")).over(w).as("cum"))

@@ -15,8 +15,16 @@ object OracleSql {
     * E-notation with 17 fractional digits (18 significant — above the
     * 17-digit round-trip bound).
     */
-  def dbl(x: Double): String =
+  def dbl(x: Double): String = {
+    // NaN/Infinity have no DuckDB numeric-literal spelling — %.17E
+    // would render text the oracle fails to PARSE, an opaque error far
+    // from the root cause (a trained centroid or plane gone
+    // non-finite). Fail here, naming the value.
+    require(java.lang.Double.isFinite(x),
+      s"cannot render non-finite double $x as a DuckDB literal — " +
+        "a trained value upstream went NaN/Infinity")
     String.format(java.util.Locale.ROOT, "%.17E", Double.box(x))
+  }
 
   /** A `::DOUBLE[]`-ready array literal of exact elements. */
   def dblArray(xs: Seq[Double]): String =

@@ -72,27 +72,53 @@ object Staging {
   }
 
   /** Delete siblings' staged dirs whose name matches `pattern` (pid as
-    * capture group 1) when the pid is not ours, NOT ALIVE, and the dir
-    * is untouched for an hour. Best-effort; `onDelete` drops any
+    * capture group 1) when the pid is not ours and the dir is untouched
+    * for an hour — provided the pid is NOT ALIVE, or the dir has aged
+    * past a 24h hard cutoff. The hard cutoff covers OS pid recycling:
+    * a long-lived UNRELATED process that inherited a dead sibling's pid
+    * would otherwise pin that sibling's staged dir forever (a slow
+    * warehouse disk leak); a real staged dir is refreshed (re-written,
+    * mtime bumped) well inside a day, so age alone is a safe owner-
+    * independent signal at 24h. Best-effort; `onDelete` drops any
     * catalog entry.
     */
   def reapStale(wh: java.io.File, pattern: scala.util.matching.Regex,
       keepPid: Long, onDelete: java.io.File => Unit = _ => ()): Unit =
     try {
-      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      val now = System.currentTimeMillis()
+      val cutoff = now - 3600L * 1000
+      val hardCutoff = now - 24L * 3600 * 1000
       Option(wh.listFiles()).getOrElse(Array.empty).foreach { f =>
         f.getName match {
           case pattern(pidStr) =>
             val pid = pidStr.toLong
             val alive = ProcessHandle.of(pid)
               .map[Boolean](_.isAlive).orElse(false)
-            if (pid != keepPid && !alive && f.lastModified() < cutoff) {
+            val reapable =
+              (!alive && f.lastModified() < cutoff) ||
+                f.lastModified() < hardCutoff
+            if (pid != keepPid && reapable) {
               rm(f); onDelete(f)
             }
           case _ => ()
         }
       }
     } catch { case _: Exception => () } // cleanup is best-effort
+
+  /** Fail loud when a FRESHLY staged dir carries no `_SUCCESS` marker.
+    * Memo reuse (`intact`) requires the marker, so on a committer
+    * configured with `mapreduce.fileoutputcommitter.marksuccessfuljobs
+    * = false` every later `ensure` would silently fail the intact check
+    * and re-stage — defeating the one-write-per-JVM contract without a
+    * symptom. Surfacing the config change at stage time beats degrading
+    * into repeated re-staging.
+    */
+  def requireSuccessMarker(dir: java.io.File, what: String): Unit =
+    if (!new java.io.File(dir, "_SUCCESS").isFile)
+      throw new IllegalStateException(
+        s"$what staged WITHOUT a _SUCCESS marker at $dir — memo reuse " +
+          "requires the marker; is mapreduce.fileoutputcommitter." +
+          "marksuccessfuljobs disabled?")
 
   /** Memoized verified parquet-directory staging. `namePrefix` owns a
     * name family `prefix[_tag]_pid_dirhash`; one instance per staged
@@ -140,6 +166,7 @@ object Staging {
           val path = wh.toPath.resolve(name).toString
           val src = frame(s)
           write(src, path)
+          requireSuccessMarker(new java.io.File(path), namePrefix)
           val want = stampOf(src, stampKeyCol)
           val got = stampOf(s.read.parquet(path), stampKeyCol)
           if (!got.same(want))
