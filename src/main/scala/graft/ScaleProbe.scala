@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, lit}
+import org.apache.spark.sql.functions.{array, col, concat, explode, lit, struct}
 
 /** Scaling-evidence harness: times the scale-claim operators across
   * synthesized corpus multiples (tools/make_scale_corpus.py) so the
@@ -383,11 +383,15 @@ object ScaleProbe {
   private def pagerankFullProbe(s: SparkSession, dir: String): DataFrame = {
     val li = graft.io.Tables.load(s, dir, "lineitem", parallelize = true)
     val pairs = li.select(
-      (col("l_orderkey") * 2).cast("long").as("o"),
-      (col("l_partkey") * 2 + 1).cast("long").as("p"))
-    val edges = pairs.select(col("o").as("src"), col("p").as("dst"))
-      .unionByName(pairs.select(col("p").as("src"), col("o").as("dst")))
-    graft.graph.PageRank.ranks(edges, 3)
+        (col("l_orderkey") * 2).cast("long").as("o"),
+        (col("l_partkey") * 2 + 1).cast("long").as("p"))
+      .distinct()
+    val edges = pairs.select(explode(array(
+        struct(col("o").as("src"), col("p").as("dst")),
+        struct(col("p").as("src"), col("o").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    graft.graph.PageRank.ranks(edges, 3, assumeDistinct = true,
+      assumeMirrored = true)
       .orderBy(col("r").desc, col("node")).limit(20)
   }
 

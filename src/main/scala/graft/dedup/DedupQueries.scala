@@ -473,6 +473,71 @@ object DedupQueries extends QueryPack {
       "AND NOT EXISTS (SELECT 1 FROM f c WHERE c.doc_id % 10 < 8 " +
       "AND c.fingerprint = b.fingerprint) ORDER BY b.doc_id"))
 
+  /** Incremental batch-vs-corpus NEAR-dup dedup
+    * ([[IncrementalNearDup]]): the daily-ingest composition of X2's
+    * MinHash-LSH banding with X27's batch-vs-corpus shape — the batch
+    * (doc_id % 10 ≥ 8) probes the accumulated corpus's (doc_id % 10
+    * < 8) band index; only bucket-matched, candidate-sized frames move
+    * after the one index stream, and survivors are exact-Jaccard
+    * verified. md5 family at the production 128/32/64/0.8 parameters,
+    * so DuckDB replays the full split→sig→bands→bounded-probe→verify
+    * pipeline; the xxhash production twin is pinned survivor-equal in
+    * IncrementalNearDupSpec (the X2 equivalence argument: survivors
+    * are exact-verified, hence hash-family-independent at total
+    * banding recall).
+    */
+  private def incrementalMinhashQuery = QueryDef(
+    "dedup_incremental_minhash_documents",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents", parallelize = true)
+      IncrementalNearDup.probeOracled(
+          docs.filter(col("doc_id") % 10 < 8),
+          docs.filter(col("doc_id") % 10 >= 8),
+          "doc_id", "text")
+        .orderBy("batch_id", "dup_of")
+    },
+    Some(incrementalMinhashOracleSql))
+
+  /** DuckDB replay of the incremental probe: the md5 MinHash pipeline
+    * verbatim (the [[minhashOracleSql]] template) with the corpus/batch
+    * split applied at the band frame — corpus buckets bounded to
+    * ≤ 64 members (NO lower bound: a single corpus member is a
+    * legitimate match target for a batch probe, unlike the self-join
+    * lanes' [2, 64]), candidates = batch bands equi-joined to bounded
+    * corpus buckets, survivors exact-Jaccard ≥ 0.8.
+    */
+  private def incrementalMinhashOracleSql: String = {
+    val perm = s"((2*k+1) * (h % 2147483647) + (40503*k+12345)) " +
+      "% 2147483647"
+    s"WITH ${shingleCtes("documents")}, " +
+      "sets AS (SELECT doc_id, list_distinct(s) AS s FROM sh), " +
+      "b AS (SELECT doc_id, s, list_transform(s, x -> " +
+      s"${md5BaseSql("x")}) AS bases FROM sets), " +
+      "sig AS (SELECT doc_id, list_transform(generate_series(0, 127), " +
+      "k -> coalesce(list_min(list_transform(bases, h -> " +
+      s"$perm)), 2147483647)) AS sig FROM b), " +
+      "bands AS (SELECT doc_id, u['i'] AS band_idx, u['h'] AS " +
+      "band_hash FROM (SELECT doc_id, unnest(list_transform(" +
+      "generate_series(0, 31), j -> {'i': j, 'h': md5(array_to_string(" +
+      "sig[j*4+1:(j+1)*4], '-'))})) AS u FROM sig)), " +
+      "cb AS (SELECT * FROM bands WHERE doc_id % 10 < 8), " +
+      "bn AS (SELECT band_idx, band_hash, count(*) AS n FROM cb " +
+      "GROUP BY 1, 2), " +
+      "cbb AS (SELECT cb.doc_id, cb.band_idx, cb.band_hash FROM cb " +
+      "JOIN bn USING (band_idx, band_hash) WHERE n <= 64), " +
+      "qb AS (SELECT * FROM bands WHERE doc_id % 10 >= 8), " +
+      "cand AS (SELECT DISTINCT q.doc_id AS batch_id, c.doc_id AS " +
+      "dup_of FROM qb q JOIN cbb c ON q.band_idx = c.band_idx AND " +
+      "q.band_hash = c.band_hash), " +
+      "jp AS (SELECT cand.batch_id, cand.dup_of, " +
+      "len(list_intersect(sa.s, sb.s))::DOUBLE / " +
+      "greatest(len(list_distinct(list_concat(sa.s, sb.s))), 1) AS " +
+      "jaccard FROM cand JOIN sets sa ON sa.doc_id = cand.batch_id " +
+      "JOIN sets sb ON sb.doc_id = cand.dup_of) " +
+      "SELECT batch_id, dup_of, jaccard FROM jp WHERE jaccard >= 0.8 " +
+      "ORDER BY batch_id, dup_of"
+  }
+
   /** Dataset-overlap matrix ([[Dedup.sourceOverlap]]): exact Jaccard of
     * per-source fingerprint sets for every source pair (zero-overlap
     * pairs included). The oracle replays the shared bag-of-words
@@ -602,6 +667,6 @@ object DedupQueries extends QueryPack {
     exactQuery, jaccardQuery, clustersQuery, minhashQuery, simhashQuery,
     minhashProdQuery,
     embBlockedQuery, embLshQuery, semdedupQuery, spanQuery,
-    incrementalQuery, sourceOverlapQuery, semanticDecontamQuery,
-    noveltyQuery)
+    incrementalQuery, incrementalMinhashQuery, sourceOverlapQuery,
+    semanticDecontamQuery, noveltyQuery)
 }

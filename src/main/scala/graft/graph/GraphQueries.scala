@@ -36,12 +36,22 @@ object GraphQueries extends QueryPack {
     (s, dir) => {
       val li = Tables.load(s, dir, "lineitem", parallelize = true)
         .filter(col("l_partkey") % 8 === 0)
+      // dedup at the PAIR level, then mirror map-side (explode, not a
+      // second-scan union): o is even and p odd, so mirrored edges
+      // cannot collide — the assumeDistinct/assumeMirrored contracts
+      // hold by construction and ranks() skips the edge re-distinct,
+      // the dst union leg and the dangling machinery (r12: one scan
+      // and two half-sized exchanges off the lane's fixed cost)
       val pairs = li.select(
-        (col("l_orderkey") * 2).cast("long").as("o"),
-        (col("l_partkey") * 2 + 1).cast("long").as("p"))
-      val edges = pairs.select(col("o").as("src"), col("p").as("dst"))
-        .unionByName(pairs.select(col("p").as("src"), col("o").as("dst")))
-      PageRank.ranks(edges, Iters)
+          (col("l_orderkey") * 2).cast("long").as("o"),
+          (col("l_partkey") * 2 + 1).cast("long").as("p"))
+        .distinct()
+      val edges = pairs.select(explode(array(
+          struct(col("o").as("src"), col("p").as("dst")),
+          struct(col("p").as("src"), col("o").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      PageRank.ranks(edges, Iters, assumeDistinct = true,
+        assumeMirrored = true)
         .select(col("node"), col("r").as("rank_pico"))
         .orderBy(col("rank_pico").desc, col("node"))
         .limit(20)

@@ -43,6 +43,24 @@ class PageRankSpec extends SparkSpec {
       "duplicate edge rows must not double-count")
   }
 
+  test("assumeDistinct + assumeMirrored equal the generic path exactly") {
+    // a mirrored, duplicate-free triangle + pendant pair: the caller
+    // contracts hold, so the trimmed construction must be invisible in
+    // the result (same picoranks bit for bit, 3 iterations)
+    val m = Seq(("A", "B"), ("B", "A"), ("B", "C"), ("C", "B"),
+      ("C", "A"), ("A", "C"), ("C", "D"), ("D", "C"))
+    val df = m.toDF("src", "dst").repartition(3)
+    val generic = PageRank.ranks(df, 3)
+      .as[(String, Long)].collect().toMap
+    spark.catalog.clearCache()
+    val trimmed = PageRank.ranks(df, 3, assumeDistinct = true,
+        assumeMirrored = true)
+      .as[(String, Long)].collect().toMap
+    assert(trimmed === generic)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "the mirrored path's shared outdeg persist must release too")
+  }
+
   test("releases every persisted frame before returning") {
     // clean baseline first: a PRIOR suite's leftover cache entry must
     // not be attributed to ranks (the assert below is global)
