@@ -91,6 +91,39 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** HARD-NEGATIVE MINING for contrastive/retrieval training: for each
+    * query, the top-k most-similar corpus items with a DIFFERENT label
+    * — maximally confusable non-matches, the negatives that actually
+    * teach a bi-encoder (random negatives are trivially separable).
+    * Exact form: the brute scored cross product with the label-
+    * mismatch predicate pushed BELOW the ranking window, so the k
+    * survivors are all genuine negatives (filtering after a plain
+    * top-k would under-fill). Scale path: the predicate composes
+    * identically onto any ANN candidate generator — LSH/IVF candidates
+    * ∖ same-label, then the exact re-rank — because label mismatch is
+    * a per-pair filter, not a scoring change; this exact form is the
+    * oracle-able twin (the bruteForceTopK contract: queries small by
+    * construction, corpus streamed once).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__nl"), asDouble(col(vecCol)).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("__ql"), asDouble(col(vecCol)).as("__qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("__nl") =!= col("__ql"))
+      .select(col("query_id"), col("__ql").as("query_label"),
+        col("neighbor_id"), col("__nl").as("neighbor_label"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic random hyperplane as a LITERAL array column: generated
     * driver-side from a fixed seed, so the expression tree carries plain
     * constants — per-row hyperplane hashing bloated task binaries to

@@ -687,9 +687,85 @@ object SimilarityQueries extends QueryPack {
         "AS rrf_score FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10"))
   }
 
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): for each of
+    * the [[QueryIds]] query embeddings, the top-k most-similar corpus
+    * items with a DIFFERENT label — the negatives a contrastive
+    * retrieval trainer mines per anchor. The label-mismatch predicate
+    * sits BELOW the ranking window (filtering after a plain top-k
+    * would under-fill); oracled exactly like the brute top-k (both
+    * engines fold the same doubles in array order), with the label
+    * columns carried through for the trainer's bookkeeping.
+    */
+  private def hardNegQuery = QueryDef(
+    "sim_hard_negatives",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.hardNegatives(emb,
+          emb.filter(col("vec_id") < QueryIds), "vec_id", "embedding",
+          "label", K)
+        .select("query_id", "query_label", "rank", "neighbor_id",
+          "neighbor_label", "cosine")
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id < $QueryIds),
+         |s AS (SELECT q.vec_id AS query_id, q.label AS query_label,
+         |  c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         |  $cosineSql AS cosine FROM e c, q
+         |  WHERE c.vec_id <> q.vec_id AND c.label <> q.label)
+         |SELECT query_id, query_label, rn AS rank, neighbor_id,
+         |  neighbor_label, cosine FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+         |WHERE rn <= $K ORDER BY query_id, rank""".stripMargin
+        .replace("\n", " ")))
+
+  /** PCA / whitening ([[Pca]]): LIVE seed-42 training (bounded
+    * id-sorted sample, cyclic Jacobi) then ONE map-side projection
+    * scan — `(vec_id, pc, value, white)` with
+    * `value = v·w_c − (mean·w_c)` and `white = value / sqrt(λ_c)`,
+    * every operand past the dot a driver-folded literal. Oracled via
+    * the [[PcaGatePinned]] idiom: training stays live, the oracle
+    * replays the projection with the literals the gate corpus
+    * deterministically produces (PcaGateDriftSpec re-trains and
+    * compares every `sbt test`; the oracle carries the
+    * [[gateGuardSql]] fail-fast). The model is the
+    * train-once/apply-per-batch seam ([[Pca.projectPinned]]) — the
+    * standard decorrelate/whiten step before ANN indexing or SemDeDup.
+    */
+  private def pcaQuery = QueryDef(
+    "emb_pca_embeddings",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val n = Tables.rowCount(s, dir, "embeddings")
+      val m = Pca.fit(emb, "vec_id", "embedding", PcaGatePinned.P,
+        totalRows = Some(n))
+      Pca.project(emb, "vec_id", "embedding", m)
+        .orderBy("vec_id", "pc")
+    },
+    Some {
+      val arms = (0 until PcaGatePinned.P).map { c =>
+        val w = graft.util.OracleSql.dblArray(
+          PcaGatePinned.components(c).toIndexedSeq)
+        val off = graft.util.OracleSql.dbl(PcaGatePinned.offsets(c))
+        val s = graft.util.OracleSql.dbl(PcaGatePinned.scales(c))
+        s"SELECT vec_id, CAST(${c + 1} AS INT) AS pc, value, " +
+          s"value / $s AS white FROM (SELECT vec_id, " +
+          s"list_dot_product(v, $w::DOUBLE[]) - $off AS value FROM e)"
+      }.mkString(" UNION ALL ")
+      "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v " +
+        "FROM embeddings), " +
+        s"prj AS ($arms), " +
+        gateGuardSql(PcaGatePinned.GateRows, "PCA") + " " +
+        "SELECT vec_id, pc, value, white FROM prj CROSS JOIN gg " +
+        "ORDER BY vec_id, pc"
+    })
+
   override def queries: Seq[QueryDef] =
     Seq(bruteQuery, lshQuery, ivfQuery, ivfTrainedQuery, kmeansQuery,
       semdedupQuery, knnBruteQuery, knnLshQuery, quantizeQuery,
       quantTopkQuery, centroidQuery, outliersQuery, projectQuery,
-      projTopkQuery, hybridQuery)
+      projTopkQuery, hybridQuery, pcaQuery, hardNegQuery)
 }

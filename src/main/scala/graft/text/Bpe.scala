@@ -122,6 +122,19 @@ object Bpe {
       topWords: Int): DataFrame =
     mergesFromCounts(wordCounts(docs, textCol), steps, topWords)
 
+  /** Plan-depth cadence for [[encodeWords]]: the dictionary frame is
+    * re-materialized (`localCheckpoint`) every this many merge rules.
+    * Catalyst's analyze/optimize cost grows superlinearly with plan
+    * depth, so an UNBOUNDED chain is what breaks first at production
+    * rule counts (a 1k-rule chain planned as one tree took longer to
+    * ANALYZE than to run) — the cadence keeps planning linear in
+    * rules: ceil(rules/64) segments, each a bounded 64-join tree over
+    * the ≤vocab-row checkpointed frame. 64 sits safely inside the
+    * segment-planning sweet spot measured by BpeScaleSpec (1,024 rules
+    * end-to-end).
+    */
+  val EncodeCheckpointEvery = 64
+
   /** ENCODE: apply a trained merge table to a `(word)` frame in step
     * order — the same greedy leftmost fold the trainer uses, one
     * map-side pass per merge rule. Returns `(word, l)` with the final
@@ -129,8 +142,15 @@ object Bpe {
     * words and join occurrences back, so merge application costs
     * O(rules · vocabulary), never O(rules · corpus) — the only shape
     * that survives a 32k-rule table at 100 TB (each step is a
-    * broadcast-1-row cross join, so the chain stays whole-stage
-    * codegen with zero exchanges).
+    * broadcast-1-row cross join, so the chain runs with zero
+    * exchanges; the plan is re-materialized every
+    * [[EncodeCheckpointEvery]] rules so planning cost stays LINEAR in
+    * the rule count — the production-regime guard BpeScaleSpec pins at
+    * 1,024 rules). Codegen note: the greedy fold is a higher-order
+    * `aggregate`, which Spark evaluates as a codegen-fallback
+    * expression (interpreted closure per row) inside the codegen'd
+    * projection — the documented trade; at dictionary grain the rows
+    * are ≤vocab, so the interpreted fold is never the bottleneck.
     *
     * `mergesDf` must carry `(step, lhs, rhs)` for steps `1..steps`
     * exactly (it is checkpointed once here; a missing step would empty
@@ -161,6 +181,11 @@ object Bpe {
       w = w.crossJoin(broadcast(m.filter(col("step") === k)
           .select(col("lhs"), col("rhs"))))
         .select(col("word"), expr(ApplyMergeExpr).as("l"))
+      // bound the plan, not the data: every EncodeCheckpointEvery
+      // rules the ≤vocab-row frame re-materializes so the NEXT segment
+      // plans against an RDD scan instead of a k-deep join tree
+      if (k % EncodeCheckpointEvery == 0 && k < steps)
+        w = w.localCheckpoint(true)
       k += 1
     }
     w
