@@ -371,7 +371,14 @@ object ScaleProbe {
     // machinery end to end: occupancy stays ~100, so within-cluster
     // pairs grow O(n·occupancy) → expect near-linear with the ML-fit
     // jobs as a fixed tax at the top scale
-    ("cluster_semdedup", None, semdedupProbe _))
+    ("cluster_semdedup", None, semdedupProbe _),
+    // r12: incremental MinHash probe — the batch (20% of docs) probes
+    // the corpus band index; both sides grow ×mult but the corpus is
+    // streamed once and everything after the bucket match is
+    // candidate-sized → expect the minhash family's slope (the index
+    // build dominates), never the self-join's
+    ("dedup_incremental_minhash", None,
+      SparkEntry.queries("dedup_incremental_minhash_documents")))
 
   /** Drift probe: numeric drift on l_extendedprice between two
     * key-modulo snapshots of the scaled lineitem (the registered gate

@@ -132,14 +132,27 @@ object IvfSimilarity {
       }
       best
     }
+    // assignment parallelizes across driver cores (each index writes
+    // its own slot — embarrassingly parallel); the SUMS then accumulate
+    // SEQUENTIALLY in point order, so the result is bit-identical to
+    // the single-threaded form at any parallelism (the determinism the
+    // pinned-literal oracles rely on). At the r12 fitAuto tier
+    // (k ≤ 512, 256·k sample) this is the whole difference between a
+    // ~1s driver fit and ~20s of distributed-KMeans job overhead.
+    val assignBuf = new Array[Int](points.length)
     for (_ <- 1 to iters) {
+      java.util.stream.IntStream.range(0, points.length).parallel()
+        .forEach(i => assignBuf(i) = nearest(points(i)))
       val sums = Array.fill(kk)(new Array[Double](dim))
       val counts = new Array[Long](kk)
-      points.foreach { p =>
-        val c = nearest(p)
+      var pi = 0
+      while (pi < points.length) {
+        val p = points(pi)
+        val c = assignBuf(pi)
         counts(c) += 1
         var i = 0
         while (i < dim) { sums(c)(i) += p(i); i += 1 }
+        pi += 1
       }
       centroids = centroids.zipWithIndex.map { case (old, c) =>
         if (counts(c) == 0) old

@@ -29,21 +29,36 @@ import org.apache.spark.sql.functions._
   */
 object Kmeans {
 
+  /** Ceiling for the PARALLEL driver trainer [[fitAuto]] uses between
+    * [[IvfSimilarity.DriverTrainThreshold]] and here: the bounded
+    * 256·k sample still collects comfortably (k = 512, dim 64 ≈
+    * 67 MB) and the assignment step parallelizes across driver cores,
+    * so the whole fit is ~1-2s where a distributed KMeans pays ~20s of
+    * scheduled-job overhead for identical centroids (measured r12 on
+    * the x10 probe, k = 200). Above it the Spark ML path takes over —
+    * there the data size finally amortizes the framework cost.
+    */
+  val DriverFitMaxK = 512
+
   /** Train `k` centroids at ANY `k`: the seed-deterministic driver
-    * Lloyd's under [[IvfSimilarity.DriverTrainThreshold]] (bounded
-    * collect — microseconds of arithmetic where a distributed fit pays
-    * whole scheduled jobs per iteration), the Spark ML KMeans above it
-    * (the [[IvfSimilarity.build]] trainer: bounded 512·k sample,
-    * random init, normalized vectors) — the composed path the
-    * SemDeDup occupancy rule (k = n/100) needs past ~6,400 rows, where
-    * [[fit]]'s driver bound would throw. Both regimes train on the
-    * L2-normalized corpus with a deterministic seed.
+    * Lloyd's under [[IvfSimilarity.DriverTrainThreshold]] (identical
+    * to [[fit]] — the pinned-literal gate contract), the PARALLEL
+    * driver Lloyd's up to [[DriverFitMaxK]] (same bounded sample, same
+    * bit-deterministic results — assignment parallelizes, sums stay
+    * sequential in point order), and Spark ML KMeans beyond (bounded
+    * 512·k sample, random init, iterations capped at 5 — each
+    * distributed Lloyd's iteration is a whole scheduled job, and a
+    * coarse occupancy clustering gains nothing from convergence
+    * precision; occupancy on the x10 probe measured BETTER under
+    * random init than k-means||, max 162 vs 217 of a 100-target). The
+    * composed path the SemDeDup occupancy rule (k = n/100) needs past
+    * ~6,400 rows, where [[fit]]'s driver bound would throw.
     */
   def fitAuto(df: DataFrame, vecCol: String, k: Int, iters: Int = 10,
       seed: Long = 42L,
       totalRows: Option[Long] = None): Array[Array[Double]] =
-    if (k <= IvfSimilarity.DriverTrainThreshold)
-      fit(df, vecCol, k, iters, seed, totalRows)
+    if (k <= DriverFitMaxK) driverFit(df, vecCol, k, iters, seed,
+      totalRows)
     else {
       val normed = df.select(
         IvfSimilarity.normalize(IvfSimilarity.asDouble(col(vecCol)))
@@ -57,15 +72,36 @@ object Kmeans {
         else normed
       val withVec = sampled.withColumn("__mlv",
         org.apache.spark.ml.functions.array_to_vector(col("__nv")))
-      // random init, not k-means||: the parallel init is itself several
-      // passes, and at occupancy-targeted k the assignment quality is
-      // insensitive to init at this level (the IvfSimilarity ruling)
       new org.apache.spark.ml.clustering.KMeans()
-        .setK(k).setSeed(seed).setMaxIter(iters)
+        .setK(k).setSeed(seed).setMaxIter(math.min(iters, 5))
         .setInitMode("random")
         .setFeaturesCol("__mlv").setPredictionCol("__lbl")
         .fit(withVec).clusterCenters.map(_.toArray)
     }
+
+  /** The shared bounded-sample driver trainer: 256 vectors per
+    * cluster, deterministic seed, [[IvfSimilarity.localKMeans]]
+    * Lloyd's (whose assignment step parallelizes across driver cores
+    * while sums accumulate sequentially in point order — results are
+    * bit-identical at any parallelism).
+    */
+  private def driverFit(df: DataFrame, vecCol: String, k: Int,
+      iters: Int, seed: Long,
+      totalRows: Option[Long]): Array[Array[Double]] = {
+    val normed = df.select(
+      IvfSimilarity.normalize(IvfSimilarity.asDouble(col(vecCol)))
+        .as("__nv"))
+    val target = 256L * k
+    val total = totalRows.getOrElse(df.count())
+    val sampled =
+      if (total > target)
+        normed.sample(withReplacement = false,
+          target.toDouble / total, seed)
+      else normed
+    val pts = sampled.limit(target.toInt).collect()
+      .map(_.getSeq[Double](0).toArray)
+    IvfSimilarity.localKMeans(pts, k, iters, seed)
+  }
 
   /** Train `k` centroids with the seed-deterministic driver Lloyd's
     * over a bounded sample (256 vectors per cluster) of the normalized
@@ -82,19 +118,7 @@ object Kmeans {
     require(k >= 1 && k <= IvfSimilarity.DriverTrainThreshold,
       s"k must be in [1, ${IvfSimilarity.DriverTrainThreshold}] for " +
         "the driver-local trainer")
-    val normed = df.select(
-      IvfSimilarity.normalize(IvfSimilarity.asDouble(col(vecCol)))
-        .as("__nv"))
-    val target = 256L * k
-    val total = totalRows.getOrElse(df.count())
-    val sampled =
-      if (total > target)
-        normed.sample(withReplacement = false,
-          target.toDouble / total, seed)
-      else normed
-    val pts = sampled.limit(target.toInt).collect()
-      .map(_.getSeq[Double](0).toArray)
-    IvfSimilarity.localKMeans(pts, k, iters, seed)
+    driverFit(df, vecCol, k, iters, seed, totalRows)
   }
 
   /** `(idCol, label, d2, distance)` — every vector's nearest centroid
@@ -165,12 +189,19 @@ object Kmeans {
     * groupBy-argmin keeps the (d², label) minimum. The aggregation is
     * map-side combinable — each scan partition reduces its own n·k
     * scored rows to n before any exchange, so the shuffle carries the
-    * corpus once, not k times; grouping carries `__nv` as a key column
-    * (functionally determined by the id, needed downstream by
-    * SemDeDup's pairwise step). Per-row arithmetic is the EXACT
-    * expression tree of [[assignLiteral]] — same op order, same IEEE
-    * results — with centroids read from the broadcast row instead of
-    * plan literals.
+    * corpus once, not k times. Scored rows are THIN — the group key
+    * is the id alone and the min struct carries only (d², lbl):
+    * `__nv` (needed downstream by SemDeDup's pairwise step) re-attaches
+    * via a node-sized id join afterwards, paying one re-normalize scan
+    * + one id exchange instead of materializing the vector array onto
+    * every one of the n·k scored rows. Both rejected r12 shapes are
+    * measured: keying on (id, __nv) cost 48s on the x10 probe (an
+    * array grouping key forces the aggregate out of hash mode into
+    * interpreted array-comparison sorting), and carrying the array
+    * inside the min struct still cost 2× by allocating it per scored
+    * row. Per-row arithmetic is the EXACT expression tree of
+    * [[assignLiteral]] — same op order, same IEEE results — with
+    * centroids read from the broadcast row instead of plan literals.
     */
   private[sim] def assignJoin(df: DataFrame, idCol: String,
       vecCol: String, centroids: Array[Array[Double]]): DataFrame = {
@@ -180,23 +211,26 @@ object Kmeans {
         centroids.zipWithIndex.map { case (c, i) =>
           (i, c.toSeq, c.map(x => x * x).sum) }.toSeq)
       .toDF("__lbl", "__cv", "__c2")
-    df.select(col(idCol),
-        IvfSimilarity.normalize(IvfSimilarity.asDouble(col(vecCol)))
-          .as("__nv"))
+    val normed = df.select(col(idCol),
+      IvfSimilarity.normalize(IvfSimilarity.asDouble(col(vecCol)))
+        .as("__nv"))
+    val best = normed
       .select(col(idCol), col("__nv"),
         Similarity.dot(col("__nv"), col("__nv")).as("__n2"))
       .crossJoin(broadcast(cents))
-      .select(col(idCol), col("__nv"),
+      .select(col(idCol),
         struct(
           (col("__n2")
             - lit(2.0) * Similarity.dot(col("__nv"), col("__cv"))
             + col("__c2")).as("d2"),
           col("__lbl").as("lbl")).as("__scored"))
-      .groupBy(col(idCol), col("__nv"))
+      .groupBy(col(idCol))
       .agg(min(col("__scored")).as("__best"))
       .select(col(idCol), col("__best.lbl").as("label"),
         col("__best.d2").as("d2"),
-        sqrt(greatest(col("__best.d2"), lit(0.0))).as("distance"),
+        sqrt(greatest(col("__best.d2"), lit(0.0))).as("distance"))
+    best.join(normed, Seq(idCol))
+      .select(col(idCol), col("label"), col("d2"), col("distance"),
         col("__nv"))
   }
 
