@@ -378,7 +378,12 @@ object ScaleProbe {
     // candidate-sized → expect the minhash family's slope (the index
     // build dominates), never the self-join's
     ("dedup_incremental_minhash", None,
-      SparkEntry.queries("dedup_incremental_minhash_documents")))
+      SparkEntry.queries("dedup_incremental_minhash_documents")),
+    // the streaming twin: same probe work + the per-micro-batch
+    // foreachBatch machinery (state append, checkpoint) as a fixed tax
+    // → expect the batch row's slope shifted up by a constant
+    ("stream_neardup", None,
+      SparkEntry.queries("stream_neardup_documents")))
 
   /** Drift probe: numeric drift on l_extendedprice between two
     * key-modulo snapshots of the scaled lineitem (the registered gate

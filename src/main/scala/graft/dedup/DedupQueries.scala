@@ -506,7 +506,7 @@ object DedupQueries extends QueryPack {
     * lanes' [2, 64]), candidates = batch bands equi-joined to bounded
     * corpus buckets, survivors exact-Jaccard ≥ 0.8.
     */
-  private def incrementalMinhashOracleSql: String = {
+  private[graft] def incrementalMinhashOracleSql: String = {
     val perm = s"((2*k+1) * (h % 2147483647) + (40503*k+12345)) " +
       "% 2147483647"
     s"WITH ${shingleCtes("documents")}, " +

@@ -36,4 +36,29 @@ object StreamStage {
     stage.ensure(s, dir, variant,
       graft.io.Tables.sourceStamp(s, dir, "events"))(build)(
       (df, path) => df.write.mode("overwrite").parquet(path))
+
+  /** Staged source whose FILES arrive in a guaranteed ORDER: rows
+    * matching `firstPred` land in a file written strictly BEFORE the
+    * rest (two sequential single-file writes with a forced
+    * modification-time gap — `FileStreamSource` orders new files by
+    * modification time, so a `maxFilesPerTrigger = 1` drain processes
+    * the "first" rows in the earlier micro-batch). This is the
+    * corpus-then-batch fixture the incremental near-dup stream needs:
+    * arrival order IS the operator's semantics there, unlike the
+    * order-commutative feeds [[ensure]] stages. `stampTable` names the
+    * corpus table whose mtime+size keys the memo.
+    */
+  def ensureOrdered(s: SparkSession, dir: String, variant: String,
+      stampTable: String)(build: SparkSession => DataFrame)(
+      firstPred: org.apache.spark.sql.Column): String =
+    stage.ensure(s, dir, variant,
+      graft.io.Tables.sourceStamp(s, dir, stampTable))(build) {
+      (df, path) =>
+        df.filter(firstPred).coalesce(1)
+          .write.mode("overwrite").parquet(path)
+        // force a strictly later ms-granularity mtime for file 2
+        Thread.sleep(50)
+        df.filter(!firstPred).coalesce(1)
+          .write.mode("append").parquet(path)
+    }
 }

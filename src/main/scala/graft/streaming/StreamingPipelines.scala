@@ -210,4 +210,72 @@ object StreamingPipelines {
         ()
       }
       .start()
+
+  /** Streaming incremental NEAR-dup dedup — [[graft.dedup.IncrementalNearDup]]
+    * maintained through a real StreamingQuery: each micro-batch first
+    * PROBES the persisted corpus LSH index (band + shingle-set tables
+    * under `statePath`) for near-duplicates of its documents, appends
+    * the verified `(batch_id, dup_of, jaccard)` matches to
+    * `matchesPath`, and only then MERGES its own bands/sets into the
+    * index (append-only state — the index is monotone, so no
+    * write-temp-swap is needed). A document therefore matches exactly
+    * the documents that arrived in STRICTLY EARLIER micro-batches —
+    * the daily-ingest semantics, with arrival order supplied by the
+    * source ([[StreamStage.ensureOrdered]] for the gate fixture).
+    * Probe-before-merge also means within-batch pairs are out of scope,
+    * identical to the batch operator's contract.
+    */
+  def nearDupStream(source: DataFrame, idCol: String, textCol: String,
+      statePath: String, matchesPath: String, checkpoint: String,
+      threshold: Double = 0.8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        // each micro-batch owns a state SUBDIR: writing the batch's
+        // sets/bands there materializes them exactly ONCE (the write is
+        // the checkpoint — no separate localCheckpoint jobs), and the
+        // probe index is simply the union of the EARLIER batch dirs,
+        // so probe-before-merge needs no ordering tricks at all
+        val setsDir = s"$statePath/sets/b$batchId"
+        val bandsDir = s"$statePath/bands/b$batchId"
+        graft.dedup.Dedup.shingleSets(batch, idCol, textCol, 3)
+          .write.parquet(setsDir)
+        val sets = s.read.parquet(setsDir)
+        graft.dedup.Dedup.bandedBuckets(
+            sets.select(col(idCol),
+              graft.dedup.Dedup.minHashSignatureFromBases(
+                graft.dedup.Dedup.md5Bases(col("__set")), 128)
+                .as("__sig")),
+            idCol, "__sig", 32, x => md5(x.cast("binary")))
+          .write.parquet(bandsDir)
+        val bands = s.read.parquet(bandsDir)
+        val earlier = (0L until batchId)
+          .map(i => s"$statePath/sets/b$i" -> s"$statePath/bands/b$i")
+          .filter(p => new java.io.File(p._1).exists())
+        val out =
+          if (earlier.nonEmpty) {
+            val idx = graft.dedup.IncrementalNearDup.Index(
+              s.read.parquet(earlier.map(_._2): _*),
+              s.read.parquet(earlier.map(_._1): _*))
+            graft.dedup.IncrementalNearDup.matches(idx, sets, bands,
+              idCol, threshold)
+          } else {
+            // first batch probes an EMPTY index: write a typed empty
+            // frame so the matches sink always has a readable schema
+            val schema = new org.apache.spark.sql.types.StructType()
+              .add("batch_id", sets.schema(idCol).dataType)
+              .add("dup_of", sets.schema(idCol).dataType)
+              .add("jaccard",
+                org.apache.spark.sql.types.DoubleType)
+            s.createDataFrame(
+              s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          }
+        out.write.mode("append").parquet(matchesPath)
+        ()
+      }
+      .start()
 }

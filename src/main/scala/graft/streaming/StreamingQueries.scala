@@ -504,8 +504,46 @@ object StreamingQueries extends QueryPack {
     },
     Some(graft.pipeline.PipelineQueries.activesOracleSql(7)))
 
+  /** Streaming incremental NEAR-dup dedup
+    * ([[StreamingPipelines.nearDupStream]]): the documents corpus
+    * drains in TWO ORDERED micro-batches — the accumulated corpus
+    * (doc_id % 10 < 8) first, the ingest batch (% 10 ≥ 8) second
+    * ([[StreamStage.ensureOrdered]] forces file arrival order, which
+    * IS this operator's semantics) — each batch probing the persisted
+    * LSH index before merging into it. With this cut the emitted
+    * matches equal the BATCH incremental operator exactly, so the
+    * oracle is `dedup_incremental_minhash_documents`'s verbatim: the
+    * equality is the gate's point (micro-batched index maintenance ≡
+    * the batch probe), the X57/X84 maintained-operator story applied
+    * to the near-dup index. Multi-batch semantics (dup_of strictly
+    * earlier in arrival order) are spec-pinned against a driver
+    * reference in StreamingPipelinesSpec.
+    */
+  private def nearDupQuery = QueryDef(
+    "stream_neardup_documents",
+    (s, dir) => withStreamSession(s) { iso =>
+      val staged = StreamStage.ensureOrdered(iso, dir, "nd2",
+          "documents")(x =>
+          graft.io.Tables.load(x, dir, "documents", parallelize = false)
+            .select(col("doc_id"), col("text")))(
+          col("doc_id") % 10 < 8)
+      withTempDirs("graft_stream_nd_state", "graft_stream_nd_out",
+        "graft_stream_nd_ckpt") {
+      case Seq(state, out, ckpt) =>
+        val schema = iso.read.parquet(staged).schema
+        val src = iso.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(staged)
+        val q = StreamingPipelines.nearDupStream(src, "doc_id", "text",
+          state, out, ckpt)
+        q.awaitTermination()
+        graft.util.Frames.localized(
+          iso.read.parquet(out).orderBy("batch_id", "dup_of"))
+      }
+    },
+    Some(graft.dedup.DedupQueries.incrementalMinhashOracleSql))
+
   override def queries: Seq[QueryDef] =
     Seq(windowedQuery, sessionizeQuery, dedupQuery, intervalJoinQuery,
       pipelineQuery, profileQuery, funnelQuery, maintainedAggQuery,
-      activesQuery)
+      activesQuery, nearDupQuery)
 }

@@ -364,4 +364,34 @@ class PlanAuditSpec extends SparkSpec {
     // a window over an un-partitioned frame would plan SinglePartition
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("incremental MinHash probe never sort-merge-joins the corpus") {
+    // the corpus band index streams once against broadcast batch keys;
+    // everything after the bucket match is candidate-sized and rides
+    // broadcast joins under the count gate — an SMJ anywhere means a
+    // corpus-sized exchange crept in
+    val p = plan("dedup_incremental_minhash_documents")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("PCA projection is one pruned map-side scan (no join, no window)") {
+    val p = plan("emb_pca_embeddings")
+    assert(!p.contains("Join"), s"projection must not join:\n$p")
+    assert(!p.contains("Window"),
+      "projection must not rank through a window")
+    assert(p.contains("ReadSchema") &&
+      !p.substring(p.indexOf("ReadSchema")).takeWhile(_ != '\n')
+        .contains("label"),
+      "the scan must prune to (vec_id, embedding) — label is unused")
+  }
+
+  test("hard negatives broadcast the query side; one ranking exchange") {
+    val p = plan("sim_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "the bounded query set must broadcast against the corpus stream")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing in this lane justifies a corpus-vs-corpus shuffle join")
+  }
 }

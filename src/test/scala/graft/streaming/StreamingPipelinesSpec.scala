@@ -182,4 +182,46 @@ class StreamingPipelinesSpec extends SparkSpec {
       .orderBy("day").collect().toSeq
     assert(one === batch, "maintenance must equal the batch operator")
   }
+
+  test("streaming near-dup: matches = pairs whose dup_of arrived in a " +
+      "strictly earlier micro-batch (3 ordered files, driver reference)") {
+    import spark.implicits._
+    // three arrival waves of 40-word docs; near-dups planted across
+    // and within waves (g = vocabulary group; one mid-word mutation
+    // keeps jaccard ~0.85 >= 0.8)
+    def doc(g: Int, mut: Boolean = false): String =
+      (0 until 40).map(i =>
+        if (mut && i == 20) s"v${g}_$i" else s"w${g}_$i").mkString(" ")
+    val waves = Seq(
+      Seq(1L -> doc(1), 2L -> doc(2)),                  // wave 0
+      Seq(3L -> doc(1, mut = true), 4L -> doc(3),       // 3 ~ 1
+          5L -> doc(3, mut = true)),                    // 5 ~ 4 SAME wave
+      Seq(6L -> doc(3), 7L -> doc(2))                   // 6 ~ 4,5; 7 ~ 2
+    )
+    val (src, state, out, ckpt) = (tmpDir("nd_src"), tmpDir("nd_state"),
+      tmpDir("nd_out"), tmpDir("nd_ckpt"))
+    // ordered arrival: one single-file write per wave, mtime-gapped
+    waves.foreach { w =>
+      w.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(src)
+      Thread.sleep(50)
+    }
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    StreamingPipelines.nearDupStream(stream, "doc_id", "text",
+      state, out, ckpt).awaitTermination()
+    val got = spark.read.parquet(out)
+      .select("batch_id", "dup_of").as[(Long, Long)].collect().toSet
+    // driver reference: (a, b) with jaccard >= 0.8 and wave(b) < wave(a).
+    // Planted: 3~1 (waves 1<-0), 6~4 identical (2<-1), 6~5 one mutation
+    // apart = 35/41 ~ 0.854 (2<-1), 7~2 identical (2<-0); 5~4 is the
+    // SAME wave (out of scope by the probe-before-merge contract)
+    assert(got === Set((3L, 1L), (6L, 4L), (6L, 5L), (7L, 2L)),
+      s"arrival-order semantics: got $got")
+    // the persisted index holds every drained doc exactly once
+    // (one per-batch subdir per wave)
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$state/sets").count() === 7L)
+  }
 }
