@@ -124,6 +124,46 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** kNN CLASSIFICATION / auto-labeling: predict each query's label by
+    * majority vote over its k nearest corpus neighbors — the label-
+    * propagation step that extends a small labeled seed set across an
+    * unlabeled corpus (weak supervision), and the standard embedding-
+    * quality probe (kNN accuracy). Votes are exact integer counts over
+    * the top-k frame; the winner is deterministic under
+    * (votes DESC, label ASC), so the whole operator — neighbors, votes,
+    * pick — replays in SQL. Exact form composes on [[bruteForceTopK]]'s
+    * contract (bounded query set broadcast, corpus streamed once); at
+    * scale substitute any ANN candidate generator for the neighbor
+    * stage — the vote is a per-query aggregation either way.
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__nl"), asDouble(col(vecCol)).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("true_label"), asDouble(col(vecCol)).as("__qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("neighbor_id"))
+    // neighbor_id stays in the frame for the deterministic rank order
+    // even though the vote only reads the label
+    val top = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("true_label"), col("neighbor_id"),
+        col("__nl"), cosine(col("__qv"), col("__cv")).as("__cos"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+    val votes = top.groupBy(col("query_id"), col("true_label"),
+        col("__nl").as("predicted_label"))
+      .agg(count(lit(1)).as("votes"))
+    val pick = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("predicted_label").asc)
+    votes.withColumn("__pr", row_number().over(pick))
+      .filter(col("__pr") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("predicted_label"), col("votes"),
+        (col("true_label") === col("predicted_label")).as("correct"))
+  }
+
   /** Deterministic random hyperplane as a LITERAL array column: generated
     * driver-side from a fixed seed, so the expression tree carries plain
     * constants — per-row hyperplane hashing bloated task binaries to

@@ -722,6 +722,44 @@ object SimilarityQueries extends QueryPack {
          |WHERE rn <= $K ORDER BY query_id, rank""".stripMargin
         .replace("\n", " ")))
 
+  /** kNN classification ([[Similarity.knnClassify]]): each of the
+    * [[QueryIds]] queries takes the majority label of its 10 nearest
+    * corpus neighbors — the weak-supervision label-propagation step and
+    * the standard embedding-quality probe (kNN accuracy). Votes are
+    * exact integer counts; the pick is deterministic under
+    * (votes DESC, label ASC); the oracle replays neighbors → votes →
+    * pick with the proven brute-cosine CTE.
+    */
+  private def knnClassifyQuery = QueryDef(
+    "sim_knn_classify",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.knnClassify(emb,
+          emb.filter(col("vec_id") < QueryIds), "vec_id", "embedding",
+          "label", K)
+        .orderBy("query_id")
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id < $QueryIds),
+         |s AS (SELECT q.vec_id AS query_id, q.label AS true_label,
+         |  c.vec_id AS neighbor_id, c.label AS nl,
+         |  $cosineSql AS cosine FROM e c, q
+         |  WHERE c.vec_id <> q.vec_id),
+         |top AS (SELECT query_id, true_label, nl FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+         |  WHERE rn <= $K),
+         |v AS (SELECT query_id, true_label, nl AS predicted_label,
+         |  count(*) AS votes FROM top GROUP BY 1, 2, 3)
+         |SELECT query_id, true_label, predicted_label, votes,
+         |  true_label = predicted_label AS correct FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY votes DESC, predicted_label ASC) AS pr FROM v)
+         |WHERE pr = 1 ORDER BY query_id""".stripMargin
+        .replace("\n", " ")))
+
   /** PCA / whitening ([[Pca]]): LIVE seed-42 training (bounded
     * id-sorted sample, cyclic Jacobi) then ONE map-side projection
     * scan — `(vec_id, pc, value, white)` with
@@ -767,5 +805,6 @@ object SimilarityQueries extends QueryPack {
     Seq(bruteQuery, lshQuery, ivfQuery, ivfTrainedQuery, kmeansQuery,
       semdedupQuery, knnBruteQuery, knnLshQuery, quantizeQuery,
       quantTopkQuery, centroidQuery, outliersQuery, projectQuery,
-      projTopkQuery, hybridQuery, pcaQuery, hardNegQuery)
+      projTopkQuery, hybridQuery, pcaQuery, hardNegQuery,
+      knnClassifyQuery)
 }
