@@ -109,6 +109,68 @@ object Pii {
     regexp_replace(typed, LongDigitRunPattern, "[NUMBER]")
   }
 
+  /** Default surrogate salt — in production this is the ROTATED secret
+    * (an HMAC key): anyone holding it can link surrogates to inputs by
+    * re-hashing candidates, so pseudonymized data stays personal data
+    * under GDPR until the salt is destroyed. A literal here because the
+    * gate needs determinism; deployments pass their own.
+    */
+  val DefaultPseudoSalt = "graft-pseudo-v1"
+
+  /** The salted md5-derived 60-bit base every surrogate draws from —
+    * the [[graft.dedup.Dedup.md5Base]] idiom (top 15 hex chars of md5
+    * parsed as a long: positive, < 2⁶⁰, restatable in any SQL engine).
+    */
+  private def pseudoBase(c: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), c).cast("binary")), 1, 15),
+      16, 10).cast("long")
+
+  private def pseudoDigits(c: Column, salt: String, n: Int): Column = {
+    val modulus = (1 to n).foldLeft(1L)((a, _) => a * 10) // exact 10^n
+    lpad((pseudoBase(c, salt) % modulus).cast("string"), n, "0")
+  }
+
+  /** Deterministic FORMAT-PRESERVING pseudonymization — the masking
+    * alternative that keeps JOINABILITY: the same input always maps to
+    * the same surrogate (equality, grouping and cross-table joins on
+    * the column survive), while [[maskValue]] collapses distinct values
+    * into indistinguishable masks. Each surrogate keeps its type's
+    * shape — it still matches the type's own detection regex
+    * (spec-pinned), so downstream format validation passes — and
+    * carries NO residue of the input beyond the salted hash:
+    *
+    *   - EMAIL → `u<12 hex>@redacted.example`
+    *   - PHONE → 10 derived digits
+    *   - AADHAAR → `dddd dddd dddd` derived digits
+    *   - CREDIT_CARD → `dddd-dddd-dddd-dddd` derived digits
+    *   - anything else → `tok_<12 hex>`
+    *
+    * All pure codegen'd md5/modulo/string ops (the 60-bit base stays
+    * inside exact BIGINT arithmetic at every width up to the card's
+    * 10¹⁶), so a SQL engine replays surrogates bit-for-bit. Null passes
+    * through, like [[maskValue]]. Collisions are the birthday bound of
+    * the digit budget (10¹⁰ for phones) — the standard pseudonymization
+    * trade, acceptable because surrogates are join keys, not secrets.
+    */
+  def pseudonymize(c: Column, piiType: String,
+      salt: String = DefaultPseudoSalt): Column = {
+    val hex12 = substring(md5(concat(lit(salt), c).cast("binary")), 1, 12)
+    val surrogate = piiType match {
+      case "EMAIL" => concat(lit("u"), hex12, lit("@redacted.example"))
+      case "PHONE" => pseudoDigits(c, salt, 10)
+      case "AADHAAR" =>
+        val d = pseudoDigits(c, salt, 12)
+        concat(substring(d, 1, 4), lit(" "), substring(d, 5, 4),
+          lit(" "), substring(d, 9, 4))
+      case "CREDIT_CARD" =>
+        val d = pseudoDigits(c, salt, 16)
+        concat(substring(d, 1, 4), lit("-"), substring(d, 5, 4),
+          lit("-"), substring(d, 9, 4), lit("-"), substring(d, 13, 4))
+      case _ => concat(lit("tok_"), hex12)
+    }
+    when(c.isNull, c).otherwise(surrogate)
+  }
+
   /** Sampled per-column detection: scan `sampleRows` rows once and collect
     * the set of PII types seen per string column
     * (`/root/reference/Data_Security.sql:49-58`; the reference further

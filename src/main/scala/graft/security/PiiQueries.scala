@@ -183,6 +183,48 @@ object PiiQueries extends QueryPack {
       "HAVING count(DISTINCT coalesce(CAST(c_mktsegment AS VARCHAR), " +
       "' null')) < 5 ORDER BY 1, 2"))
 
+  /** Deterministic format-preserving pseudonymization
+    * ([[Pii.pseudonymize]]): the masking alternative that keeps
+    * JOINABILITY — same value, same surrogate — over the synthesized
+    * PII columns. Every surrogate step is md5/modulo/string arithmetic
+    * DuckDB restates verbatim (the md5Base idiom); PiiSpec pins the
+    * format-preservation (each surrogate re-matches its type's own
+    * detection regex), determinism, distinctness and no-residue
+    * properties the hash gate cannot express.
+    */
+  private def pseudoQuery = QueryDef(
+    "pii_pseudonymize_customer",
+    (s, dir) => synth(Tables.load(s, dir, "customer")).select(
+        col("c_custkey"),
+        Pii.pseudonymize(col("email"), "EMAIL").as("email_pseudo"),
+        Pii.pseudonymize(col("phone"), "PHONE").as("phone_pseudo"),
+        Pii.pseudonymize(col("aadhaar"), "AADHAAR")
+          .as("aadhaar_pseudo"),
+        Pii.pseudonymize(col("card"), "CREDIT_CARD").as("card_pseudo"))
+      .orderBy("c_custkey"),
+    Some {
+      val salt = Pii.DefaultPseudoSalt
+      def base(v: String) =
+        s"('0x' || substr(md5('$salt' || $v), 1, 15))::BIGINT"
+      def digits(v: String, n: Int) = {
+        val m = (1 to n).foldLeft(1L)((a, _) => a * 10)
+        s"lpad((${base(v)} % $m)::VARCHAR, $n, '0')"
+      }
+      s"WITH sy AS ($synthSql), p AS (SELECT c_custkey, " +
+        s"'u' || substr(md5('$salt' || email), 1, 12) || " +
+        "'@redacted.example' AS email_pseudo, " +
+        s"${digits("phone", 10)} AS phone_pseudo, " +
+        s"${digits("aadhaar", 12)} AS a12, " +
+        s"${digits("card", 16)} AS c16 FROM sy) " +
+        "SELECT c_custkey, email_pseudo, phone_pseudo, " +
+        "substr(a12, 1, 4) || ' ' || substr(a12, 5, 4) || ' ' || " +
+        "substr(a12, 9, 4) AS aadhaar_pseudo, " +
+        "substr(c16, 1, 4) || '-' || substr(c16, 5, 4) || '-' || " +
+        "substr(c16, 9, 4) || '-' || substr(c16, 13, 4) AS card_pseudo " +
+        "FROM p ORDER BY c_custkey"
+    })
+
   override def queries: Seq[QueryDef] =
-    Seq(maskQuery, detectQuery, scrubQuery, kanonQuery, ldivQuery)
+    Seq(maskQuery, detectQuery, scrubQuery, kanonQuery, ldivQuery,
+      pseudoQuery)
 }

@@ -131,4 +131,46 @@ class PiiSpec extends SparkSpec {
       Pii.kAnonymityViolations(df, Seq(col("nation")), k = 1)
     }
   }
+
+  private def pseudo(v: String, tpe: String): String =
+    Seq(v).toDF("v").select(Pii.pseudonymize(col("v"), tpe))
+      .as[String].head()
+
+  test("pseudonymize is format-preserving: surrogates re-match their " +
+      "type's own detection regex") {
+    val fixtures = Seq(
+      "EMAIL" -> "alice.smith@example.com",
+      "PHONE" -> "5551234567",
+      "AADHAAR" -> "1234 5678 9012",
+      "CREDIT_CARD" -> "1234-5678-9012-3456")
+    val pats = Pii.patterns.toMap
+    for ((tpe, v) <- fixtures) {
+      val sur = pseudo(v, tpe)
+      assert(sur !== v, s"$tpe surrogate must differ from the input")
+      assert(sur.matches(".*" + pats(tpe) + ".*") ||
+        sur.matches(pats(tpe)),
+        s"$tpe surrogate '$sur' must still match its own pattern")
+    }
+  }
+
+  test("pseudonymize keeps joinability: deterministic per value, " +
+      "distinct across values, salt changes the mapping") {
+    val a1 = pseudo("alice@example.com", "EMAIL")
+    val a2 = pseudo("alice@example.com", "EMAIL")
+    val b = pseudo("bob@example.com", "EMAIL")
+    assert(a1 === a2, "same value must map to the same surrogate")
+    assert(a1 !== b, "distinct values must map to distinct surrogates")
+    val salted = Seq("alice@example.com").toDF("v")
+      .select(Pii.pseudonymize(col("v"), "EMAIL", salt = "rotated-v2"))
+      .as[String].head()
+    assert(salted !== a1, "rotating the salt must re-key every surrogate")
+  }
+
+  test("pseudonymize: null passes through; unknown types tokenize") {
+    val n = Seq(Option.empty[String]).toDF("v")
+      .select(Pii.pseudonymize(col("v"), "EMAIL"))
+      .as[Option[String]].head()
+    assert(n.isEmpty)
+    assert(pseudo("whatever", "SSN").startsWith("tok_"))
+  }
 }
