@@ -87,6 +87,19 @@ object TextAnalysis {
       .otherwise("en")
   }
 
+  /** Unicode NFC normalization (native codegen'd expression with an
+    * isNormalized fast path —
+    * [[org.apache.spark.sql.graft.NfcNormalize]]): the pass that must
+    * precede dedup/fingerprinting on real web text, where composed and
+    * decomposed spellings of identical content otherwise hash apart and
+    * silently split duplicate sets. Also registered in SQL as
+    * `graft_nfc` via the session extensions.
+    */
+  def nfc(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.NfcNormalize(
+        org.apache.spark.sql.graft.ColumnShim.expression(c)))
+
   /** Order-insensitive bag-of-words fingerprint: md5 of the sorted
     * distinct token list. Identical token multisets-as-sets collide by
     * design (near-dup prefilter); md5 is available in every engine so the

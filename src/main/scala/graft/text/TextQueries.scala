@@ -1216,6 +1216,53 @@ object TextQueries extends QueryPack {
       "FROM p JOIN d USING (term) JOIN dict USING (term) " +
       "ORDER BY term, doc"))
 
+  /** Unicode NFC normalization ([[TextAnalysis.nfc]], the native
+    * `graft_nfc` expression): the corpus has no non-NFC text (parquet
+    * ASCII), so the lane PLANTS the canonical normalization cases
+    * deterministically from doc_id — combining acute (é), combining
+    * ring (Å), an already-composed no-op (the fast path), combining
+    * tilde (ñ) — prefixed to a slice of the real text, then reports
+    * raw/NFC codepoint counts and the changed flag per doc. Unicode's
+    * normalization stability policy freezes NFC for assigned
+    * codepoints, so DuckDB's `nfc_normalize` replays the operator
+    * bit-for-bit — the oracle seam for the whole expression.
+    */
+  private def nfcQuery = QueryDef(
+    "text_nfc_documents",
+    (s, dir) => {
+      // DECOMPOSED forms planted via escapes (an editor normalizing
+      // this source must not silently change the fixture): 0 = Cafe +
+      // combining acute, 1 = A + combining ring, 3 = n + combining
+      // tilde + a; 2 = COMPOSED cafe-acute (the isNormalized fast path)
+      val planted = when(col("doc_id") % 4 === 0, lit("Cafe\u0301"))
+        .when(col("doc_id") % 4 === 1, lit("A\u030A"))
+        .when(col("doc_id") % 4 === 2, lit("caf\u00E9"))
+        .otherwise(lit("n\u0303a"))
+      Tables.load(s, dir, "documents", parallelize = true)
+        .select(col("doc_id"),
+          concat(planted, lit(" "), substring(col("text"), 1, 8))
+            .as("raw"))
+        .select(col("doc_id"),
+          length(col("raw")).cast("long").as("raw_cp"),
+          TextAnalysis.nfc(col("raw")).as("nfc_text"))
+        .select(col("doc_id"), col("raw_cp"),
+          length(col("nfc_text")).cast("long").as("nfc_cp"),
+          (col("raw_cp") =!= length(col("nfc_text")).cast("long"))
+            .as("composed"),
+          col("nfc_text"))
+        .orderBy("doc_id")
+    },
+    Some("WITH r AS (SELECT doc_id, " +
+      "(CASE doc_id % 4 WHEN 0 THEN 'Cafe' || chr(769) " +
+      "WHEN 1 THEN 'A' || chr(778) " +
+      "WHEN 2 THEN 'caf' || chr(233) " +
+      "ELSE 'n' || chr(771) || 'a' END) || ' ' || " +
+      "substr(text, 1, 8) AS raw FROM documents) " +
+      "SELECT doc_id, length(raw) AS raw_cp, " +
+      "length(nfc_normalize(raw)) AS nfc_cp, " +
+      "length(raw) <> length(nfc_normalize(raw)) AS composed, " +
+      "nfc_normalize(raw) AS nfc_text FROM r ORDER BY doc_id"))
+
   override def queries: Seq[QueryDef] =
     Seq(statsQuery, curateQuery, pipelineQuery, pipelineFullQuery,
       sampleQuery, shardQuery, splitQuery, termsQuery, vocabQuery,
@@ -1225,5 +1272,5 @@ object TextQueries extends QueryPack {
       chunkQuery, mixQuery, mixWeightedQuery, mixTemperatureQuery,
       qualityBucketsQuery, bm25Query,
       collocationsQuery, boilerplateQuery, bpeQuery, bpeEncodeQuery,
-      domainsQuery, indexQuery)
+      domainsQuery, indexQuery, nfcQuery)
 }

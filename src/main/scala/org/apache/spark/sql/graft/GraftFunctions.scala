@@ -95,6 +95,12 @@ object GraftFunctions {
           CmsSketch(args.head,
             intLit("graft_cms", "depth")(args(1)),
             intLit("graft_cms", "width")(args(2)))
+        }),
+      (FunctionIdentifier("graft_nfc"),
+        new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "graft_nfc expects 1 argument")
+          NfcNormalize(args.head)
         }))
 
   /** Idempotent registration on an existing session (temp-function scope,

@@ -544,3 +544,48 @@ object GraftDigest {
       ((digest(o + 2) & 0xFFL) << 8) | (digest(o + 3) & 0xFFL)
   }
 }
+
+/** Unicode NFC normalization (canonical composition) as a NATIVE
+  * codegen'd expression — `java.text.Normalizer` with an `isNormalized`
+  * fast path, so the hot path over already-composed text (the
+  * overwhelming case in web corpora) allocates nothing and returns the
+  * input `UTF8String` untouched. This is the normalization pass a text
+  * pipeline must run BEFORE dedup/fingerprinting: composed (`é`) and
+  * decomposed (`e` + U+0301) spellings of identical text otherwise hash
+  * apart, silently splitting duplicate sets. Normalization of ASSIGNED
+  * codepoints is FROZEN by the Unicode stability policy, so results
+  * agree bit-for-bit with any conformant engine (DuckDB's
+  * `nfc_normalize` — the oracle seam) regardless of Unicode version.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(a: Any): Any =
+    GraftUnicode.nfc(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.GraftUnicode.nfc($a);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NfcNormalize = copy(child = newChild)
+}
+
+/** Normalizer helper for [[NfcNormalize]]'s per-row call. */
+object GraftUnicode {
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val j = s.toString
+    if (java.text.Normalizer.isNormalized(j,
+        java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(j, java.text.Normalizer.Form.NFC))
+  }
+}
