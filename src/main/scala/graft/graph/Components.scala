@@ -32,12 +32,27 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  private def mirrored(edges: DataFrame): DataFrame = {
-    val pairs = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst"))
-    pairs.unionByName(
-        pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+  /** Edge preparation under the caller contracts (the [[PageRank]]
+    * r12 treatment): `assumeMirrored` skips the union-mirror leg (the
+    * caller guarantees both directions present and no self-loops, e.g.
+    * a map-side explode of canonical pairs), `assumeDistinct` skips
+    * the edge-level distinct — one exchange over the FULL mirrored
+    * edge set, which a caller that deduped at the canonical-pair level
+    * (half the volume) has already paid more cheaply. Duplicate edges
+    * would not change the fixed point (relax takes a min), so the
+    * flags are pure plan trims, never correctness risks.
+    */
+  private def prepared(edges: DataFrame, assumeDistinct: Boolean,
+      assumeMirrored: Boolean): DataFrame = {
+    val base = edges.select(col("src"), col("dst"))
+    val m =
+      if (assumeMirrored) base
+      else {
+        val pairs = base.filter(col("src") =!= col("dst"))
+        pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+      }
+    if (assumeDistinct) m else m.distinct()
   }
 
   /** Relax: every node takes the minimum of its own and its
@@ -70,10 +85,12 @@ object Components {
     .select(col("node"), col("__ll").as("lbl"))
 
   private def run(edges: DataFrame, rounds: Int,
-      stopWhenStable: Boolean, jumps: Int = 1): DataFrame = {
+      stopWhenStable: Boolean, jumps: Int = 1,
+      assumeDistinct: Boolean = false,
+      assumeMirrored: Boolean = false): DataFrame = {
     require(rounds >= 1, "need at least one round")
     require(jumps >= 1, "need at least one jump per round")
-    val dir = mirrored(edges).persist()
+    val dir = prepared(edges, assumeDistinct, assumeMirrored).persist()
     try {
       // the persist-materializing count doubles as the broadcast gate:
       // mirrored-edge count ≥ node count, so edges ≤ threshold is a
@@ -139,15 +156,23 @@ object Components {
     * correct when the minimum can reach every node — each extra jump
     * per round squares the pointer compression, so fewer edge-sized
     * relax rounds buy the same reach: (jumps+1)^rounds ≳ diameter).
+    * `assumeDistinct`/`assumeMirrored` are the [[prepared]] caller
+    * contracts; `ComponentsSpec` pins flagged ≡ unflagged on a
+    * mirrored fixture.
     */
-  def labels(edges: DataFrame, rounds: Int, jumps: Int = 1): DataFrame =
-    run(edges, rounds, stopWhenStable = false, jumps = jumps)
+  def labels(edges: DataFrame, rounds: Int, jumps: Int = 1,
+      assumeDistinct: Boolean = false,
+      assumeMirrored: Boolean = false): DataFrame =
+    run(edges, rounds, stopWhenStable = false, jumps = jumps,
+      assumeDistinct = assumeDistinct, assumeMirrored = assumeMirrored)
 
   /** The production form: rounds until the label assignment is stable
     * (true components), bounded by `maxRounds`. Requires numeric node
     * ids (the stability check sums labels exactly).
     */
   def converged(edges: DataFrame, maxRounds: Int = 64,
-      jumps: Int = 1): DataFrame =
-    run(edges, maxRounds, stopWhenStable = true, jumps = jumps)
+      jumps: Int = 1, assumeDistinct: Boolean = false,
+      assumeMirrored: Boolean = false): DataFrame =
+    run(edges, maxRounds, stopWhenStable = true, jumps = jumps,
+      assumeDistinct = assumeDistinct, assumeMirrored = assumeMirrored)
 }

@@ -153,8 +153,14 @@ object GraphQueries extends QueryPack {
 
   /** The gate lane's basket-pair edge construction, shared with the
     * convergence spec and probe: no pre-`distinct` (collect_set IS the
-    * dedupe) and no scan repartition (the lane is shuffle-bound, not
-    * scan-fused — both measured pure tax here).
+    * within-basket dedupe) and no scan repartition (the lane is
+    * shuffle-bound, not scan-fused — both measured pure tax here).
+    * Cross-basket dedup happens at the CANONICAL-PAIR level (src < dst
+    * by the sorted collect_set, so the distinct shuffles HALF the
+    * mirrored volume), then both directions expand map-side — distinct
+    * canonical pairs cannot collide after mirroring, so the frame
+    * satisfies [[Components]]' `assumeDistinct`/`assumeMirrored`
+    * contracts by construction (the r12 PageRank treatment).
     */
   private[graft] def ccPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
@@ -168,6 +174,11 @@ object GraphQueries extends QueryPack {
         "flatten(transform(ps, (x, i) -> " +
           "transform(slice(ps, i + 2, size(ps)), " +
           "y -> struct(x AS src, y AS dst))))")).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+      .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
 
   /** Connected components over the part co-purchase projection
@@ -189,7 +200,8 @@ object GraphQueries extends QueryPack {
   private def componentsQuery = QueryDef(
     "graph_components_parts",
     (s, dir) =>
-      Components.labels(ccPairs(s, dir), CcRounds, jumps = CcJumps)
+      Components.labels(ccPairs(s, dir), CcRounds, jumps = CcJumps,
+          assumeDistinct = true, assumeMirrored = true)
         .groupBy(col("lbl").as("component"))
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("n_nodes").desc, col("component"))

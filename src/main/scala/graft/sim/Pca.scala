@@ -14,11 +14,17 @@ import org.apache.spark.sql.functions._
   * arrays in codegen'd dot products (the LSH-hyperplane idiom), so a
   * projected corpus costs one scan and ZERO shuffles at any size.
   *
-  * Determinism: the sample collects as (id, vector) rows and sorts by
-  * id on the driver before any accumulation, so the trained model is a
-  * pure function of (corpus, seed) under ANY partition layout — the
-  * property the pinned-literal oracle idiom needs (PcaGateDriftSpec
-  * re-trains and compares every `sbt test`). The eigensolver is a
+  * Determinism: sample MEMBERSHIP is a pure per-row predicate (a
+  * seeded hash of the id under an acceptance bound — never
+  * `DataFrame.sample`, which is only per-partition deterministic), and
+  * the accepted rows collect as (id, vector) pairs and sort by id on
+  * the driver before the deterministic `target`-cap and any
+  * accumulation — so the trained model is a pure function of
+  * (corpus, seed) under ANY partition layout, including corpora large
+  * enough to trigger sampling. That is the property the pinned-literal
+  * oracle idiom needs (PcaGateDriftSpec re-trains and compares every
+  * `sbt test`; PcaSampleLayoutSpec pins layout-independence in the
+  * sampling regime). The eigensolver is a
   * fixed-sweep cyclic Jacobi over the 64×64 covariance — classical,
   * deterministic, driver-side microseconds. Eigenvectors are sign-
   * canonicalized (largest-|coordinate| entry positive, first index on
@@ -73,16 +79,27 @@ object Pca {
     val target = SamplePerDim * dim
     val total = totalRows.getOrElse(df.count())
     val sampled =
-      if (total > target)
-        keyed.sample(withReplacement = false,
-          target.toDouble / total, seed)
-      else keyed
-    // driver-side, ID-SORTED accumulation: the model must not depend
-    // on collect order (see scaladoc; any stable total order works, so
-    // the string cast is fine for unique ids)
-    val pts = sampled.limit((2 * target).toInt).collect()
+      if (total > target) {
+        // LAYOUT-INDEPENDENT deterministic sample (r12 ADVICE):
+        // membership is a pure per-row predicate of (id, seed) — a
+        // seeded 64-bit hash of the id accepted below a bound sized
+        // for ~1.5× target — so the trained model cannot depend on
+        // partition layout. DataFrame.sample(seed) is only
+        // per-PARTITION deterministic and the old limit() selected
+        // arbitrary rows, both of which broke the pure-function-of-
+        // (corpus, seed) contract for corpora above the sample bound.
+        val bound = math.min(total, math.max(1L, (3L * target) / 2))
+        keyed.filter(pmod(xxhash64(col("__rid"), lit(seed)),
+          lit(total)) < lit(bound))
+      } else keyed
+    // driver-side, ID-SORTED accumulation with a deterministic cap:
+    // the model must not depend on collect order (any stable total
+    // order works, so the string cast is fine for unique ids), and the
+    // cap takes the FIRST `target` ids of the hash-accepted set — a
+    // deterministic function of the accepted ids, never of layout
+    val pts = sampled.collect()
       .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1).map(_._2)
+      .sortBy(_._1).map(_._2).take(target.toInt)
     require(pts.nonEmpty, "cannot train PCA on zero vectors")
     val n = pts.length
     val mean = new Array[Double](dim)
@@ -144,8 +161,16 @@ object Pca {
         while (q < dim) {
           if (math.abs(a(p)(q)) > 1e-300) {
             val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
-            val t = math.signum(theta) /
-              (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            // theta == 0 (equal diagonal, nonzero off-diagonal) needs
+            // the 45° rotation t = 1: signum(0.0) = 0 would make t = 0
+            // an identity rotation that never annihilates the pair, so
+            // the sweep budget could exit with wrong eigenvalues (the
+            // Fortran-era formulation relies on SIGN(1, 0) = 1 here —
+            // r12 ADVICE)
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
             val c = 1.0 / math.sqrt(t * t + 1.0)
             val s = t * c
             var i = 0

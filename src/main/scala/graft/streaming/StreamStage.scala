@@ -54,11 +54,17 @@ object StreamStage {
     stage.ensure(s, dir, variant,
       graft.io.Tables.sourceStamp(s, dir, stampTable))(build) {
       (df, path) =>
-        df.filter(firstPred).coalesce(1)
+        // null-predicate rows go to the SECOND file: a raw split on
+        // firstPred would drop them entirely (filter(p) and filter(!p)
+        // both exclude null evaluations — r12 ADVICE), silently losing
+        // rows from the staged fixture
+        val first = org.apache.spark.sql.functions.coalesce(firstPred,
+          org.apache.spark.sql.functions.lit(false))
+        df.filter(first).coalesce(1)
           .write.mode("overwrite").parquet(path)
         // force a strictly later ms-granularity mtime for file 2
         Thread.sleep(50)
-        df.filter(!firstPred).coalesce(1)
+        df.filter(!first).coalesce(1)
           .write.mode("append").parquet(path)
     }
 }

@@ -77,10 +77,10 @@ object Staging {
     * past a 24h hard cutoff. The hard cutoff covers OS pid recycling:
     * a long-lived UNRELATED process that inherited a dead sibling's pid
     * would otherwise pin that sibling's staged dir forever (a slow
-    * warehouse disk leak); a real staged dir is refreshed (re-written,
-    * mtime bumped) well inside a day, so age alone is a safe owner-
-    * independent signal at 24h. Best-effort; `onDelete` drops any
-    * catalog entry.
+    * warehouse disk leak); a live owner's staged dir has its mtime
+    * bumped on EVERY memo reuse ([[PathStage.ensure]]'s intact-hit
+    * branch), so age alone is a safe owner-independent signal at 24h.
+    * Best-effort; `onDelete` drops any catalog entry.
     */
   def reapStale(wh: java.io.File, pattern: scala.util.matching.Regex,
       keepPid: Long, onDelete: java.io.File => Unit = _ => ()): Unit =
@@ -154,7 +154,17 @@ object Staging {
         s"stage tag must be [a-z0-9]+, got '$tag'")
       val key = s"$dir:$tag:$sourceStamp"
       built.get(key) match {
-        case Some(e) if intact(e) => e.path
+        case Some(e) if intact(e) =>
+          // bump the staged dir's mtime on every memo reuse so the
+          // reaper's 24h hard age cutoff reads as a LIVENESS signal:
+          // without this, a >24h-old JVM serving intact hits from the
+          // memo (which never touches the FS) would have its staged dir
+          // reaped out from under in-flight reads by a sibling (r12
+          // ADVICE — the scaladoc's "mtime bumped well inside a day"
+          // assumption, now actually implemented).
+          new java.io.File(e.path)
+            .setLastModified(System.currentTimeMillis()): Unit
+          e.path
         case _ =>
           val pid = ProcessHandle.current().pid()
           val dh = Integer.toHexString(dir.hashCode)

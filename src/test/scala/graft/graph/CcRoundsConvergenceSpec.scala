@@ -19,7 +19,8 @@ class CcRoundsConvergenceSpec extends SparkSpec {
     try {
       val scheduled = Components.labels(
         GraphQueries.ccPairs(spark, dir),
-        GraphQueries.CcRounds, jumps = GraphQueries.CcJumps)
+        GraphQueries.CcRounds, jumps = GraphQueries.CcJumps,
+        assumeDistinct = true, assumeMirrored = true)
       assert(scheduled.exceptAll(fixed).count() === 0L,
         s"fixed (${GraphQueries.CcRounds}, ${GraphQueries.CcJumps}) " +
           s"schedule has not converged on $dir — raise CcRounds (the " +

@@ -75,6 +75,24 @@ class ComponentsSpec extends SparkSpec {
     assert(run(4, 1, e: _*) === run(4, 7, e: _*))
   }
 
+  test("caller contracts: flagged equals unflagged on a mirrored, " +
+      "deduped fixture (the PageRank treatment)") {
+    // canonical pairs (src < dst, distinct) mirrored map-side — the
+    // exact construction the gate lane feeds with both flags set
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 10L), (10L, 11L))
+    val mirroredEdges = pairs.flatMap { case (a, b) =>
+      Seq((a, b), (b, a)) }
+    val flagged = Components.labels(
+        mirroredEdges.toDF("src", "dst"), 3, jumps = 2,
+        assumeDistinct = true, assumeMirrored = true)
+      .as[(Long, Long)].collect().toMap
+    val unflagged = Components.labels(
+        mirroredEdges.toDF("src", "dst"), 3, jumps = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(flagged === unflagged)
+    assert(flagged === ref(pairs))
+  }
+
   test("releases the mirrored edge frame before returning") {
     spark.catalog.clearCache()
     runConverged((1L, 2L), (2L, 3L))

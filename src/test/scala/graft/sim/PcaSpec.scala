@@ -83,6 +83,53 @@ class PcaSpec extends SparkSpec {
     assert(a.eigenvalues.toSeq === b.eigenvalues.toSeq)
   }
 
+  test("fit is layout-independent IN THE SAMPLING REGIME " +
+      "(hash-predicate membership, deterministic cap)") {
+    // 2500 rows > target = 128·dim = 1024, so fit() actually samples —
+    // the regime the r12 ADVICE flagged: DataFrame.sample(seed) is only
+    // per-partition deterministic, so membership must instead be a pure
+    // per-row hash predicate for the model to survive a repartition
+    val big = (0 until 2500).map { i =>
+      val a = 3.0 * math.sin(0.37 * i)
+      val b = 1.0 * math.cos(0.91 * i)
+      val v = Array.tabulate(dim)(d =>
+        a * u(d) + b * w(d) + 0.001 * math.cos(i * 0.11 + d))
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    assert(2500L > Pca.SamplePerDim * dim, "sampling must trigger")
+    val a = Pca.fit(big.repartition(1), "vec_id", "embedding", 2,
+      totalRows = Some(2500L))
+    val b = Pca.fit(big.repartition(17), "vec_id", "embedding", 2,
+      totalRows = Some(2500L))
+    assert(a.mean.toSeq === b.mean.toSeq)
+    assert(a.components.map(_.toSeq).toSeq ===
+      b.components.map(_.toSeq).toSeq)
+    assert(a.eigenvalues.toSeq === b.eigenvalues.toSeq)
+    // and the sampled model still recovers the planted structure
+    val cos1 = math.abs(a.components(0).zip(u)
+      .map { case (x, y) => x * y }.sum)
+    assert(cos1 > 0.999, s"sampled pc1 must align with planted axis: $cos1")
+  }
+
+  test("jacobiEigen annihilates equal-diagonal pairs (theta = 0 " +
+      "takes the 45-degree rotation, not the identity)") {
+    // 2x2 with equal diagonal and nonzero off-diagonal: eigenvalues are
+    // d ± o. With signum(0) = 0 the rotation would be the identity and
+    // the sweep budget would exit with the matrix unchanged (r12 ADVICE)
+    val (values, vectors) = Pca.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    val sorted = values.sorted.toSeq
+    assert(math.abs(sorted(0) - 1.0) < 1e-12 &&
+      math.abs(sorted(1) - 3.0) < 1e-12,
+      s"eigenvalues of [[2,1],[1,2]] must be {1, 3}, got ${values.toSeq}")
+    // eigenvector columns stay orthonormal
+    for (i <- 0 until 2; j <- 0 until 2) {
+      val d = (0 until 2).map(r => vectors(r)(i) * vectors(r)(j)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-12, s"v$i . v$j = $d")
+    }
+  }
+
   test("whitened components have unit variance on the training corpus") {
     val m = Pca.fit(corpus, "vec_id", "embedding", p = 2,
       totalRows = Some(300L))
