@@ -537,7 +537,8 @@ object StreamingQueries extends QueryPack {
           state, out, ckpt)
         q.awaitTermination()
         graft.util.Frames.localized(
-          iso.read.parquet(out).orderBy("batch_id", "dup_of"))
+          StreamingPipelines.nearDupMatches(iso, out)
+            .orderBy("batch_id", "dup_of"))
       }
     },
     Some(graft.dedup.DedupQueries.incrementalMinhashOracleSql))

@@ -211,7 +211,7 @@ class StreamingPipelinesSpec extends SparkSpec {
       .option("maxFilesPerTrigger", 1).parquet(src)
     StreamingPipelines.nearDupStream(stream, "doc_id", "text",
       state, out, ckpt).awaitTermination()
-    val got = spark.read.parquet(out)
+    val got = StreamingPipelines.nearDupMatches(spark, out)
       .select("batch_id", "dup_of").as[(Long, Long)].collect().toSet
     // driver reference: (a, b) with jaccard >= 0.8 and wave(b) < wave(a).
     // Planted: 3~1 (waves 1<-0), 6~4 identical (2<-1), 6~5 one mutation
