@@ -1263,6 +1263,96 @@ object TextQueries extends QueryPack {
       "length(raw) <> length(nfc_normalize(raw)) AS composed, " +
       "nfc_normalize(raw) AS nfc_text FROM r ORDER BY doc_id"))
 
+  /** The HTML fixture each document wraps into for the extraction gate
+    * (the boilerplate-lane injection precedent): a deterministic page
+    * template carrying every hazard the operator exists for — a
+    * `<script>` whose BODY contains `<` and quotes, a `<style>` block,
+    * a comment with fake tags, a link-only nav div and footer (must
+    * drop at link density 1), headline/body/trailer blocks (must
+    * survive), and the entity-ordering trap (`&lt;with&gt;` must come
+    * out as literal text `<with>`, never be stripped as a tag).
+    * Shared verbatim between the Spark lane and the oracle builder.
+    */
+  private def htmlExtractQuery = QueryDef(
+    "text_extract_html_documents",
+    (s, dir) => HtmlExtract.extract(
+        Tables.load(s, dir, "documents", parallelize = true)
+          .withColumn("html", concat(
+            lit("<html><head><title>Doc "),
+            col("doc_id").cast("string"),
+            lit("</title>\n<style>body { color: #333; }</style>\n" +
+              "<script>if (1 < 2) { track(\""),
+            col("source"),
+            lit("\"); }</script>\n</head><body>\n" +
+              "<div><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+              "<a href=\"/contact\">Contact</a></div>\n<h1>"),
+            col("source"),
+            lit(" &amp; archive</h1>\n<p>"),
+            col("text"),
+            lit("</p>\n<p>See <a href=\"/d/"),
+            col("doc_id").cast("string"),
+            lit("\">related</a> notes &lt;with&gt; &quot;entities&quot;" +
+              "&nbsp;it&#39;s</p>\n<!-- comment with <p>fake</p> tags " +
+              "-->\n<div><a href=\"/terms\">Terms</a>" +
+              "<a href=\"/privacy\">Privacy</a></div>\n</body></html>"))),
+        "doc_id", "html")
+      .orderBy("doc_id"),
+    Some(htmlExtractOracle))
+
+  private def htmlExtractOracle: String = {
+    // entity decode: specific entities first, &amp; LAST (mirrors
+    // HtmlExtract.Entities order); chr(39) dodges quote escaping
+    def dec(x: String) =
+      "replace(replace(replace(replace(replace(replace(" + x +
+        ", '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+        "'&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&')"
+    def vis(x: String) =
+      "trim(regexp_replace(" +
+        dec(s"regexp_replace($x, '<[^>]*>', ' ', 'g')") +
+        ", '\\s+', ' ', 'g'))"
+    "WITH h AS (SELECT doc_id, '<html><head><title>Doc ' || " +
+      "CAST(doc_id AS VARCHAR) || '</title>' || chr(10) || " +
+      "'<style>body { color: #333; }</style>' || chr(10) || " +
+      "'<script>if (1 < 2) { track(\"' || source || '\"); }</script>' " +
+      "|| chr(10) || '</head><body>' || chr(10) || " +
+      "'<div><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+      "<a href=\"/contact\">Contact</a></div>' || chr(10) || " +
+      "'<h1>' || source || ' &amp; archive</h1>' || chr(10) || " +
+      "'<p>' || text || '</p>' || chr(10) || " +
+      "'<p>See <a href=\"/d/' || CAST(doc_id AS VARCHAR) || " +
+      "'\">related</a> notes &lt;with&gt; &quot;entities&quot;" +
+      "&nbsp;it&#39;s</p>' || chr(10) || " +
+      "'<!-- comment with <p>fake</p> tags -->' || chr(10) || " +
+      "'<div><a href=\"/terms\">Terms</a>" +
+      "<a href=\"/privacy\">Privacy</a></div>' || chr(10) || " +
+      "'</body></html>' AS html FROM documents), " +
+      "c AS (SELECT doc_id, regexp_replace(regexp_replace(" +
+      "regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'), " +
+      "'(?s)<style[^>]*>.*?</style>', ' ', 'g'), " +
+      "'(?s)<!--.*?-->', ' ', 'g') AS html FROM h), " +
+      "b AS (SELECT doc_id, string_split_regex(html, " +
+      "'</p>|</h[1-6]>|</li>|</div>|</title>|<br[^>]*>') AS blocks " +
+      "FROM c), " +
+      "li AS (SELECT doc_id, blocks, " +
+      "unnest(generate_series(1, len(blocks))) AS pos FROM b), " +
+      "l AS (SELECT doc_id, pos, blocks[pos] AS block FROM li), " +
+      s"s AS (SELECT doc_id, pos, ${vis("block")} AS txt, " +
+      vis("regexp_replace(block, '(?s)<a[^>]*>.*?</a>', ' ', 'g')") +
+      " AS txt_noa FROM l), " +
+      "k AS (SELECT doc_id, pos, txt, length(txt) > 0 AS nonempty, " +
+      "length(txt) > 0 AND (length(txt) - length(txt_noa))::DOUBLE / " +
+      "greatest(length(txt), 1) <= 0.33 AS keep FROM s), " +
+      "agg AS (SELECT doc_id, " +
+      "CAST(sum(CASE WHEN nonempty THEN 1 ELSE 0 END) AS INT) " +
+      "AS n_blocks, " +
+      "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept, " +
+      "coalesce(string_agg(CASE WHEN keep THEN txt END, chr(10) " +
+      "ORDER BY pos), '') AS text FROM k GROUP BY 1) " +
+      "SELECT doc_id, n_blocks, n_kept, n_blocks - n_kept AS n_dropped, " +
+      "text, CAST(length(text) AS INT) AS text_chars FROM agg " +
+      "ORDER BY doc_id"
+  }
+
   override def queries: Seq[QueryDef] =
     Seq(statsQuery, curateQuery, pipelineQuery, pipelineFullQuery,
       sampleQuery, shardQuery, splitQuery, termsQuery, vocabQuery,
@@ -1272,5 +1362,5 @@ object TextQueries extends QueryPack {
       chunkQuery, mixQuery, mixWeightedQuery, mixTemperatureQuery,
       qualityBucketsQuery, bm25Query,
       collocationsQuery, boilerplateQuery, bpeQuery, bpeEncodeQuery,
-      domainsQuery, indexQuery, nfcQuery)
+      domainsQuery, indexQuery, nfcQuery, htmlExtractQuery)
 }
