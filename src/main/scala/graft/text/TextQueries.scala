@@ -1353,6 +1353,47 @@ object TextQueries extends QueryPack {
       "ORDER BY doc_id"
   }
 
+  /** Model-based quality scoring ([[QualityModel]]): LIVE perceptron
+    * training on the corpus with [[QualityModel.ttrLabel]] weak labels,
+    * then one map-side inference scan over every document — hashed
+    * token features, literal integer weights, exact BIGINT margin.
+    * Oracled via the pinned-literal idiom ([[QualityGatePinned]];
+    * QualityGateDriftSpec re-trains and compares every `sbt test`, and
+    * the oracle carries a DuckDB-side row-count guard). The
+    * `scorePinned` seam is the production train-once/apply-per-batch
+    * shape; accuracy on a planted quality gradient is
+    * QualityModelSpec's pin — this gate certifies the inference
+    * dataflow bit-for-bit.
+    */
+  private def qualityModelQuery = QueryDef(
+    "text_quality_model_documents",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents", parallelize = true)
+      val m = QualityModel.fit(
+        docs.withColumn("__label", QualityModel.ttrLabel(col("text"))),
+        "doc_id", "text", "__label")
+      QualityModel.score(docs, "doc_id", "text", m).orderBy("doc_id")
+    },
+    Some {
+      val w = QualityGatePinned.weights
+        .map(x => s"${x}") .mkString("[", ", ", "]::BIGINT[]")
+      s"WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents), " +
+        "gg AS (SELECT CASE WHEN (SELECT count(*) FROM documents) = " +
+        s"${QualityGatePinned.GateRows} THEN 1 ELSE " +
+        "error('quality-model trained-literal oracle is only valid " +
+        s"at the ${QualityGatePinned.GateRows}-row gate corpus: " +
+        "regenerate QualityGatePinned') END AS ok), " +
+        "m AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tokens, " +
+        s"CAST(${QualityGatePinned.bias} + coalesce(list_sum(" +
+        s"list_transform(t, tk -> ($w)[" +
+        "CAST(('0x' || substr(md5(tk), 1, 15))::BIGINT % " +
+        s"${QualityGatePinned.Buckets} AS INT) + 1])), 0) AS BIGINT) " +
+        "AS margin FROM toks) " +
+        "SELECT doc_id, n_tokens, margin, " +
+        "margin::DOUBLE / greatest(n_tokens, 1) AS score, " +
+        "margin >= 0 AS keep FROM m CROSS JOIN gg ORDER BY doc_id"
+    })
+
   override def queries: Seq[QueryDef] =
     Seq(statsQuery, curateQuery, pipelineQuery, pipelineFullQuery,
       sampleQuery, shardQuery, splitQuery, termsQuery, vocabQuery,
@@ -1362,5 +1403,6 @@ object TextQueries extends QueryPack {
       chunkQuery, mixQuery, mixWeightedQuery, mixTemperatureQuery,
       qualityBucketsQuery, bm25Query,
       collocationsQuery, boilerplateQuery, bpeQuery, bpeEncodeQuery,
-      domainsQuery, indexQuery, nfcQuery, htmlExtractQuery)
+      domainsQuery, indexQuery, nfcQuery, htmlExtractQuery,
+      qualityModelQuery)
 }
