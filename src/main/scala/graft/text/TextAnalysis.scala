@@ -100,6 +100,21 @@ object TextAnalysis {
       org.apache.spark.sql.graft.NfcNormalize(
         org.apache.spark.sql.graft.ColumnShim.expression(c)))
 
+  /** Aggressive canonicalization for dedup fingerprint KEYS (native
+    * `graft_nfkc_cf` — NFKC, ROOT-locale lowercase, NFC re-pass, with
+    * an ASCII zero-Normalizer fast path): the [[nfc]] companion where
+    * compatibility variants and case differences must key identically
+    * (`ﬁle` ≡ `ＦＩＬＥ` ≡ `File`). Spec-pinned operator
+    * (NfkcCasefoldSpec golden fixtures — DuckDB has no nfkc, so no
+    * oracle gate lane; the SimHash precedent for honest non-oracle
+    * operators). Compose as `fingerprintFromTokens(tokens(nfkcCf(c)))`
+    * for canonicalized near-dup keys.
+    */
+  def nfkcCf(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      org.apache.spark.sql.graft.NfkcCasefold(
+        org.apache.spark.sql.graft.ColumnShim.expression(c)))
+
   /** Order-insensitive bag-of-words fingerprint: md5 of the sorted
     * distinct token list. Identical token multisets-as-sets collide by
     * design (near-dup prefilter); md5 is available in every engine so the

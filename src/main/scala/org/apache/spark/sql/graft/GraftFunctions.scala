@@ -101,6 +101,13 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 1, "graft_nfc expects 1 argument")
           NfcNormalize(args.head)
+        }),
+      (FunctionIdentifier("graft_nfkc_cf"),
+        new ExpressionInfo(classOf[NfkcCasefold].getName,
+          "graft_nfkc_cf"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "graft_nfkc_cf expects 1 argument")
+          NfkcCasefold(args.head)
         }))
 
   /** Idempotent registration on an existing session (temp-function scope,

@@ -578,7 +578,53 @@ case class NfcNormalize(child: Expression)
       newChild: Expression): NfcNormalize = copy(child = newChild)
 }
 
-/** Normalizer helper for [[NfcNormalize]]'s per-row call. */
+/** Aggressive canonicalization for dedup FINGERPRINT KEYS — NFKC
+  * compatibility normalization, then locale-independent lowercasing,
+  * then an NFC re-pass — as a native codegen'd expression
+  * (`graft_nfkc_cf`). The [[NfcNormalize]] companion: NFC is the
+  * content-preserving pass a pipeline applies to the text it KEEPS,
+  * while near-dup fingerprints want the aggressive form where `ﬁle`,
+  * `ＦＩＬＥ`, `File` and `ﬁle` all key identically (compatibility
+  * variants and case differences are presentation, not content, for
+  * duplicate detection). Fast path: ASCII-only input lowercases on the
+  * raw bytes with zero Normalizer work — the overwhelming case in web
+  * corpora.
+  *
+  * Scope note (honest contract): lowercasing is
+  * `String.toLowerCase(Locale.ROOT)`, not full Unicode case folding —
+  * the two differ on a handful of codepoints (ß stays ß rather than
+  * becoming ss; full folding also differs on some dotted/dotless i
+  * forms) — and default-ignorable removal (the NFKC_Casefold extra) is
+  * out of scope. For fingerprint KEYING none of this matters: the map
+  * is deterministic and collapses the compatibility/case axis, which
+  * is the operator's whole contract. DuckDB has no nfkc function, so
+  * this is a spec-pinned operator (golden fixtures in
+  * NfkcCasefoldSpec), not an oracle gate lane — the SimHash precedent.
+  */
+case class NfkcCasefold(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_nfkc_cf"
+
+  override def nullSafeEval(a: Any): Any =
+    GraftUnicode.nfkcCf(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.GraftUnicode.nfkcCf($a);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NfkcCasefold = copy(child = newChild)
+}
+
+/** Normalizer helpers for [[NfcNormalize]]/[[NfkcCasefold]]'s per-row
+  * calls.
+  */
 object GraftUnicode {
   def nfc(s: org.apache.spark.unsafe.types.UTF8String)
       : org.apache.spark.unsafe.types.UTF8String = {
@@ -587,5 +633,28 @@ object GraftUnicode {
         java.text.Normalizer.Form.NFC)) s
     else org.apache.spark.unsafe.types.UTF8String.fromString(
       java.text.Normalizer.normalize(j, java.text.Normalizer.Form.NFC))
+  }
+
+  def nfkcCf(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    // ASCII fast path: NFKC is the identity on ASCII and ROOT-locale
+    // lowercasing is the trivial byte map, handled allocation-light by
+    // UTF8String itself
+    if (s.isFullAscii) return s.toLowerCase
+    val j = s.toString
+    val k =
+      if (java.text.Normalizer.isNormalized(j,
+          java.text.Normalizer.Form.NFKC)) j
+      else java.text.Normalizer.normalize(j,
+        java.text.Normalizer.Form.NFKC)
+    val lowered = k.toLowerCase(java.util.Locale.ROOT)
+    // lowercasing can de-normalize (e.g. İ → i + combining dot), so
+    // re-compose; on the common path this is a no-op check
+    val out =
+      if (java.text.Normalizer.isNormalized(lowered,
+          java.text.Normalizer.Form.NFC)) lowered
+      else java.text.Normalizer.normalize(lowered,
+        java.text.Normalizer.Form.NFC)
+    org.apache.spark.unsafe.types.UTF8String.fromString(out)
   }
 }
