@@ -367,11 +367,16 @@ object SimilarityQueries extends QueryPack {
     })
 
   /** The k-means assignment replay shared by the clustering and
-    * SemDeDup oracles: normalize → per-centroid d² arms → argmin under
-    * (d², label). Emits CTEs `e, nrm, n, d, a` with
-    * `a = (vec_id, label, d2)`.
+    * SemDeDup oracles (and the composed-curation oracle in
+    * [[graft.text.TextQueries]]): normalize → per-centroid d² arms →
+    * argmin under (d², label). Emits CTEs `e, nrm, n, d, a` with
+    * `a = (vec_id, label, d2)`; `embSource` is the relation the
+    * vectors read from (`(vec_id, embedding)` shape) — the full
+    * `embeddings` table by default, a survivor-restricted subquery in
+    * the composed lane.
     */
-  private def kmeansAssignCtes(cents: Array[Array[Double]]): String = {
+  private[graft] def kmeansAssignCtes(cents: Array[Array[Double]],
+      embSource: String = "embeddings"): String = {
     def cSql(i: Int) =
       graft.util.OracleSql.dblArray(cents(i).toIndexedSeq)
     val arms = cents.indices.map { i =>
@@ -381,7 +386,7 @@ object SimilarityQueries extends QueryPack {
         s"${graft.util.OracleSql.dbl(c2)}) " +
         "AS d2 FROM n"
     }.mkString(" UNION ALL ")
-    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+    s"e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embSource), " +
       "nrm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) " +
       "AS nm FROM e), " +
       "n AS (SELECT vec_id, CASE WHEN nm = 0 THEN v ELSE " +

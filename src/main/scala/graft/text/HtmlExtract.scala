@@ -65,14 +65,17 @@ object HtmlExtract {
     trim(regexp_replace(
       decodeEntities(regexp_replace(c, "<[^>]*>", " ")), "\\s+", " "))
 
-  /** `(idCol, n_blocks, n_kept, n_dropped, text, text_chars)` — one
-    * output row per input row; `n_blocks` counts blocks with any
-    * visible text, `n_dropped` of them fell to the link-density
-    * filter, `text` is the surviving blocks joined with `\n` (empty
-    * string when nothing survives).
+  /** `(idCol, keepCols…, n_blocks, n_kept, n_dropped, text,
+    * text_chars)` — one output row per input row; `n_blocks` counts
+    * blocks with any visible text, `n_dropped` of them fell to the
+    * link-density filter, `text` is the surviving blocks joined with
+    * `\n` (empty string when nothing survives). `keepCols` pass
+    * through untouched (composed pipelines carry source/metadata
+    * alongside instead of re-joining the corpus).
     */
   def extract(df: DataFrame, idCol: String, htmlCol: String,
-      maxLinkDensity: Double = 0.33): DataFrame = {
+      maxLinkDensity: Double = 0.33,
+      keepCols: Seq[String] = Nil): DataFrame = {
     val cleaned = DropElements.foldLeft(col(htmlCol)) { (acc, pat) =>
       regexp_replace(acc, pat, " ")
     }
@@ -90,13 +93,13 @@ object HtmlExtract {
       .withColumn("__kept", filter(col("__b"), b => b.getField("keep")))
       .withColumn("text",
         array_join(transform(col("__kept"), b => b.getField("txt")), "\n"))
-      .select(col(idCol),
+      .select(col(idCol) +: keepCols.map(col) :+
         size(filter(col("__b"), b => b.getField("nonempty")))
-          .as("n_blocks"),
-        size(col("__kept")).as("n_kept"),
+          .as("n_blocks") :+
+        size(col("__kept")).as("n_kept") :+
         (size(filter(col("__b"), b => b.getField("nonempty"))) -
-          size(col("__kept"))).as("n_dropped"),
-        col("text"),
-        length(col("text")).as("text_chars"))
+          size(col("__kept"))).as("n_dropped") :+
+        col("text") :+
+        length(col("text")).as("text_chars"): _*)
   }
 }

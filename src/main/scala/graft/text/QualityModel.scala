@@ -124,28 +124,33 @@ object QualityModel {
       model: Model): DataFrame =
     scorePinned(df, idCol, textCol, model.weights, model.bias)
 
-  /** `(idCol, n_tokens, margin, score, keep)` from literal weights —
-    * the oracle seam and the train-once/apply-per-batch production
-    * shape. One map-side scan: the weight array rides the plan as a
-    * literal, each token's slot weight folds into an exact BIGINT
-    * `aggregate`; `score = margin / max(n_tokens, 1)` (one IEEE
-    * division), `keep = margin >= 0`.
+  /** `(idCol, keepCols…, n_tokens, margin, score, keep)` from literal
+    * weights — the oracle seam and the train-once/apply-per-batch
+    * production shape. One map-side scan: the weight array rides the
+    * plan as a literal, each token's slot weight folds into an exact
+    * BIGINT `aggregate`; `score = margin / max(n_tokens, 1)` (one IEEE
+    * division), `keep = margin >= 0`. `keepCols` pass through
+    * untouched (composed pipelines carry metadata alongside instead of
+    * re-joining the corpus).
     */
   def scorePinned(df: DataFrame, idCol: String, textCol: String,
-      weights: Array[Long], bias: Long): DataFrame = {
+      weights: Array[Long], bias: Long,
+      keepCols: Seq[String] = Nil): DataFrame = {
     val warr = array(weights.toIndexedSeq.map(lit): _*)
     val toks = TextAnalysis.tokens(col(textCol))
     df
-      .select(col(idCol), toks.as("__t"))
-      .select(col(idCol), size(col("__t")).as("n_tokens"),
+      .select(col(idCol) +: keepCols.map(col) :+ toks.as("__t"): _*)
+      .select(col(idCol) +: keepCols.map(col) :+
+        size(col("__t")).as("n_tokens") :+
         (lit(bias) + aggregate(col("__t"), lit(0L), (acc, t) =>
           acc + element_at(warr,
             (pmod(graft.dedup.Dedup.md5Base(t),
               lit(weights.length.toLong)) + 1).cast("int"))))
-          .as("margin"))
-      .select(col(idCol), col("n_tokens"), col("margin"),
+          .as("margin"): _*)
+      .select(col(idCol) +: keepCols.map(col) :+
+        col("n_tokens") :+ col("margin") :+
         (col("margin").cast("double") /
-          greatest(col("n_tokens"), lit(1))).as("score"),
-        (col("margin") >= 0).as("keep"))
+          greatest(col("n_tokens"), lit(1))).as("score") :+
+        (col("margin") >= 0).as("keep"): _*)
   }
 }

@@ -1273,44 +1273,45 @@ object TextQueries extends QueryPack {
     * out as literal text `<with>`, never be stripped as a tag).
     * Shared verbatim between the Spark lane and the oracle builder.
     */
+  /** The deterministic page template of the extraction gate lanes —
+    * shared by the standalone lane and the composed e2e lane (and
+    * mirrored verbatim by [[htmlFixtureSql]]).
+    */
+  private def withHtmlFixture(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.withColumn("html", concat(
+      lit("<html><head><title>Doc "),
+      col("doc_id").cast("string"),
+      lit("</title>\n<style>body { color: #333; }</style>\n" +
+        "<script>if (1 < 2) { track(\""),
+      col("source"),
+      lit("\"); }</script>\n</head><body>\n" +
+        "<div><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+        "<a href=\"/contact\">Contact</a></div>\n<h1>"),
+      col("source"),
+      lit(" &amp; archive</h1>\n<p>"),
+      col("text"),
+      lit("</p>\n<p>See <a href=\"/d/"),
+      col("doc_id").cast("string"),
+      lit("\">related</a> notes &lt;with&gt; &quot;entities&quot;" +
+        "&nbsp;it&#39;s</p>\n<!-- comment with <p>fake</p> tags " +
+        "-->\n<div><a href=\"/terms\">Terms</a>" +
+        "<a href=\"/privacy\">Privacy</a></div>\n</body></html>")))
+
   private def htmlExtractQuery = QueryDef(
     "text_extract_html_documents",
     (s, dir) => HtmlExtract.extract(
-        Tables.load(s, dir, "documents", parallelize = true)
-          .withColumn("html", concat(
-            lit("<html><head><title>Doc "),
-            col("doc_id").cast("string"),
-            lit("</title>\n<style>body { color: #333; }</style>\n" +
-              "<script>if (1 < 2) { track(\""),
-            col("source"),
-            lit("\"); }</script>\n</head><body>\n" +
-              "<div><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
-              "<a href=\"/contact\">Contact</a></div>\n<h1>"),
-            col("source"),
-            lit(" &amp; archive</h1>\n<p>"),
-            col("text"),
-            lit("</p>\n<p>See <a href=\"/d/"),
-            col("doc_id").cast("string"),
-            lit("\">related</a> notes &lt;with&gt; &quot;entities&quot;" +
-              "&nbsp;it&#39;s</p>\n<!-- comment with <p>fake</p> tags " +
-              "-->\n<div><a href=\"/terms\">Terms</a>" +
-              "<a href=\"/privacy\">Privacy</a></div>\n</body></html>"))),
+        withHtmlFixture(
+          Tables.load(s, dir, "documents", parallelize = true)),
         "doc_id", "html")
       .orderBy("doc_id"),
     Some(htmlExtractOracle))
 
-  private def htmlExtractOracle: String = {
-    // entity decode: specific entities first, &amp; LAST (mirrors
-    // HtmlExtract.Entities order); chr(39) dodges quote escaping
-    def dec(x: String) =
-      "replace(replace(replace(replace(replace(replace(" + x +
-        ", '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
-        "'&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&')"
-    def vis(x: String) =
-      "trim(regexp_replace(" +
-        dec(s"regexp_replace($x, '<[^>]*>', ' ', 'g')") +
-        ", '\\s+', ' ', 'g'))"
-    "WITH h AS (SELECT doc_id, '<html><head><title>Doc ' || " +
+  /** The [[withHtmlFixture]] template as a DuckDB expression over a
+    * `documents` row.
+    */
+  private val htmlFixtureSql: String =
+    "'<html><head><title>Doc ' || " +
       "CAST(doc_id AS VARCHAR) || '</title>' || chr(10) || " +
       "'<style>body { color: #333; }</style>' || chr(10) || " +
       "'<script>if (1 < 2) { track(\"' || source || '\"); }</script>' " +
@@ -1325,8 +1326,25 @@ object TextQueries extends QueryPack {
       "'<!-- comment with <p>fake</p> tags -->' || chr(10) || " +
       "'<div><a href=\"/terms\">Terms</a>" +
       "<a href=\"/privacy\">Privacy</a></div>' || chr(10) || " +
-      "'</body></html>' AS html FROM documents), " +
-      "c AS (SELECT doc_id, regexp_replace(regexp_replace(" +
+      "'</body></html>'"
+
+  /** The [[HtmlExtract.extract]] replay as CTEs reading a CTE `h` with
+    * `(doc_id, html)` — emits `c, b, li, l, s, k, agg` with
+    * `agg = (doc_id, n_blocks, n_kept, text)`. Shared by the
+    * standalone extraction oracle and the composed e2e oracle.
+    */
+  private def htmlExtractionCtes: String = {
+    // entity decode: specific entities first, &amp; LAST (mirrors
+    // HtmlExtract.Entities order); chr(39) dodges quote escaping
+    def dec(x: String) =
+      "replace(replace(replace(replace(replace(replace(" + x +
+        ", '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+        "'&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&')"
+    def vis(x: String) =
+      "trim(regexp_replace(" +
+        dec(s"regexp_replace($x, '<[^>]*>', ' ', 'g')") +
+        ", '\\s+', ' ', 'g'))"
+    "c AS (SELECT doc_id, regexp_replace(regexp_replace(" +
       "regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'), " +
       "'(?s)<style[^>]*>.*?</style>', ' ', 'g'), " +
       "'(?s)<!--.*?-->', ' ', 'g') AS html FROM h), " +
@@ -1347,11 +1365,16 @@ object TextQueries extends QueryPack {
       "AS n_blocks, " +
       "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept, " +
       "coalesce(string_agg(CASE WHEN keep THEN txt END, chr(10) " +
-      "ORDER BY pos), '') AS text FROM k GROUP BY 1) " +
+      "ORDER BY pos), '') AS text FROM k GROUP BY 1)"
+  }
+
+  private def htmlExtractOracle: String =
+    s"WITH h AS (SELECT doc_id, $htmlFixtureSql AS html " +
+      "FROM documents), " +
+      htmlExtractionCtes + " " +
       "SELECT doc_id, n_blocks, n_kept, n_blocks - n_kept AS n_dropped, " +
       "text, CAST(length(text) AS INT) AS text_chars FROM agg " +
       "ORDER BY doc_id"
-  }
 
   /** Model-based quality scoring ([[QualityModel]]): LIVE perceptron
     * training on the corpus with [[QualityModel.ttrLabel]] weak labels,
@@ -1394,6 +1417,139 @@ object TextQueries extends QueryPack {
         "margin >= 0 AS keep FROM m CROSS JOIN gg ORDER BY doc_id"
     })
 
+  private val E2eTau = 0.3
+  private val E2eBudget = 5000L
+
+  /** The COMPLETE modern curation loop, end-to-end and hash-verified —
+    * the r12/r13 operators composed as ONE dataflow (the
+    * `corpus_pipeline_full_documents` charter extended to the current
+    * frontier): NFC markup normalization (X100, native `graft_nfc`) →
+    * HTML extraction (tag/entity/boilerplate — the new operator) →
+    * pinned-weight quality-model inference (the apply-per-batch seam)
+    * → SemDeDup embedding pruning with the pinned centroids (X89) →
+    * temperature mixing over the survivors (X91). Output: one
+    * per-source funnel row (docs → quality → dedup → selection →
+    * selected tokens).
+    *
+    * Single-staging contract: the documents corpus is SCANNED ONCE —
+    * wrap + NFC + extraction + scoring fuse into one map-side chain
+    * whose output checkpoints as a METADATA-sized frame (id, source,
+    * counts — no text), and every later stage (dedup flags, mixing,
+    * the funnel) reads that checkpoint or the embeddings table, never
+    * the corpus again. The oracle rebuilds all five stages in DuckDB,
+    * so one hash checks the composition, not just the pieces.
+    */
+  private def curateE2eQuery = QueryDef(
+    "corpus_curate_e2e_documents",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents", parallelize = true)
+      val scored = QualityModel.scorePinned(
+          HtmlExtract.extract(
+            withHtmlFixture(docs)
+              .withColumn("html", TextAnalysis.nfc(col("html"))),
+            "doc_id", "html", keepCols = Seq("source")),
+          "doc_id", "text", QualityGatePinned.weights,
+          QualityGatePinned.bias, keepCols = Seq("source"))
+        .select(col("doc_id"), col("source"),
+          col("n_tokens").cast("long").as("n_tokens"), col("keep"))
+        .localCheckpoint(true)
+      val q = scored.filter(col("keep"))
+      val pruned = graft.sim.SemDedup.prune(
+          Tables.load(s, dir, "embeddings")
+            .join(q.select(col("doc_id").as("vec_id")), Seq("vec_id")),
+          "vec_id", "embedding",
+          graft.sim.KmeansGatePinned.centroids, E2eTau)
+        .filter(col("kept")).select(col("vec_id").as("doc_id"))
+        .localCheckpoint(true) // read by mixing AND the funnel join
+      val sel = graft.pipeline.Mixing.byTemperatureT2(
+          q.join(pruned, Seq("doc_id")), "source", "doc_id",
+          "n_tokens", E2eBudget)
+        .select(col("doc_id"), lit(true).as("__sel"))
+      scored
+        .join(pruned.withColumn("__dd", lit(true)), Seq("doc_id"),
+          "left")
+        .join(sel, Seq("doc_id"), "left")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("__dd"), 1L).otherwise(0L)).as("n_dedup"),
+          sum(when(col("__sel"), 1L).otherwise(0L)).as("n_selected"),
+          sum(when(col("__sel"), col("n_tokens")).otherwise(0L))
+            .as("sel_tokens"))
+        .orderBy("source")
+    },
+    Some(curateE2eOracle))
+
+  private def curateE2eOracle: String = {
+    val w = QualityGatePinned.weights.mkString("[", ", ", "]::BIGINT[]")
+    val tau = graft.util.OracleSql.dbl(E2eTau)
+    s"WITH h AS (SELECT doc_id, nfc_normalize($htmlFixtureSql) " +
+      "AS html FROM documents), " +
+      htmlExtractionCtes + ", " +
+      "gg AS (SELECT CASE WHEN (SELECT count(*) FROM documents) = " +
+      s"${QualityGatePinned.GateRows} THEN 1 ELSE " +
+      "error('e2e pinned oracle is only valid at the " +
+      s"${QualityGatePinned.GateRows}-row gate corpus: regenerate " +
+      "the pinned models') END AS ok), " +
+      "ex AS (SELECT d2.doc_id, d2.source, agg.text FROM documents d2 " +
+      "JOIN agg USING (doc_id)), " +
+      "toks AS (SELECT doc_id, source, " +
+      "CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
+      "ELSE regexp_split_to_array(trim(text), '\\s+') END AS t " +
+      "FROM ex), " +
+      "m AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) " +
+      s"AS n_tokens, CAST(${QualityGatePinned.bias} + coalesce(" +
+      s"list_sum(list_transform(t, tk -> ($w)[" +
+      "CAST(('0x' || substr(md5(tk), 1, 15))::BIGINT % " +
+      s"${QualityGatePinned.Buckets} AS INT) + 1])), 0) AS BIGINT) " +
+      "AS margin FROM toks), " +
+      "q AS (SELECT doc_id, source, n_tokens FROM m " +
+      "WHERE margin >= 0), " +
+      graft.sim.SimilarityQueries.kmeansAssignCtes(
+        graft.sim.KmeansGatePinned.centroids,
+        "(SELECT embeddings.vec_id, embeddings.embedding " +
+          "FROM embeddings JOIN q ON q.doc_id = embeddings.vec_id) " +
+          "embq") + ", " +
+      "av AS (SELECT a.vec_id, a.label, a.d2, n.nv FROM a " +
+      "JOIN n USING (vec_id)), " +
+      "dups AS (SELECT x.vec_id AS ida, y.vec_id AS idb, " +
+      "list_dot_product(x.nv, y.nv) AS cos FROM av x " +
+      "JOIN av y USING (label) WHERE x.vec_id <> y.vec_id " +
+      "AND (y.d2 < x.d2 OR (y.d2 = x.d2 AND y.vec_id < x.vec_id)) " +
+      s"AND list_dot_product(x.nv, y.nv) >= $tau), " +
+      "best AS (SELECT ida AS vec_id FROM (SELECT ida, " +
+      "row_number() OVER (PARTITION BY ida ORDER BY cos DESC, idb) " +
+      "AS rn FROM dups) WHERE rn = 1), " +
+      "ddk AS (SELECT a.vec_id AS doc_id FROM a LEFT JOIN best " +
+      "USING (vec_id) WHERE best.vec_id IS NULL), " +
+      "mi AS (SELECT q.doc_id, q.source, q.n_tokens FROM q " +
+      "JOIN ddk USING (doc_id)), " +
+      "s2 AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS stok " +
+      "FROM mi GROUP BY 1), " +
+      "z AS (SELECT CAST(sum(CAST(sqrt(stok) AS DECIMAL(38,12))) " +
+      "AS DOUBLE) AS zsum FROM s2), " +
+      s"t2 AS (SELECT source, CAST(floor(CAST($E2eBudget AS DOUBLE) " +
+      "* sqrt(stok) / zsum) AS BIGINT) AS target FROM s2 " +
+      "CROSS JOIN z), " +
+      "cm AS (SELECT doc_id, source, n_tokens, SUM(n_tokens) OVER (" +
+      "PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id " +
+      "ROWS UNBOUNDED PRECEDING) AS cum FROM mi), " +
+      "sel AS (SELECT cm.doc_id FROM cm JOIN t2 USING (source) " +
+      "WHERE cum - n_tokens < target) " +
+      "SELECT m.source, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(CASE WHEN m.margin >= 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_quality, " +
+      "CAST(sum(CASE WHEN ddk.doc_id IS NOT NULL THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_dedup, " +
+      "CAST(sum(CASE WHEN sel.doc_id IS NOT NULL THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_selected, " +
+      "CAST(sum(CASE WHEN sel.doc_id IS NOT NULL THEN m.n_tokens " +
+      "ELSE 0 END) AS BIGINT) AS sel_tokens " +
+      "FROM m LEFT JOIN ddk ON m.doc_id = ddk.doc_id " +
+      "LEFT JOIN sel ON m.doc_id = sel.doc_id CROSS JOIN gg " +
+      "GROUP BY 1 ORDER BY 1"
+  }
+
   override def queries: Seq[QueryDef] =
     Seq(statsQuery, curateQuery, pipelineQuery, pipelineFullQuery,
       sampleQuery, shardQuery, splitQuery, termsQuery, vocabQuery,
@@ -1404,5 +1560,5 @@ object TextQueries extends QueryPack {
       qualityBucketsQuery, bm25Query,
       collocationsQuery, boilerplateQuery, bpeQuery, bpeEncodeQuery,
       domainsQuery, indexQuery, nfcQuery, htmlExtractQuery,
-      qualityModelQuery)
+      qualityModelQuery, curateE2eQuery)
 }
