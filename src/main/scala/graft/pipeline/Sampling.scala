@@ -47,6 +47,24 @@ object Sampling {
       StratumPrefilter.Margin)
   }
 
+  /** Corpus-wide uniform deterministic k-sample — the whole-corpus
+    * analogue of [[stratifiedHead]] and the scalable stand-in for
+    * reservoir sampling: the first `k` rows in md5(id) order. Hash
+    * order is uniform over ids, so the selection is a
+    * uniform-without-replacement sample that is reproducible on any
+    * engine, cluster size, or partitioning (no `rand()`, no reservoir
+    * state). Spark plans `orderBy(limit)` as TakeOrderedAndProject —
+    * per-partition top-k heaps merged on the driver, k·partitions rows
+    * moved — never a full corpus sort (SamplingSpec pins the plan), so
+    * the operator holds at any corpus size with bounded driver state.
+    */
+  def uniformHead(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.orderBy(md5(col(idCol).cast("string").cast("binary")),
+        col(idCol))
+      .limit(k)
+  }
+
   /** The plain selection: rank within stratum, keep the head. */
   private def exactHead(df: DataFrame, stratumCols: Seq[String],
       idCol: String, quota: Int): DataFrame = {

@@ -136,6 +136,55 @@ object Similarity {
     * scale substitute any ANN candidate generator for the neighbor
     * stage — the vote is a per-query aggregation either way.
     */
+  /** Retrieval-quality evaluation — per-query recall@k and reciprocal
+    * rank (the BEIR-style eval an embedding/ANN pipeline runs before
+    * trusting an index): retrieve each query's top-k corpus neighbors
+    * by exact cosine, mark same-label neighbors relevant, and emit
+    * `(query_id, true_label, n_relevant, hits, recall_at_k,
+    * first_rank, rr)`. All counting is exact-integer;
+    * `recall_at_k = hits / min(k, n_relevant)` and `rr = 1/first_rank`
+    * are single IEEE divisions of exact operands (NULL recall when the
+    * query's label has no other corpus member; rr = 0 when no relevant
+    * neighbor ranks in the top k). The per-query relevant total comes
+    * from an unordered window over the SAME partition the ranking
+    * window shuffles on — one exchange serves both. Composes on
+    * [[bruteForceTopK]]'s contract (bounded query set broadcast,
+    * corpus streamed once); at scale substitute any ANN candidate
+    * generator for the ranking stage and the metrics become that
+    * index's MEASURED quality against the exact relevant counts.
+    */
+  def retrievalMetrics(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__nl"), asDouble(col(vecCol)).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("true_label"), asDouble(col(vecCol)).as("__qv"))
+    val wOrd = Window.partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("neighbor_id"))
+    val wAll = Window.partitionBy("query_id")
+    val ranked = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("true_label"), col("neighbor_id"),
+        (col("__nl") === col("true_label")).cast("long").as("__rel"),
+        cosine(col("__qv"), col("__cv")).as("__cos"))
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__nrel", sum(col("__rel")).over(wAll))
+      .filter(col("__rn") <= k)
+    ranked.groupBy(col("query_id"), col("true_label"))
+      .agg(max(col("__nrel")).as("n_relevant"),
+        sum(col("__rel")).as("hits"),
+        min(when(col("__rel") === 1L, col("__rn"))).as("__fr"))
+      .select(col("query_id"), col("true_label"), col("n_relevant"),
+        col("hits"),
+        when(least(lit(k.toLong), col("n_relevant")) > 0,
+          col("hits").cast("double") /
+            least(lit(k.toLong), col("n_relevant"))).as("recall_at_k"),
+        col("__fr").cast("long").as("first_rank"),
+        when(col("__fr").isNotNull, lit(1.0) / col("__fr"))
+          .otherwise(lit(0.0)).as("rr"))
+  }
+
   def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, labelCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),

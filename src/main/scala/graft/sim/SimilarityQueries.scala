@@ -806,10 +806,55 @@ object SimilarityQueries extends QueryPack {
         "ORDER BY vec_id, pc"
     })
 
+  /** Retrieval-quality metrics ([[Similarity.retrievalMetrics]]):
+    * recall@k and reciprocal rank per query over exact cosine
+    * retrieval with same-label relevance — the eval gate an
+    * embedding/ANN pipeline runs before trusting an index. Oracled
+    * with the proven brute-cosine CTE: ranking window + unordered
+    * relevant-count window + exact-integer metric arithmetic replayed
+    * verbatim (single IEEE divisions for recall and rr).
+    */
+  private def recallQuery = QueryDef(
+    "sim_recall_at_k",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.retrievalMetrics(emb,
+          emb.filter(col("vec_id") < QueryIds), "vec_id", "embedding",
+          "label", K)
+        .orderBy("query_id")
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id < $QueryIds),
+         |s AS (SELECT q.vec_id AS query_id, q.label AS true_label,
+         |  c.vec_id AS neighbor_id, c.label AS nl,
+         |  $cosineSql AS cosine FROM e c, q
+         |  WHERE c.vec_id <> q.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rn,
+         |  SUM(CASE WHEN nl = true_label THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY query_id) AS nrel FROM s),
+         |t AS (SELECT * FROM r WHERE rn <= $K),
+         |m AS (SELECT query_id, true_label,
+         |  CAST(max(nrel) AS BIGINT) AS n_relevant,
+         |  CAST(sum(CASE WHEN nl = true_label THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS hits,
+         |  min(CASE WHEN nl = true_label THEN rn END) AS fr
+         |  FROM t GROUP BY 1, 2)
+         |SELECT query_id, true_label, n_relevant, hits,
+         |  CASE WHEN least($K, n_relevant) > 0
+         |    THEN hits::DOUBLE / least($K, n_relevant) END
+         |    AS recall_at_k,
+         |  CAST(fr AS BIGINT) AS first_rank,
+         |  CASE WHEN fr IS NOT NULL THEN 1.0::DOUBLE / fr
+         |    ELSE 0.0 END AS rr
+         |FROM m ORDER BY query_id""".stripMargin.replace("\n", " ")))
+
   override def queries: Seq[QueryDef] =
     Seq(bruteQuery, lshQuery, ivfQuery, ivfTrainedQuery, kmeansQuery,
       semdedupQuery, knnBruteQuery, knnLshQuery, quantizeQuery,
       quantTopkQuery, centroidQuery, outliersQuery, projectQuery,
       projTopkQuery, hybridQuery, pcaQuery, hardNegQuery,
-      knnClassifyQuery)
+      knnClassifyQuery, recallQuery)
 }

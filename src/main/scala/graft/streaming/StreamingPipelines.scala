@@ -263,6 +263,108 @@ object StreamingPipelines {
   def nearDupMatches(s: SparkSession, matchesPath: String): DataFrame =
     s.read.option("recursiveFileLookup", "true").parquet(matchesPath)
 
+  /** Streaming quality-model scoring
+    * ([[graft.text.QualityModel.scorePinned]] incrementally — the
+    * X102 classifier composed into the streaming family): each
+    * micro-batch scores its documents with the LITERAL weights (the
+    * apply-per-batch production seam) and writes its per-`groupCol`
+    * partial aggregate `(n_docs, n_keep, margin_sum)` to a
+    * batch-owned, overwrite-idempotent state subdir; the report
+    * (totals + keep_rate) then re-aggregates the full state and
+    * overwrites `reportPath`. Integer sums commute, so the report is
+    * independent of the micro-batch cut and equals the batch operator
+    * on the same corpus — the [[MaintainedAgg]] equality story the
+    * gate lane's oracle pins.
+    *
+    * State layer follows [[nearDupStream]]'s r13 contract: Hadoop-FS
+    * resolution, fail-loud on a missing batch dir the marker implies,
+    * and generation compaction every `compactEvery` batches — here the
+    * fold may INCLUDE the current batch (partials are idempotent
+    * per-batch frames, so a replay after the marker moved reads its
+    * own contribution from the generation and the empty tail — same
+    * totals), keeping the per-batch listing bounded even though each
+    * partial is only `|groups|` rows.
+    */
+  def qualityStream(source: DataFrame, idCol: String, textCol: String,
+      groupCol: String, weights: Array[Long], bias: Long,
+      statePath: String, reportPath: String, checkpoint: String,
+      compactEvery: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(compactEvery >= 2, "compactEvery must be at least 2")
+    def total(parts: DataFrame): DataFrame =
+      parts.groupBy(col(groupCol)).agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_keep")).as("n_keep"),
+        sum(col("margin_sum")).as("margin_sum"))
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = fsOf(s, statePath)
+        graft.text.QualityModel
+          .scorePinned(batch, idCol, textCol, weights, bias,
+            keepCols = Seq(groupCol))
+          .groupBy(col(groupCol)).agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+            sum(col("margin")).as("margin_sum"))
+          .write.mode("overwrite").parquet(s"$statePath/b$batchId")
+        val upto = readMarker(fs, statePath)
+        // upto may be batchId + 1 on a replayed already-compacted
+        // batch: the generation then carries this batch's partial and
+        // the tail range below is empty — totals identical
+        if (upto > batchId + 1)
+          throw new IllegalStateException(
+            s"compaction marker $upto is ahead of batch $batchId " +
+              s"under $statePath — state belongs to a different stream")
+        val gen =
+          if (upto > 0) {
+            val g = s"$statePath/compacted_g$upto"
+            if (!fs.exists(new Path(g)))
+              throw new IllegalStateException(
+                s"marker says batches [0, $upto) are folded at $g but " +
+                  "the generation dir is missing — refusing to report " +
+                  "from partial state")
+            Seq(g)
+          } else Nil
+        val tail = (upto to batchId).map { i =>
+          val p = s"$statePath/b$i"
+          if (!fs.exists(new Path(p)))
+            throw new IllegalStateException(
+              s"state for batch $i (implied by batch counter $batchId " +
+                s"and marker $upto) is missing under $statePath")
+          p
+        }
+        val parts = gen ++ tail
+        val state = total(s.read.parquet(parts: _*))
+          .localCheckpoint(true) // feeds the report AND the compaction
+        state
+          .select(col(groupCol), col("n_docs"), col("n_keep"),
+            col("margin_sum"),
+            (col("n_keep").cast("double") /
+              greatest(col("n_docs"), lit(1L))).as("keep_rate"))
+          .write.mode("overwrite").parquet(reportPath)
+        if (batchId + 1 - upto >= compactEvery) {
+          val g = s"$statePath/compacted_g${batchId + 1}"
+          state.write.mode("overwrite").parquet(g)
+          writeMarker(fs, statePath, batchId + 1)
+          fs.listStatus(new Path(statePath)).foreach { st =>
+            val n = st.getPath.getName
+            val stale =
+              (n.startsWith("b") && n.drop(1).forall(_.isDigit) &&
+                n.drop(1).toLong <= batchId) ||
+                (n.startsWith("compacted_g") &&
+                  n != s"compacted_g${batchId + 1}")
+            if (stale) { fs.delete(st.getPath, true); () }
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming incremental NEAR-dup dedup — [[graft.dedup.IncrementalNearDup]]
     * maintained through a real StreamingQuery: each micro-batch first
     * PROBES the persisted corpus LSH index (band + shingle-set tables

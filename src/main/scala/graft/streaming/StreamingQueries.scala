@@ -543,8 +543,62 @@ object StreamingQueries extends QueryPack {
     },
     Some(graft.dedup.DedupQueries.incrementalMinhashOracleSql))
 
+  /** Streaming quality-model scoring
+    * ([[StreamingPipelines.qualityStream]]): the documents corpus
+    * drains in TWO files; each micro-batch scores with the PINNED
+    * weights (the X102 apply-per-batch seam) and merges its per-source
+    * partial `(n_docs, n_keep, margin_sum)` into the state layer.
+    * Integer sums commute, so the maintained report is independent of
+    * the micro-batch cut and equals the batch inference aggregated per
+    * source — which is exactly what the oracle computes (the X57/X84
+    * maintained-operator equality story applied to the quality
+    * classifier; multi-batch state/compaction mechanics are pinned in
+    * `QualityStreamSpec`).
+    */
+  private def qualityQuery = QueryDef(
+    "stream_quality_documents",
+    (s, dir) => withStreamSession(s) { iso =>
+      val staged = StreamStage.ensureOrdered(iso, dir, "qual2",
+          "documents")(x =>
+          graft.io.Tables.load(x, dir, "documents", parallelize = false)
+            .select(col("doc_id"), col("source"), col("text")))(
+          col("doc_id") % 2 === 0)
+      withTempDirs("graft_stream_qual_state", "graft_stream_qual_out",
+        "graft_stream_qual_ckpt") {
+      case Seq(state, out, ckpt) =>
+        val schema = iso.read.parquet(staged).schema
+        val src = iso.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(staged)
+        val q = StreamingPipelines.qualityStream(src, "doc_id", "text",
+          "source", graft.text.QualityGatePinned.weights,
+          graft.text.QualityGatePinned.bias, state, out, ckpt)
+        q.awaitTermination()
+        graft.util.Frames.localized(iso.read.parquet(out)
+          .orderBy("source"))
+      }
+    },
+    Some {
+      import graft.text.{QualityGatePinned, TextQueries}
+      s"WITH toks AS (SELECT doc_id, source, ${TextQueries.tokensSql} " +
+        "AS t FROM documents), " +
+        "gg AS (SELECT CASE WHEN (SELECT count(*) FROM documents) = " +
+        s"${QualityGatePinned.GateRows} THEN 1 ELSE " +
+        "error('streaming quality oracle is only valid at the " +
+        s"${QualityGatePinned.GateRows}-row gate corpus: regenerate " +
+        "QualityGatePinned') END AS ok), " +
+        s"m AS (SELECT source, ${TextQueries.qualityMarginSql} " +
+        "AS margin FROM toks) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN margin >= 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_keep, CAST(sum(margin) AS BIGINT) AS margin_sum, " +
+        "CAST(sum(CASE WHEN margin >= 0 THEN 1 ELSE 0 END) AS BIGINT)" +
+        "::DOUBLE / greatest(CAST(count(*) AS BIGINT), 1) " +
+        "AS keep_rate FROM m CROSS JOIN gg GROUP BY source " +
+        "ORDER BY source"
+    })
+
   override def queries: Seq[QueryDef] =
     Seq(windowedQuery, sessionizeQuery, dedupQuery, intervalJoinQuery,
       pipelineQuery, profileQuery, funnelQuery, maintainedAggQuery,
-      activesQuery, nearDupQuery)
+      activesQuery, nearDupQuery, qualityQuery)
 }

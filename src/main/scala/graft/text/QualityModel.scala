@@ -53,11 +53,21 @@ object QualityModel {
     * byte-identical to `pmod(Dedup.md5Base(t), buckets)` and to
     * DuckDB's `('0x' || substr(md5(t), 1, 15))::BIGINT % buckets`.
     */
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   def bucketOf(token: String, buckets: Int): Int = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
-    (java.lang.Long.parseLong(hex, 16) % buckets).toInt
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(
+      token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex digits of the digest = the top 60 bits of the first
+    // 8 bytes, shifted right one nibble — pure integer, no hex string
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    ((v >>> 4) % buckets).toInt
   }
 
   private def tokensOf(text: String): Array[String] = {

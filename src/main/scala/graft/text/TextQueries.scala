@@ -17,9 +17,22 @@ object TextQueries extends QueryPack {
   private val stopList =
     TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
-  private val tokensSql =
+  private[graft] val tokensSql =
     "CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
       "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+
+  /** The pinned-weight quality margin as a DuckDB expression over a
+    * token-list column `t` — shared by the batch inference oracle, the
+    * composed e2e oracle and the streaming maintained-aggregate oracle
+    * ([[graft.streaming.StreamingQueries]]).
+    */
+  private[graft] def qualityMarginSql: String = {
+    val w = QualityGatePinned.weights.mkString("[", ", ", "]::BIGINT[]")
+    s"CAST(${QualityGatePinned.bias} + coalesce(list_sum(" +
+      s"list_transform(t, tk -> ($w)[" +
+      "CAST(('0x' || substr(md5(tk), 1, 15))::BIGINT % " +
+      s"${QualityGatePinned.Buckets} AS INT) + 1])), 0) AS BIGINT)"
+  }
 
   private def statsOracle: String = {
     val toks = tokensSql
@@ -207,6 +220,25 @@ object TextQueries extends QueryPack {
       "SELECT doc_id, lang, source, ROW_NUMBER() OVER (" +
       "PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn " +
       "FROM documents) WHERE rn <= 40 ORDER BY lang, doc_id"))
+
+  /** Corpus-wide uniform deterministic sample
+    * ([[graft.pipeline.Sampling.uniformHead]]): the first 100 docs in
+    * md5(doc_id) order — the reproducible reservoir-sampling stand-in
+    * (TakeOrderedAndProject plan: per-partition top-k heaps, never a
+    * corpus sort; SamplingSpec pins the plan shape). Complements the
+    * per-stratum quota form above.
+    */
+  private def sampleUniformQuery = QueryDef(
+    "corpus_sample_uniform_documents",
+    (s, dir) => graft.pipeline.Sampling.uniformHead(
+        Tables.load(s, dir, "documents")
+          .select("doc_id", "source", "n_chars"),
+        "doc_id", k = 100)
+      .orderBy("doc_id"),
+    Some("SELECT doc_id, source, n_chars FROM (" +
+      "SELECT doc_id, source, n_chars FROM documents " +
+      "ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 100) " +
+      "ORDER BY doc_id"))
 
   /** Vocabulary coverage ([[Vocab]]): top-50 corpus tokens with exact
     * cumulative share — the tokenizer-sizing curve. Ranks and shares
@@ -1398,8 +1430,6 @@ object TextQueries extends QueryPack {
       QualityModel.score(docs, "doc_id", "text", m).orderBy("doc_id")
     },
     Some {
-      val w = QualityGatePinned.weights
-        .map(x => s"${x}") .mkString("[", ", ", "]::BIGINT[]")
       s"WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents), " +
         "gg AS (SELECT CASE WHEN (SELECT count(*) FROM documents) = " +
         s"${QualityGatePinned.GateRows} THEN 1 ELSE " +
@@ -1407,11 +1437,7 @@ object TextQueries extends QueryPack {
         s"at the ${QualityGatePinned.GateRows}-row gate corpus: " +
         "regenerate QualityGatePinned') END AS ok), " +
         "m AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tokens, " +
-        s"CAST(${QualityGatePinned.bias} + coalesce(list_sum(" +
-        s"list_transform(t, tk -> ($w)[" +
-        "CAST(('0x' || substr(md5(tk), 1, 15))::BIGINT % " +
-        s"${QualityGatePinned.Buckets} AS INT) + 1])), 0) AS BIGINT) " +
-        "AS margin FROM toks) " +
+        s"$qualityMarginSql AS margin FROM toks) " +
         "SELECT doc_id, n_tokens, margin, " +
         "margin::DOUBLE / greatest(n_tokens, 1) AS score, " +
         "margin >= 0 AS keep FROM m CROSS JOIN gg ORDER BY doc_id"
@@ -1481,7 +1507,6 @@ object TextQueries extends QueryPack {
     Some(curateE2eOracle))
 
   private def curateE2eOracle: String = {
-    val w = QualityGatePinned.weights.mkString("[", ", ", "]::BIGINT[]")
     val tau = graft.util.OracleSql.dbl(E2eTau)
     s"WITH h AS (SELECT doc_id, nfc_normalize($htmlFixtureSql) " +
       "AS html FROM documents), " +
@@ -1498,11 +1523,7 @@ object TextQueries extends QueryPack {
       "ELSE regexp_split_to_array(trim(text), '\\s+') END AS t " +
       "FROM ex), " +
       "m AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) " +
-      s"AS n_tokens, CAST(${QualityGatePinned.bias} + coalesce(" +
-      s"list_sum(list_transform(t, tk -> ($w)[" +
-      "CAST(('0x' || substr(md5(tk), 1, 15))::BIGINT % " +
-      s"${QualityGatePinned.Buckets} AS INT) + 1])), 0) AS BIGINT) " +
-      "AS margin FROM toks), " +
+      s"AS n_tokens, $qualityMarginSql AS margin FROM toks), " +
       "q AS (SELECT doc_id, source, n_tokens FROM m " +
       "WHERE margin >= 0), " +
       graft.sim.SimilarityQueries.kmeansAssignCtes(
@@ -1560,5 +1581,5 @@ object TextQueries extends QueryPack {
       qualityBucketsQuery, bm25Query,
       collocationsQuery, boilerplateQuery, bpeQuery, bpeEncodeQuery,
       domainsQuery, indexQuery, nfcQuery, htmlExtractQuery,
-      qualityModelQuery, curateE2eQuery)
+      qualityModelQuery, curateE2eQuery, sampleUniformQuery)
 }

@@ -41,6 +41,32 @@ class SamplingSpec extends SparkSpec {
       "md5 order should differ from natural id order")
   }
 
+  test("uniformHead: exactly k rows, the md5-first k, layout-stable") {
+    val df = (1L to 200L).toDF("id")
+    def md5Of(id: Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString
+    }
+    val want = (1L to 200L).sortBy(id => (md5Of(id), id)).take(25).toSet
+    val got = Sampling.uniformHead(df, "id", 25)
+      .select("id").as[Long].collect()
+    assert(got.length === 25)
+    assert(got.toSet === want, "must be the first 25 in md5 order")
+    val reparted = Sampling.uniformHead(df.repartition(13), "id", 25)
+      .select("id").as[Long].collect().toSet
+    assert(reparted === want, "selection must not depend on layout")
+  }
+
+  test("uniformHead plans a top-k (TakeOrderedAndProject), " +
+      "never a full corpus sort") {
+    val plan = Sampling
+      .uniformHead(Tables.load(spark, sf, "documents"), "doc_id", 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected a top-k plan, got:\n$plan")
+  }
+
   // ---- hash-threshold prefilter (mega-stratum scale path) ----
 
   test("prefilter selects IDENTICAL rows on a skewed fixture") {
