@@ -1443,6 +1443,62 @@ object TextQueries extends QueryPack {
         "margin >= 0 AS keep FROM m CROSS JOIN gg ORDER BY doc_id"
     })
 
+  /** Markdown → text extraction ([[MarkdownExtract.extract]]): each
+    * document wraps into a deterministic markdown template carrying
+    * every hazard — a fenced code block whose CONTENT contains fake
+    * links and emphasis (must vanish whole), inline links and images
+    * (text survives, targets and markers go), heading/blockquote/list
+    * markers, a horizontal rule, bold/italic runs — replayed verbatim
+    * in the oracle (pre-strip structure counts included).
+    */
+  private def markdownExtractQuery = QueryDef(
+    "text_extract_markdown_documents",
+    (s, dir) => MarkdownExtract.extract(
+        Tables.load(s, dir, "documents", parallelize = true)
+          .withColumn("md", concat(
+            lit("# Doc "), col("doc_id").cast("string"),
+            lit("\n\nIntro by "), col("source"),
+            lit(" with [a link](https://example.com/d/"),
+            col("doc_id").cast("string"),
+            lit(") and ![logo](/img.png) inline.\n\n" +
+              "```scala\nval x = 1 // fake [link](x) and *stars*\n" +
+              "```\n\n> quoted wisdom\n\n- first item\n" +
+              "- second *emphasized* item\n\n"),
+            col("text"),
+            lit("\n\n---\n\n1. numbered\n2. **bold** end\n"))),
+        "doc_id", "md")
+      .orderBy("doc_id"),
+    Some(markdownExtractOracle))
+
+  private def markdownExtractOracle: String = {
+    val chain = MarkdownExtract.Steps.foldLeft("md") {
+      case (acc, (pat, rep)) =>
+        s"regexp_replace($acc, '$pat', '$rep', 'g')"
+    }
+    "WITH h AS (SELECT doc_id, '# Doc ' || CAST(doc_id AS VARCHAR) || " +
+      "chr(10) || chr(10) || 'Intro by ' || source || " +
+      "' with [a link](https://example.com/d/' || " +
+      "CAST(doc_id AS VARCHAR) || ') and ![logo](/img.png) inline.' " +
+      "|| chr(10) || chr(10) || '```scala' || chr(10) || " +
+      "'val x = 1 // fake [link](x) and *stars*' || chr(10) || " +
+      "'```' || chr(10) || chr(10) || '> quoted wisdom' || chr(10) || " +
+      "chr(10) || '- first item' || chr(10) || " +
+      "'- second *emphasized* item' || chr(10) || chr(10) || text || " +
+      "chr(10) || chr(10) || '---' || chr(10) || chr(10) || " +
+      "'1. numbered' || chr(10) || '2. **bold** end' || chr(10) " +
+      "AS md FROM documents) " +
+      "SELECT doc_id, " +
+      "CAST(len(regexp_extract_all(md, '(?s)```.*?```')) AS INT) " +
+      "AS n_code_blocks, " +
+      "CAST(len(regexp_extract_all(md, '\\]\\([^)]*\\)')) AS INT) " +
+      "AS n_links, " +
+      "CAST(len(regexp_extract_all(md, '(?m)^#{1,6} ')) AS INT) " +
+      "AS n_headings, " +
+      s"trim($chain) AS text, " +
+      s"CAST(length(trim($chain)) AS INT) AS text_chars " +
+      "FROM h ORDER BY doc_id"
+  }
+
   private val E2eTau = 0.3
   private val E2eBudget = 5000L
 
@@ -1581,5 +1637,6 @@ object TextQueries extends QueryPack {
       qualityBucketsQuery, bm25Query,
       collocationsQuery, boilerplateQuery, bpeQuery, bpeEncodeQuery,
       domainsQuery, indexQuery, nfcQuery, htmlExtractQuery,
-      qualityModelQuery, curateE2eQuery, sampleUniformQuery)
+      qualityModelQuery, curateE2eQuery, sampleUniformQuery,
+      markdownExtractQuery)
 }
