@@ -851,10 +851,70 @@ object SimilarityQueries extends QueryPack {
          |    ELSE 0.0 END AS rr
          |FROM m ORDER BY query_id""".stripMargin.replace("\n", " ")))
 
+  /** Embedding drift monitor ([[EmbeddingDrift.compare]]) between the
+    * two deterministic snapshot halves (`vec_id % 2`): per-label
+    * membership share shift + centroid cosine — the re-ingest /
+    * re-encode health check. Oracled exactly via the
+    * `emb_centroid_label` + `emb_outliers_label` recipe (DECIMAL
+    * centroid sums, products rounded once to DECIMAL(38,12) before the
+    * order-independent sum, IEEE tail arithmetic).
+    */
+  private def driftQuery = QueryDef(
+    "emb_drift_labels",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      EmbeddingDrift.compare(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+          "label", "embedding")
+        .orderBy("label")
+    },
+    Some(
+      """WITH ea AS (SELECT label, embedding FROM embeddings
+        |  WHERE vec_id % 2 = 0),
+        |eb AS (SELECT label, embedding FROM embeddings
+        |  WHERE vec_id % 2 = 1),
+        |caa AS (SELECT label, dim,
+        |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,12)))
+        |    AS DOUBLE) / count(*) AS c,
+        |  CAST(count(*) AS BIGINT) AS n FROM (SELECT label,
+        |    unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS dim FROM ea)
+        |  GROUP BY label, dim),
+        |cbb AS (SELECT label, dim,
+        |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,12)))
+        |    AS DOUBLE) / count(*) AS c,
+        |  CAST(count(*) AS BIGINT) AS n FROM (SELECT label,
+        |    unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS dim FROM eb)
+        |  GROUP BY label, dim),
+        |j AS (SELECT coalesce(caa.label, cbb.label) AS label,
+        |  caa.c AS ca, cbb.c AS cb, caa.n AS na, cbb.n AS nb
+        |  FROM caa FULL JOIN cbb
+        |  ON caa.label = cbb.label AND caa.dim = cbb.dim),
+        |p AS (SELECT label,
+        |  CAST(coalesce(max(na), 0) AS BIGINT) AS n_a,
+        |  CAST(coalesce(max(nb), 0) AS BIGINT) AS n_b,
+        |  sum(CAST(ca * cb AS DECIMAL(38,12))) AS dot,
+        |  sum(CAST(ca * ca AS DECIMAL(38,12))) AS a2,
+        |  sum(CAST(cb * cb AS DECIMAL(38,12))) AS b2
+        |  FROM j GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |  CAST(sum(n_b) AS BIGINT) AS tb FROM p)
+        |SELECT label, n_a, n_b,
+        |  n_a::DOUBLE / greatest(ta, 1) AS share_a,
+        |  n_b::DOUBLE / greatest(tb, 1) AS share_b,
+        |  abs(n_a::DOUBLE / greatest(ta, 1) -
+        |    n_b::DOUBLE / greatest(tb, 1)) AS share_shift,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(a2 AS DOUBLE)) *
+        |    sqrt(CAST(b2 AS DOUBLE))) AS centroid_cos
+        |FROM p CROSS JOIN t ORDER BY label""".stripMargin
+        .replace("\n", " ")))
+
   override def queries: Seq[QueryDef] =
     Seq(bruteQuery, lshQuery, ivfQuery, ivfTrainedQuery, kmeansQuery,
       semdedupQuery, knnBruteQuery, knnLshQuery, quantizeQuery,
       quantTopkQuery, centroidQuery, outliersQuery, projectQuery,
       projTopkQuery, hybridQuery, pcaQuery, hardNegQuery,
-      knnClassifyQuery, recallQuery)
+      knnClassifyQuery, recallQuery, driftQuery)
 }
