@@ -382,8 +382,88 @@ object ScaleProbe {
     // the streaming twin: same probe work + the per-micro-batch
     // foreachBatch machinery (state append, checkpoint) as a fixed tax
     // → expect the batch row's slope shifted up by a constant
+    // (the BATCH-COUNT axis lives in graft.tools.NearDupBatchProbe —
+    // fixed corpus, growing micro-batch count, compaction off/on)
     ("stream_neardup", None,
-      SparkEntry.queries("stream_neardup_documents")))
+      SparkEntry.queries("stream_neardup_documents")),
+    // r13 lanes. HTML/markdown extraction — one map-side regexp chain,
+    // no shuffle → expect pure scan-bound linearity (the flattest text
+    // rows); any superlinearity here would mean the chain fell out of
+    // codegen
+    ("text_extract_html", None,
+      SparkEntry.queries("text_extract_html_documents")),
+    ("text_extract_markdown", None,
+      SparkEntry.queries("text_extract_markdown_documents")),
+    // quality classifier — LIVE training collects the corpus at gate
+    // shape, so the probe isolates the real scale path: PINNED-weight
+    // inference only (one map-side scan, the production
+    // apply-per-batch seam)
+    ("text_quality_infer", None, qualityInferProbe _),
+    // composed curation loop at its PRODUCTION shape: the registered
+    // lane pins k = 8 centroids (gate-corpus SemDeDup), which would go
+    // quadratic-within-cluster as embeddings scale — the probe instead
+    // runs SemDedup.run's occupancy rule (k grows with n), i.e. what a
+    // real deployment runs. Expect the extraction scan term plus the
+    // cluster_semdedup row's near-linear dedup term.
+    ("corpus_curate_e2e", None, curateE2eProbe _))
+
+  /** The composed curation loop (NFC → extraction → pinned-weight
+    * scoring → SemDeDup → temperature mixing) with the SCALE-path
+    * SemDeDup (occupancy-rule k, fitAuto) instead of the gate lane's
+    * pinned 8 centroids. Scaled corpora stride doc_id and vec_id
+    * independently, so the embedding join covers the id intersection —
+    * per-stage volumes still grow with the corpus, which is what the
+    * probe measures.
+    */
+  private def curateE2eProbe(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{abs => _, _}
+    val docs = graft.io.Tables.load(s, dir, "documents",
+      parallelize = true)
+    val scored = graft.text.QualityModel.scorePinned(
+        graft.text.HtmlExtract.extract(
+          graft.text.TextQueries.withHtmlFixture(docs)
+            .withColumn("html",
+              graft.text.TextAnalysis.nfc(col("html"))),
+          "doc_id", "html", keepCols = Seq("source")),
+        "doc_id", "text", graft.text.QualityGatePinned.weights,
+        graft.text.QualityGatePinned.bias, keepCols = Seq("source"))
+      .select(col("doc_id"), col("source"),
+        col("n_tokens").cast("long").as("n_tokens"), col("keep"))
+      .localCheckpoint(true)
+    val q = scored.filter(col("keep"))
+    val pruned = graft.sim.SemDedup.run(
+        graft.io.Tables.load(s, dir, "embeddings")
+          .join(q.select(col("doc_id").as("vec_id")), Seq("vec_id")),
+        "vec_id", "embedding", tau = 0.3)
+      .filter(col("kept")).select(col("vec_id").as("doc_id"))
+      .localCheckpoint(true)
+    val sel = graft.pipeline.Mixing.byTemperatureT2(
+        q.join(pruned, Seq("doc_id")), "source", "doc_id", "n_tokens",
+        totalTokens = 5000L)
+      .select(col("doc_id"), lit(true).as("__sel"))
+    scored
+      .join(pruned.withColumn("__dd", lit(true)), Seq("doc_id"), "left")
+      .join(sel, Seq("doc_id"), "left")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("__dd"), 1L).otherwise(0L)).as("n_dedup"),
+        sum(when(col("__sel"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("__sel"), col("n_tokens")).otherwise(0L))
+          .as("sel_tokens"))
+      .orderBy("source")
+  }
+
+  /** Pinned-weight quality inference over the scaled corpus — the
+    * production seam ([[graft.text.QualityModel.scorePinned]]); the
+    * registered lane's LIVE training is gate-corpus-bounded by
+    * contract, so the probe measures the part that actually scales.
+    */
+  private def qualityInferProbe(s: SparkSession, dir: String): DataFrame =
+    graft.text.QualityModel.scorePinned(
+      graft.io.Tables.load(s, dir, "documents", parallelize = true),
+      "doc_id", "text", graft.text.QualityGatePinned.weights,
+      graft.text.QualityGatePinned.bias)
 
   /** Drift probe: numeric drift on l_extendedprice between two
     * key-modulo snapshots of the scaled lineitem (the registered gate

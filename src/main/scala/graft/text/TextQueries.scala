@@ -1309,7 +1309,7 @@ object TextQueries extends QueryPack {
     * shared by the standalone lane and the composed e2e lane (and
     * mirrored verbatim by [[htmlFixtureSql]]).
     */
-  private def withHtmlFixture(df: org.apache.spark.sql.DataFrame)
+  private[graft] def withHtmlFixture(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     df.withColumn("html", concat(
       lit("<html><head><title>Doc "),
