@@ -34,6 +34,22 @@ object TextQueries extends QueryPack {
       s"${QualityGatePinned.Buckets} AS INT) + 1])), 0) AS BIGINT)"
   }
 
+  /** [[TextAnalysis.langId]] as a DuckDB CASE chain over expression
+    * `x` — shared by the doc-level stats oracle and the per-line
+    * segmentation oracle.
+    */
+  private def langCaseSql(x: String): String = {
+    def hasAny(words: Seq[String]): String = words.map(w =>
+      "regexp_matches(" + x + ", '(^|\\s)" + w + "(\\s|$)')")
+      .mkString(" OR ")
+    "CASE WHEN regexp_matches(" + x + ", '[\\x{4e00}-\\x{9fff}]') " +
+      "THEN 'zh' " +
+      s"WHEN ${hasAny(Seq("der", "und", "die", "nicht"))} THEN 'de' " +
+      s"WHEN ${hasAny(Seq("le", "la", "et", "les"))} THEN 'fr' " +
+      s"WHEN ${hasAny(Seq("el", "los", "las", "es"))} THEN 'es' " +
+      "ELSE 'en' END"
+  }
+
   private def statsOracle: String = {
     val toks = tokensSql
     val punct = "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE " +
@@ -47,21 +63,7 @@ object TextQueries extends QueryPack {
       s"CASE WHEN ($avgTok) BETWEEN 3.0 AND 12.0 THEN 1 ELSE 0 END",
       s"CASE WHEN ($punct) <= 0.1 THEN 1 ELSE 0 END",
       s"CASE WHEN ($stopRatio) >= 0.05 THEN 1 ELSE 0 END")
-    val lang = "CASE " +
-      "WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' " +
-      "WHEN regexp_matches(text, '(^|\\s)der(\\s|$)') OR " +
-      "regexp_matches(text, '(^|\\s)und(\\s|$)') OR " +
-      "regexp_matches(text, '(^|\\s)die(\\s|$)') OR " +
-      "regexp_matches(text, '(^|\\s)nicht(\\s|$)') THEN 'de' " +
-      "WHEN regexp_matches(text, '(^|\\s)le(\\s|$)') OR " +
-      "regexp_matches(text, '(^|\\s)la(\\s|$)') OR " +
-      "regexp_matches(text, '(^|\\s)et(\\s|$)') OR " +
-      "regexp_matches(text, '(^|\\s)les(\\s|$)') THEN 'fr' " +
-      "WHEN regexp_matches(text, '(^|\\s)el(\\s|$)') OR " +
-      "regexp_matches(text, '(^|\\s)los(\\s|$)') OR " +
-      "regexp_matches(text, '(^|\\s)las(\\s|$)') OR " +
-      "regexp_matches(text, '(^|\\s)es(\\s|$)') THEN 'es' " +
-      "ELSE 'en' END"
+    val lang = langCaseSql("text")
     s"SELECT doc_id, len($toks) AS n_tokens, " +
       "len(regexp_extract_all(text, " +
       "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe, " +
@@ -1499,6 +1501,64 @@ object TextQueries extends QueryPack {
       "FROM h ORDER BY doc_id"
   }
 
+  /** Per-line language segmentation ([[LangSegment.segment]]): the
+    * corpus is single-line synthetic text, so the gate lane INJECTS
+    * the code-switching structure real multilingual pages have (the
+    * boilerplate-lane precedent): two English body lines plus
+    * deterministic German / French / Spanish lines keyed on doc_id
+    * moduli — majority stays `en`, `n_langs` varies 1–4, the minority
+    * share reads the mix. The oracle replays line split + the shared
+    * [[langCaseSql]] chain + the (count DESC, lang ASC) majority
+    * window verbatim.
+    */
+  private def langSegmentsQuery = QueryDef(
+    "text_lang_segments_documents",
+    (s, dir) => LangSegment.segment(
+        Tables.load(s, dir, "documents", parallelize = true)
+          .withColumn("text", concat(
+            col("text"), lit("\n"), col("text"),
+            when(col("doc_id") % 3 === 0,
+              lit("\nder schnelle zug und die bahn"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              lit("\nle chat et la maison")).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              lit("\nel mundo es grande los dias"))
+              .otherwise(lit("")))),
+        "doc_id", "text")
+      .orderBy("doc_id"),
+    Some {
+      "WITH d AS (SELECT doc_id, text || chr(10) || text || " +
+        "CASE WHEN doc_id % 3 = 0 THEN chr(10) || " +
+        "'der schnelle zug und die bahn' ELSE '' END || " +
+        "CASE WHEN doc_id % 5 = 0 THEN chr(10) || " +
+        "'le chat et la maison' ELSE '' END || " +
+        "CASE WHEN doc_id % 7 = 0 THEN chr(10) || " +
+        "'el mundo es grande los dias' ELSE '' END AS text " +
+        "FROM documents), " +
+        "ls AS (SELECT doc_id, string_split(text, chr(10)) AS lines " +
+        "FROM d), " +
+        "li AS (SELECT doc_id, lines, " +
+        "unnest(generate_series(1, len(lines))) AS pos FROM ls), " +
+        "l AS (SELECT doc_id, trim(lines[pos]) AS line FROM li), " +
+        "ln AS (SELECT doc_id, line FROM l WHERE length(line) > 0), " +
+        s"lg AS (SELECT doc_id, ${langCaseSql("line")} AS lang " +
+        "FROM ln), " +
+        "c AS (SELECT doc_id, lang, count(*) AS cnt FROM lg " +
+        "GROUP BY 1, 2), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id " +
+        "ORDER BY cnt DESC, lang) AS rn FROM c), " +
+        "m AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines, " +
+        "CAST(count(*) AS BIGINT) AS n_langs, " +
+        "max(CASE WHEN rn = 1 THEN lang END) AS majority_lang, " +
+        "CAST(max(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) " +
+        "AS majority_cnt FROM r GROUP BY 1) " +
+        "SELECT doc_id, n_lines, n_langs, majority_lang, " +
+        "majority_cnt, (n_lines - majority_cnt)::DOUBLE / n_lines " +
+        "AS minority_share, n_langs > 1 AS mixed FROM m " +
+        "ORDER BY doc_id"
+    })
+
   private val E2eTau = 0.3
   private val E2eBudget = 5000L
 
@@ -1638,5 +1698,5 @@ object TextQueries extends QueryPack {
       collocationsQuery, boilerplateQuery, bpeQuery, bpeEncodeQuery,
       domainsQuery, indexQuery, nfcQuery, htmlExtractQuery,
       qualityModelQuery, curateE2eQuery, sampleUniformQuery,
-      markdownExtractQuery)
+      markdownExtractQuery, langSegmentsQuery)
 }
