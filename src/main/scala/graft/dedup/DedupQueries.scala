@@ -663,10 +663,74 @@ object DedupQueries extends QueryPack {
       "FROM documents d LEFT JOIN pd USING (doc_id) " +
       "LEFT JOIN nv USING (doc_id) ORDER BY doc_id"))
 
+  /** Quality-aware CANONICAL selection — the survivor policy real
+    * pipelines run instead of keep-min-id: within each near-dup
+    * cluster, keep the member the quality model ([[graft.text
+    * .QualityModel]], pinned weights — the X102 apply seam) scores
+    * highest ((margin DESC, id ASC) — deterministic). Min-id keeps an
+    * ARBITRARY member; when duplicates differ (truncation, boilerplate
+    * variants), that discards the best copy — `CanonicalSpec` plants
+    * exactly that case. Composes the X12 cluster operator with X102:
+    * clusters from the blocked-Jaccard pair graph, one metadata-sized
+    * join to the margins, one window. The oracle rebuilds clusters
+    * (recursive CTE), margins (pinned literals under the row-count
+    * guard) and the pick verbatim.
+    */
+  private def canonicalQuery = QueryDef(
+    "dedup_canonical_documents",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents", parallelize = true)
+      val sets = Dedup.shingleSets(docs, "doc_id", "text", 3).persist()
+      try {
+        val pairs = Dedup
+          .jaccardOnPairsFromSets(blockedPairs(docs), sets, "doc_id")
+          .filter(col("jaccard") >= 0.8)
+          .select("id_a", "id_b")
+        val members = Dedup.survivorsLocal(pairs)
+          .select(col("cluster"), col("id").as("doc_id"))
+        val margins = graft.text.QualityModel.scorePinned(docs,
+            "doc_id", "text", graft.text.QualityGatePinned.weights,
+            graft.text.QualityGatePinned.bias)
+          .select(col("doc_id"), col("margin"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster")
+          .orderBy(col("margin").desc, col("doc_id").asc)
+        members.join(margins, Seq("doc_id"))
+          .withColumn("__rn", row_number().over(w))
+          .select(col("cluster"), col("doc_id"), col("margin"),
+            (col("__rn") === 1).as("is_canonical"))
+          .orderBy("cluster", "doc_id")
+      } finally { sets.unpersist(blocking = false); () }
+    },
+    Some(s"WITH RECURSIVE $jaccardPairsCte, " +
+      "pairs AS (SELECT id_a, id_b FROM jp WHERE jaccard >= 0.8), " +
+      "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+      "UNION ALL SELECT id_b, id_a FROM pairs), " +
+      "reach(id, r) AS (SELECT src, src FROM edges " +
+      "UNION SELECT e.src, reach.r FROM edges e " +
+      "JOIN reach ON e.dst = reach.id), " +
+      "cl AS (SELECT MIN(r) AS cluster, id AS doc_id FROM reach " +
+      "GROUP BY id), " +
+      "gg AS (SELECT CASE WHEN (SELECT count(*) FROM documents) = " +
+      s"${graft.text.QualityGatePinned.GateRows} THEN 1 ELSE " +
+      "error('canonical pinned-weight oracle is only valid at the " +
+      "gate corpus: regenerate QualityGatePinned') END AS ok), " +
+      "toksq AS (SELECT doc_id, " +
+      s"${graft.text.TextQueries.tokensSql} AS t FROM documents), " +
+      "mg AS (SELECT doc_id, " +
+      s"${graft.text.TextQueries.qualityMarginSql} AS margin " +
+      "FROM toksq), " +
+      "j AS (SELECT cl.cluster, cl.doc_id, mg.margin FROM cl " +
+      "JOIN mg USING (doc_id)), " +
+      "r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster " +
+      "ORDER BY margin DESC, doc_id) AS rn FROM j) " +
+      "SELECT cluster, doc_id, margin, rn = 1 AS is_canonical " +
+      "FROM r2 CROSS JOIN gg ORDER BY cluster, doc_id"))
+
   override def queries: Seq[QueryDef] = Seq(
     exactQuery, jaccardQuery, clustersQuery, minhashQuery, simhashQuery,
     minhashProdQuery,
     embBlockedQuery, embLshQuery, semdedupQuery, spanQuery,
     incrementalQuery, incrementalMinhashQuery, sourceOverlapQuery,
-    semanticDecontamQuery, noveltyQuery)
+    semanticDecontamQuery, noveltyQuery, canonicalQuery)
 }
