@@ -75,6 +75,43 @@ class NearDupStreamStateSpec extends SparkSpec {
       "testfs: state must resolve to the backing local directory")
   }
 
+  test("state and checkpoint survive a QUERY RESTART: a two-phase " +
+      "drain (6 waves, stop, 6 more waves, new query, same " +
+      "checkpoint/state) equals the single drain") {
+    def waveFor(i: Long): Seq[(Long, String)] = Seq(i -> doc(1))
+    val (src, state, out, ckpt) = (tmpDir("ndrs_src"),
+      tmpDir("ndrs_state"), tmpDir("ndrs_out"), tmpDir("ndrs_ckpt"))
+    def write(waves: Seq[Long]): Unit = waves.foreach { i =>
+      waveFor(i).toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(src)
+      Thread.sleep(30)
+    }
+    def drainOnce(): Unit = {
+      val schema = spark.read.parquet(src).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      StreamingPipelines.nearDupStream(stream, "doc_id", "text",
+          state, out, ckpt, compactEvery = 4)
+        .awaitTermination()
+    }
+    write(0L until 6L)
+    drainOnce() // phase 1: checkpoint commits batches 0..5
+    write(6L until 12L)
+    drainOnce() // RESTART: a new query resumes from the checkpoint
+    val got = StreamingPipelines.nearDupMatches(spark, out)
+      .select("batch_id", "dup_of").as[(Long, Long)].collect().toSet
+    val want = (for (a <- 0L until 12L; b <- 0L until a)
+      yield (a, b)).toSet
+    assert(got === want,
+      "a restarted query must see the full pre-restart index and " +
+        "emit exactly the single-drain matches")
+    // the restart continued batch numbering, so compaction kept its
+    // schedule: upto 8, tail b8..b11
+    val marker = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$state/_compacted_upto"))).trim
+    assert(marker === "8", s"marker must read 8, got $marker")
+  }
+
   test("compaction bounds the state listing and preserves every " +
       "match (12 micro-batches, compactEvery = 4)") {
     // one identical doc per wave: batch i matches every earlier batch
