@@ -365,6 +365,128 @@ object StreamingPipelines {
       .start()
   }
 
+  /** Streaming benchmark decontamination
+    * ([[graft.text.Decontam.overlapReportFromArrays]] through a real
+    * StreamingQuery — the X17 eval-gram probe applied at ingest time,
+    * so contaminated documents are flagged as they ARRIVE instead of
+    * in a later corpus pass): the eval side is FIXED (`evalArrays`
+    * persisted once here for the whole stream — the docGramArrays
+    * materialization contract; released via
+    * [[graft.util.DeferredCleanup]]), each micro-batch probes its
+    * documents map-side against the broadcast set and writes its
+    * per-doc contamination report to a batch-owned,
+    * overwrite-idempotent subdir of `reportPath`
+    * ([[nearDupMatches]]-style sink — read it with [[decontamReports]]),
+    * and a one-row-per-batch corpus LEDGER (docs seen, contaminated,
+    * gram totals) maintains under the r13 state contract (Hadoop FS,
+    * fail-loud implied-state checks, generation compaction; partials
+    * are idempotent so the fold may include the current batch).
+    *
+    * A document's contamination depends only on (document, eval set) —
+    * no cross-batch state — so the report sink equals the BATCH
+    * operator under any micro-batch cut: the maintained-equality
+    * story, which is exactly what the gate lane's oracle (the batch
+    * lane's SQL verbatim) pins.
+    */
+  def decontamStream(source: DataFrame, idCol: String, textCol: String,
+      evalArrays: DataFrame, n: Int, reportPath: String,
+      ledgerPath: String, statePath: String, checkpoint: String,
+      compactEvery: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(compactEvery >= 2, "compactEvery must be at least 2")
+    // the docGramArrays contract: the frame the probe explodes must be
+    // MATERIALIZED — persist the eval side once for the whole stream
+    // (each batch re-derives only the bounded distinct gram set from
+    // the cached arrays), released when the session drains cleanup
+    val evalCached = evalArrays.persist()
+    graft.util.DeferredCleanup.enqueue(
+      () => { evalCached.unpersist(blocking = false); () })
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = fsOf(s, statePath)
+        val grams = graft.text.Decontam
+          .docGramArrays(batch, idCol, textCol, n).persist()
+        try {
+          val report = graft.text.Decontam
+            .overlapReportFromArrays(grams, evalCached, idCol)
+            .localCheckpoint(true) // read by the sink AND the partial
+          report.write.mode("overwrite")
+            .parquet(s"$reportPath/b$batchId")
+          // one-row batch partial for the maintained corpus ledger
+          val totals = grams.agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(col("__grams")).cast("long")).as("total_grams"))
+          val hits = report.agg(
+            count(lit(1)).as("contaminated_docs"),
+            coalesce(sum(col("matched_grams")), lit(0L))
+              .as("matched_grams"))
+          totals.crossJoin(hits)
+            .write.mode("overwrite").parquet(s"$statePath/b$batchId")
+        } finally { grams.unpersist(blocking = false); () }
+        val upto = readMarker(fs, statePath)
+        if (upto > batchId + 1)
+          throw new IllegalStateException(
+            s"compaction marker $upto is ahead of batch $batchId " +
+              s"under $statePath — state belongs to a different stream")
+        val gen =
+          if (upto > 0) {
+            val g = s"$statePath/compacted_g$upto"
+            if (!fs.exists(new Path(g)))
+              throw new IllegalStateException(
+                s"marker says batches [0, $upto) are folded at $g but " +
+                  "the generation dir is missing")
+            Seq(g)
+          } else Nil
+        val tail = (upto to batchId).map { i =>
+          val p = s"$statePath/b$i"
+          if (!fs.exists(new Path(p)))
+            throw new IllegalStateException(
+              s"ledger partial for batch $i (implied by batch counter " +
+                s"$batchId and marker $upto) is missing under $statePath")
+          p
+        }
+        val state = s.read.parquet((gen ++ tail): _*)
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("total_grams")).as("total_grams"),
+            sum(col("contaminated_docs")).as("contaminated_docs"),
+            sum(col("matched_grams")).as("matched_grams"))
+          .localCheckpoint(true) // feeds the ledger AND the compaction
+        state
+          .select(col("n_docs"), col("contaminated_docs"),
+            col("total_grams"), col("matched_grams"),
+            (col("contaminated_docs").cast("double") /
+              greatest(col("n_docs"), lit(1L)))
+              .as("contaminated_frac"))
+          .write.mode("overwrite").parquet(ledgerPath)
+        if (batchId + 1 - upto >= compactEvery) {
+          val g = s"$statePath/compacted_g${batchId + 1}"
+          state.write.mode("overwrite").parquet(g)
+          writeMarker(fs, statePath, batchId + 1)
+          fs.listStatus(new Path(statePath)).foreach { st =>
+            val nm = st.getPath.getName
+            val stale =
+              (nm.startsWith("b") && nm.drop(1).forall(_.isDigit) &&
+                nm.drop(1).toLong <= batchId) ||
+                (nm.startsWith("compacted_g") &&
+                  nm != s"compacted_g${batchId + 1}")
+            if (stale) { fs.delete(st.getPath, true); () }
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Read the per-doc contamination sink [[decontamStream]] maintains
+    * (one overwrite-idempotent subdir per micro-batch).
+    */
+  def decontamReports(s: SparkSession, reportPath: String): DataFrame =
+    s.read.option("recursiveFileLookup", "true").parquet(reportPath)
+
   /** Streaming incremental NEAR-dup dedup — [[graft.dedup.IncrementalNearDup]]
     * maintained through a real StreamingQuery: each micro-batch first
     * PROBES the persisted corpus LSH index (band + shingle-set tables

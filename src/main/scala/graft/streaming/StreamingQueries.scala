@@ -597,8 +597,51 @@ object StreamingQueries extends QueryPack {
         "ORDER BY source"
     })
 
+  /** Streaming decontamination
+    * ([[StreamingPipelines.decontamStream]]): the corpus slice
+    * (`doc_id % 100 >= 5`) drains in TWO files; each micro-batch
+    * probes the FIXED eval-gram set (`% 100 < 5`, staged batch-side)
+    * map-side and writes its per-doc contamination report to a
+    * batch-owned subdir. A document's contamination depends only on
+    * (doc, eval set), so the sink equals the BATCH decontamination
+    * lane under any cut — the oracle is `decontam_overlap_documents`'s
+    * SQL VERBATIM (the X57/X84 maintained-equality story applied to
+    * X17). The running corpus ledger and its compaction are pinned in
+    * `DecontamStreamSpec`.
+    */
+  private def decontamQuery = QueryDef(
+    "stream_decontam_documents",
+    (s, dir) => withStreamSession(s) { iso =>
+      val staged = StreamStage.ensureOrdered(iso, dir, "dc2",
+          "documents")(x =>
+          graft.io.Tables.load(x, dir, "documents", parallelize = false)
+            .filter(col("doc_id") % 100 >= 5)
+            .select(col("doc_id"), col("text")))(
+          col("doc_id") % 10 < 8)
+      withTempDirs("graft_stream_dc_report", "graft_stream_dc_ledger",
+        "graft_stream_dc_state", "graft_stream_dc_ckpt") {
+      case Seq(report, ledger, state, ckpt) =>
+        val evalArrays = graft.text.Decontam.docGramArrays(
+          graft.io.Tables.load(iso, dir, "documents",
+              parallelize = false)
+            .filter(col("doc_id") % 100 < 5),
+          "doc_id", "text", graft.text.TextQueries.decontamN)
+        val schema = iso.read.parquet(staged).schema
+        val src = iso.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(staged)
+        val q = StreamingPipelines.decontamStream(src, "doc_id",
+          "text", evalArrays, graft.text.TextQueries.decontamN,
+          report, ledger, state, ckpt)
+        q.awaitTermination()
+        graft.util.Frames.localized(
+          StreamingPipelines.decontamReports(iso, report)
+            .orderBy("doc_id"))
+      }
+    },
+    Some(graft.text.TextQueries.decontamOverlapOracleSql))
+
   override def queries: Seq[QueryDef] =
     Seq(windowedQuery, sessionizeQuery, dedupQuery, intervalJoinQuery,
       pipelineQuery, profileQuery, funnelQuery, maintainedAggQuery,
-      activesQuery, nearDupQuery, qualityQuery)
+      activesQuery, nearDupQuery, qualityQuery, decontamQuery)
 }

@@ -522,25 +522,37 @@ object TextQueries extends QueryPack {
         evalGrams.unpersist(blocking = false): Unit
       }
     },
-    Some {
-      val n = DecontamN
-      s"WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents), " +
-        "grams AS (SELECT doc_id, unnest(list_distinct(" +
-        "CASE WHEN len(t) = 0 THEN []::VARCHAR[] " +
-        s"WHEN len(t) <= $n THEN [array_to_string(t, ' ')] " +
-        s"ELSE list_transform(range(1, len(t) - ${n - 2}), " +
-        s"i -> array_to_string(t[i:i+${n - 1}], ' ')) END)) AS g " +
-        "FROM toks), " +
-        "ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 100 < 5), " +
-        "tot AS (SELECT doc_id, count(*) AS total_grams FROM grams " +
-        "WHERE doc_id % 100 >= 5 GROUP BY doc_id), " +
-        "hits AS (SELECT doc_id, count(*) AS matched_grams FROM grams " +
-        "WHERE doc_id % 100 >= 5 AND g IN (SELECT g FROM ev) " +
-        "GROUP BY doc_id) " +
-        "SELECT h.doc_id, h.matched_grams, t.total_grams, " +
-        "h.matched_grams::DOUBLE / t.total_grams AS contamination_ratio " +
-        "FROM hits h JOIN tot t USING (doc_id) ORDER BY doc_id"
-    })
+    Some(decontamOverlapOracleSql))
+
+  /** The decontamination overlap report as DuckDB SQL (corpus =
+    * `doc_id % 100 >= 5`, eval = `< 5`, [[DecontamN]]-grams) — shared
+    * by the batch lane and the streaming twin
+    * ([[graft.streaming.StreamingQueries]]): the per-doc report
+    * depends only on (doc, eval set), so a micro-batched drain equals
+    * the batch operator under ANY cut and this one oracle pins both.
+    */
+  private[graft] def decontamOverlapOracleSql: String = {
+    val n = DecontamN
+    s"WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents), " +
+      "grams AS (SELECT doc_id, unnest(list_distinct(" +
+      "CASE WHEN len(t) = 0 THEN []::VARCHAR[] " +
+      s"WHEN len(t) <= $n THEN [array_to_string(t, ' ')] " +
+      s"ELSE list_transform(range(1, len(t) - ${n - 2}), " +
+      s"i -> array_to_string(t[i:i+${n - 1}], ' ')) END)) AS g " +
+      "FROM toks), " +
+      "ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 100 < 5), " +
+      "tot AS (SELECT doc_id, count(*) AS total_grams FROM grams " +
+      "WHERE doc_id % 100 >= 5 GROUP BY doc_id), " +
+      "hits AS (SELECT doc_id, count(*) AS matched_grams FROM grams " +
+      "WHERE doc_id % 100 >= 5 AND g IN (SELECT g FROM ev) " +
+      "GROUP BY doc_id) " +
+      "SELECT h.doc_id, h.matched_grams, t.total_grams, " +
+      "h.matched_grams::DOUBLE / t.total_grams AS contamination_ratio " +
+      "FROM hits h JOIN tot t USING (doc_id) ORDER BY doc_id"
+  }
+
+  /** [[DecontamN]] for the streaming twin's lane. */
+  private[graft] def decontamN: Int = DecontamN
 
   /** Gopher-style repetition filter signals (duplicate-bigram fraction +
     * top-bigram mass) — both raw IEEE divisions of exact integer counts,
