@@ -36,8 +36,24 @@ import org.apache.spark.sql.functions._
   */
 object HtmlExtract {
 
-  /** Closing tags that end a text block. */
-  val BlockSplit: String = "</p>|</h[1-6]>|</li>|</div>|</title>|<br[^>]*>"
+  /** Closing tags that end a text block. The `<br…>` alternative is
+    * word-bounded (`<br>` / `<br/>` / `<br attr…>` only — a
+    * `<broken-tag>` must NOT split) and, like every pattern here,
+    * case-sensitive by documented scope: the chain canonicalizes
+    * machine-generated lowercase markup; shouting-case legacy pages
+    * are out of scope.
+    */
+  val BlockSplit: String =
+    "</p>|</h[1-6]>|</li>|</div>|</title>|<br(\\s[^>]*)?/?>"
+
+  /** A whole anchor ELEMENT (open tag, text, close tag). The open tag
+    * is word-bounded — `<a>` / `<a href=…>` / `<a/>` only. A bare
+    * `<a[^>]*>` would also match every tag that merely STARTS with
+    * `a` (`<article>`, `<aside>`, `<abbr>`, `<address>`, `<audio>` —
+    * ubiquitous HTML5 content wrappers), counting whole content
+    * blocks as anchor text and silently dropping them as boilerplate.
+    */
+  val AnchorElement: String = "(?s)<a(\\s[^>]*)?/?>.*?</a>"
 
   /** Non-content elements removed with their content, pre-split. */
   val DropElements: Seq[String] = Seq(
@@ -82,7 +98,7 @@ object HtmlExtract {
     val scored = transform(split(cleaned, BlockSplit), b => {
       val txt = visibleText(b)
       val noAnchor = visibleText(
-        regexp_replace(b, "(?s)<a[^>]*>.*?</a>", " "))
+        regexp_replace(b, AnchorElement, " "))
       val density = (length(txt) - length(noAnchor)).cast("double") /
         greatest(length(txt), lit(1))
       struct(txt.as("txt"), (length(txt) > 0).as("nonempty"),

@@ -74,13 +74,18 @@ object MarkdownExtract {
     */
   def extract(df: DataFrame, idCol: String, mdCol: String,
       keepCols: Seq[String] = Nil): DataFrame =
-    df.select(col(idCol) +: keepCols.map(col) :+
-      size(regexp_extract_all(col(mdCol), lit(Fence), lit(0)))
-        .as("n_code_blocks") :+
-      size(regexp_extract_all(col(mdCol), lit(LinkTarget), lit(0)))
-        .as("n_links") :+
-      size(regexp_extract_all(col(mdCol), lit(Heading), lit(0)))
-        .as("n_headings") :+
-      trim(stripChain(col(mdCol))).as("text") :+
-      length(trim(stripChain(col(mdCol)))).as("text_chars"): _*)
+    // alias the stripped text ONCE and derive text_chars from the
+    // alias (the withStats/CollapseProject idiom) — inlining
+    // trim(stripChain(…)) twice would run the 16-step regexp chain
+    // twice per row
+    df
+      .select(col(idCol) +: keepCols.map(col) :+
+        size(regexp_extract_all(col(mdCol), lit(Fence), lit(0)))
+          .as("n_code_blocks") :+
+        size(regexp_extract_all(col(mdCol), lit(LinkTarget), lit(0)))
+          .as("n_links") :+
+        size(regexp_extract_all(col(mdCol), lit(Heading), lit(0)))
+          .as("n_headings") :+
+        trim(stripChain(col(mdCol))).as("text"): _*)
+      .withColumn("text_chars", length(col("text")))
 }

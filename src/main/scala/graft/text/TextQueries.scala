@@ -1342,7 +1342,17 @@ object TextQueries extends QueryPack {
       lit("\">related</a> notes &lt;with&gt; &quot;entities&quot;" +
         "&nbsp;it&#39;s</p>\n<!-- comment with <p>fake</p> tags " +
         "-->\n<div><a href=\"/terms\">Terms</a>" +
-        "<a href=\"/privacy\">Privacy</a></div>\n</body></html>")))
+        "<a href=\"/privacy\">Privacy</a></div>\n" +
+        // a-prefixed HTML5 content wrappers WITH a genuine anchor: the
+        // r13 `<a[^>]*>` prefix trap counted everything from
+        // `<article…>` to `</a>` as anchor text and dropped the block;
+        // the word-bounded AnchorElement must keep it (density 4/64)
+        "<article class=\"story\"><p>Deep " +
+        "<abbr title=\"hypertext\">story</abbr> content keeps " +
+        "reading well beyond a single <a href=\"/more\">link</a> " +
+        "here.</p></article>\n<aside id=\"note\"><p>An aside block " +
+        "with plain prose survives too.</p></aside>\n" +
+        "</body></html>")))
 
   private def htmlExtractQuery = QueryDef(
     "text_extract_html_documents",
@@ -1372,6 +1382,12 @@ object TextQueries extends QueryPack {
       "'<!-- comment with <p>fake</p> tags -->' || chr(10) || " +
       "'<div><a href=\"/terms\">Terms</a>" +
       "<a href=\"/privacy\">Privacy</a></div>' || chr(10) || " +
+      "'<article class=\"story\"><p>Deep " +
+      "<abbr title=\"hypertext\">story</abbr> content keeps " +
+      "reading well beyond a single <a href=\"/more\">link</a> " +
+      "here.</p></article>' || chr(10) || " +
+      "'<aside id=\"note\"><p>An aside block " +
+      "with plain prose survives too.</p></aside>' || chr(10) || " +
       "'</body></html>'"
 
   /** The [[HtmlExtract.extract]] replay as CTEs reading a CTE `h` with
@@ -1390,18 +1406,22 @@ object TextQueries extends QueryPack {
       "trim(regexp_replace(" +
         dec(s"regexp_replace($x, '<[^>]*>', ' ', 'g')") +
         ", '\\s+', ' ', 'g'))"
-    "c AS (SELECT doc_id, regexp_replace(regexp_replace(" +
-      "regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'), " +
-      "'(?s)<style[^>]*>.*?</style>', ' ', 'g'), " +
-      "'(?s)<!--.*?-->', ' ', 'g') AS html FROM h), " +
+    // the regex constants render from HtmlExtract itself (the shared-
+    // builder idiom) — none of them contains a quote, so they embed in
+    // SQL string literals verbatim
+    val droppedHtml = HtmlExtract.DropElements.foldLeft("html") {
+      (acc, pat) => s"regexp_replace($acc, '$pat', ' ', 'g')"
+    }
+    s"c AS (SELECT doc_id, $droppedHtml AS html FROM h), " +
       "b AS (SELECT doc_id, string_split_regex(html, " +
-      "'</p>|</h[1-6]>|</li>|</div>|</title>|<br[^>]*>') AS blocks " +
+      s"'${HtmlExtract.BlockSplit}') AS blocks " +
       "FROM c), " +
       "li AS (SELECT doc_id, blocks, " +
       "unnest(generate_series(1, len(blocks))) AS pos FROM b), " +
       "l AS (SELECT doc_id, pos, blocks[pos] AS block FROM li), " +
       s"s AS (SELECT doc_id, pos, ${vis("block")} AS txt, " +
-      vis("regexp_replace(block, '(?s)<a[^>]*>.*?</a>', ' ', 'g')") +
+      vis(s"regexp_replace(block, '${HtmlExtract.AnchorElement}', " +
+        "' ', 'g')") +
       " AS txt_noa FROM l), " +
       "k AS (SELECT doc_id, pos, txt, length(txt) > 0 AS nonempty, " +
       "length(txt) > 0 AND (length(txt) - length(txt_noa))::DOUBLE / " +

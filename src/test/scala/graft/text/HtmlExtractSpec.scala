@@ -53,6 +53,41 @@ class HtmlExtractSpec extends SparkSpec {
     assert((nBlocks, nKept, nDropped, text, chars) === (0, 0, 0, "", 0))
   }
 
+  test("a-prefixed HTML5 wrappers are NOT anchors: an <article> block " +
+      "with one real link survives at density < threshold") {
+    // the r13 trap: `<a[^>]*>` matched `<article…>`/`<abbr…>` and
+    // counted everything up to the genuine `</a>` as anchor text,
+    // dropping the whole content block as boilerplate
+    val (_, nBlocks, nKept, nDropped, text, _) = run(
+      "<article class=\"story\"><p>Deep " +
+        "<abbr title=\"ht\">story</abbr> content keeps reading well " +
+        "beyond a single <a href=\"/more\">link</a> here.</p>" +
+        "</article><aside id=\"n\"><p>An aside survives too.</p>" +
+        "</aside><address>12 Main St<br/>Springfield</address>")
+    assert((nBlocks, nKept, nDropped) === (4, 4, 0))
+    assert(text === "Deep story content keeps reading well beyond a " +
+      "single link here.\nAn aside survives too.\n" +
+      "12 Main St\nSpringfield")
+  }
+
+  test("link-only blocks still drop with the word-bounded anchor " +
+      "pattern, including <a/> and attribute-less <a>") {
+    val (_, _, nKept, nDropped, text, _) = run(
+      "<div><a href='/'>Home</a> <a>Top</a></div>" +
+        "<p>prose long enough to survive with no links at all here</p>")
+    assert((nKept, nDropped) === (1, 1))
+    assert(text ===
+      "prose long enough to survive with no links at all here")
+  }
+
+  test("<broken-tag …> does not split blocks; <br>, <br/>, " +
+      "<br clear=all> all do") {
+    val one = run("alpha<broken-tag x>beta")
+    assert((one._2, one._5) === (1, "alpha beta"))
+    val three = run("a<br>b<br/>c<br clear=\"all\">d")
+    assert((three._2, three._5) === (4, "a\nb\nc\nd"))
+  }
+
   test("<br> splits blocks; the threshold moves the keep decision") {
     // txt "with pick me" (12 chars), anchor-free "with me" (7):
     // density 5/12 ≈ 0.417 — drops at 0.33, survives at 0.5

@@ -42,6 +42,13 @@ def main():
     for k, v in old_q.items():
         if k not in out and k not in changed:
             out[k] = v
+    # a lane declared changed= but with no fresh reading would silently
+    # vanish from the ledger (shrinking lane count + composite); fail
+    # loud instead — rerun the lane or drop it from changed=
+    missing = sorted(k for k in changed if k not in mins)
+    if missing:
+        sys.exit(f"fold_floor: changed lanes have no fresh reading in "
+                 f"the supplied detail files: {', '.join(missing)}")
     json.dump({"queries": dict(sorted(out.items())),
                "total": round(sum(out.values()), 2),
                "lanes": len(out)},
