@@ -230,29 +230,97 @@ object StreamingPipelines {
     * the per-batch subdirs cover `[upto, current)`. Absent → 0 (no
     * compaction yet).
     */
-  private def markerPath(statePath: String): Path =
+  private[streaming] def markerPath(statePath: String): Path =
     new Path(s"$statePath/_compacted_upto")
 
-  private def readMarker(fs: FileSystem, statePath: String): Long = {
-    val m = markerPath(statePath)
-    if (!fs.exists(m)) 0L
+  private def markerTmpPath(statePath: String): Path =
+    new Path(s"$statePath/_compacted_upto.tmp")
+
+  /** Full contents of a (small) state file — `InputStream.read` may
+    * legally return a short read on non-local FS implementations, so
+    * loop to EOF; None when the file does not exist.
+    */
+  private def readSmallFile(fs: FileSystem, p: Path): Option[String] =
+    if (!fs.exists(p)) None
     else {
-      val in = fs.open(m)
+      val in = fs.open(p)
       try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(n, 0),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        val acc = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n >= 0) { acc.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(acc.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8).trim)
       } finally in.close()
+    }
+
+  private def parseMarker(c: String): Option[Long] =
+    if (c.nonEmpty && c.length <= 18 && c.forall(_.isDigit))
+      Some(c.toLong)
+    else None
+
+  /** Crash-safe marker read. The update protocol is
+    * temp-then-swap ([[writeMarker]]), so every crash window recovers:
+    * crash before the swap leaves the old marker intact (the stale tmp
+    * is overwritten by the next update); crash BETWEEN delete and
+    * rename leaves the new value in the tmp file, and the read
+    * completes the swap. An absent/garbled marker with generation dirs
+    * present (and no recoverable tmp) means state was mutated outside
+    * the protocol — fail loud rather than probe the wrong horizon; an
+    * absent marker with NO generations is simply "no compaction yet".
+    */
+  private[streaming] def readMarker(fs: FileSystem,
+      statePath: String): Long = {
+    val m = markerPath(statePath)
+    val tmp = markerTmpPath(statePath)
+    readSmallFile(fs, m).map(c => parseMarker(c).getOrElse(
+      throw new IllegalStateException(
+        s"compaction marker $m is unreadable ('$c') — state was " +
+          "mutated outside the marker protocol; restore " +
+          "_compacted_upto to the current generation id"))
+    ).orElse {
+      // marker absent: a crash between the swap's delete and rename
+      // leaves the NEW value in the tmp file — finish the swap
+      readSmallFile(fs, tmp).flatMap(parseMarker).map { v =>
+        if (!fs.rename(tmp, m))
+          throw new IllegalStateException(
+            s"marker recovery rename failed: $tmp -> $m")
+        v
+      }
+    }.getOrElse {
+      val sp = new Path(statePath)
+      val hasGen = fs.exists(sp) && fs.listStatus(sp)
+        .exists(_.getPath.getName.startsWith("compacted_g"))
+      if (hasGen)
+        throw new IllegalStateException(
+          s"compaction marker under $statePath is missing but " +
+            "generation dirs exist — state was mutated outside the " +
+            "marker protocol; restore _compacted_upto to the current " +
+            "generation id")
+      0L
     }
   }
 
-  private def writeMarker(fs: FileSystem, statePath: String,
+  /** Temp-file-then-swap marker update: the value lands durably in the
+    * tmp file BEFORE the old marker is touched, so no crash window can
+    * leave an empty/truncated marker (the r13 in-place
+    * create-then-write did: a crash between create(overwrite) and
+    * write left "" and every later batch died on `"".toLong`).
+    */
+  private[streaming] def writeMarker(fs: FileSystem, statePath: String,
       upto: Long): Unit = {
-    val out = fs.create(markerPath(statePath), true)
+    val m = markerPath(statePath)
+    val tmp = markerTmpPath(statePath)
+    val out = fs.create(tmp, true)
     try out.write(upto.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(m) && !fs.delete(m, false))
+      throw new IllegalStateException(s"marker swap delete failed: $m")
+    if (!fs.rename(tmp, m))
+      throw new IllegalStateException(
+        s"marker swap rename failed: $tmp -> $m")
+    ()
   }
 
   /** Read the matches sink [[nearDupStream]] maintains — one
@@ -417,9 +485,12 @@ object StreamingPipelines {
           report.write.mode("overwrite")
             .parquet(s"$reportPath/b$batchId")
           // one-row batch partial for the maintained corpus ledger
+          // coalesce: sum over an all-empty micro-batch is NULL (the
+          // hits side already coalesces matched_grams the same way)
           val totals = grams.agg(
             count(lit(1)).as("n_docs"),
-            sum(size(col("__grams")).cast("long")).as("total_grams"))
+            coalesce(sum(size(col("__grams")).cast("long")), lit(0L))
+              .as("total_grams"))
           val hits = report.agg(
             count(lit(1)).as("contaminated_docs"),
             coalesce(sum(col("matched_grams")), lit(0L))
