@@ -29,16 +29,24 @@ object LangSegment {
   /** `(idCol, n_lines, n_langs, majority_lang, majority_cnt,
     * minority_share, mixed)` — one row per document with ≥ 1 nonempty
     * line.
+    *
+    * @param langOf the per-line classifier — defaults to the
+    *               [[TextAnalysis.langId]] marker heuristic; pass
+    *               `l => LangModel.classifyPinned(l, …)` to route the
+    *               report through the learned multi-class model (both
+    *               are pure map-side column expressions, so the plan
+    *               shape is identical either way)
     */
-  def segment(df: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
+  def segment(df: DataFrame, idCol: String, textCol: String,
+      langOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextAnalysis.langId): DataFrame = {
     val lines = df
       .select(col(idCol), explode(split(col(textCol), "\n"))
         .as("__line"))
       .select(col(idCol), trim(col("__line")).as("__line"))
       .filter(length(col("__line")) > 0)
     val cnts = lines
-      .select(col(idCol), TextAnalysis.langId(col("__line")).as("lang"))
+      .select(col(idCol), langOf(col("__line")).as("lang"))
       .groupBy(col(idCol), col("lang"))
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(idCol)

@@ -21,6 +21,27 @@ object TextQueries extends QueryPack {
     "CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
       "ELSE regexp_split_to_array(trim(text), '\\s+') END"
 
+  /** [[tokensSql]] over an arbitrary column (the default reads
+    * `text`) — the DuckDB twin of [[TextAnalysis.tokens]].
+    */
+  private[graft] def tokensSqlOf(c: String): String =
+    s"CASE WHEN length(trim($c)) = 0 THEN []::VARCHAR[] " +
+      s"ELSE regexp_split_to_array(trim($c), '\\s+') END"
+
+  /** A pinned-literal integer-perceptron margin as a DuckDB
+    * expression over a token-list column `t` — the exact replay of
+    * [[QualityModel.scorePinned]]'s / [[LangModel]]'s BIGINT fold
+    * (md5-derived 60-bit slot, literal weight array, bias).
+    */
+  private[graft] def marginSql(weights: Array[Long],
+      bias: Long): String = {
+    val w = weights.mkString("[", ", ", "]::BIGINT[]")
+    s"CAST($bias + coalesce(list_sum(" +
+      s"list_transform(t, tk -> ($w)[" +
+      "CAST(('0x' || substr(md5(tk), 1, 15))::BIGINT % " +
+      s"${weights.length} AS INT) + 1])), 0) AS BIGINT)"
+  }
+
   /** The pinned-weight quality margin as a DuckDB expression over a
     * token-list column `t` — shared by the batch inference oracle, the
     * composed e2e oracle and the streaming maintained-aggregate oracle
@@ -1543,6 +1564,93 @@ object TextQueries extends QueryPack {
     * [[langCaseSql]] chain + the (count DESC, lang ASC) majority
     * window verbatim.
     */
+  /** The multilingual fixture of the model-language-ID gate lanes: the
+    * corpus is English-ish synthetic text, so a deterministic language
+    * prefix keyed on `doc_id % 5` plants five label families (en raw,
+    * de, fr, es, zh) — the weak-supervision corpus the multi-class
+    * perceptron distills the [[TextAnalysis.langId]] heuristic from.
+    * Mirrored verbatim by [[langFixtureSql]].
+    */
+  private[graft] def withLangFixture(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.withColumn("ltext",
+      when(col("doc_id") % 5 === 1,
+        concat(lit("der schnelle zug und die bahn nicht "), col("text")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("le chat et la maison les jours "), col("text")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("el mundo es grande los dias las cosas "),
+            col("text")))
+        .when(col("doc_id") % 5 === 4,
+          concat(lit("中文 语料 文本 " +
+            "处理 "), col("text")))
+        .otherwise(col("text")))
+
+  /** The [[withLangFixture]] template as a DuckDB expression over a
+    * `documents` row.
+    */
+  private[graft] val langFixtureSql: String =
+    "CASE doc_id % 5 " +
+      "WHEN 1 THEN 'der schnelle zug und die bahn nicht ' || text " +
+      "WHEN 2 THEN 'le chat et la maison les jours ' || text " +
+      "WHEN 3 THEN 'el mundo es grande los dias las cosas ' || text " +
+      "WHEN 4 THEN '中文 语料 文本 " +
+      "处理 ' || text " +
+      "ELSE text END"
+
+  /** Model-based multi-class language ID ([[LangModel]]): LIVE
+    * multi-class perceptron training on the fixture corpus with
+    * [[TextAnalysis.langId]] weak labels (heuristic distillation —
+    * the CC-Net/fastText-langid role), then one map-side inference
+    * scan emitting every per-class BIGINT margin plus the argmax
+    * label; `lang_rule` carries the heuristic's own label and `agree`
+    * the distillation fidelity. Oracled via the pinned-literal idiom
+    * ([[LangGatePinned]]; LangGateDriftSpec re-trains and compares
+    * every `sbt test`, and the oracle carries a DuckDB-side row-count
+    * guard). Multi-class separation on a planted gradient is
+    * LangModelSpec's pin — this gate certifies the K-margin inference
+    * dataflow bit-for-bit.
+    */
+  private def langModelQuery = QueryDef(
+    "text_lang_model_documents",
+    (s, dir) => {
+      val fixt = withLangFixture(
+        Tables.load(s, dir, "documents", parallelize = true))
+      val m = LangModel.fit(
+        fixt.withColumn("__label", TextAnalysis.langId(col("ltext"))),
+        "doc_id", "ltext", "__label")
+      LangModel.score(
+          fixt.withColumn("lang_rule", TextAnalysis.langId(col("ltext"))),
+          "doc_id", "ltext", m, keepCols = Seq("lang_rule"))
+        .withColumn("agree", col("lang") === col("lang_rule"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val cls = LangGatePinned.classes
+      val margins = cls.indices.map(i =>
+        marginSql(LangGatePinned.weights(i), LangGatePinned.biases(i)) +
+          s" AS m_${cls(i)}").mkString(", ")
+      val best = cls.map(c => s"m_$c").mkString("greatest(", ", ", ")")
+      val langCase = "CASE " + cls.map(c =>
+        s"WHEN m_$c = best THEN '$c'").mkString(" ") + " END"
+      s"WITH d AS (SELECT doc_id, $langFixtureSql AS ltext " +
+        "FROM documents), " +
+        "gg AS (SELECT CASE WHEN (SELECT count(*) FROM documents) = " +
+        s"${LangGatePinned.GateRows} THEN 1 ELSE " +
+        "error('lang-model trained-literal oracle is only valid at " +
+        s"the ${LangGatePinned.GateRows}-row gate corpus: regenerate " +
+        "LangGatePinned') END AS ok), " +
+        "toks AS (SELECT doc_id, ltext, " +
+        s"${tokensSqlOf("ltext")} AS t FROM d), " +
+        s"m AS (SELECT doc_id, ${langCaseSql("ltext")} AS lang_rule, " +
+        s"CAST(len(t) AS INT) AS n_tokens, $margins FROM toks), " +
+        s"b AS (SELECT *, $best AS best FROM m) " +
+        "SELECT doc_id, lang_rule, n_tokens, " +
+        cls.map(c => s"m_$c").mkString(", ") + ", " +
+        s"$langCase AS lang, ($langCase) = lang_rule AS agree " +
+        "FROM b CROSS JOIN gg ORDER BY doc_id"
+    })
+
   private def langSegmentsQuery = QueryDef(
     "text_lang_segments_documents",
     (s, dir) => LangSegment.segment(
@@ -1730,5 +1838,5 @@ object TextQueries extends QueryPack {
       collocationsQuery, boilerplateQuery, bpeQuery, bpeEncodeQuery,
       domainsQuery, indexQuery, nfcQuery, htmlExtractQuery,
       qualityModelQuery, curateE2eQuery, sampleUniformQuery,
-      markdownExtractQuery, langSegmentsQuery)
+      markdownExtractQuery, langSegmentsQuery, langModelQuery)
 }
