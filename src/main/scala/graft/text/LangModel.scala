@@ -41,7 +41,12 @@ import org.apache.spark.sql.functions._
 object LangModel {
 
   val DefaultBuckets = 64
-  val DefaultEpochs = 5
+
+  /** Twice the binary perceptron's default: K-class margins interact,
+    * so convergence needs more passes (measured on the gate corpus:
+    * 5 epochs leave 93/500 training mistakes, 10 epochs reach 0).
+    */
+  val DefaultEpochs = 10
 
   /** Driver-collect bound for [[fit]] — labeled language samples are
     * curated, not corpora; fail loud rather than collect a corpus.
