@@ -109,6 +109,51 @@ object Mixing {
       .drop("__graft_mix_cum", "__graft_mix_target")
   }
 
+  /** ROUTED temperature mixing — [[byTemperatureT2]] with an outer
+    * routing axis (the per-LANGUAGE curation composition: route
+    * documents by majority language, then rebalance sources within
+    * each language under that language's own budget). Within each
+    * route, per-source targets are `budget(route) · sqrt(stok) /
+    * Σ_src sqrt(stok)` — the T = 2 rule applied independently per
+    * route — and selection is the same md5-order greedy window,
+    * partitioned by (route, source).
+    *
+    * One dataflow for ALL routes (no per-route driver loop): the
+    * (route, source) token frame aggregates in one pass, normalizers
+    * are a |routes|-sized exact-DECIMAL roll-up of that frame, the
+    * joined targets broadcast back, and the corpus shuffles ONCE on
+    * (route, source) for the selection window — the same shuffle
+    * count as un-routed mixing at any corpus size. Routes absent from
+    * `budgets` get `defaultBudget` (0 = excluded — list every route
+    * you want in the mix).
+    */
+  def byTemperatureRoutedT2(df: DataFrame, routeCol: String,
+      sourceCol: String, idCol: String, tokenCol: String,
+      budgets: Map[String, Long], defaultBudget: Long = 0L)
+      : DataFrame = {
+    require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
+      "budgets must be non-negative")
+    val n = col(tokenCol).cast("long")
+    val grp = df.groupBy(col(routeCol), col(sourceCol))
+      .agg(sum(n).as("__stok"))
+      .localCheckpoint(true) // |routes·sources| rows; normalizer + targets
+    val tot = grp.groupBy(col(routeCol)).agg(
+      sum(sqrt(col("__stok")).cast("decimal(38,12)")).cast("double")
+        .as("__zsum"))
+    val targets = grp.join(broadcast(tot), Seq(routeCol))
+      .select(col(routeCol), col(sourceCol),
+        floor(budgetCol(routeCol, budgets, defaultBudget)
+            .cast("double") * sqrt(col("__stok")) / col("__zsum"))
+          .cast("long").as("__graft_mix_target"))
+    val w = Window.partitionBy(routeCol, sourceCol)
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col("*"), (sum(n).over(w) - n).as("__graft_mix_cum"))
+      .join(broadcast(targets), Seq(routeCol, sourceCol))
+      .filter(col("__graft_mix_cum") < col("__graft_mix_target"))
+      .drop("__graft_mix_cum", "__graft_mix_target")
+  }
+
   private def budgetCol(sourceCol: String, budgets: Map[String, Long],
       defaultBudget: Long): Column =
     coalesce(

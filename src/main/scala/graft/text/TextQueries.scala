@@ -1651,6 +1651,132 @@ object TextQueries extends QueryPack {
         "FROM b CROSS JOIN gg ORDER BY doc_id"
     })
 
+  /** Per-language budgets of the routed-curation gate lane — rendered
+    * into BOTH engines.
+    */
+  private val RouteBudgets: Map[String, Long] = Map(
+    "en" -> 4000L, "de" -> 1500L, "fr" -> 1500L, "es" -> 1500L,
+    "zh" -> 1000L)
+
+  /** The multilingual LINE fixture of the routed-curation lane: docs
+    * keyed `doc_id % 5` gain TWO minority-language lines, so per-line
+    * majority routing sends them to de/fr/es/zh while `% 5 == 0` docs
+    * stay en — the code-switching corpus [[LangSegment]] exists to
+    * route. Mirrored verbatim by [[routeFixtureSql]].
+    */
+  private[graft] def withRouteFixture(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.withColumn("rtext", concat(col("text"),
+      when(col("doc_id") % 5 === 1,
+        lit("\nder zug und die bahn\nder mann und die frau nicht"))
+        .when(col("doc_id") % 5 === 2,
+          lit("\nle chat et la maison\nle jour et les nuits"))
+        .when(col("doc_id") % 5 === 3,
+          lit("\nel mundo es grande\nlos dias es las cosas"))
+        .when(col("doc_id") % 5 === 4,
+          lit("\n中文 文本\n语料 处理 中文"))
+        .otherwise(lit(""))))
+
+  private val routeFixtureSql: String =
+    "text || CASE doc_id % 5 " +
+      "WHEN 1 THEN chr(10) || 'der zug und die bahn' || chr(10) || " +
+      "'der mann und die frau nicht' " +
+      "WHEN 2 THEN chr(10) || 'le chat et la maison' || chr(10) || " +
+      "'le jour et les nuits' " +
+      "WHEN 3 THEN chr(10) || 'el mundo es grande' || chr(10) || " +
+      "'los dias es las cosas' " +
+      "WHEN 4 THEN chr(10) || '中文 文本' || chr(10) || " +
+      "'语料 处理 中文' " +
+      "ELSE '' END"
+
+  /** Per-LANGUAGE routed curation — the composition [[LangSegment]]
+    * exists to serve (X110 → route → X91): per-line language
+    * segmentation picks each document's majority language, documents
+    * route to per-language pipelines, and
+    * [[graft.pipeline.Mixing.byTemperatureRoutedT2]] rebalances
+    * sources WITHIN each language under that language's own token
+    * budget — one dataflow for all languages (one (lang, source)
+    * aggregate, broadcast targets, ONE corpus shuffle for the
+    * selection window). Output: the (language × source) funnel —
+    * routed docs/tokens and selected docs/tokens. The oracle replays
+    * line split → shared [[langCaseSql]] → majority window → sqrt-mass
+    * targets under the shared [[RouteBudgets]] CASE → md5-order greedy
+    * selection → funnel roll-up verbatim.
+    */
+  private def routeLangQuery = QueryDef(
+    "corpus_route_lang_documents",
+    (s, dir) => {
+      val fixt = withRouteFixture(
+        Tables.load(s, dir, "documents", parallelize = true))
+      // metadata-sized routed frame (id, source, tokens, lang):
+      // checkpointed once, read by the mixing AND the funnel — the
+      // corpus text is never scanned again downstream
+      val base = fixt
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("rtext")).cast("long")
+            .as("n_tokens"))
+        .join(LangSegment.segment(fixt, "doc_id", "rtext")
+          .select(col("doc_id"), col("majority_lang").as("lang")),
+          Seq("doc_id"))
+        .localCheckpoint(true)
+      val sel = graft.pipeline.Mixing.byTemperatureRoutedT2(
+          base, "lang", "source", "doc_id", "n_tokens", RouteBudgets)
+        .select(col("doc_id"), lit(true).as("__sel"))
+      base.join(sel, Seq("doc_id"), "left")
+        .groupBy("lang", "source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("lang_tokens"),
+          sum(when(col("__sel"), 1L).otherwise(0L)).as("n_selected"),
+          sum(when(col("__sel"), col("n_tokens")).otherwise(0L))
+            .as("sel_tokens"))
+        .orderBy("lang", "source")
+    },
+    Some {
+      val budgetCase = "CASE s.lang " + RouteBudgets.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN '$k' THEN $v" }
+        .mkString(" ") + " ELSE 0 END"
+      s"WITH d AS (SELECT doc_id, source, $routeFixtureSql AS rtext " +
+        "FROM documents), " +
+        "ls AS (SELECT doc_id, string_split(rtext, chr(10)) AS lines " +
+        "FROM d), " +
+        "li AS (SELECT doc_id, lines, " +
+        "unnest(generate_series(1, len(lines))) AS pos FROM ls), " +
+        "l AS (SELECT doc_id, trim(lines[pos]) AS line FROM li), " +
+        "ln AS (SELECT doc_id, line FROM l WHERE length(line) > 0), " +
+        s"lg AS (SELECT doc_id, ${langCaseSql("line")} AS lang " +
+        "FROM ln), " +
+        "c AS (SELECT doc_id, lang, count(*) AS cnt FROM lg " +
+        "GROUP BY 1, 2), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id " +
+        "ORDER BY cnt DESC, lang) AS rn FROM c), " +
+        "mj AS (SELECT doc_id, max(CASE WHEN rn = 1 THEN lang END) " +
+        "AS lang FROM r GROUP BY 1), " +
+        "toks AS (SELECT d.doc_id, d.source, mj.lang, " +
+        s"len(${tokensSqlOf("rtext")})::BIGINT AS n " +
+        "FROM d JOIN mj USING (doc_id)), " +
+        "s AS (SELECT lang, source, CAST(sum(n) AS BIGINT) AS stok " +
+        "FROM toks GROUP BY 1, 2), " +
+        "z AS (SELECT lang, CAST(sum(CAST(sqrt(stok) " +
+        "AS DECIMAL(38,12))) AS DOUBLE) AS zsum FROM s GROUP BY 1), " +
+        s"t AS (SELECT s.lang, s.source, CAST(floor(CAST($budgetCase " +
+        "AS DOUBLE) * sqrt(stok) / zsum) AS BIGINT) AS target " +
+        "FROM s JOIN z USING (lang)), " +
+        "cm AS (SELECT doc_id, lang, source, n, SUM(n) OVER (" +
+        "PARTITION BY lang, source ORDER BY md5(doc_id::VARCHAR), " +
+        "doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM toks), " +
+        "sel AS (SELECT cm.doc_id FROM cm JOIN t USING (lang, source) " +
+        "WHERE cum - n < target) " +
+        "SELECT toks.lang, toks.source, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n) AS BIGINT) AS lang_tokens, " +
+        "CAST(sum(CASE WHEN sel.doc_id IS NOT NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_selected, " +
+        "CAST(sum(CASE WHEN sel.doc_id IS NOT NULL THEN n ELSE 0 END) " +
+        "AS BIGINT) AS sel_tokens " +
+        "FROM toks LEFT JOIN sel ON toks.doc_id = sel.doc_id " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    })
+
   private def langSegmentsQuery = QueryDef(
     "text_lang_segments_documents",
     (s, dir) => LangSegment.segment(
@@ -1838,5 +1964,6 @@ object TextQueries extends QueryPack {
       collocationsQuery, boilerplateQuery, bpeQuery, bpeEncodeQuery,
       domainsQuery, indexQuery, nfcQuery, htmlExtractQuery,
       qualityModelQuery, curateE2eQuery, sampleUniformQuery,
-      markdownExtractQuery, langSegmentsQuery, langModelQuery)
+      markdownExtractQuery, langSegmentsQuery, langModelQuery,
+      routeLangQuery)
 }
