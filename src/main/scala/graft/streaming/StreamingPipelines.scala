@@ -433,6 +433,102 @@ object StreamingPipelines {
       .start()
   }
 
+  /** The STREAMING curation loop — the complete modern curation
+    * pipeline (`corpus_curate_e2e_documents`: NFC → HTML extraction →
+    * pinned-weight quality inference → SemDeDup pruning → temperature
+    * mixing → per-source funnel) maintained through a real
+    * StreamingQuery. Each micro-batch runs the map-side half
+    * ([[graft.text.Curation.scoreDocs]] — extract + score, no
+    * shuffle) and writes its per-doc METADATA partial
+    * `(id, source, n_tokens, keep)` to a batch-owned,
+    * overwrite-idempotent state subdir; the report then re-runs the
+    * selection half ([[graft.text.Curation.funnel]] — SemDeDup with
+    * the pinned centroids + T = 2 mixing, both global decisions that
+    * need the full survivor set) over the maintained frame and
+    * overwrites `reportPath`.
+    *
+    * Equality contract: a document's metadata row is a pure function
+    * of the document alone, so the maintained frame — and therefore
+    * the funnel computed from it — is independent of the micro-batch
+    * cut and equals the batch lane on the same corpus (the
+    * [[MaintainedAgg]] story; both halves are the literally-shared
+    * [[graft.text.Curation]] code, so the engines cannot drift).
+    *
+    * State layer follows the r13 contract ([[qualityStream]]'s
+    * shape): Hadoop-FS resolution, fail-loud on a batch dir the
+    * marker implies, generation compaction every `compactEvery`
+    * batches (the fold may include the current batch — partials are
+    * idempotent batch-owned frames). Per-doc metadata is ~32 bytes ×
+    * corpus docs — columnar-compressed id/count rows, the same
+    * footprint contract as the near-dup index state, bounded-listing
+    * by compaction.
+    */
+  def curateStream(source: DataFrame, idCol: String, htmlCol: String,
+      sourceCol: String, weights: Array[Long], bias: Long,
+      embeddings: DataFrame, embIdCol: String, embCol: String,
+      centroids: Array[Array[Double]], tau: Double, budget: Long,
+      statePath: String, reportPath: String, checkpoint: String,
+      compactEvery: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(compactEvery >= 2, "compactEvery must be at least 2")
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = fsOf(s, statePath)
+        graft.text.Curation
+          .scoreDocs(batch, idCol, htmlCol, sourceCol, weights, bias)
+          .write.mode("overwrite").parquet(s"$statePath/b$batchId")
+        val upto = readMarker(fs, statePath)
+        if (upto > batchId + 1)
+          throw new IllegalStateException(
+            s"compaction marker $upto is ahead of batch $batchId " +
+              s"under $statePath — state belongs to a different stream")
+        val gen =
+          if (upto > 0) {
+            val g = s"$statePath/compacted_g$upto"
+            if (!fs.exists(new Path(g)))
+              throw new IllegalStateException(
+                s"marker says batches [0, $upto) are folded at $g but " +
+                  "the generation dir is missing — refusing to report " +
+                  "from partial state")
+            Seq(g)
+          } else Nil
+        val tail = (upto to batchId).map { i =>
+          val p = s"$statePath/b$i"
+          if (!fs.exists(new Path(p)))
+            throw new IllegalStateException(
+              s"scored partial for batch $i (implied by batch counter " +
+                s"$batchId and marker $upto) is missing under $statePath")
+          p
+        }
+        val scored = s.read.parquet((gen ++ tail): _*)
+          .localCheckpoint(true) // feeds the funnel AND the compaction
+        graft.text.Curation
+          .funnel(scored, idCol, sourceCol, embeddings, embIdCol,
+            embCol, centroids, tau, budget)
+          .write.mode("overwrite").parquet(reportPath)
+        if (batchId + 1 - upto >= compactEvery) {
+          val g = s"$statePath/compacted_g${batchId + 1}"
+          scored.write.mode("overwrite").parquet(g)
+          writeMarker(fs, statePath, batchId + 1)
+          fs.listStatus(new Path(statePath)).foreach { st =>
+            val n = st.getPath.getName
+            val stale =
+              (n.startsWith("b") && n.drop(1).forall(_.isDigit) &&
+                n.drop(1).toLong <= batchId) ||
+                (n.startsWith("compacted_g") &&
+                  n != s"compacted_g${batchId + 1}")
+            if (stale) { fs.delete(st.getPath, true); () }
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming benchmark decontamination
     * ([[graft.text.Decontam.overlapReportFromArrays]] through a real
     * StreamingQuery — the X17 eval-gram probe applied at ingest time,

@@ -597,6 +597,52 @@ object StreamingQueries extends QueryPack {
         "ORDER BY source"
     })
 
+  /** The STREAMING curation loop ([[StreamingPipelines.curateStream]]):
+    * the documents corpus — wrapped in the SAME deterministic HTML
+    * fixture as the batch flagship — drains in TWO files; each
+    * micro-batch runs the shared map-side half (NFC → extract →
+    * pinned-weight scoring, [[graft.text.Curation.scoreDocs]]) into
+    * the state layer, and the report re-runs the shared selection
+    * half (SemDeDup + temperature mixing,
+    * [[graft.text.Curation.funnel]]) over the maintained metadata
+    * frame. Per-doc metadata is a pure function of each document, so
+    * the report is cut-independent and equals the batch lane — the
+    * oracle is `corpus_curate_e2e_documents`'s SQL VERBATIM (the
+    * maintained-equality story; multi-batch state/compaction
+    * mechanics are pinned in `CurateStreamSpec`).
+    */
+  private def curateQuery = QueryDef(
+    "stream_curate_documents",
+    (s, dir) => withStreamSession(s) { iso =>
+      val staged = StreamStage.ensureOrdered(iso, dir, "cur2",
+          "documents")(x =>
+          graft.text.TextQueries.withHtmlFixture(
+            graft.io.Tables.load(x, dir, "documents",
+              parallelize = false))
+            .select(col("doc_id"), col("source"), col("html")))(
+          col("doc_id") % 2 === 0)
+      withTempDirs("graft_stream_cur_state", "graft_stream_cur_out",
+        "graft_stream_cur_ckpt") {
+      case Seq(state, out, ckpt) =>
+        val schema = iso.read.parquet(staged).schema
+        val src = iso.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(staged)
+        val q = StreamingPipelines.curateStream(src, "doc_id", "html",
+          "source", graft.text.QualityGatePinned.weights,
+          graft.text.QualityGatePinned.bias,
+          graft.io.Tables.load(iso, dir, "embeddings"),
+          "vec_id", "embedding",
+          graft.sim.KmeansGatePinned.centroids,
+          graft.text.TextQueries.E2eTau,
+          graft.text.TextQueries.E2eBudget,
+          state, out, ckpt)
+        q.awaitTermination()
+        graft.util.Frames.localized(iso.read.parquet(out)
+          .orderBy("source"))
+      }
+    },
+    Some(graft.text.TextQueries.curateE2eOracle))
+
   /** Streaming decontamination
     * ([[StreamingPipelines.decontamStream]]): the corpus slice
     * (`doc_id % 100 >= 5`) drains in TWO files; each micro-batch
@@ -643,5 +689,6 @@ object StreamingQueries extends QueryPack {
   override def queries: Seq[QueryDef] =
     Seq(windowedQuery, sessionizeQuery, dedupQuery, intervalJoinQuery,
       pipelineQuery, profileQuery, funnelQuery, maintainedAggQuery,
-      activesQuery, nearDupQuery, qualityQuery, decontamQuery)
+      activesQuery, nearDupQuery, qualityQuery, decontamQuery,
+      curateQuery)
 }

@@ -1825,8 +1825,8 @@ object TextQueries extends QueryPack {
         "ORDER BY doc_id"
     })
 
-  private val E2eTau = 0.3
-  private val E2eBudget = 5000L
+  private[graft] val E2eTau = 0.3
+  private[graft] val E2eBudget = 5000L
 
   /** The COMPLETE modern curation loop, end-to-end and hash-verified —
     * the r12/r13 operators composed as ONE dataflow (the
@@ -1850,45 +1850,28 @@ object TextQueries extends QueryPack {
   private def curateE2eQuery = QueryDef(
     "corpus_curate_e2e_documents",
     (s, dir) => {
-      val docs = Tables.load(s, dir, "documents", parallelize = true)
-      val scored = QualityModel.scorePinned(
-          HtmlExtract.extract(
-            withHtmlFixture(docs)
-              .withColumn("html", TextAnalysis.nfc(col("html"))),
-            "doc_id", "html", keepCols = Seq("source")),
-          "doc_id", "text", QualityGatePinned.weights,
-          QualityGatePinned.bias, keepCols = Seq("source"))
-        .select(col("doc_id"), col("source"),
-          col("n_tokens").cast("long").as("n_tokens"), col("keep"))
+      // both stages are the SHARED Curation implementation — the
+      // streaming twin (stream_curate_documents) runs literally the
+      // same code per batch/report, which is what licenses its oracle
+      // to be this lane's SQL verbatim
+      val scored = Curation.scoreDocs(
+          withHtmlFixture(
+            Tables.load(s, dir, "documents", parallelize = true)),
+          "doc_id", "html", "source", QualityGatePinned.weights,
+          QualityGatePinned.bias)
         .localCheckpoint(true)
-      val q = scored.filter(col("keep"))
-      val pruned = graft.sim.SemDedup.prune(
-          Tables.load(s, dir, "embeddings")
-            .join(q.select(col("doc_id").as("vec_id")), Seq("vec_id")),
-          "vec_id", "embedding",
-          graft.sim.KmeansGatePinned.centroids, E2eTau)
-        .filter(col("kept")).select(col("vec_id").as("doc_id"))
-        .localCheckpoint(true) // read by mixing AND the funnel join
-      val sel = graft.pipeline.Mixing.byTemperatureT2(
-          q.join(pruned, Seq("doc_id")), "source", "doc_id",
-          "n_tokens", E2eBudget)
-        .select(col("doc_id"), lit(true).as("__sel"))
-      scored
-        .join(pruned.withColumn("__dd", lit(true)), Seq("doc_id"),
-          "left")
-        .join(sel, Seq("doc_id"), "left")
-        .groupBy("source").agg(
-          count(lit(1)).as("n_docs"),
-          sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"),
-          sum(when(col("__dd"), 1L).otherwise(0L)).as("n_dedup"),
-          sum(when(col("__sel"), 1L).otherwise(0L)).as("n_selected"),
-          sum(when(col("__sel"), col("n_tokens")).otherwise(0L))
-            .as("sel_tokens"))
+      Curation.funnel(scored, "doc_id", "source",
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          graft.sim.KmeansGatePinned.centroids, E2eTau, E2eBudget)
         .orderBy("source")
     },
     Some(curateE2eOracle))
 
-  private def curateE2eOracle: String = {
+  /** Shared with the streaming twin's gate
+    * ([[graft.streaming.StreamingQueries]]) — the maintained-equality
+    * story: the stream's report oracle IS the batch lane's SQL.
+    */
+  private[graft] def curateE2eOracle: String = {
     val tau = graft.util.OracleSql.dbl(E2eTau)
     s"WITH h AS (SELECT doc_id, nfc_normalize($htmlFixtureSql) " +
       "AS html FROM documents), " +
