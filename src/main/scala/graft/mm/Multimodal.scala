@@ -35,6 +35,13 @@ object Multimodal {
   trait MediaCodec extends Serializable {
     def decode(m: Media): Decoded
     def features(m: Media, dim: Int): Array[Float]
+
+    /** `cols`×`rows` row-major grayscale downsample of the decoded
+      * image — the perceptual-hash input ([[ImageHash]]). A real codec
+      * decodes pixels and average-pools; the container stub derives a
+      * deterministic grid from the content bytes.
+      */
+    def lumaGrid(m: Media, cols: Int, rows: Int): Array[Int]
   }
 
   /** STUB: metadata/features are hash-derived from the content bytes —
@@ -64,6 +71,9 @@ object Multimodal {
         (math.floorMod(h64(m.content, i * 7919L + 1), 2000001L) - 1000000L)
           .toFloat / 1e6f
       }
+    def lumaGrid(m: Media, cols: Int, rows: Int): Array[Int] =
+      Array.tabulate(cols * rows)(i =>
+        math.floorMod(h64(m.content, i * 31L + 7L), 256L).toInt)
   }
 
   /** The shipped codec: REAL header parsing for image payloads
@@ -96,6 +106,10 @@ object Multimodal {
       }
     def features(m: Media, dim: Int): Array[Float] =
       FakeCodec.features(m, dim)
+    // pixel decode needs a real codec library — stub grid (per the
+    // environment brief; the plumbing around the seam stays real)
+    def lumaGrid(m: Media, cols: Int, rows: Int): Array[Int] =
+      FakeCodec.lumaGrid(m, cols, rows)
   }
 
   /** Deterministic geometry for synthesized image payloads — the

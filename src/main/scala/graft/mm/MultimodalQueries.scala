@@ -106,6 +106,113 @@ object MultimodalQueries extends QueryPack {
       "CAST(24 + doc_id % 1000 AS INT) AS n_frames " +
       "FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id"))
 
+  /** Analytic pixel goldens for the image-hash gate: per-cell luma is
+    * the md5-derived 60-bit base of `px_<pattern>_<x>_<y>` mod `Mod`
+    * (the DuckDB-replayable hash family), where PATTERN is
+    * `doc_id / 2` — so ids 2k and 2k+1 share one pseudo-random grid,
+    * offset by a uniform `+Bright` on odd ids: a brightness-shifted
+    * near-identical copy that never clips (`Mod + Bright < 256`),
+    * hence hash-IDENTICAL within a pair by construction, while
+    * unrelated patterns are independent 64-bit draws (collision at
+    * hamming ≤ 3 is ~2^-41 — exactly the 2-per-pattern pairs match).
+    * DuckDB recomputes every grid, every hash bit, and every pairwise
+    * hamming analytically — no fixture file, no replayed Scala.
+    * Routed through the [[Multimodal.MediaCodec]] seam like a real
+    * pixel decoder would be.
+    */
+  private[mm] object PlantedPixels extends Multimodal.MediaCodec {
+    val Mod = 240
+    val Bright = 4
+    private val md5Local =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+    /** Driver/executor twin of the SQL
+      * `('0x' || substr(md5(k), 1, 15))::BIGINT` 60-bit base (the
+      * [[graft.text.QualityModel.bucketOf]] recipe).
+      */
+    private def md5Base60(key: String): Long = {
+      val md = md5Local.get()
+      md.reset()
+      val d = md.digest(key.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+      v >>> 4
+    }
+    def grid(id: Long, cols: Int, rows: Int): Array[Int] =
+      Array.tabulate(cols * rows) { i =>
+        val x = i % cols
+        val y = i / cols
+        (md5Base60(s"px_${id / 2}_${x}_$y") % Mod +
+          (id % 2) * Bright).toInt
+      }
+    def decode(m: Multimodal.Media): Multimodal.Decoded =
+      Multimodal.FakeCodec.decode(m)
+    def features(m: Multimodal.Media, dim: Int): Array[Float] =
+      Multimodal.FakeCodec.features(m, dim)
+    def lumaGrid(m: Multimodal.Media, cols: Int, rows: Int): Array[Int] =
+      grid(m.media_id, cols, rows)
+  }
+
+  /** Perceptual image near-dup ([[ImageHash]]): every document
+    * becomes an image whose 9×8 luma grid is the planted analytic
+    * golden, hashing runs through the batched codec-seam pass, and
+    * candidate pairs surface via the chunk-blocked aHash banding
+    * (lossless for hamming ≤ 3 by pigeonhole) before the exact
+    * `bit_count(xor)` verify. The ids-2k/2k+1 brightness pairs MUST
+    * come out hamming 0 on both hashes; the oracle recomputes every
+    * grid/bit/hamming from the formula and takes ALL pairs at the
+    * threshold — banding losslessness is therefore part of what the
+    * hash-equality checks.
+    */
+  private def imageHashQuery = QueryDef(
+    "dedup_image_hash_documents",
+    (s, dir) => {
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents", parallelize = true)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map(id =>
+          Multimodal.Media(id, "image", "png", Array.empty[Byte]))
+      val hashes = ImageHash.hashAll(media, PlantedPixels)
+      graft.util.Frames.localized(
+          ImageHash.nearDupPairs(hashes.toDF(), "media_id"))
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      val m = PlantedPixels.Mod
+      val br = PlantedPixels.Bright
+      s"WITH g AS (SELECT doc_id, x, y, " +
+        "('0x' || substr(md5('px_' || (doc_id // 2) || '_' || x || " +
+        s"'_' || y), 1, 15))::BIGINT % $m + " +
+        s"(doc_id % 2) * $br AS luma FROM documents, " +
+        "(SELECT unnest(generate_series(0, 8)) AS x) t1, " +
+        "(SELECT unnest(generate_series(0, 7)) AS y) t2), " +
+        "s AS (SELECT doc_id, sum(CASE WHEN x < 8 THEN luma ELSE 0 " +
+        "END) AS tot FROM g GROUP BY 1), " +
+        // aHash bit: 64·luma > Σ luma (exact integer mean threshold)
+        "ab AS (SELECT g.doc_id, y * 8 + x AS pos, " +
+        "CASE WHEN 64 * luma > tot THEN 1 ELSE 0 END AS bit " +
+        "FROM g JOIN s USING (doc_id) WHERE x < 8), " +
+        // dHash bit: horizontal gradient over the 9-column grid
+        "db AS (SELECT a.doc_id, a.y * 8 + a.x AS pos, " +
+        "CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit " +
+        "FROM g a JOIN g b ON a.doc_id = b.doc_id AND b.y = a.y " +
+        "AND b.x = a.x + 1 WHERE a.x < 8), " +
+        "pa AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS ham " +
+        "FROM ab a JOIN ab b ON a.pos = b.pos " +
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pd AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS ham " +
+        "FROM db a JOIN db b ON a.pos = b.pos " +
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT pa.id_a, pa.id_b, CAST(pa.ham AS INT) AS ham_ahash, " +
+        "CAST(pd.ham AS INT) AS ham_dhash FROM pa JOIN pd " +
+        "ON pa.id_a = pd.id_a AND pa.id_b = pd.id_b " +
+        "WHERE pa.ham <= 3 ORDER BY 1, 2"
+    })
+
   override def queries: Seq[QueryDef] =
-    Seq(pipelineQuery, audioQuery, videoQuery)
+    Seq(pipelineQuery, audioQuery, videoQuery, imageHashQuery)
 }
