@@ -406,15 +406,20 @@ object StreamingPipelines {
           p
         }
         val parts = gen ++ tail
-        val state = total(s.read.parquet(parts: _*))
-          .localCheckpoint(true) // feeds the report AND the compaction
+        // the checkpoint pays off only when the frame feeds BOTH the
+        // report and a compaction fold; on ordinary batches the report
+        // is the single consumer — write it straight
+        val willCompact = batchId + 1 - upto >= compactEvery
+        val stateRaw = total(s.read.parquet(parts: _*))
+        val state =
+          if (willCompact) stateRaw.localCheckpoint(true) else stateRaw
         state
           .select(col(groupCol), col("n_docs"), col("n_keep"),
             col("margin_sum"),
             (col("n_keep").cast("double") /
               greatest(col("n_docs"), lit(1L))).as("keep_rate"))
           .write.mode("overwrite").parquet(reportPath)
-        if (batchId + 1 - upto >= compactEvery) {
+        if (willCompact) {
           val g = s"$statePath/compacted_g${batchId + 1}"
           state.write.mode("overwrite").parquet(g)
           writeMarker(fs, statePath, batchId + 1)
@@ -504,8 +509,11 @@ object StreamingPipelines {
                 s"$batchId and marker $upto) is missing under $statePath")
           p
         }
+        // NO checkpoint on the state read: the partials are already
+        // materialized parquet, so the funnel's three consumers each
+        // re-scan metadata-sized files — cheaper than the extra
+        // materialization job a localCheckpoint costs per batch
         val scored = s.read.parquet((gen ++ tail): _*)
-          .localCheckpoint(true) // feeds the funnel AND the compaction
         graft.text.Curation
           .funnel(scored, idCol, sourceCol, embeddings, embIdCol,
             embCol, centroids, tau, budget)
@@ -616,12 +624,16 @@ object StreamingPipelines {
                 s"$batchId and marker $upto) is missing under $statePath")
           p
         }
-        val state = s.read.parquet((gen ++ tail): _*)
+        // checkpoint only when a compaction fold will read the frame
+        // too; otherwise the ledger write is the single consumer
+        val willCompact = batchId + 1 - upto >= compactEvery
+        val stateRaw = s.read.parquet((gen ++ tail): _*)
           .agg(sum(col("n_docs")).as("n_docs"),
             sum(col("total_grams")).as("total_grams"),
             sum(col("contaminated_docs")).as("contaminated_docs"),
             sum(col("matched_grams")).as("matched_grams"))
-          .localCheckpoint(true) // feeds the ledger AND the compaction
+        val state =
+          if (willCompact) stateRaw.localCheckpoint(true) else stateRaw
         state
           .select(col("n_docs"), col("contaminated_docs"),
             col("total_grams"), col("matched_grams"),
@@ -629,7 +641,7 @@ object StreamingPipelines {
               greatest(col("n_docs"), lit(1L)))
               .as("contaminated_frac"))
           .write.mode("overwrite").parquet(ledgerPath)
-        if (batchId + 1 - upto >= compactEvery) {
+        if (willCompact) {
           val g = s"$statePath/compacted_g${batchId + 1}"
           state.write.mode("overwrite").parquet(g)
           writeMarker(fs, statePath, batchId + 1)

@@ -663,9 +663,13 @@ object TextQueries extends QueryPack {
           .overlapReportFromArrays(corpusGrams, evalGrams, "doc_id")
           .filter(col("contamination_ratio") >= ContamThreshold)
           .select("doc_id")
+        // exact dedup keyed on md5(text), not text: the group-by key
+        // is what shuffles, and 32 hex chars beat whole documents by
+        // orders of magnitude at corpus scale (the oracle groups on
+        // raw text — identical result, 128-bit collisions aside)
         val deduped = curated
           .join(contaminated, Seq("doc_id"), "left_anti")
-          .groupBy("text")
+          .groupBy(md5(col("text").cast("binary")).as("__k"))
           .agg(min("doc_id").as("doc_id"), min("n_tokens").as("n_tokens"))
         graft.util.Frames.localized(
           deduped.agg(count(lit(1)).as("kept_docs"),
