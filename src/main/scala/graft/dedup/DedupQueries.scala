@@ -64,6 +64,110 @@ object DedupQueries extends QueryPack {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
   }
 
+  /** Leakage-SAFE train/val/test splitting — the near-dup-aware form
+    * of `corpus_split_documents`: a doc-keyed hash split can place two
+    * NEAR-duplicates on opposite sides of the train/eval boundary
+    * (train→test leakage the exact-fingerprint audit cannot see), so
+    * assignment here is keyed on the near-dup CLUSTER representative —
+    * blocked Jaccard pairs (≥ 0.8) → connected components → every
+    * member splits by `md5(seed : cluster-min-id)`, singletons by
+    * their own id. By construction no near-dup pair straddles splits;
+    * the report proves it (`cross_pairs_safe`, identically 0) next to
+    * the NAIVE doc-keyed assignment's straddle count on the same pair
+    * set (`cross_pairs_naive` — what the cluster keying prevents).
+    * Each pair attributes to its lower id's split. The oracle replays
+    * pairs → recursive components → both split assignments → both
+    * straddle counts verbatim.
+    */
+  private def splitSafeQuery = QueryDef(
+    "dedup_split_safe_documents",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents", parallelize = true)
+      val sets = Dedup.shingleSets(docs, "doc_id", "text", 3).persist()
+      try {
+        val pairs = Dedup
+          .jaccardOnPairsFromSets(blockedPairs(docs), sets, "doc_id")
+          .filter(col("jaccard") >= 0.8)
+          .select("id_a", "id_b")
+          .persist() // read by clustering AND both straddle counts
+        try {
+          val clusters = Dedup.survivorsLocal(pairs)
+            .select(col("id").as("doc_id"), col("cluster"))
+          val safe = graft.pipeline.CorpusSplit.assign(
+              docs.select("doc_id")
+                .join(clusters, Seq("doc_id"), "left")
+                .withColumn("rep",
+                  coalesce(col("cluster"), col("doc_id"))),
+              "rep")
+            .select(col("doc_id"), col("rep"), col("split"))
+            .localCheckpoint(true) // report + straddle join
+          val naive = graft.pipeline.CorpusSplit.assign(
+              docs.select("doc_id"), "doc_id")
+            .select(col("doc_id"), col("split"))
+          def cross(asg: org.apache.spark.sql.DataFrame) = pairs
+            .join(asg.select(col("doc_id").as("id_a"),
+              col("split").as("__sa")), "id_a")
+            .join(asg.select(col("doc_id").as("id_b"),
+              col("split").as("__sb")), "id_b")
+            .filter(col("__sa") =!= col("__sb"))
+            .groupBy(col("__sa").as("split"))
+            .agg(count(lit(1)).as("__c"))
+          safe
+            .groupBy("split").agg(
+              count(lit(1)).as("n_docs"),
+              countDistinct(col("rep")).as("n_reps"))
+            .join(cross(safe).withColumnRenamed("__c", "__cs"),
+              Seq("split"), "left")
+            .join(cross(naive).withColumnRenamed("__c", "__cn"),
+              Seq("split"), "left")
+            .select(col("split"), col("n_docs"), col("n_reps"),
+              coalesce(col("__cs"), lit(0L)).as("cross_pairs_safe"),
+              coalesce(col("__cn"), lit(0L)).as("cross_pairs_naive"))
+            .orderBy("split")
+        } finally { pairs.unpersist(blocking = false); () }
+      } finally { sets.unpersist(blocking = false); () }
+    },
+    Some {
+      val seed = graft.pipeline.CorpusSplit.DefaultSeed
+      def splitCase(key: String) =
+        s"CASE WHEN substring(md5('$seed:' || $key::VARCHAR), 1, 4) " +
+          s"< '${graft.pipeline.CorpusSplit.TrainCut}' THEN 'train' " +
+          s"WHEN substring(md5('$seed:' || $key::VARCHAR), 1, 4) " +
+          s"< '${graft.pipeline.CorpusSplit.ValCut}' THEN 'val' " +
+          "ELSE 'test' END"
+      s"WITH RECURSIVE $jaccardPairsCte, " +
+        "pairs AS (SELECT id_a, id_b FROM jp WHERE jaccard >= 0.8), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+        "UNION ALL SELECT id_b, id_a FROM pairs), " +
+        "reach(id, r) AS (SELECT src, src FROM edges " +
+        "UNION SELECT e.src, reach.r FROM edges e " +
+        "JOIN reach ON e.dst = reach.id), " +
+        "cl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id), " +
+        "asg AS (SELECT dd.doc_id, " +
+        "coalesce(cl.cluster, dd.doc_id) AS rep FROM documents dd " +
+        "LEFT JOIN cl ON dd.doc_id = cl.id), " +
+        s"sp AS (SELECT doc_id, rep, ${splitCase("rep")} AS split " +
+        "FROM asg), " +
+        s"np AS (SELECT doc_id, ${splitCase("doc_id")} AS split " +
+        "FROM documents), " +
+        "xs AS (SELECT sa.split, count(*) AS c FROM pairs p " +
+        "JOIN sp sa ON p.id_a = sa.doc_id " +
+        "JOIN sp sb ON p.id_b = sb.doc_id " +
+        "WHERE sa.split <> sb.split GROUP BY 1), " +
+        "xn AS (SELECT sa.split, count(*) AS c FROM pairs p " +
+        "JOIN np sa ON p.id_a = sa.doc_id " +
+        "JOIN np sb ON p.id_b = sb.doc_id " +
+        "WHERE sa.split <> sb.split GROUP BY 1), " +
+        "r AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(DISTINCT rep) AS BIGINT) AS n_reps FROM sp " +
+        "GROUP BY 1) " +
+        "SELECT r.split, n_docs, n_reps, " +
+        "CAST(coalesce(xs.c, 0) AS BIGINT) AS cross_pairs_safe, " +
+        "CAST(coalesce(xn.c, 0) AS BIGINT) AS cross_pairs_naive " +
+        "FROM r LEFT JOIN xs ON r.split = xs.split " +
+        "LEFT JOIN xn ON r.split = xn.split ORDER BY r.split"
+    })
+
   /** Prefix-blocked exact 3-shingle Jaccard: pairs sharing an 80-char
     * prefix block (cheap equality blocking — a hash join, no crossJoin),
     * verified with exact set Jaccard. Oracle recomputes shingling and
@@ -732,5 +836,6 @@ object DedupQueries extends QueryPack {
     minhashProdQuery,
     embBlockedQuery, embLshQuery, semdedupQuery, spanQuery,
     incrementalQuery, incrementalMinhashQuery, sourceOverlapQuery,
-    semanticDecontamQuery, noveltyQuery, canonicalQuery)
+    semanticDecontamQuery, noveltyQuery, canonicalQuery,
+    splitSafeQuery)
 }
