@@ -64,6 +64,60 @@ object DedupQueries extends QueryPack {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
   }
 
+  private val SubstrMinLen = 12
+
+  /** EXACT repeated-substring coverage ([[SubstringDedup.report]] —
+    * the deduplicate-text-datasets role re-expressed as anchored
+    * L-grams, see the operator scaladoc): per document, how many
+    * tokens lie inside some length-≥12 span that occurs more than
+    * once anywhere in the corpus. The oracle replays the L-gram
+    * slide, the md5-base hash, the global count-≥2 filter, the
+    * interval merge window and the coverage arithmetic verbatim
+    * (1-based vs 0-based positions cancel in the span algebra).
+    */
+  private def substringQuery = QueryDef(
+    "dedup_substring_documents",
+    (s, dir) => SubstringDedup.report(
+        Tables.load(s, dir, "documents", parallelize = true),
+        "doc_id", "text", SubstrMinLen)
+      .orderBy("doc_id"),
+    Some {
+      val L = SubstrMinLen
+      s"WITH toks AS (SELECT doc_id, CASE " +
+        "WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
+        "ELSE regexp_split_to_array(trim(text), '\\s+') END AS t " +
+        "FROM documents), " +
+        "g AS (SELECT doc_id, t, unnest(CASE WHEN len(t) >= " +
+        s"$L THEN generate_series(1, len(t) - ${L - 1}) " +
+        "ELSE []::BIGINT[] END) AS pos FROM toks), " +
+        "gh AS (SELECT doc_id, pos, ('0x' || substr(md5(" +
+        s"array_to_string(t[pos:pos+${L - 1}], ' ')), 1, 15))::BIGINT " +
+        "AS h FROM g), " +
+        "rep AS (SELECT h FROM gh GROUP BY h HAVING count(*) >= 2), " +
+        "m AS (SELECT gh.doc_id, gh.pos FROM gh JOIN rep USING (h)), " +
+        "w AS (SELECT doc_id, pos, CASE WHEN " +
+        "lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL " +
+        "OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) " +
+        s"+ ${L - 1} THEN 1 ELSE 0 END AS brk FROM m), " +
+        "sx AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY " +
+        "doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sp " +
+        "FROM w), " +
+        "spn AS (SELECT doc_id, sp, min(pos) AS a, max(pos) AS b " +
+        "FROM sx GROUP BY 1, 2), " +
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
+        s"CAST(sum(b - a + $L) AS BIGINT) AS repeated_tokens " +
+        "FROM spn GROUP BY 1) " +
+        "SELECT toks.doc_id, CAST(len(t) AS INT) AS n_tokens, " +
+        s"CAST(greatest(len(t) - ${L - 1}, 0) AS INT) AS n_grams, " +
+        "CAST(coalesce(agg.n_spans, 0) AS BIGINT) AS n_spans, " +
+        "CAST(coalesce(agg.repeated_tokens, 0) AS BIGINT) " +
+        "AS repeated_tokens, " +
+        "CAST(coalesce(agg.repeated_tokens, 0) AS DOUBLE) / " +
+        "greatest(len(t), 1) AS repeated_frac " +
+        "FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id " +
+        "ORDER BY toks.doc_id"
+    })
+
   /** Leakage-SAFE train/val/test splitting — the near-dup-aware form
     * of `corpus_split_documents`: a doc-keyed hash split can place two
     * NEAR-duplicates on opposite sides of the train/eval boundary
@@ -837,5 +891,5 @@ object DedupQueries extends QueryPack {
     embBlockedQuery, embLshQuery, semdedupQuery, spanQuery,
     incrementalQuery, incrementalMinhashQuery, sourceOverlapQuery,
     semanticDecontamQuery, noveltyQuery, canonicalQuery,
-    splitSafeQuery)
+    splitSafeQuery, substringQuery)
 }

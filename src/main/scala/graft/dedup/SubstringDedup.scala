@@ -1,0 +1,98 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT repeated-substring detection — the deduplicate-text-datasets
+  * role (Lee et al., "Deduplicating Training Data Makes Language
+  * Models Better", public work): find every token span of length ≥ L
+  * that occurs MORE THAN ONCE anywhere in the corpus (across
+  * documents or within one), and report per document how much of it
+  * is covered by such repeats — the signal used to cut memorization
+  * by trimming or dropping the covered spans.
+  *
+  * The suffix-array construction of the paper is a single-machine
+  * design; the distributed re-expression is ANCHORED L-GRAMS: a
+  * maximal repeated substring of length M ≥ L is covered by exactly
+  * its M − L + 1 constituent L-grams, each of which repeats — so the
+  * union of positions of globally-repeated L-grams IS the exact token
+  * set lying inside some length-≥L repeat. No suffix array, no
+  * all-pairs: one gram-keyed exchange.
+  *
+  * Dataflow (three exchanges, all key-bounded):
+  *  1. tokenize once, slide the L-window per doc (`posexplode` of a
+  *     map-side transform), hash each gram to the md5-derived 60-bit
+  *     base — grams never shuffle as strings;
+  *  2. count occurrences per gram hash (map-side partial → one
+  *     exchange on the hash); hashes with count ≥ 2 are repeated, and
+  *     the join back to (doc, pos) REUSES the same hash partitioning
+  *     (no second gram shuffle);
+  *  3. per-doc interval merge: repeated positions sort inside one
+  *     doc-keyed window; a new span starts where `pos > lag(pos) +
+  *     L − 1` (the previous gram's coverage ends before this one
+  *     begins), merged coverage = Σ (span_max − span_min + L). All
+  *     integer arithmetic — a SQL oracle replays every step.
+  *
+  * Documents shorter than L tokens carry no L-gram and emit
+  * `n_grams = 0` rows with zero coverage (they cannot participate in
+  * a length-≥L repeat). 60-bit hashing makes two DIFFERENT grams
+  * collide with probability ~2⁻⁶⁰ per pair — the same trade every
+  * hash-keyed dedup here makes, documented rather than hidden.
+  */
+object SubstringDedup {
+
+  /** `(idCol, n_tokens, n_grams, n_spans, repeated_tokens,
+    * repeated_frac)` — one row per input document; `repeated_tokens`
+    * is the exact size of the union of all length-≥L repeated spans,
+    * `repeated_frac` the single IEEE division by `n_tokens` (0 for
+    * empty docs).
+    */
+  def report(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    require(minLen >= 2, "minLen must be at least 2 tokens")
+    val toks = df.select(col(idCol),
+      Dedup.tokensOf(col(textCol)).as("__t"))
+    val base = toks.select(col(idCol),
+      size(col("__t")).as("n_tokens"),
+      when(size(col("__t")) >= minLen,
+        transform(sequence(lit(0), size(col("__t")) - minLen),
+          i => graft.dedup.Dedup.md5Base(
+            concat_ws(" ", slice(col("__t"), i + 1, lit(minLen))))))
+        .otherwise(array().cast("array<bigint>")).as("__gh"))
+    val grams = base.select(col(idCol),
+      posexplode(col("__gh")).as(Seq("pos", "gh")))
+    val repeated = grams
+      .groupBy(col("gh")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+      .select(col("gh"))
+    val marked = grams
+      .join(repeated, Seq("gh"), "left_semi")
+      .select(col(idCol), col("pos"))
+    val w = Window.partitionBy(idCol).orderBy(col("pos"))
+    val spans = marked
+      .withColumn("__brk",
+        when(lag(col("pos"), 1).over(w).isNull ||
+          col("pos") > lag(col("pos"), 1).over(w) + (minLen - 1), 1L)
+          .otherwise(0L))
+      .withColumn("__span", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__span"))
+      .agg(min(col("pos")).as("__a"), max(col("pos")).as("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("__b") - col("__a") + minLen).as("repeated_tokens"))
+    // n_grams is a pure function of n_tokens — derived analytically
+    // instead of carrying gram arrays into the report branch
+    base.select(col(idCol), col("n_tokens"),
+        greatest(col("n_tokens") - (minLen - 1), lit(0))
+          .cast("int").as("n_grams"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("n_grams"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("repeated_tokens"), lit(0L))
+          .as("repeated_tokens"),
+        (coalesce(col("repeated_tokens"), lit(0L)).cast("double") /
+          greatest(col("n_tokens"), lit(1))).as("repeated_frac"))
+  }
+}
