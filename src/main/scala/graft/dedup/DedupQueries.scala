@@ -77,10 +77,18 @@ object DedupQueries extends QueryPack {
     */
   private def substringQuery = QueryDef(
     "dedup_substring_documents",
-    (s, dir) => SubstringDedup.report(
+    (s, dir) => {
+      // persisted per the gramArrays contract (the explode must read
+      // a materialized array column); per-doc report localizes +
+      // releases before returning
+      val arrays = SubstringDedup.gramArrays(
         Tables.load(s, dir, "documents", parallelize = true),
-        "doc_id", "text", SubstrMinLen)
-      .orderBy("doc_id"),
+        "doc_id", "text", SubstrMinLen).persist()
+      try graft.util.Frames.localized(
+        SubstringDedup.reportFromArrays(arrays, "doc_id", SubstrMinLen)
+          .orderBy("doc_id"))
+      finally { arrays.unpersist(blocking = false); () }
+    },
     Some {
       val L = SubstrMinLen
       s"WITH toks AS (SELECT doc_id, CASE " +

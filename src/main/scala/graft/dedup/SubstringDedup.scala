@@ -42,24 +42,35 @@ import org.apache.spark.sql.functions._
   */
 object SubstringDedup {
 
+  /** `(idCol, n_tokens, __gh)` — per doc, the md5-base hash of every
+    * sliding L-gram (empty for docs shorter than L). PERSIST this
+    * frame before [[reportFromArrays]] — the same contract as
+    * [[graft.text.Decontam.docGramArrays]]: exploding an
+    * unmaterialized gram expression re-derives the whole slide per
+    * emitted element in the Generate path (measured 4× the lane).
+    */
+  def gramArrays(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    require(minLen >= 2, "minLen must be at least 2 tokens")
+    df.select(col(idCol), Dedup.tokensOf(col(textCol)).as("__t"))
+      .select(col(idCol),
+        size(col("__t")).as("n_tokens"),
+        when(size(col("__t")) >= minLen,
+          transform(sequence(lit(0), size(col("__t")) - minLen),
+            i => graft.dedup.Dedup.md5Base(
+              concat_ws(" ", slice(col("__t"), i + 1, lit(minLen))))))
+          .otherwise(array().cast("array<bigint>")).as("__gh"))
+  }
+
   /** `(idCol, n_tokens, n_grams, n_spans, repeated_tokens,
     * repeated_frac)` — one row per input document; `repeated_tokens`
     * is the exact size of the union of all length-≥L repeated spans,
     * `repeated_frac` the single IEEE division by `n_tokens` (0 for
-    * empty docs).
+    * empty docs). `arrays` is a PERSISTED [[gramArrays]] frame.
     */
-  def report(df: DataFrame, idCol: String, textCol: String,
+  def reportFromArrays(arrays: DataFrame, idCol: String,
       minLen: Int): DataFrame = {
-    require(minLen >= 2, "minLen must be at least 2 tokens")
-    val toks = df.select(col(idCol),
-      Dedup.tokensOf(col(textCol)).as("__t"))
-    val base = toks.select(col(idCol),
-      size(col("__t")).as("n_tokens"),
-      when(size(col("__t")) >= minLen,
-        transform(sequence(lit(0), size(col("__t")) - minLen),
-          i => graft.dedup.Dedup.md5Base(
-            concat_ws(" ", slice(col("__t"), i + 1, lit(minLen))))))
-        .otherwise(array().cast("array<bigint>")).as("__gh"))
+    val base = arrays
     val grams = base.select(col(idCol),
       posexplode(col("__gh")).as(Seq("pos", "gh")))
     val repeated = grams

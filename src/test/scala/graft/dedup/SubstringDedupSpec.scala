@@ -14,8 +14,10 @@ class SubstringDedupSpec extends SparkSpec {
   private val L = 6
 
   private def run(docs: Seq[(Long, String)]) =
-    SubstringDedup.report(docs.toDF("doc_id", "text"),
-        "doc_id", "text", L)
+    SubstringDedup.reportFromArrays(
+        SubstringDedup.gramArrays(docs.toDF("doc_id", "text"),
+          "doc_id", "text", L),
+        "doc_id", L)
       .as[(Long, Int, Int, Long, Long, Double)]
       .collect().sortBy(_._1)
 
