@@ -1602,6 +1602,81 @@ object TextQueries extends QueryPack {
       "处理 ' || text " +
       "ELSE text END"
 
+  /** Line-level Gopher quality signals ([[GopherQuality.signals]]):
+    * the corpus is single-line synthetic text, so the gate injects the
+    * line-level structure the rules exist for — bullet lists,
+    * duplicated filler lines, ellipsis endings and `#`/`…` noise on
+    * doc_id moduli — and the oracle replays line split → every count →
+    * every fraction → the composite pass verbatim.
+    */
+  private def gopherQuery = QueryDef(
+    "text_gopher_documents",
+    (s, dir) => GopherQuality.signals(
+        Tables.load(s, dir, "documents", parallelize = true)
+          .withColumn("text", concat(col("text"),
+            when(col("doc_id") % 4 === 1,
+              lit("\n- bullet item one\n- bullet item two"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 2,
+              lit("\nrepeated filler line\nrepeated filler line"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 6 === 3,
+              lit("\na trailing thought...\nein # noisy " +
+                "… line")).otherwise(lit("")))),
+        "doc_id", "text")
+      .orderBy("doc_id"),
+    Some {
+      val fix = "text || " +
+        "CASE WHEN doc_id % 4 = 1 THEN chr(10) || '- bullet item one' " +
+        "|| chr(10) || '- bullet item two' ELSE '' END || " +
+        "CASE WHEN doc_id % 5 = 2 THEN chr(10) || " +
+        "'repeated filler line' || chr(10) || 'repeated filler line' " +
+        "ELSE '' END || " +
+        "CASE WHEN doc_id % 6 = 3 THEN chr(10) || " +
+        "'a trailing thought...' || chr(10) || 'ein # noisy " +
+        "… line' ELSE '' END"
+      val lines = "list_filter(list_transform(" +
+        "string_split(text, chr(10)), x -> trim(x)), " +
+        "x -> length(x) > 0)"
+      def chars(x: String) =
+        s"coalesce(list_sum(list_transform($x, c -> length(c))), 0)"
+      s"WITH d AS (SELECT doc_id, $fix AS text FROM documents), " +
+        s"l AS (SELECT doc_id, text, $lines AS ln, " +
+        s"${tokensSqlOf("text")} AS w FROM d), " +
+        "c AS (SELECT doc_id, CAST(len(ln) AS INT) AS n_lines, " +
+        "len(ln) AS nl, len(list_distinct(ln)) AS dl, " +
+        s"${chars("ln")} AS lc, ${chars("list_distinct(ln)")} AS dc, " +
+        "len(list_filter(ln, x -> starts_with(x, '- ') OR " +
+        "starts_with(x, '* ') OR starts_with(x, '• '))) AS bl, " +
+        "len(list_filter(ln, x -> ends_with(x, '...') OR " +
+        "ends_with(x, '…'))) AS el, " +
+        "CAST(len(w) AS INT) AS n_words, " +
+        "len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) " +
+        "AS aw, " +
+        "len(regexp_extract_all(text, '#')) + " +
+        "len(regexp_extract_all(text, '…')) + " +
+        "len(regexp_extract_all(text, '\\.\\.\\.')) AS sym FROM l) " +
+        "SELECT doc_id, n_lines, " +
+        "(nl - dl)::DOUBLE / greatest(nl, 1) AS dup_line_frac, " +
+        "(lc - dc)::DOUBLE / greatest(lc, 1) AS dup_line_char_frac, " +
+        "bl::DOUBLE / greatest(nl, 1) AS bullet_line_frac, " +
+        "el::DOUBLE / greatest(nl, 1) AS ellipsis_line_frac, " +
+        "n_words, " +
+        "aw::DOUBLE / greatest(n_words, 1) AS alpha_word_frac, " +
+        "sym::DOUBLE / greatest(n_words, 1) AS symbol_ratio, " +
+        s"((nl - dl)::DOUBLE / greatest(nl, 1) <= " +
+        s"${graft.util.OracleSql.dbl(GopherQuality.MaxDupLineFrac)} " +
+        "AND bl::DOUBLE / greatest(nl, 1) <= " +
+        s"${graft.util.OracleSql.dbl(GopherQuality.MaxBulletFrac)} " +
+        "AND el::DOUBLE / greatest(nl, 1) <= " +
+        s"${graft.util.OracleSql.dbl(GopherQuality.MaxEllipsisFrac)} " +
+        "AND (n_words = 0 OR aw::DOUBLE / n_words >= " +
+        s"${graft.util.OracleSql.dbl(GopherQuality.MinAlphaWordFrac)}) " +
+        "AND sym::DOUBLE / greatest(n_words, 1) <= " +
+        s"${graft.util.OracleSql.dbl(GopherQuality.MaxSymbolRatio)}) " +
+        "AS pass_gopher FROM c ORDER BY doc_id"
+    })
+
   /** Model-based multi-class language ID ([[LangModel]]): LIVE
     * multi-class perceptron training on the fixture corpus with
     * [[TextAnalysis.langId]] weak labels (heuristic distillation —
@@ -1952,5 +2027,5 @@ object TextQueries extends QueryPack {
       domainsQuery, indexQuery, nfcQuery, htmlExtractQuery,
       qualityModelQuery, curateE2eQuery, sampleUniformQuery,
       markdownExtractQuery, langSegmentsQuery, langModelQuery,
-      routeLangQuery)
+      routeLangQuery, gopherQuery)
 }
