@@ -126,6 +126,67 @@ object DedupQueries extends QueryPack {
         "ORDER BY toks.doc_id"
     })
 
+  /** Repeated-substring SELF-SCRUB ([[SubstringDedup.scrubFromArrays]]
+    * — the actionable half of the deduplicate-text-datasets role):
+    * every repeated length-≥12 span keeps its globally-first
+    * occurrence and scrubs everywhere else; per-doc report carries the
+    * removed/kept token counts and the md5 of the rebuilt text. The
+    * oracle replays the gram slide, the exact-integer min-occurrence
+    * key, the interval merge, and the ordered text rebuild verbatim.
+    */
+  private def substringScrubQuery = QueryDef(
+    "dedup_substring_scrub_documents",
+    (s, dir) => {
+      val arrays = SubstringDedup.gramArrays(
+        Tables.load(s, dir, "documents", parallelize = true),
+        "doc_id", "text", SubstrMinLen).persist()
+      try graft.util.Frames.localized(
+        SubstringDedup.scrubFromArrays(arrays, "doc_id", SubstrMinLen)
+          .orderBy("doc_id"))
+      finally { arrays.unpersist(blocking = false); () }
+    },
+    Some {
+      val L = SubstrMinLen
+      s"WITH toks AS (SELECT doc_id, CASE " +
+        "WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
+        "ELSE regexp_split_to_array(trim(text), '\\s+') END AS t " +
+        "FROM documents), " +
+        "g AS (SELECT doc_id, t, unnest(CASE WHEN len(t) >= " +
+        s"$L THEN generate_series(1, len(t) - ${L - 1}) " +
+        "ELSE []::BIGINT[] END) AS pos FROM toks), " +
+        "gh AS (SELECT doc_id, pos, ('0x' || substr(md5(" +
+        s"array_to_string(t[pos:pos+${L - 1}], ' ')), 1, 15))::BIGINT " +
+        "AS h FROM g), " +
+        "f AS (SELECT h, min(doc_id * 1048576 + pos) AS mk FROM gh " +
+        "GROUP BY h HAVING count(*) >= 2), " +
+        "rm AS (SELECT gh.doc_id, gh.pos FROM gh JOIN f USING (h) " +
+        "WHERE gh.doc_id * 1048576 + gh.pos <> f.mk), " +
+        "w AS (SELECT doc_id, pos, CASE WHEN " +
+        "lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL " +
+        "OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) " +
+        s"+ ${L - 1} THEN 1 ELSE 0 END AS brk FROM rm), " +
+        "sx AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY " +
+        "doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sp " +
+        "FROM w), " +
+        "spn AS (SELECT doc_id, sp, min(pos) AS a, " +
+        s"max(pos) + ${L - 1} AS b FROM sx GROUP BY 1, 2), " +
+        "agg AS (SELECT doc_id, CAST(sum(b - a + 1) AS BIGINT) " +
+        "AS removed FROM spn GROUP BY 1), " +
+        "ti AS (SELECT doc_id, t, " +
+        "unnest(generate_series(1, len(t))) AS i FROM toks), " +
+        "tk AS (SELECT ti.doc_id, ti.i, ti.t[ti.i] AS tok FROM ti " +
+        "LEFT JOIN spn ON spn.doc_id = ti.doc_id " +
+        "AND ti.i BETWEEN spn.a AND spn.b WHERE spn.doc_id IS NULL), " +
+        "ct AS (SELECT doc_id, coalesce(string_agg(tok, ' ' " +
+        "ORDER BY i), '') AS clean FROM tk GROUP BY 1) " +
+        "SELECT toks.doc_id, CAST(len(t) AS INT) AS n_tokens, " +
+        "CAST(coalesce(agg.removed, 0) AS BIGINT) AS removed_tokens, " +
+        "CAST(len(t) - coalesce(agg.removed, 0) AS BIGINT) " +
+        "AS kept_tokens, md5(coalesce(ct.clean, '')) AS clean_md5 " +
+        "FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id " +
+        "LEFT JOIN ct ON toks.doc_id = ct.doc_id ORDER BY toks.doc_id"
+    })
+
   /** Leakage-SAFE train/val/test splitting — the near-dup-aware form
     * of `corpus_split_documents`: a doc-keyed hash split can place two
     * NEAR-duplicates on opposite sides of the train/eval boundary
@@ -899,5 +960,5 @@ object DedupQueries extends QueryPack {
     embBlockedQuery, embLshQuery, semdedupQuery, spanQuery,
     incrementalQuery, incrementalMinhashQuery, sourceOverlapQuery,
     semanticDecontamQuery, noveltyQuery, canonicalQuery,
-    splitSafeQuery, substringQuery)
+    splitSafeQuery, substringQuery, substringScrubQuery)
 }

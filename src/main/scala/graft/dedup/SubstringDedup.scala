@@ -52,14 +52,86 @@ object SubstringDedup {
   def gramArrays(df: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame = {
     require(minLen >= 2, "minLen must be at least 2 tokens")
+    // __t rides along for [[scrubFromArrays]]'s text rebuild (the
+    // report path prunes it out of its own projections; the persist
+    // caches it, which the scrub needs anyway)
     df.select(col(idCol), Dedup.tokensOf(col(textCol)).as("__t"))
-      .select(col(idCol),
+      .select(col(idCol), col("__t"),
         size(col("__t")).as("n_tokens"),
         when(size(col("__t")) >= minLen,
           transform(sequence(lit(0), size(col("__t")) - minLen),
             i => graft.dedup.Dedup.md5Base(
               concat_ws(" ", slice(col("__t"), i + 1, lit(minLen))))))
           .otherwise(array().cast("array<bigint>")).as("__gh"))
+  }
+
+  /** SELF-SCRUB — the actionable form of [[reportFromArrays]] (what
+    * Lee et al. actually do to the corpus): every repeated length-≥L
+    * span keeps its GLOBALLY FIRST occurrence (minimal `(doc, pos)` —
+    * deterministic, engine-portable) and is removed everywhere else.
+    * Gram rule: an occurrence `(d, p)` of a gram with global count ≥ 2
+    * is REMOVABLE iff it is not the gram's minimal occurrence; a token
+    * is removed iff some removable occurrence covers it — so a
+    * first-copy document (all its grams minimal) keeps everything, a
+    * later full copy scrubs entirely, and partial overlaps resolve
+    * token-by-token.
+    *
+    * Output per doc: `(idCol, n_tokens, removed_tokens, kept_tokens,
+    * clean_md5)` — `clean_md5` hashes the space-rejoined surviving
+    * tokens in document order (md5("") for fully-scrubbed/empty docs,
+    * the [[graft.text.Decontam.scrubSpans]] convention).
+    *
+    * The minimal occurrence compares as the exact integer
+    * `doc_id · 2²⁰ + pos` (token positions must stay below 2²⁰ ≈ 1M
+    * tokens/doc — enforced loud; ids must be non-negative), so both
+    * engines take the same min without struct-ordering semantics.
+    * `arrays` is a PERSISTED [[gramArrays]] frame.
+    */
+  def scrubFromArrays(arrays: DataFrame, idCol: String,
+      minLen: Int): DataFrame = {
+    // fail loud outside the key encoding's domain instead of silently
+    // mis-ordering occurrences (assert_true returns NULL on pass)
+    val key = col(idCol) * lit(1048576L) + col("pos") +
+      coalesce(assert_true(col("pos") < lit(1048576) &&
+        col(idCol) >= 0).cast("long"), lit(0L))
+    val occ = arrays.select(col(idCol),
+      posexplode(col("__gh")).as(Seq("pos", "gh")))
+    val firsts = occ
+      .groupBy(col("gh")).agg(
+        count(lit(1)).as("__n"),
+        min(key).as("__minkey"))
+      .filter(col("__n") >= 2)
+      .select(col("gh"), col("__minkey"))
+    val removable = occ
+      .join(firsts, Seq("gh"))
+      .filter(key =!= col("__minkey"))
+      .select(col(idCol), col("pos"))
+    val w = Window.partitionBy(idCol).orderBy(col("pos"))
+    val spans = removable
+      .withColumn("__brk",
+        when(lag(col("pos"), 1).over(w).isNull ||
+          col("pos") > lag(col("pos"), 1).over(w) + (minLen - 1), 1L)
+          .otherwise(0L))
+      .withColumn("__span", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__span"))
+      .agg(min(col("pos")).as("__a"),
+        (max(col("pos")) + (minLen - 1)).as("__b"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("__a"), col("__b"))).as("__spans"),
+        sum(col("__b") - col("__a") + 1).as("removed_tokens"))
+    arrays.select(col(idCol), col("__t"), size(col("__t"))
+        .as("n_tokens"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        (col("n_tokens") -
+          coalesce(col("removed_tokens"), lit(0L))).as("kept_tokens"),
+        md5(concat_ws(" ",
+          when(col("__spans").isNull, col("__t")).otherwise(
+            filter(col("__t"), (_, i) => !exists(col("__spans"),
+              s => i >= s.getField("__a") && i <= s.getField("__b")))))
+          .cast("binary")).as("clean_md5"))
   }
 
   /** `(idCol, n_tokens, n_grams, n_spans, repeated_tokens,
