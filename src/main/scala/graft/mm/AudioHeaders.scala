@@ -32,7 +32,13 @@ object AudioHeaders {
   /** Walk the RIFF chunks for a PCM `fmt ` + `data` pair; None when the
     * bytes are not a parseable WAV stream (caller falls back).
     */
-  def parse(b: Array[Byte]): Option[WavInfo] = {
+  def parse(b: Array[Byte]): Option[WavInfo] =
+    parseWithDataOffset(b).map(_._1)
+
+  /** [[parse]] plus the byte offset of the `data` chunk's PAYLOAD —
+    * what a sample reader ([[AudioHash]]) seeks to.
+    */
+  def parseWithDataOffset(b: Array[Byte]): Option[(WavInfo, Int)] = {
     if (b.length < 12) return None
     if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
     // Long cursor: a crafted chunk size near Int.MaxValue must overflow
@@ -41,8 +47,8 @@ object AudioHeaders {
     // crash a decode task.
     var i = 12L
     var fmt: Option[(Int, Int, Int)] = None
-    var dataLen: Option[Int] = None
-    while (i + 8 <= b.length && (fmt.isEmpty || dataLen.isEmpty)) {
+    var data: Option[(Int, Int)] = None // (payload offset, len)
+    while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
       val at = i.toInt
       val size = le32(b, at + 4)
       if (size < 0) return None
@@ -55,13 +61,13 @@ object AudioHeaders {
         if (ch <= 0 || rate <= 0 || bits % 8 != 0 || bits == 0) return None
         fmt = Some((ch, rate, bits))
       } else if (tag(b, at, "data")) {
-        dataLen = Some(size)
+        data = Some((at + 8, size))
       }
       // chunks are word-aligned: odd sizes carry a pad byte
       i += 8L + size.toLong + (size & 1)
     }
-    for ((ch, rate, bits) <- fmt; dl <- dataLen)
-      yield WavInfo(ch, rate, bits, dl)
+    for ((ch, rate, bits) <- fmt; (off, dl) <- data)
+      yield (WavInfo(ch, rate, bits, dl), off)
   }
 
   /** Canonical 44-byte PCM WAV header for the given parameters —

@@ -213,6 +213,63 @@ object MultimodalQueries extends QueryPack {
         "WHERE pa.ham <= 3 ORDER BY 1, 2"
     })
 
+  /** Acoustic fingerprint dedup ([[AudioHash]]): the synthesized
+    * corpus's 8-bit PCM WAV rows (`doc_id % 3 = 1`, bits = 8 ⇔
+    * `(doc_id / 3) % 2 = 0` per [[Multimodal.synthAudioParams]])
+    * fingerprint from GENUINELY PARSED samples — RIFF walk → data
+    * seek → byte read, no stub anywhere — and the oracle re-reads the
+    * same bytes by hex-decoding the UTF-8 payload in SQL, replaying
+    * every frame energy, every gradient bit and both candidate-set
+    * counts. Exact-duplicate payloads (the corpus's planted copies)
+    * must agree on the full profile; `n_same_fp` vs `n_same_profile`
+    * exposes the 15-bit blocking key's collision rate next to the
+    * verified-profile set size.
+    */
+  private def audioHashQuery = QueryDef(
+    "dedup_audio_hash_documents",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val media = Multimodal.synthesize(
+        Tables.load(s, dir, "documents", parallelize = true))
+      val fps = AudioHash.fingerprints(media).toDF()
+      graft.util.Frames.localized(
+          fps.select(col("media_id"), col("n_samples"), col("fp"),
+            col("energy_total"),
+            count(lit(1)).over(Window.partitionBy("fp"))
+              .as("n_same_fp"),
+            count(lit(1)).over(Window.partitionBy("fp", "energy_total",
+              "n_samples")).as("n_same_profile")))
+        .orderBy("media_id")
+    },
+    Some {
+      val F = AudioHash.Frames
+      def byte(i: String) = s"('0x' || substr(hx, 2*($i)-1, 2))::BIGINT"
+      s"WITH a AS (SELECT doc_id, hex(encode(text)) AS hx, " +
+        "octet_length(encode(text)) AS n FROM documents " +
+        "WHERE doc_id % 3 = 1 AND (doc_id // 3) % 2 = 0), " +
+        "fr AS (SELECT doc_id, hx, n, " +
+        s"unnest(generate_series(0, ${F - 1})) AS f FROM a), " +
+        "e AS (SELECT doc_id, n, f, coalesce(list_sum(" +
+        s"list_transform(generate_series(f*n//$F + 1, (f+1)*n//$F), " +
+        s"i -> (${byte("i")} - 128) * (${byte("i")} - 128))), 0) " +
+        "AS en FROM fr), " +
+        "w AS (SELECT doc_id, n, f, en, lead(en) OVER (PARTITION BY " +
+        "doc_id ORDER BY f) AS nx FROM e), " +
+        "fp AS (SELECT doc_id, CAST(max(n) AS INT) AS n_samples, " +
+        "CAST(coalesce(sum(CASE WHEN f < " +
+        s"${F - 1} AND nx > en THEN (1::BIGINT << CAST(f AS INT)) " +
+        "ELSE 0 END), 0) AS BIGINT) AS fp, " +
+        "CAST(sum(en) AS BIGINT) AS energy_total FROM w " +
+        "GROUP BY doc_id) " +
+        "SELECT doc_id AS media_id, n_samples, fp, energy_total, " +
+        "CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) " +
+        "AS n_same_fp, " +
+        "CAST(count(*) OVER (PARTITION BY fp, energy_total, " +
+        "n_samples) AS BIGINT) AS n_same_profile " +
+        "FROM fp ORDER BY media_id"
+    })
+
   override def queries: Seq[QueryDef] =
-    Seq(pipelineQuery, audioQuery, videoQuery, imageHashQuery)
+    Seq(pipelineQuery, audioQuery, videoQuery, imageHashQuery,
+      audioHashQuery)
 }
