@@ -405,7 +405,31 @@ object ScaleProbe {
     // runs SemDedup.run's occupancy rule (k grows with n), i.e. what a
     // real deployment runs. Expect the extraction scan term plus the
     // cluster_semdedup row's near-linear dedup term.
-    ("corpus_curate_e2e", None, curateE2eProbe _))
+    ("corpus_curate_e2e", None, curateE2eProbe _),
+    // r14 lanes. Repeated-substring coverage — ONE gram-keyed exchange
+    // (60-bit hashes, never strings), a join back that reuses the same
+    // hash partitioning, and a doc-keyed interval window: expect
+    // near-linear in total tokens (the scaled corpora suffix tokens
+    // per copy, so cross-copy repeats do not explode the matched side)
+    ("dedup_substring", None,
+      SparkEntry.queries("dedup_substring_documents")),
+    // routed temperature mixing — one (route, source) aggregate + one
+    // corpus shuffle for the selection window at ANY route count:
+    // expect the un-routed mixing family's slope
+    ("route_lang_mix", None,
+      SparkEntry.queries("corpus_route_lang_documents")),
+    // perceptual image hash — map-side seam hashing + the 16-bit-chunk
+    // banded self-join (candidates bounded by same-chunk pairs):
+    // near-linear while the planted dup rate stays per-copy
+    ("image_hash", None,
+      SparkEntry.queries("dedup_image_hash_documents")),
+    // acoustic fingerprint — pure map-side RIFF parse + energy hash,
+    // report windows over the fp-grouped frame: flattest new row
+    ("audio_hash", None,
+      SparkEntry.queries("dedup_audio_hash_documents")),
+    // Gopher line signals — a single map-side projection: scan-bound
+    ("gopher_signals", None,
+      SparkEntry.queries("text_gopher_documents")))
 
   /** The composed curation loop (NFC → extraction → pinned-weight
     * scoring → SemDeDup → temperature mixing) with the SCALE-path
