@@ -23,14 +23,16 @@ import Multimodal.Media
   * replays the sample read (hex-decoded bytes) and every energy
   * bit-for-bit.
   *
-  * Scope: 8-bit PCM only (16-bit needs little-endian pair assembly —
-  * a mechanical extension documented rather than half-shipped);
-  * non-WAV / non-8-bit rows are SKIPPED, channels are deliberately
-  * ignored (interleaved energy is channel-agnostic for profile
-  * comparison). Matching is exact-fingerprint candidate grouping —
-  * with 15 bits the fingerprint is a BLOCKING key (candidate sets
-  * verify on the full profile), which is what `n_same_profile`
-  * reports next to the raw `n_same_fp` collision count.
+  * Scope: 8-bit PCM (unsigned bytes, deviations from 128) and 16-bit
+  * PCM (little-endian SIGNED pairs, deviations from 0 — the WAV
+  * convention for each depth); a trailing odd byte in a 16-bit data
+  * chunk is ignored. Non-WAV / other-depth rows are SKIPPED, channels
+  * are deliberately ignored (interleaved energy is channel-agnostic
+  * for profile comparison). Matching is exact-fingerprint candidate
+  * grouping — with 15 bits the fingerprint is a BLOCKING key
+  * (candidate sets verify on the full profile), which is what
+  * `n_same_profile` reports next to the raw `n_same_fp` collision
+  * count.
   */
 object AudioHash {
 
@@ -60,6 +62,30 @@ object AudioHash {
     e
   }
 
+  /** Frame energies of a 16-bit PCM window: `n` little-endian signed
+    * samples starting at `off`, framed over the SAMPLE count.
+    */
+  private[mm] def energies16(b: Array[Byte], off: Int,
+      n: Int): Array[Long] = {
+    val e = new Array[Long](Frames)
+    var f = 0
+    while (f < Frames) {
+      val lo = (f.toLong * n / Frames).toInt
+      val hi = ((f + 1).toLong * n / Frames).toInt
+      var i = lo
+      var s = 0L
+      while (i < hi) {
+        val d = ((b(off + 2 * i) & 0xff) |
+          (b(off + 2 * i + 1) << 8)).toShort.toLong
+        s += d * d
+        i += 1
+      }
+      e(f) = s
+      f += 1
+    }
+    e
+  }
+
   private[mm] def fpOf(e: Array[Long]): Long = {
     var fp = 0L
     var f = 0
@@ -71,7 +97,9 @@ object AudioHash {
   }
 
   /** Batched per-partition fingerprinting (the [[Multimodal.decodeAll]]
-    * shape): one row per parseable 8-bit PCM WAV; other media skip.
+    * shape): one row per parseable 8- or 16-bit PCM WAV; other media
+    * skip. `n_samples` counts SAMPLES (bytes at 8-bit, pairs at
+    * 16-bit).
     */
   def fingerprints(media: Dataset[Media],
       batchSize: Int = 64): Dataset[Fingerprint] = {
@@ -83,6 +111,11 @@ object AudioHash {
               off + info.dataLen <= m.content.length =>
             val e = energies(m.content, off, info.dataLen)
             Fingerprint(m.media_id, info.dataLen, fpOf(e), e.sum)
+          case (info, off) if info.bitsPerSample == 16 &&
+              off + info.dataLen <= m.content.length =>
+            val n = info.dataLen / 2
+            val e = energies16(m.content, off, n)
+            Fingerprint(m.media_id, n, fpOf(e), e.sum)
         }
       })
     }

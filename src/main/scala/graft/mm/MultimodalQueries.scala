@@ -213,17 +213,17 @@ object MultimodalQueries extends QueryPack {
         "WHERE pa.ham <= 3 ORDER BY 1, 2"
     })
 
-  /** Acoustic fingerprint dedup ([[AudioHash]]): the synthesized
-    * corpus's 8-bit PCM WAV rows (`doc_id % 3 = 1`, bits = 8 ⇔
-    * `(doc_id / 3) % 2 = 0` per [[Multimodal.synthAudioParams]])
-    * fingerprint from GENUINELY PARSED samples — RIFF walk → data
-    * seek → byte read, no stub anywhere — and the oracle re-reads the
-    * same bytes by hex-decoding the UTF-8 payload in SQL, replaying
-    * every frame energy, every gradient bit and both candidate-set
-    * counts. Exact-duplicate payloads (the corpus's planted copies)
-    * must agree on the full profile; `n_same_fp` vs `n_same_profile`
-    * exposes the 15-bit blocking key's collision rate next to the
-    * verified-profile set size.
+  /** Acoustic fingerprint dedup ([[AudioHash]]): EVERY synthesized
+    * audio row (`doc_id % 3 = 1`; bits 8 or 16 by `(doc_id / 3) % 2`
+    * per [[Multimodal.synthAudioParams]]) fingerprints from GENUINELY
+    * PARSED samples — RIFF walk → data seek → byte read (16-bit:
+    * little-endian signed pair assembly), no stub anywhere — and the
+    * oracle re-reads the same bytes by hex-decoding the UTF-8 payload
+    * in SQL, replaying every frame energy, every gradient bit and
+    * both candidate-set counts. Exact-duplicate payloads (the
+    * corpus's planted copies) must agree on the full profile;
+    * `n_same_fp` vs `n_same_profile` exposes the 15-bit blocking
+    * key's collision rate next to the verified-profile set size.
     */
   private def audioHashQuery = QueryDef(
     "dedup_audio_hash_documents",
@@ -243,15 +243,26 @@ object MultimodalQueries extends QueryPack {
     },
     Some {
       val F = AudioHash.Frames
-      def byte(i: String) = s"('0x' || substr(hx, 2*($i)-1, 2))::BIGINT"
+      // byte j (1-based) of the payload via its hex dump
+      def byte(j: String) = s"('0x' || substr(hx, 2*($j)-1, 2))::BIGINT"
+      // 8-bit: sample i IS byte i, deviation from 128
+      val d8 = s"(${byte("i")} - 128)"
+      // 16-bit: sample i = little-endian signed pair (bytes 2i-1, 2i)
+      val v16 = s"(${byte("2*i-1")} + 256 * ${byte("2*i")})"
+      val s16 = s"(CASE WHEN $v16 >= 32768 THEN $v16 - 65536 " +
+        s"ELSE $v16 END)"
       s"WITH a AS (SELECT doc_id, hex(encode(text)) AS hx, " +
-        "octet_length(encode(text)) AS n FROM documents " +
-        "WHERE doc_id % 3 = 1 AND (doc_id // 3) % 2 = 0), " +
-        "fr AS (SELECT doc_id, hx, n, " +
+        "CASE WHEN (doc_id // 3) % 2 = 0 " +
+        "THEN octet_length(encode(text)) " +
+        "ELSE octet_length(encode(text)) // 2 END AS n, " +
+        "(doc_id // 3) % 2 AS wide FROM documents " +
+        "WHERE doc_id % 3 = 1), " +
+        "fr AS (SELECT doc_id, hx, n, wide, " +
         s"unnest(generate_series(0, ${F - 1})) AS f FROM a), " +
         "e AS (SELECT doc_id, n, f, coalesce(list_sum(" +
         s"list_transform(generate_series(f*n//$F + 1, (f+1)*n//$F), " +
-        s"i -> (${byte("i")} - 128) * (${byte("i")} - 128))), 0) " +
+        s"i -> CASE WHEN wide = 0 THEN $d8 * $d8 " +
+        s"ELSE $s16 * $s16 END)), 0) " +
         "AS en FROM fr), " +
         "w AS (SELECT doc_id, n, f, en, lead(en) OVER (PARTITION BY " +
         "doc_id ORDER BY f) AS nx FROM e), " +

@@ -57,14 +57,23 @@ class AudioHashSpec extends SparkSpec {
     assert(got(1).fp !== 0L, "the spike raises the final gradient bit")
   }
 
-  test("16-bit WAVs, truncated data and non-WAV bytes are skipped") {
-    val p = Array.tabulate(16)(_.toByte)
+  test("16-bit PCM assembles little-endian SIGNED samples: " +
+      "[0x00, 0x80] is one sample of -32768") {
+    val p = Array[Byte](0x00, 0x80.toByte, 0x01, 0x00)
+    val got = fps(Seq(Media(1L, "audio", "wav", wav(p, bits = 16)))).head
+    assert(got.n_samples === 2)
+    assert(got.energy_total === 32768L * 32768L + 1L)
+  }
+
+  test("a trailing odd byte in a 16-bit data chunk is ignored; " +
+      "truncated data and non-WAV bytes are skipped") {
+    val odd = Array[Byte](10, 0, 99) // one sample + dangling byte
     val truncated = wav(Array.tabulate(64)(_.toByte)).take(50)
     val got = fps(Seq(
-      Media(1L, "audio", "wav", wav(p, bits = 16)),
+      Media(1L, "audio", "wav", wav(odd, bits = 16)),
       Media(2L, "audio", "wav", truncated),
-      Media(3L, "image", "png", "not audio".getBytes("UTF-8")),
-      Media(4L, "audio", "wav", wav(p))))
-    assert(got.map(_.media_id) === Seq(4L))
+      Media(3L, "image", "png", "not audio".getBytes("UTF-8"))))
+    assert(got.map(_.media_id) === Seq(1L))
+    assert(got.head.n_samples === 1 && got.head.energy_total === 100L)
   }
 }
