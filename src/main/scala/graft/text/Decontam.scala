@@ -105,6 +105,45 @@ object Decontam {
           .as("contamination_ratio"))
   }
 
+  /** EVAL-ITEM EXPOSURE — the REVERSE view of
+    * [[overlapReportFromArrays]], the report a benchmark maintainer
+    * reads: per EVAL document, how much of it leaks in the training
+    * corpus — how many of its distinct n-grams occur anywhere in the
+    * corpus (`matched_grams`) and how many distinct corpus documents
+    * carry at least one of them (`exposed_docs`). High exposure means
+    * the eval item cannot measure generalization against models
+    * trained on this corpus, whichever side does the filtering.
+    *
+    * Scale shape mirrors the forward report with the roles kept: the
+    * EVAL side is still the small one, so its exploded grams
+    * BROADCAST and the corpus grams stream map-side through the join —
+    * no corpus-gram shuffle; the aggregation is eval-doc-grain.
+    * Output: `(idCol, n_grams, matched_grams, exposed_docs,
+    * exposure_frac)`, one row per eval doc (zero-exposure docs
+    * included).
+    */
+  def exposureReportFromArrays(evalArrays: DataFrame,
+      corpusArrays: DataFrame, idCol: String,
+      broadcastEval: Boolean = true): DataFrame = {
+    val evalG = evalArrays
+      .select(col(idCol), explode(col("__grams")).as("gram"))
+    val corpusG = corpusArrays
+      .select(col(idCol).as("__cid"), explode(col("__grams")).as("gram"))
+    val hits = (if (broadcastEval) broadcast(evalG) else evalG)
+      .join(corpusG, Seq("gram"))
+      .groupBy(col(idCol)).agg(
+        countDistinct(col("gram")).as("matched_grams"),
+        countDistinct(col("__cid")).as("exposed_docs"))
+    evalArrays
+      .select(col(idCol), size(col("__grams")).as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("matched_grams"), lit(0L)).as("matched_grams"),
+        coalesce(col("exposed_docs"), lit(0L)).as("exposed_docs"),
+        (coalesce(col("matched_grams"), lit(0L)).cast("double") /
+          greatest(col("n_grams"), lit(1))).as("exposure_frac"))
+  }
+
   /** SURGICAL (span-level) decontamination: instead of dropping a
     * contaminated document wholesale, remove only the tokens covered by
     * any n-gram shared with the eval set and rebuild the text — the

@@ -545,6 +545,59 @@ object TextQueries extends QueryPack {
     },
     Some(decontamOverlapOracleSql))
 
+  /** Eval-item exposure ([[Decontam.exposureReportFromArrays]] — the
+    * reverse view of the overlap report): per eval document, the
+    * distinct grams found anywhere in the corpus and the distinct
+    * corpus docs carrying them. Same split and gram grammar as the
+    * forward lane, so the two reports describe ONE contamination
+    * surface from both sides.
+    */
+  private def decontamExposureQuery = QueryDef(
+    "decontam_exposure_documents",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents", parallelize = true)
+      val corpusGrams = Decontam.docGramArrays(
+        docs.filter(col("doc_id") % 100 >= 5), "doc_id", "text",
+        DecontamN).persist()
+      val evalGrams = Decontam.docGramArrays(
+        docs.filter(col("doc_id") % 100 < 5), "doc_id", "text",
+        DecontamN).persist()
+      try graft.util.Frames.localized(
+        Decontam.exposureReportFromArrays(evalGrams, corpusGrams,
+          "doc_id").orderBy("doc_id"))
+      finally {
+        corpusGrams.unpersist(blocking = false)
+        evalGrams.unpersist(blocking = false): Unit
+      }
+    },
+    Some {
+      val n = DecontamN
+      val gramArr = "list_distinct(CASE WHEN len(t) = 0 " +
+        "THEN []::VARCHAR[] " +
+        s"WHEN len(t) <= $n THEN [array_to_string(t, ' ')] " +
+        s"ELSE list_transform(range(1, len(t) - ${n - 2}), " +
+        s"i -> array_to_string(t[i:i+${n - 1}], ' ')) END)"
+      s"WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents), " +
+        s"ga AS (SELECT doc_id, $gramArr AS gs FROM toks), " +
+        "evg AS (SELECT doc_id, unnest(gs) AS g FROM ga " +
+        "WHERE doc_id % 100 < 5), " +
+        "cg AS (SELECT doc_id AS cid, unnest(gs) AS g FROM ga " +
+        "WHERE doc_id % 100 >= 5), " +
+        "hit AS (SELECT e.doc_id, " +
+        "CAST(count(DISTINCT e.g) AS BIGINT) AS matched_grams, " +
+        "CAST(count(DISTINCT c.cid) AS BIGINT) AS exposed_docs " +
+        "FROM evg e JOIN cg c ON e.g = c.g GROUP BY 1) " +
+        "SELECT ga.doc_id, CAST(len(gs) AS INT) AS n_grams, " +
+        "CAST(coalesce(hit.matched_grams, 0) AS BIGINT) " +
+        "AS matched_grams, " +
+        "CAST(coalesce(hit.exposed_docs, 0) AS BIGINT) " +
+        "AS exposed_docs, " +
+        "CAST(coalesce(hit.matched_grams, 0) AS DOUBLE) / " +
+        "greatest(len(gs), 1) AS exposure_frac " +
+        "FROM ga LEFT JOIN hit ON ga.doc_id = hit.doc_id " +
+        "WHERE ga.doc_id % 100 < 5 ORDER BY ga.doc_id"
+    })
+
   /** The decontamination overlap report as DuckDB SQL (corpus =
     * `doc_id % 100 >= 5`, eval = `< 5`, [[DecontamN]]-grams) — shared
     * by the batch lane and the streaming twin
@@ -2027,5 +2080,5 @@ object TextQueries extends QueryPack {
       domainsQuery, indexQuery, nfcQuery, htmlExtractQuery,
       qualityModelQuery, curateE2eQuery, sampleUniformQuery,
       markdownExtractQuery, langSegmentsQuery, langModelQuery,
-      routeLangQuery, gopherQuery)
+      routeLangQuery, gopherQuery, decontamExposureQuery)
 }
