@@ -1555,6 +1555,61 @@ object TextQueries extends QueryPack {
         "margin >= 0 AS keep FROM m CROSS JOIN gg ORDER BY doc_id"
     })
 
+  /** Quality-model CALIBRATION ([[QualityModel]] evaluated, not just
+    * applied): pinned-weight scores bucket into fixed-width bins
+    * (floor(score / 5), clamped to ±4 — exact IEEE doubles floor
+    * identically on both engines) and each bin reports its size and
+    * its TTR-label positive rate — the reliability-diagram frame that
+    * tells a curation owner whether "score ≥ x" still means what the
+    * training labels said. Mean score per bin uses the
+    * round-once-to-DECIMAL-then-sum recipe (order-independent).
+    */
+  private def qualityCalibrationQuery = QueryDef(
+    "text_quality_calibration_documents",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents", parallelize = true)
+      QualityModel.scorePinned(
+          docs.withColumn("__label",
+            QualityModel.ttrLabel(col("text"))),
+          "doc_id", "text", QualityGatePinned.weights,
+          QualityGatePinned.bias, keepCols = Seq("__label"))
+        .select(
+          least(greatest(floor(col("score") / 5.0), lit(-4.0)),
+            lit(4.0)).cast("int").as("bucket"),
+          col("__label"), col("score"))
+        .groupBy("bucket").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("__label"), 1L).otherwise(0L)).as("n_pos"),
+          sum(col("score").cast("decimal(38,12)")).cast("double")
+            .as("__ssum"))
+        .select(col("bucket"), col("n_docs"), col("n_pos"),
+          (col("n_pos").cast("double") / col("n_docs")).as("pos_frac"),
+          (col("__ssum") / col("n_docs")).as("mean_score"))
+        .orderBy("bucket")
+    },
+    Some {
+      s"WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents), " +
+        "gg AS (SELECT CASE WHEN (SELECT count(*) FROM documents) = " +
+        s"${QualityGatePinned.GateRows} THEN 1 ELSE " +
+        "error('calibration pinned oracle is only valid at the " +
+        s"${QualityGatePinned.GateRows}-row gate corpus: regenerate " +
+        "QualityGatePinned') END AS ok), " +
+        "m AS (SELECT doc_id, " +
+        "len(list_distinct(t)) * 2 >= len(t) AS label, " +
+        s"($qualityMarginSql)::DOUBLE / greatest(len(t), 1) " +
+        "AS score FROM toks), " +
+        "b AS (SELECT CAST(least(greatest(floor(score / 5.0), -4.0), " +
+        "4.0) AS INT) AS bucket, label, score FROM m) " +
+        "SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_pos, " +
+        "CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)" +
+        "::DOUBLE / CAST(count(*) AS BIGINT) AS pos_frac, " +
+        "CAST(sum(CAST(score AS DECIMAL(38,12))) AS DOUBLE) / " +
+        "CAST(count(*) AS BIGINT) AS mean_score " +
+        "FROM b CROSS JOIN gg GROUP BY bucket ORDER BY bucket"
+    })
+
   /** Markdown → text extraction ([[MarkdownExtract.extract]]): each
     * document wraps into a deterministic markdown template carrying
     * every hazard — a fenced code block whose CONTENT contains fake
@@ -2080,5 +2135,6 @@ object TextQueries extends QueryPack {
       domainsQuery, indexQuery, nfcQuery, htmlExtractQuery,
       qualityModelQuery, curateE2eQuery, sampleUniformQuery,
       markdownExtractQuery, langSegmentsQuery, langModelQuery,
-      routeLangQuery, gopherQuery, decontamExposureQuery)
+      routeLangQuery, gopherQuery, decontamExposureQuery,
+      qualityCalibrationQuery)
 }
