@@ -280,7 +280,64 @@ object MultimodalQueries extends QueryPack {
         "FROM fp ORDER BY media_id"
     })
 
+  /** Perceptual video fingerprint dedup ([[VideoHash]]): every
+    * synthesized video row (`doc_id % 3 = 2`) fingerprints from
+    * genuinely parsed structure — the stts frame count and the
+    * located `mdat` payload — sampling 16 frame windows and hashing
+    * their byte energies. The oracle re-derives the frame count
+    * analytically ([[Multimodal.synthVideoParams]]), re-reads the
+    * same payload bytes via hex decoding, and replays every window
+    * energy, gradient bit and candidate-set count.
+    */
+  private def videoHashQuery = QueryDef(
+    "dedup_video_hash_documents",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val media = Multimodal.synthesize(
+        Tables.load(s, dir, "documents", parallelize = true))
+      val fps = VideoHash.fingerprints(media).toDF()
+      graft.util.Frames.localized(
+          fps.select(col("media_id"), col("n_frames"), col("n_bytes"),
+            col("fp"), col("energy_total"),
+            count(lit(1)).over(Window.partitionBy("fp"))
+              .as("n_same_fp"),
+            count(lit(1)).over(Window.partitionBy("fp", "energy_total",
+              "n_bytes")).as("n_same_profile")))
+        .orderBy("media_id")
+    },
+    Some {
+      val K = VideoHash.SampledFrames
+      def byte(j: String) = s"('0x' || substr(hx, 2*($j)-1, 2))::BIGINT"
+      val d = s"(${byte("i")} - 128)"
+      s"WITH a AS (SELECT doc_id, hex(encode(text)) AS hx, " +
+        "octet_length(encode(text)) AS len, " +
+        "24 + doc_id % 1000 AS nf FROM documents " +
+        "WHERE doc_id % 3 = 2), " +
+        "fr AS (SELECT doc_id, hx, len, nf, k, " +
+        s"(k * nf) // $K AS fi FROM a, " +
+        s"(SELECT unnest(generate_series(0, ${K - 1})) AS k)), " +
+        "e AS (SELECT doc_id, len, nf, k, coalesce(list_sum(" +
+        "list_transform(generate_series((fi*len)//nf + 1, " +
+        s"((fi+1)*len)//nf), i -> $d * $d)), 0) AS en FROM fr), " +
+        "w AS (SELECT doc_id, len, nf, k, en, lead(en) OVER (" +
+        "PARTITION BY doc_id ORDER BY k) AS nx FROM e), " +
+        "fp AS (SELECT doc_id, CAST(max(nf) AS INT) AS n_frames, " +
+        "CAST(max(len) AS INT) AS n_bytes, " +
+        s"CAST(coalesce(sum(CASE WHEN k < ${K - 1} AND nx > en " +
+        "THEN (1::BIGINT << CAST(k AS INT)) ELSE 0 END), 0) " +
+        "AS BIGINT) AS fp, " +
+        "CAST(sum(en) AS BIGINT) AS energy_total FROM w " +
+        "GROUP BY doc_id) " +
+        "SELECT doc_id AS media_id, n_frames, n_bytes, fp, " +
+        "energy_total, " +
+        "CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) " +
+        "AS n_same_fp, " +
+        "CAST(count(*) OVER (PARTITION BY fp, energy_total, " +
+        "n_bytes) AS BIGINT) AS n_same_profile " +
+        "FROM fp ORDER BY media_id"
+    })
+
   override def queries: Seq[QueryDef] =
     Seq(pipelineQuery, audioQuery, videoQuery, imageHashQuery,
-      audioHashQuery)
+      audioHashQuery, videoHashQuery)
 }

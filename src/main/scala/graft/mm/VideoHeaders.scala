@@ -138,6 +138,23 @@ object VideoHeaders {
   /** Wrap payload bytes as an `mdat` box so a synthesized stream stays
     * a valid box sequence end to end.
     */
+  /** Byte offset + length of the top-level `mdat` box's PAYLOAD —
+    * what a frame-content reader ([[VideoHash]]) seeks to. Walks the
+    * top-level boxes only (mdat is a top-level sibling of moov).
+    */
+  def mdatPayload(b: Array[Byte]): Option[(Int, Int)] = {
+    var i = 0L
+    while (i + 8 <= b.length) {
+      val at = i.toInt
+      val size = be32(b, at)
+      if (size < 8 || i + size > b.length) return None
+      if (tag(b, at + 4, "mdat"))
+        return Some((at + 8, (size - 8).toInt))
+      i += size
+    }
+    None
+  }
+
   def mdat(payload: Array[Byte]): Array[Byte] = {
     val size = 8 + payload.length
     Array[Byte](((size >>> 24) & 0xff).toByte, ((size >>> 16) & 0xff).toByte,
