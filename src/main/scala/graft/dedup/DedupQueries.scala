@@ -420,13 +420,20 @@ object DedupQueries extends QueryPack {
         "ORDER BY id_a, id_b"
   }
 
-  /** SimHash near-dup pairs — FULLY ORACLED since r8: fingerprints are
-    * the per-bit majority over md5-derived 60-bit base hashes
-    * ([[SimHash.simhashFromBases]]; ties → 0 exactly as the xxhash
-    * production form), blocked on 4 chunks of 15 bits (a fingerprint
-    * within hamming ≤ 3 must share a chunk — used as a candidate filter
-    * with a wider ≤ 12 verify threshold), so DuckDB replays
-    * fingerprint→chunks→pairs→hamming bit-for-bit. The xxhash-64-bit
+  /** SimHash near-dup report — FULLY ORACLED since r8, re-grained in
+    * r15 to fingerprint groups: fingerprints are the per-bit majority
+    * over md5-derived 60-bit base hashes ([[SimHash.simhashFromBases]];
+    * ties → 0 exactly as the xxhash production form); exact-equal
+    * fingerprints collapse to min-id representatives FIRST (hamming-0
+    * duplicates report as diagonal `(rep, rep, 0, n, n)` rows at group
+    * grain — near-empty/boilerplate docs all fingerprint identically,
+    * and expanding that pileup to within-group pairs is the m²/2
+    * quadratic cliff); representatives block on 4 chunks of 15 bits
+    * under the `[2, maxBucket]` bucket bound (the [[Dedup]] LSH guard;
+    * a fingerprint within hamming ≤ 3 must share a chunk — used as a
+    * candidate filter with a wider ≤ 12 verify threshold), so DuckDB
+    * replays fingerprint→groups→chunks→bound→pairs→hamming
+    * bit-for-bit, bucket bound included. The xxhash-64-bit
     * production form ([[SimHash.simhash64]]) stays the API default with
     * its own spec pins — it is NOT gate-registered (r10): unlike the
     * MinHash twins, whose survivors are exact-Jaccard-verified and so
@@ -464,23 +471,10 @@ object DedupQueries extends QueryPack {
             .as("fp"))
         .persist()
       try {
-        val chunks = fps.select(col("doc_id"), col("fp"),
-          posexplode(array((0 until 4).map(i =>
-            shiftrightunsigned(col("fp"), i * 15).bitwiseAND(0x7FFFL)): _*))
-            .as(Seq("chunk_idx", "chunk_val")))
-        val cands = chunks.as("a")
-          .join(chunks.as("b"),
-            col("a.chunk_idx") === col("b.chunk_idx") &&
-              col("a.chunk_val") === col("b.chunk_val") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
-          .distinct()
         graft.util.Frames.localized(
-          cands.select(col("id_a"), col("id_b"),
-              SimHash.hamming(col("fp_a"), col("fp_b")).cast("long")
-                .as("hamming"))
-            .filter(col("hamming") <= 12))
+          SimHash.nearDupFromFingerprints(fps, "doc_id", "fp",
+              chunkBits = 15, nChunks = 4, maxHamming = 12,
+              maxBucket = SimhashMaxBucket))
           .orderBy("id_a", "id_b")
       } finally { fps.unpersist(blocking = false); () }
     },
@@ -493,15 +487,30 @@ object DedupQueries extends QueryPack {
         "2 * list_sum(list_transform(bases, h -> (h >> j) & 1)) > " +
         "len(bases) THEN (1::BIGINT << j) ELSE 0 END)), 0)::BIGINT AS fp " +
         "FROM b), " +
-        "ch AS (SELECT doc_id, fp, ci, (fp >> (ci * 15)) & 32767 AS cv " +
-        "FROM fp, (SELECT unnest(generate_series(0, 3)) AS ci)), " +
-        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b, " +
-        "a.fp AS fp_a, b2.fp AS fp_b FROM ch a JOIN ch b2 ON " +
-        "a.ci = b2.ci AND a.cv = b2.cv AND a.doc_id < b2.doc_id) " +
-        "SELECT id_a, id_b, bit_count(xor(fp_a, fp_b))::BIGINT AS hamming " +
+        "grp AS (SELECT fp, min(doc_id) AS rep, count(*) AS n " +
+        "FROM fp GROUP BY 1), " +
+        "ch AS (SELECT rep, fp, n, ci, (fp >> (ci * 15)) & 32767 AS cv " +
+        "FROM grp, (SELECT unnest(generate_series(0, 3)) AS ci)), " +
+        "bk AS (SELECT ci, cv, count(*) AS bn FROM ch GROUP BY 1, 2), " +
+        "bd AS (SELECT ch.* FROM ch JOIN bk USING (ci, cv) " +
+        s"WHERE bn BETWEEN 2 AND $SimhashMaxBucket), " +
+        "cand AS (SELECT DISTINCT a.rep AS id_a, b2.rep AS id_b, " +
+        "a.fp AS fp_a, b2.fp AS fp_b, a.n AS n_a, b2.n AS n_b " +
+        "FROM bd a JOIN bd b2 ON " +
+        "a.ci = b2.ci AND a.cv = b2.cv AND a.rep < b2.rep) " +
+        "SELECT * FROM (" +
+        "SELECT id_a, id_b, bit_count(xor(fp_a, fp_b))::BIGINT " +
+        "AS hamming, n_a, n_b " +
         "FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 12 " +
-        "ORDER BY id_a, id_b"
+        "UNION ALL SELECT rep, rep, 0::BIGINT, n, n FROM grp " +
+        "WHERE n >= 2) ORDER BY id_a, id_b"
     })
+
+  /** Bucket bound for the SimHash chunk blocking ([[SimHash
+    * .nearDupFromFingerprints]]) — rendered into BOTH the Spark lane
+    * and its oracle SQL so the two can never drift.
+    */
+  private val SimhashMaxBucket = 64
 
   /** Embedding-cosine near-dup, label-blocked exact variant: pairs within
     * the same `label` block with cosine ≥ 0.3 (≈ the 99th percentile of

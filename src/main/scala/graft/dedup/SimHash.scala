@@ -39,49 +39,112 @@ object SimHash {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Chunk-blocked near-dup report from a precomputed `(idCol, fp)`
+    * frame, at FINGERPRINT-GROUP grain — the shared core of the
+    * production and oracled SimHash lanes (and of any other 64-bit-
+    * fingerprint modality that wants hamming banding):
+    *
+    *  1. exact-equal fingerprints collapse to their min-id
+    *     representative first; groups with ≥ 2 members report as
+    *     DIAGONAL rows `(rep, rep, 0, n, n)` — hamming-0 duplicates
+    *     at group grain, never the m²/2 within-group pairs (near-
+    *     empty/boilerplate docs all fingerprint identically on real
+    *     crawls, and constant chunk 0x0000 is hot — the degenerate
+    *     pileup that made the unbounded join quadratic);
+    *  2. representatives' fingerprints band into `nChunks` chunks of
+    *     `chunkBits` bits; each (chunk index, chunk value) bucket is
+    *     bounded to `[2, maxBucket]` rows (the [[Dedup]] LSH guard) —
+    *     buckets past the bound drop LOSSILY, the one deliberate
+    *     recall trade, sized to the caller's skew budget;
+    *  3. surviving same-chunk representative pairs verify with the
+    *     exact hamming distance; `hamming <= maxHamming` survives,
+    *     carrying both groups' member counts as `n_a`/`n_b`.
+    *
+    * Output: `(id_a, id_b, hamming, n_a, n_b)` — cross rows have
+    * `id_a < id_b`, diagonal rows `id_a = id_b`.
+    *
+    * Cache lifecycle: the group and bounded-bucket frames persist
+    * (each feeds two downstream consumers) and the result is lazy, so
+    * the persists outlive this call ([[Dedup.clusters]] convention) —
+    * the caller releases with `clearCache()` or materializes first.
+    */
+  def nearDupFromFingerprints(fps: org.apache.spark.sql.DataFrame,
+      idCol: String, fpCol: String, chunkBits: Int, nChunks: Int,
+      maxHamming: Int, maxBucket: Int = 64)
+      : org.apache.spark.sql.DataFrame = {
+    require(chunkBits > 0 && chunkBits < 64 && nChunks > 0 &&
+      chunkBits * nChunks <= 64, "chunks must tile the fingerprint")
+    require(maxBucket >= 2, "maxBucket must admit at least one pair")
+    val mask = (1L << chunkBits) - 1L
+    val groups = fps.groupBy(fpCol)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("__n"))
+      .persist()
+    val chunks = groups.select(col(idCol), col(fpCol), col("__n"),
+      posexplode(array((0 until nChunks).map(i =>
+        shiftrightunsigned(col(fpCol), i * chunkBits)
+          .bitwiseAND(mask)): _*))
+        .as(Seq("chunk_idx", "chunk_val")))
+    val bounded = chunks.withColumn("__bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("chunk_idx", "chunk_val")))
+      .filter(col("__bucket_n").between(2, maxBucket))
+      .drop("__bucket_n")
+      .persist()
+    val cross = bounded.as("a")
+      .join(bounded.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col(s"a.$fpCol").as("__fa"), col(s"b.$fpCol").as("__fb"),
+        col("a.__n").as("n_a"), col("b.__n").as("n_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        hamming(col("__fa"), col("__fb")).cast("long").as("hamming"),
+        col("n_a"), col("n_b"))
+      .filter(col("hamming") <= maxHamming)
+    val diagonal = groups.filter(col("__n") >= 2)
+      .select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0L).as("hamming"), col("__n").as("n_a"),
+        col("__n").as("n_b"))
+    cross.unionByName(diagonal)
+  }
+
   /** PRODUCTION SimHash near-dup pipeline — the composed form of the
     * primitives above, with the one-pass xxhash [[simhash64]] (the API
     * default; the registered oracle twin `dedup_simhash_documents`
     * replays the same pipeline over md5 bases). Shape: one projection
-    * corpus → 64-bit fingerprints (persisted: exploded into 4 chunks
-    * and self-joined, it would otherwise re-tokenize per chunk and per
-    * join side — the r4 lesson), 4×16-bit chunk blocking (a pair within
-    * hamming ≤ 3 must share an identical chunk by pigeonhole — used as
-    * a candidate filter under the wider `maxHamming` verify threshold),
-    * equality self-join on (chunk_idx, chunk_val), exact hamming
-    * verify. Never all-pairs: the join is a hash join on the chunk
-    * key.
+    * corpus → 64-bit fingerprints (persisted: consumed by the group
+    * collapse — without it the whole tokenize/shingle chain would
+    * re-evaluate per consumer, the r4 lesson), then the shared
+    * [[nearDupFromFingerprints]] core: exact-equal fingerprints
+    * collapse to group representatives (diagonal `(rep, rep, 0, n,
+    * n)` rows report hamming-0 groups at group grain), 4×16-bit chunk
+    * blocking over representatives with the `[2, maxBucket]` bucket
+    * bound (a pair within hamming ≤ 3 must share an identical chunk
+    * by pigeonhole — used as a candidate filter under the wider
+    * `maxHamming` verify threshold), equality self-join on
+    * (chunk_idx, chunk_val), exact hamming verify. Never all-pairs:
+    * the join is a hash join on the chunk key, and no bucket admits
+    * more than `maxBucket` rows.
     *
-    * Cache lifecycle: the returned frame is LAZY and derives from the
-    * persisted fingerprint frame, so the persist outlives this call by
+    * Cache lifecycle: the returned frame is LAZY and derives from
+    * persisted intermediates, so the persists outlive this call by
     * design (the [[Dedup.clusters]] convention) — the caller releases
-    * it with `clearCache()` (what the gate/bench/spec boundaries do) or
-    * materializes the pair set and unpersists. Unpersisting here would
+    * them with `clearCache()` (what the gate/bench/spec boundaries do)
+    * or materializes the pair set first. Unpersisting here would
     * re-tokenize the corpus on first use of the result.
     */
   def nearDuplicates(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, shingleK: Int = 3,
-      maxHamming: Int = 12): org.apache.spark.sql.DataFrame = {
+      textCol: String, shingleK: Int = 3, maxHamming: Int = 12,
+      maxBucket: Int = 64): org.apache.spark.sql.DataFrame = {
     val fps = docs
       .select(col(idCol), Dedup.tokensOf(col(textCol)).as("__toks"))
       .select(col(idCol),
         simhash64(Dedup.wordShinglesFromTokens(col("__toks"), shingleK))
           .as("fp"))
       .persist()
-    val chunks = fps.select(col(idCol), col("fp"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("fp"), i * 16).bitwiseAND(0xFFFFL)): _*))
-        .as(Seq("chunk_idx", "chunk_val")))
-    val cands = chunks.as("a")
-      .join(chunks.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-          col("a.chunk_val") === col("b.chunk_val") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
-      .distinct()
-    cands.select(col("id_a"), col("id_b"),
-        hamming(col("fp_a"), col("fp_b")).cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    nearDupFromFingerprints(fps, idCol, "fp", chunkBits = 16,
+      nChunks = 4, maxHamming = maxHamming, maxBucket = maxBucket)
   }
 }

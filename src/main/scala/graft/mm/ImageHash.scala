@@ -98,41 +98,95 @@ object ImageHash {
     }
   }
 
-  /** Chunk-blocked perceptual near-dup pairs from a
-    * `(idCol, ahash, dhash)` frame: aHash bands to candidate keys,
-    * exact `bit_count(xor)` verifies, pairs with
-    * `ham_ahash <= maxHamming` survive (dHash hamming reported
-    * alongside as the second opinion). `maxHamming < bands` keeps the
-    * banding lossless by pigeonhole.
+  /** Exact-fingerprint groups from a `(idCol, ahash, dhash)` frame:
+    * one row per distinct (ahash, dhash) value with the min-id
+    * representative and the member count. Identical fingerprints ARE
+    * hamming-0 duplicates by definition, so the group is the right
+    * grain to report them at — and collapsing to representatives
+    * BEFORE the banded join is what keeps a degenerate pileup
+    * (solid-color images all hash to `ahash = 0`: a uniform grid has
+    * `64·luma == Σ`, so no bit is ever set) from landing m rows in
+    * one bucket and emitting ~m²/2 candidate pairs.
+    */
+  def fingerprintGroups(hashes: DataFrame, idCol: String): DataFrame =
+    hashes.groupBy("ahash", "dhash")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_group"))
+
+  /** Chunk-blocked perceptual near-dup report from a
+    * `(idCol, ahash, dhash)` frame, at FINGERPRINT-GROUP grain:
+    *
+    *  1. exact-equal (ahash, dhash) fingerprints collapse to their
+    *     min-id representative first ([[fingerprintGroups]]); groups
+    *     with ≥ 2 members are reported as DIAGONAL rows
+    *     `(rep, rep, 0, 0, n, n)` — hamming-0 duplicates at group
+    *     grain, never expanded to the m²/2 within-group pairs;
+    *  2. representatives' aHashes band into `bands` chunk keys, and
+    *     each (chunk index, chunk value) bucket is bounded to
+    *     `[2, maxBucket]` rows (the [[graft.dedup.Dedup]] LSH guard:
+    *     a degenerate bucket must not explode the self-join
+    *     quadratically — buckets past the bound are dropped LOSSILY
+    *     and a 100 TB caller sizes `maxBucket` to its skew budget);
+    *  3. surviving same-chunk representative pairs verify with exact
+    *     `bit_count(xor)`; pairs with `ham_ahash <= maxHamming`
+    *     survive (dHash hamming reported alongside as the second
+    *     opinion), carrying both groups' member counts.
+    *
+    * `maxHamming < bands` keeps the banding itself lossless by
+    * pigeonhole (within-bound buckets only — the bucket cap is the
+    * one deliberate recall trade, exactly as in the MinHash lanes).
+    *
+    * Cache lifecycle: the group and bounded-bucket frames persist
+    * (each is read by two downstream consumers) and the result is
+    * lazy, so the persists outlive this call by design (the
+    * [[graft.dedup.Dedup.clusters]] convention) — the caller releases
+    * them with `clearCache()` or materializes the report first.
     */
   def nearDupPairs(hashes: DataFrame, idCol: String,
-      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+      maxHamming: Int = 3, bands: Int = 4,
+      maxBucket: Int = 64): DataFrame = {
     require(bands > 0 && 64 % bands == 0,
       "bands must divide the 64-bit hash")
     require(maxHamming >= 0 && maxHamming < bands,
       s"maxHamming must stay below bands=$bands — the pigeonhole " +
         "guarantee that every qualifying pair shares an intact chunk")
+    require(maxBucket >= 2, "maxBucket must admit at least one pair")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L
-    val chunks = hashes.select(col(idCol), col("ahash"), col("dhash"),
+    val groups = fingerprintGroups(hashes, idCol).persist()
+    val chunks = groups.select(col(idCol), col("ahash"), col("dhash"),
+      col("n_group"),
       posexplode(array((0 until bands).map(k =>
         shiftrightunsigned(col("ahash"), k * width)
           .bitwiseAND(lit(mask))): _*))
         .as(Seq("__ci", "__cv")))
-    chunks.as("a")
-      .join(chunks.as("b"),
+    val bounded = chunks.withColumn("__bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("__ci", "__cv")))
+      .filter(col("__bucket_n").between(2, maxBucket))
+      .drop("__bucket_n")
+      .persist()
+    val cross = bounded.as("a")
+      .join(bounded.as("b"),
         col("a.__ci") === col("b.__ci") &&
           col("a.__cv") === col("b.__cv") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         col("a.ahash").as("__ha"), col("b.ahash").as("__hb"),
-        col("a.dhash").as("__da"), col("b.dhash").as("__db"))
+        col("a.dhash").as("__da"), col("b.dhash").as("__db"),
+        col("a.n_group").as("n_a"), col("b.n_group").as("n_b"))
       .distinct()
       .select(col("id_a"), col("id_b"),
         bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("int")
           .as("ham_ahash"),
         bit_count(col("__da").bitwiseXOR(col("__db"))).cast("int")
-          .as("ham_dhash"))
+          .as("ham_dhash"),
+        col("n_a"), col("n_b"))
       .filter(col("ham_ahash") <= maxHamming)
+    val diagonal = groups.filter(col("n_group") >= 2)
+      .select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0).cast("int").as("ham_ahash"),
+        lit(0).cast("int").as("ham_dhash"),
+        col("n_group").as("n_a"), col("n_group").as("n_b"))
+    cross.unionByName(diagonal)
   }
 }

@@ -140,13 +140,31 @@ object MultimodalQueries extends QueryPack {
       while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
       v >>> 4
     }
-    def grid(id: Long, cols: Int, rows: Int): Array[Int] =
-      Array.tabulate(cols * rows) { i =>
+    /** ids tile into 4-row families over one base grid (`id / 4`):
+      * `id % 4 ∈ {0,1}` carry the base grid, `{2,3}` the VARIANT —
+      * the (y=0, x=8) cell forced so the single dHash gradient bit
+      * (y=0, x=7) reads the OPPOSITE of the base's, leaving aHash
+      * (x < 8 only) untouched; odd ids add the uniform brightness
+      * shift (invariant for both hashes). So {4k, 4k+1} and
+      * {4k+2, 4k+3} are exact-fingerprint groups (n = 2 diagonal
+      * rows), and their representatives share every aHash chunk →
+      * the banded join must surface the (4k, 4k+2) cross pair with
+      * ham_ahash = 0, ham_dhash = 1 — group collapse, bucket bound,
+      * banding, and verify are ALL load-bearing in the gate.
+      */
+    def grid(id: Long, cols: Int, rows: Int): Array[Int] = {
+      val base = Array.tabulate(cols * rows) { i =>
         val x = i % cols
         val y = i / cols
-        (md5Base60(s"px_${id / 2}_${x}_$y") % Mod +
-          (id % 2) * Bright).toInt
+        (md5Base60(s"px_${id / 4}_${x}_$y") % Mod).toInt
       }
+      if (id % 4 >= 2) {
+        val b70 = base(7)
+        val b80 = base(8)
+        base(8) = if (b80 > b70) b70 else b70 + 1
+      }
+      base.map(v => v + (id % 2).toInt * Bright)
+    }
     def decode(m: Multimodal.Media): Multimodal.Decoded =
       Multimodal.FakeCodec.decode(m)
     def features(m: Multimodal.Media, dim: Int): Array[Float] =
@@ -155,16 +173,25 @@ object MultimodalQueries extends QueryPack {
       grid(m.media_id, cols, rows)
   }
 
-  /** Perceptual image near-dup ([[ImageHash]]): every document
-    * becomes an image whose 9×8 luma grid is the planted analytic
-    * golden, hashing runs through the batched codec-seam pass, and
-    * candidate pairs surface via the chunk-blocked aHash banding
-    * (lossless for hamming ≤ 3 by pigeonhole) before the exact
-    * `bit_count(xor)` verify. The ids-2k/2k+1 brightness pairs MUST
-    * come out hamming 0 on both hashes; the oracle recomputes every
-    * grid/bit/hamming from the formula and takes ALL pairs at the
-    * threshold — banding losslessness is therefore part of what the
-    * hash-equality checks.
+  /** Bucket bound for the image-hash chunk blocking — rendered into
+    * BOTH the Spark lane and its oracle SQL so the two cannot drift.
+    */
+  private val ImageMaxBucket = 64
+
+  /** Perceptual image near-dup ([[ImageHash]]) at FINGERPRINT-GROUP
+    * grain (r15): every document becomes an image whose 9×8 luma grid
+    * is the planted analytic golden ([[PlantedPixels]] — 4-id
+    * families: two exact-fingerprint groups of 2 whose reps differ in
+    * exactly one dHash bit), hashing runs through the batched
+    * codec-seam pass, exact-equal fingerprints collapse to min-id
+    * representatives (diagonal `(rep, rep, 0, 0, n, n)` rows — the
+    * pileup guard: identical hashes never expand to m²/2 pairs),
+    * candidate rep pairs surface via the chunk-blocked aHash banding
+    * under the `[2, maxBucket]` bucket bound, and the exact
+    * `bit_count(xor)` verify keeps `ham_ahash <= 3`. The oracle
+    * recomputes every grid/bit/chunk/bucket/hamming from the formula —
+    * group collapse, the bucket bound, and banding are all INSIDE the
+    * hash-equality check.
     */
   private def imageHashQuery = QueryDef(
     "dedup_image_hash_documents",
@@ -176,18 +203,28 @@ object MultimodalQueries extends QueryPack {
           Multimodal.Media(id, "image", "png", Array.empty[Byte]))
       val hashes = ImageHash.hashAll(media, PlantedPixels)
       graft.util.Frames.localized(
-          ImageHash.nearDupPairs(hashes.toDF(), "media_id"))
+          ImageHash.nearDupPairs(hashes.toDF(), "media_id",
+            maxBucket = ImageMaxBucket))
         .orderBy("id_a", "id_b")
     },
     Some {
       val m = PlantedPixels.Mod
       val br = PlantedPixels.Bright
-      s"WITH g AS (SELECT doc_id, x, y, " +
-        "('0x' || substr(md5('px_' || (doc_id // 2) || '_' || x || " +
-        s"'_' || y), 1, 15))::BIGINT % $m + " +
-        s"(doc_id % 2) * $br AS luma FROM documents, " +
+      s"WITH g0 AS (SELECT doc_id, x, y, " +
+        "('0x' || substr(md5('px_' || (doc_id // 4) || '_' || x || " +
+        s"'_' || y), 1, 15))::BIGINT % $m AS base FROM documents, " +
         "(SELECT unnest(generate_series(0, 8)) AS x) t1, " +
         "(SELECT unnest(generate_series(0, 7)) AS y) t2), " +
+        // the (7,0)/(8,0) base cells drive the variant's forced flip
+        "pv AS (SELECT doc_id, " +
+        "max(CASE WHEN x = 7 AND y = 0 THEN base END) AS b70, " +
+        "max(CASE WHEN x = 8 AND y = 0 THEN base END) AS b80 " +
+        "FROM g0 GROUP BY 1), " +
+        "g AS (SELECT g0.doc_id, x, y, " +
+        "(CASE WHEN g0.doc_id % 4 >= 2 AND x = 8 AND y = 0 THEN " +
+        "(CASE WHEN pv.b80 > pv.b70 THEN pv.b70 ELSE pv.b70 + 1 END) " +
+        s"ELSE base END) + (g0.doc_id % 2) * $br AS luma " +
+        "FROM g0 JOIN pv USING (doc_id)), " +
         "s AS (SELECT doc_id, sum(CASE WHEN x < 8 THEN luma ELSE 0 " +
         "END) AS tot FROM g GROUP BY 1), " +
         // aHash bit: 64·luma > Σ luma (exact integer mean threshold)
@@ -199,18 +236,58 @@ object MultimodalQueries extends QueryPack {
         "CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit " +
         "FROM g a JOIN g b ON a.doc_id = b.doc_id AND b.y = a.y " +
         "AND b.x = a.x + 1 WHERE a.x < 8), " +
-        "pa AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        "sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS ham " +
-        "FROM ab a JOIN ab b ON a.pos = b.pos " +
-        "AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-        "pd AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        "sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS ham " +
-        "FROM db a JOIN db b ON a.pos = b.pos " +
-        "AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-        "SELECT pa.id_a, pa.id_b, CAST(pa.ham AS INT) AS ham_ahash, " +
-        "CAST(pd.ham AS INT) AS ham_dhash FROM pa JOIN pd " +
-        "ON pa.id_a = pd.id_a AND pa.id_b = pd.id_b " +
-        "WHERE pa.ham <= 3 ORDER BY 1, 2"
+        // pack both hashes as 4×16-bit chunks (never the 64-bit value
+        // — DuckDB rejects 1::BIGINT << 63)
+        "ac AS (SELECT doc_id, pos // 16 AS ci, " +
+        "sum(bit * (1::BIGINT << (pos % 16)))::BIGINT AS cv " +
+        "FROM ab GROUP BY 1, 2), " +
+        "dc AS (SELECT doc_id, pos // 16 AS ci, " +
+        "sum(bit * (1::BIGINT << (pos % 16)))::BIGINT AS cv " +
+        "FROM db GROUP BY 1, 2), " +
+        "fa AS (SELECT doc_id, " +
+        "sum(CASE WHEN ci = 0 THEN cv ELSE 0 END)::BIGINT AS a0, " +
+        "sum(CASE WHEN ci = 1 THEN cv ELSE 0 END)::BIGINT AS a1, " +
+        "sum(CASE WHEN ci = 2 THEN cv ELSE 0 END)::BIGINT AS a2, " +
+        "sum(CASE WHEN ci = 3 THEN cv ELSE 0 END)::BIGINT AS a3 " +
+        "FROM ac GROUP BY 1), " +
+        "fd AS (SELECT doc_id, " +
+        "sum(CASE WHEN ci = 0 THEN cv ELSE 0 END)::BIGINT AS d0, " +
+        "sum(CASE WHEN ci = 1 THEN cv ELSE 0 END)::BIGINT AS d1, " +
+        "sum(CASE WHEN ci = 2 THEN cv ELSE 0 END)::BIGINT AS d2, " +
+        "sum(CASE WHEN ci = 3 THEN cv ELSE 0 END)::BIGINT AS d3 " +
+        "FROM dc GROUP BY 1), " +
+        // exact-fingerprint groups: min-id representative + size
+        "grp AS (SELECT a0, a1, a2, a3, d0, d1, d2, d3, " +
+        "min(doc_id) AS rep, count(*) AS n FROM fa " +
+        "JOIN fd USING (doc_id) GROUP BY 1, 2, 3, 4, 5, 6, 7, 8), " +
+        // aHash chunk buckets over representatives, bounded
+        "chx AS (SELECT rep, 0 AS ci, a0 AS cv FROM grp " +
+        "UNION ALL SELECT rep, 1, a1 FROM grp " +
+        "UNION ALL SELECT rep, 2, a2 FROM grp " +
+        "UNION ALL SELECT rep, 3, a3 FROM grp), " +
+        "bk AS (SELECT ci, cv, count(*) AS bn FROM chx GROUP BY 1, 2), " +
+        "bd AS (SELECT chx.* FROM chx JOIN bk USING (ci, cv) " +
+        s"WHERE bn BETWEEN 2 AND $ImageMaxBucket), " +
+        "cand AS (SELECT DISTINCT x.rep AS id_a, y.rep AS id_b " +
+        "FROM bd x JOIN bd y ON x.ci = y.ci AND x.cv = y.cv " +
+        "AND x.rep < y.rep), " +
+        "hm AS (SELECT c.id_a, c.id_b, " +
+        "CAST(bit_count(xor(ga.a0, gb.a0)) + " +
+        "bit_count(xor(ga.a1, gb.a1)) + " +
+        "bit_count(xor(ga.a2, gb.a2)) + " +
+        "bit_count(xor(ga.a3, gb.a3)) AS INT) AS ham_ahash, " +
+        "CAST(bit_count(xor(ga.d0, gb.d0)) + " +
+        "bit_count(xor(ga.d1, gb.d1)) + " +
+        "bit_count(xor(ga.d2, gb.d2)) + " +
+        "bit_count(xor(ga.d3, gb.d3)) AS INT) AS ham_dhash, " +
+        "ga.n AS n_a, gb.n AS n_b FROM cand c " +
+        "JOIN grp ga ON ga.rep = c.id_a " +
+        "JOIN grp gb ON gb.rep = c.id_b) " +
+        "SELECT * FROM (" +
+        "SELECT id_a, id_b, ham_ahash, ham_dhash, n_a, n_b FROM hm " +
+        "WHERE ham_ahash <= 3 " +
+        "UNION ALL SELECT rep, rep, 0::INT, 0::INT, n, n FROM grp " +
+        "WHERE n >= 2) ORDER BY id_a, id_b"
     })
 
   /** Acoustic fingerprint dedup ([[AudioHash]]): EVERY synthesized

@@ -187,17 +187,51 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
     assert(truth.nonEmpty)
     val out = SimHash.nearDuplicates(docs, "doc_id", "text")
-      .as[(Long, Long, Long)].collect()
-    // every emitted pair really is within the verify threshold, ordered
-    out.foreach { case (a, b, h) => assert(a < b && h <= 12) }
-    val found = out.map(p => (p._1, p._2)).toSet
-    val recall = (truth & found).size.toDouble / truth.size
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // cross rows ordered + verified; diagonal rows are hamming-0
+    // groups at group grain (r15)
+    out.foreach { case (a, b, h, na, nb) =>
+      if (a == b) assert(h === 0L && na === nb && na >= 2L)
+      else assert(a < b && h <= 12L)
+    }
+    val cross = out.filter(p => p._1 != p._2)
+      .map(p => (p._1, p._2)).toSet
+    // member-grain recall: a truth pair is found when both docs share
+    // a fingerprint group (the diagonal report) or their group
+    // REPRESENTATIVES survive as a cross pair — recomputed from the
+    // same fingerprint projection the pipeline uses
+    val repOf = docs
+      .select(col("doc_id"), SimHash.simhash64(
+        Dedup.wordShinglesFromTokens(
+          Dedup.tokensOf(col("text")), 3)).as("fp"))
+      .groupBy("fp").agg(collect_list("doc_id").as("ids"))
+      .select("ids").as[Seq[Long]].collect()
+      .flatMap { ids => val r = ids.min; ids.map(_ -> r) }.toMap
+    val found = truth.filter { case (a, b) =>
+      val (ra, rb) = (repOf(a), repOf(b))
+      ra == rb || cross.contains((math.min(ra, rb), math.max(ra, rb)))
+    }
+    val recall = found.size.toDouble / truth.size
     info(s"production simhash recall vs jaccard>=0.9 = $recall " +
-      s"(${(truth & found).size}/${truth.size})")
+      s"(${found.size}/${truth.size})")
     assert(recall >= 0.8, s"production simhash recall $recall below 0.8")
     // no cartesian: candidates come from the chunk-key hash join
     assert(!SimHash.nearDuplicates(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    spark.catalog.clearCache() // the pipeline persists internally
+  }
+
+  test("SimHash group collapse: a boilerplate pileup (identical docs) " +
+      "reports ONE diagonal row, never the m²/2 within-group pairs") {
+    val boiler = "lorem ipsum dolor sit amet " * 8
+    val docs = ((1 to 5000).map(i => (i.toLong, boiler)) :+
+      (9001L, "a genuinely different document about spark physical " +
+        "plans and shuffle exchanges in distributed execution"))
+      .toDF("doc_id", "text")
+    val out = SimHash.nearDuplicates(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L, 0L, 5000L, 5000L)))
+    spark.catalog.clearCache()
   }
 
   test("simhash 4x16 chunk blocking is lossless within hamming <= 3 " +

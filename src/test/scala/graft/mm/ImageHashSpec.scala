@@ -61,7 +61,8 @@ class ImageHashSpec extends SparkSpec {
       ImageHash.aHash64(g) ^ ImageHash.aHash64(edited)) <= 2)
   }
 
-  private def pairsOf(media: Seq[(Long, Array[Int])], maxHam: Int = 3) = {
+  private def reportOf(media: Seq[(Long, Array[Int])], maxHam: Int = 3,
+      maxBucket: Int = 64) = {
     val codec = new Multimodal.MediaCodec {
       private val byId = media.toMap
       def decode(m: Media) = Multimodal.FakeCodec.decode(m)
@@ -71,42 +72,79 @@ class ImageHashSpec extends SparkSpec {
     }
     val ds = media.map(_._1).toDF("id").as[Long]
       .map(id => Media(id, "image", "png", Array.empty[Byte]))
-    ImageHash.nearDupPairs(
+    try ImageHash.nearDupPairs(
         ImageHash.hashAll(ds, codec).toDF(), "media_id",
-        maxHamming = maxHam)
-      .select("id_a", "id_b", "ham_ahash")
-      .as[(Long, Long, Int)].collect().toSeq.sortBy(p => (p._1, p._2))
+        maxHamming = maxHam, maxBucket = maxBucket)
+      .select("id_a", "id_b", "ham_ahash", "n_a", "n_b")
+      .as[(Long, Long, Int, Long, Long)].collect().toSeq
+      .sortBy(p => (p._1, p._2))
+    finally spark.sharedState.cacheManager.clearCache()
   }
 
-  test("near-identical planted images are recalled; unrelated images " +
-      "are not matched") {
+  test("near-identical planted images are recalled; identical " +
+      "fingerprints report at group grain; unrelated images are not " +
+      "matched") {
     val base = grid(3)
     val media = Seq(
       1L -> base,
-      2L -> base.map(_ + 6),          // brightness copy → hamming 0
+      2L -> base.map(_ + 6),          // brightness copy → same hashes
       3L -> grid(99),                  // unrelated
       4L -> grid(1234))                // unrelated
-    val got = pairsOf(media)
-    assert(got.map(p => (p._1, p._2)) === Seq((1L, 2L)))
-    assert(got.head._3 === 0)
+    // 1 and 2 hash identically on BOTH hashes → ONE diagonal group
+    // row (rep 1, n = 2), never a cross pair
+    assert(reportOf(media) === Seq((1L, 1L, 0, 2L, 2L)))
   }
 
-  test("banded candidates equal brute force for maxHamming < bands " +
-      "(pigeonhole losslessness)") {
+  test("banded rep pairs equal brute force over representatives for " +
+      "maxHamming < bands (pigeonhole losslessness within the bound)") {
     val media = (0 until 40).map { i =>
       // half the ids are brightness copies of the previous grid
       if (i % 2 == 1) i.toLong -> grid(i / 2).map(_ + 5)
       else i.toLong -> grid(i / 2)
     }
-    val brute = (for {
-      (ia, ga) <- media; (ib, gb) <- media if ia < ib
+    // every odd id collapses into its even predecessor's fingerprint
+    // group → 20 diagonal rows; cross pairs are brute force over the
+    // 20 REPRESENTATIVES (even ids)
+    val reps = media.filter(_._1 % 2 == 0)
+    val bruteCross = (for {
+      (ia, ga) <- reps; (ib, gb) <- reps if ia < ib
       ham = java.lang.Long.bitCount(
         ImageHash.aHash64(ga) ^ ImageHash.aHash64(gb))
       if ham <= 3
-    } yield (ia, ib, ham)).sortBy(p => (p._1, p._2))
-    assert(pairsOf(media) === brute)
-    assert(brute.size >= 20, "the fixture must plant at least the " +
-      "20 brightness pairs")
+    } yield (ia, ib, ham, 2L, 2L)).sortBy(p => (p._1, p._2))
+    val diag = reps.map { case (id, _) => (id, id, 0, 2L, 2L) }
+    assert(reportOf(media) ===
+      (bruteCross ++ diag).sortBy(p => (p._1, p._2)))
+    assert(diag.size === 20, "the fixture must plant the 20 " +
+      "brightness groups")
+  }
+
+  test("a degenerate pileup (thousands of identical grids) collapses " +
+      "to ONE diagonal row — no quadratic candidate set") {
+    // 10k solid-color images: uniform grid → 64·luma == Σ → ahash 0,
+    // flat gradient → dhash 0 — the real-corpus worst case
+    val flat = Array.fill(C * R)(17)
+    val media = (0 until 10000).map(i => i.toLong -> flat)
+    assert(reportOf(media) === Seq((0L, 0L, 0, 10000L, 10000L)))
+  }
+
+  test("the [2, maxBucket] bucket bound drops oversized chunk buckets " +
+      "(lossy by design) and keeps within-bound ones") {
+    // 100 DISTINCT fingerprints that all share chunks 0, 2, 3
+    // (ahash = i << 16 → only chunk 1 varies): every shared bucket
+    // holds 100 reps, so the default bound drops them all
+    val hashes = (1 to 100)
+      .map(i => (i.toLong, i.toLong << 16, 0L))
+      .toDF("media_id", "ahash", "dhash")
+    def pairs(maxBucket: Int) =
+      try ImageHash.nearDupPairs(hashes, "media_id",
+          maxHamming = 3, maxBucket = maxBucket)
+        .filter($"id_a" =!= $"id_b").count()
+      finally spark.sharedState.cacheManager.clearCache()
+    assert(pairs(64) === 0L)
+    // raising the bound past the pileup re-admits the real pairs
+    // (e.g. ahash 1<<16 vs 2<<16 is hamming 2)
+    assert(pairs(128) > 0L)
   }
 
   test("hashing through the default codec seam is content-" +
