@@ -64,7 +64,7 @@ object DedupQueries extends QueryPack {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
   }
 
-  private val SubstrMinLen = 12
+  private[graft] val SubstrMinLen = 12
 
   /** EXACT repeated-substring coverage ([[SubstringDedup.report]] —
     * the deduplicate-text-datasets role re-expressed as anchored
@@ -145,7 +145,14 @@ object DedupQueries extends QueryPack {
           .orderBy("doc_id"))
       finally { arrays.unpersist(blocking = false); () }
     },
-    Some {
+    Some(substringScrubOracleSql))
+
+  /** The scrub oracle, factored out so the STREAMING twin
+    * (`stream_substring_scrub_documents`) replays it VERBATIM — the
+    * maintained report is the batch scrub of the drained corpus
+    * (both engines run the same shared scrub core).
+    */
+  private[graft] def substringScrubOracleSql: String = {
       val L = SubstrMinLen
       s"WITH toks AS (SELECT doc_id, CASE " +
         "WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
@@ -185,7 +192,7 @@ object DedupQueries extends QueryPack {
         "AS kept_tokens, md5(coalesce(ct.clean, '')) AS clean_md5 " +
         "FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id " +
         "LEFT JOIN ct ON toks.doc_id = ct.doc_id ORDER BY toks.doc_id"
-    })
+  }
 
   /** Leakage-SAFE train/val/test splitting — the near-dup-aware form
     * of `corpus_split_documents`: a doc-keyed hash split can place two

@@ -88,20 +88,59 @@ object SubstringDedup {
     * `arrays` is a PERSISTED [[gramArrays]] frame.
     */
   def scrubFromArrays(arrays: DataFrame, idCol: String,
-      minLen: Int): DataFrame = {
-    // fail loud outside the key encoding's domain instead of silently
-    // mis-ordering occurrences (assert_true returns NULL on pass)
-    val key = col(idCol) * lit(1048576L) + col("pos") +
+      minLen: Int): DataFrame =
+    scrubAgainstFirsts(arrays,
+      firstsOf(gramPartials(arrays, idCol)), idCol, minLen)
+
+  /** The exact-integer first-occurrence key `doc · 2²⁰ + pos`, with
+    * the loud domain guard (token positions below 2²⁰, non-negative
+    * ids; assert_true returns NULL on pass).
+    */
+  private def keyOf(idCol: String) =
+    col(idCol) * lit(1048576L) + col("pos") +
       coalesce(assert_true(col("pos") < lit(1048576) &&
         col(idCol) >= 0).cast("long"), lit(0L))
-    val occ = arrays.select(col(idCol),
-      posexplode(col("__gh")).as(Seq("pos", "gh")))
-    val firsts = occ
+
+  /** Per-gram partial aggregate of a [[gramArrays]] frame:
+    * `(gh, __n, __minkey)` — occurrence count and minimal
+    * first-occurrence key. The partials COMMUTE under
+    * ([[foldGramPartials]]: sum, min), which is what makes the
+    * maintained streaming index batch-cut-independent.
+    */
+  def gramPartials(arrays: DataFrame, idCol: String): DataFrame =
+    arrays.select(col(idCol),
+        posexplode(col("__gh")).as(Seq("pos", "gh")))
       .groupBy(col("gh")).agg(
         count(lit(1)).as("__n"),
-        min(key).as("__minkey"))
-      .filter(col("__n") >= 2)
+        min(keyOf(idCol)).as("__minkey"))
+
+  /** Fold partials from several corpus slices into corpus-grain
+    * totals — `sum`/`min` over the same columns ([[gramPartials]] of a
+    * union ≡ fold of per-slice partials).
+    */
+  def foldGramPartials(partials: DataFrame): DataFrame =
+    partials.groupBy(col("gh")).agg(
+      sum(col("__n")).as("__n"),
+      min(col("__minkey")).as("__minkey"))
+
+  /** The first-occurrence index of REPEATED grams (count ≥ 2) from a
+    * partials frame — what each streaming micro-batch probes.
+    */
+  def firstsOf(partials: DataFrame): DataFrame =
+    partials.filter(col("__n") >= 2)
       .select(col("gh"), col("__minkey"))
+
+  /** The scrub body against a PRECOMPUTED first-occurrence index —
+    * the shared core of the batch lane ([[scrubFromArrays]]) and the
+    * streaming twin ([[graft.streaming.StreamingPipelines
+    * .substringScrubStream]]), which is what licenses the streaming
+    * gate's oracle to be the batch lane's SQL verbatim.
+    */
+  def scrubAgainstFirsts(arrays: DataFrame, firsts: DataFrame,
+      idCol: String, minLen: Int): DataFrame = {
+    val key = keyOf(idCol)
+    val occ = arrays.select(col(idCol),
+      posexplode(col("__gh")).as(Seq("pos", "gh")))
     val removable = occ
       .join(firsts, Seq("gh"))
       .filter(key =!= col("__minkey"))

@@ -107,12 +107,15 @@ object AudioHash {
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.flatMap { m =>
         AudioHeaders.parseWithDataOffset(m.content).collect {
+          // bounds compared in Long: a crafted/corrupt data chunk size
+          // near Int.MaxValue overflows the Int sum negative, slips the
+          // guard, and the energy passes then read past the array
           case (info, off) if info.bitsPerSample == 8 &&
-              off + info.dataLen <= m.content.length =>
+              off.toLong + info.dataLen <= m.content.length =>
             val e = energies(m.content, off, info.dataLen)
             Fingerprint(m.media_id, info.dataLen, fpOf(e), e.sum)
           case (info, off) if info.bitsPerSample == 16 &&
-              off + info.dataLen <= m.content.length =>
+              off.toLong + info.dataLen <= m.content.length =>
             val n = info.dataLen / 2
             val e = energies16(m.content, off, n)
             Fingerprint(m.media_id, n, fpOf(e), e.sum)

@@ -11,12 +11,13 @@ import org.apache.spark.sql.functions._
   *
   * The decode seam is split in two: header metadata
   * (width/height/channels) parses REAL format bytes via [[ImageHeaders]]
-  * (PNG IHDR / JPEG SOFn — pure JVM, no codec library), while pixel
-  * decoding and feature extraction stay behind the DETERMINISTIC STUB
-  * ([[FakeCodec]]) because no image/audio codec ships in this
-  * environment. [[HeaderCodec]] (the default) composes the two: real
-  * headers when the payload is a parseable image stream, stub fallback
-  * otherwise. Everything around the seam — schema, batching,
+  * (PNG IHDR / JPEG SOFn — pure JVM, no codec library), and PNG PIXELS
+  * decode for real via [[PngPixels]] (javax.imageio ships with the
+  * JDK), while feature extraction and non-PNG pixel decode stay behind
+  * the DETERMINISTIC STUB ([[FakeCodec]]) because no other codec ships
+  * in this environment. [[HeaderCodec]] (the default) composes them:
+  * real headers/pixels when the payload is a parseable stream, stub
+  * fallback otherwise. Everything around the seam — schema, batching,
   * partitioning, feature shape — is real and survives swapping in a
   * full codec.
   */
@@ -106,10 +107,13 @@ object Multimodal {
       }
     def features(m: Media, dim: Int): Array[Float] =
       FakeCodec.features(m, dim)
-    // pixel decode needs a real codec library — stub grid (per the
-    // environment brief; the plumbing around the seam stays real)
+    // REAL pixel decode for PNG payloads ([[PngPixels]] — the JDK
+    // ships javax.imageio's PNG reader, so this needs no codec
+    // library); stub grid for everything else (per the environment
+    // brief: no JPEG/video pixel codec ships in this container)
     def lumaGrid(m: Media, cols: Int, rows: Int): Array[Int] =
-      FakeCodec.lumaGrid(m, cols, rows)
+      PngPixels.lumaGridOf(m.content, cols, rows)
+        .getOrElse(FakeCodec.lumaGrid(m, cols, rows))
   }
 
   /** Deterministic geometry for synthesized image payloads — the

@@ -264,10 +264,18 @@ object StreamingPipelines {
     * crash before the swap leaves the old marker intact (the stale tmp
     * is overwritten by the next update); crash BETWEEN delete and
     * rename leaves the new value in the tmp file, and the read
-    * completes the swap. An absent/garbled marker with generation dirs
-    * present (and no recoverable tmp) means state was mutated outside
-    * the protocol — fail loud rather than probe the wrong horizon; an
-    * absent marker with NO generations is simply "no compaction yet".
+    * completes the swap. One crash window the protocol itself creates
+    * must also recover: a crash AFTER a compaction lands its
+    * `compacted_g` dir but BEFORE [[writeMarker]] creates the tmp
+    * leaves generations with no marker and no tmp — cleanup only runs
+    * after the marker swap succeeds, so the `b0..` partial chain is
+    * still complete and resuming at `upto = 0` is safe (the orphan
+    * generation is swept as stale by the next compaction). So:
+    * absent/garbled marker + generations + `b0` present → 0; the same
+    * WITHOUT `b0` means partials were cleaned under a now-lost marker,
+    * i.e. state was mutated outside the protocol — fail loud rather
+    * than probe the wrong horizon. An absent marker with NO
+    * generations is simply "no compaction yet".
     */
   private[streaming] def readMarker(fs: FileSystem,
       statePath: String): Long = {
@@ -291,12 +299,15 @@ object StreamingPipelines {
       val sp = new Path(statePath)
       val hasGen = fs.exists(sp) && fs.listStatus(sp)
         .exists(_.getPath.getName.startsWith("compacted_g"))
-      if (hasGen)
+      if (hasGen && !fs.exists(new Path(s"$statePath/b0")))
         throw new IllegalStateException(
-          s"compaction marker under $statePath is missing but " +
-            "generation dirs exist — state was mutated outside the " +
-            "marker protocol; restore _compacted_upto to the current " +
-            "generation id")
+          s"compaction marker under $statePath is missing, generation " +
+            "dirs exist, and the b0 partial is gone (partials were " +
+            "cleaned under a now-lost marker) — state was mutated " +
+            "outside the marker protocol; restore _compacted_upto to " +
+            "the current generation id")
+      // gens + intact b0.. chain = the crash window between a landed
+      // compaction and its marker tmp: resume from the partials
       0L
     }
   }
@@ -665,6 +676,112 @@ object StreamingPipelines {
     */
   def decontamReports(s: SparkSession, reportPath: String): DataFrame =
     s.read.option("recursiveFileLookup", "true").parquet(reportPath)
+
+  /** STREAMING repeated-substring self-scrub —
+    * [[graft.dedup.SubstringDedup]] through the r13 state contract
+    * (the ingest-time form a production corpus build runs): each
+    * micro-batch lands TWO batch-owned state partials —
+    * `b<i>/grams`, the per-gram `(gh, __n, __minkey)` aggregate
+    * ([[graft.dedup.SubstringDedup.gramPartials]] — COMMUTING
+    * sum/min partials, so the folded index is batch-cut-independent),
+    * and `b<i>/docs`, the batch's materialized gram-array projection
+    * (the persisted corpus index, the [[nearDupStream]] shingle-table
+    * precedent at gram grain) — then the maintained report re-runs
+    * the shared scrub core ([[graft.dedup.SubstringDedup
+    * .scrubAgainstFirsts]]) over the folded first-occurrence index
+    * and the docs-so-far state. Both halves are the BATCH operator's
+    * own functions, which is what licenses the gate oracle to be the
+    * batch lane's SQL verbatim: after the stream drains, the report
+    * IS the batch scrub of the full corpus (a gram first seen in
+    * batch 0 and repeated in batch 3 folds to `n = 2` with the global
+    * minimal key — no strictly-earlier cutoff, unlike the near-dup
+    * match sink whose arrival order is the semantics).
+    *
+    * State layer: marker-tracked generations exactly as every other
+    * maintained lane — every `compactEvery` batches both sublayers
+    * fold into `compacted_g<n>/{grams,docs}` (grams re-aggregate,
+    * docs concatenate), the marker moves AFTER the generation lands,
+    * stale partials are swept, and per-batch listing stays bounded on
+    * an arbitrarily long stream. The per-batch report recompute is
+    * the maintained-report contract (the [[curateStream]] ruling);
+    * a 100 TB deployment runs the report on a cadence instead by
+    * raising `compactEvery` and reading the same state.
+    */
+  def substringScrubStream(source: DataFrame, idCol: String,
+      textCol: String, minLen: Int, reportPath: String,
+      statePath: String, checkpoint: String, compactEvery: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(compactEvery >= 2, "compactEvery must be at least 2")
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = fsOf(s, statePath)
+        // the gramArrays persist contract: the frame is read by the
+        // docs-layer write AND the partial aggregate
+        val arrays = graft.dedup.SubstringDedup
+          .gramArrays(batch, idCol, textCol, minLen).persist()
+        try {
+          arrays.write.mode("overwrite")
+            .parquet(s"$statePath/b$batchId/docs")
+          graft.dedup.SubstringDedup.gramPartials(arrays, idCol)
+            .write.mode("overwrite")
+            .parquet(s"$statePath/b$batchId/grams")
+        } finally { arrays.unpersist(blocking = false); () }
+        val upto = readMarker(fs, statePath)
+        if (upto > batchId + 1)
+          throw new IllegalStateException(
+            s"compaction marker $upto is ahead of batch $batchId " +
+              s"under $statePath — state belongs to a different stream")
+        val gen =
+          if (upto > 0) {
+            val g = s"$statePath/compacted_g$upto"
+            if (!fs.exists(new Path(g)))
+              throw new IllegalStateException(
+                s"marker says batches [0, $upto) are folded at $g but " +
+                  "the generation dir is missing")
+            Seq(g)
+          } else Nil
+        val parts = gen ++ (upto to batchId).map { i =>
+          val p = s"$statePath/b$i"
+          if (!fs.exists(new Path(p)))
+            throw new IllegalStateException(
+              s"state for batch $i (implied by batch counter $batchId " +
+                s"and marker $upto) is missing under $statePath")
+          p
+        }
+        val willCompact = batchId + 1 - upto >= compactEvery
+        val docsState = s.read.parquet(parts.map(_ + "/docs"): _*)
+        val foldedRaw = graft.dedup.SubstringDedup.foldGramPartials(
+          s.read.parquet(parts.map(_ + "/grams"): _*))
+        // checkpoint only when the compaction fold reads it too
+        val folded =
+          if (willCompact) foldedRaw.localCheckpoint(true) else foldedRaw
+        graft.dedup.SubstringDedup
+          .scrubAgainstFirsts(docsState,
+            graft.dedup.SubstringDedup.firstsOf(folded), idCol, minLen)
+          .write.mode("overwrite").parquet(reportPath)
+        if (willCompact) {
+          val g = s"$statePath/compacted_g${batchId + 1}"
+          folded.write.mode("overwrite").parquet(s"$g/grams")
+          docsState.write.mode("overwrite").parquet(s"$g/docs")
+          writeMarker(fs, statePath, batchId + 1)
+          fs.listStatus(new Path(statePath)).foreach { st =>
+            val nm = st.getPath.getName
+            val stale =
+              (nm.startsWith("b") && nm.drop(1).forall(_.isDigit) &&
+                nm.drop(1).toLong <= batchId) ||
+                (nm.startsWith("compacted_g") &&
+                  nm != s"compacted_g${batchId + 1}")
+            if (stale) { fs.delete(st.getPath, true); () }
+          }
+        }
+        ()
+      }
+      .start()
+  }
 
   /** Streaming incremental NEAR-dup dedup — [[graft.dedup.IncrementalNearDup]]
     * maintained through a real StreamingQuery: each micro-batch first

@@ -686,9 +686,46 @@ object StreamingQueries extends QueryPack {
     },
     Some(graft.text.TextQueries.decontamOverlapOracleSql))
 
+  /** STREAMING repeated-substring self-scrub
+    * ([[StreamingPipelines.substringScrubStream]]): the documents
+    * corpus drains in TWO files; each micro-batch lands its gram-array
+    * projection and its COMMUTING per-gram (count, min-key) partial in
+    * batch-owned state, and the maintained report re-runs the shared
+    * scrub core over the folded first-occurrence index and the
+    * docs-so-far state. A gram's global count and minimal occurrence
+    * fold exactly across any cut, so the drained report IS the batch
+    * scrub — the oracle is `dedup_substring_scrub_documents`' SQL
+    * VERBATIM (the X115 shared-impl story at gram grain); multi-batch
+    * cut-independence and compaction are pinned in
+    * `SubstringScrubStreamSpec`.
+    */
+  private def substringScrubQuery = QueryDef(
+    "stream_substring_scrub_documents",
+    (s, dir) => withStreamSession(s) { iso =>
+      val staged = StreamStage.ensureOrdered(iso, dir, "ss2",
+          "documents")(x =>
+          graft.io.Tables.load(x, dir, "documents", parallelize = false)
+            .select(col("doc_id"), col("text")))(
+          col("doc_id") % 2 === 0)
+      withTempDirs("graft_stream_ss_report", "graft_stream_ss_state",
+        "graft_stream_ss_ckpt") {
+      case Seq(report, state, ckpt) =>
+        val schema = iso.read.parquet(staged).schema
+        val src = iso.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(staged)
+        val q = StreamingPipelines.substringScrubStream(src, "doc_id",
+          "text", graft.dedup.DedupQueries.SubstrMinLen, report, state,
+          ckpt)
+        q.awaitTermination()
+        graft.util.Frames.localized(iso.read.parquet(report)
+          .orderBy("doc_id"))
+      }
+    },
+    Some(graft.dedup.DedupQueries.substringScrubOracleSql))
+
   override def queries: Seq[QueryDef] =
     Seq(windowedQuery, sessionizeQuery, dedupQuery, intervalJoinQuery,
       pipelineQuery, profileQuery, funnelQuery, maintainedAggQuery,
       activesQuery, nearDupQuery, qualityQuery, decontamQuery,
-      curateQuery)
+      curateQuery, substringScrubQuery)
 }

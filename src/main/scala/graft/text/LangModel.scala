@@ -89,10 +89,13 @@ object LangModel {
       labelCol: String, buckets: Int = DefaultBuckets,
       epochs: Int = DefaultEpochs): Model = {
     require(buckets >= 2, "need at least two feature buckets")
+    // collect at most cap+1 rows so the loud cap actually protects the
+    // driver: an accidental corpus-sized input must fail the require,
+    // not OOM inside collect() before the check runs
     val rows = df.select(col(idCol).cast("string"), col(textCol),
-      col(labelCol).cast("string")).collect()
+      col(labelCol).cast("string")).limit(MaxTrainRows + 1).collect()
     require(rows.length <= MaxTrainRows,
-      s"training set has ${rows.length} rows — cap is $MaxTrainRows; " +
+      s"training set exceeds the $MaxTrainRows-row cap; " +
         "train on a labeled sample, not a corpus")
     require(rows.nonEmpty, "cannot train on zero labeled rows")
     val data = rows

@@ -84,10 +84,12 @@ object QualityModel {
       labelCol: String, buckets: Int = DefaultBuckets,
       epochs: Int = DefaultEpochs): Model = {
     require(buckets >= 2, "need at least two feature buckets")
+    // collect at most cap+1 rows so the loud cap actually protects the
+    // driver (a corpus-sized input must fail loud, not OOM in collect)
     val rows = df.select(col(idCol).cast("string"), col(textCol),
-        col(labelCol).cast("boolean")).collect()
+        col(labelCol).cast("boolean")).limit(MaxTrainRows + 1).collect()
     require(rows.length <= MaxTrainRows,
-      s"training set has ${rows.length} rows — cap is $MaxTrainRows; " +
+      s"training set exceeds the $MaxTrainRows-row cap; " +
         "train on a labeled sample, not a corpus")
     require(rows.nonEmpty, "cannot train on zero labeled rows")
     val feats = rows

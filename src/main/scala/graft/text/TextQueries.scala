@@ -1964,6 +1964,112 @@ object TextQueries extends QueryPack {
         "GROUP BY 1, 2 ORDER BY 1, 2"
     })
 
+  /** Per-language routed curation under the LEARNED language model —
+    * the composition X113 was built for: identical dataflow to
+    * [[routeLangQuery]] (per-line majority routing → [[graft.pipeline
+    * .Mixing.byTemperatureRoutedT2]] under [[RouteBudgets]] → the
+    * (language × source) funnel), but each line is classified by the
+    * multi-class perceptron ([[LangModel.classify]] — trained LIVE on
+    * the [[withLangFixture]] gate corpus with heuristic weak labels,
+    * exactly as `text_lang_model_documents` does) instead of the
+    * [[TextAnalysis.langId]] rule chain. Inference is pinned-literal
+    * map-side CASE folds sharing ONE tokenization per line — routing
+    * gains a learned classifier at zero extra shuffles. Oracled via
+    * the [[LangGatePinned]] literals (LangGateDriftSpec re-trains and
+    * compares every `sbt test`; the oracle carries the DuckDB-side
+    * row-count guard); RoutedMixingSpec pins a planted mixed doc
+    * where heuristic and model routing genuinely disagree.
+    */
+  private def routeLangModelQuery = QueryDef(
+    "corpus_route_lang_model_documents",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents", parallelize = true)
+      val m = LangModel.fit(
+        withLangFixture(docs)
+          .withColumn("__label", TextAnalysis.langId(col("ltext"))),
+        "doc_id", "ltext", "__label")
+      val fixt = withRouteFixture(docs)
+      val base = fixt
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("rtext")).cast("long")
+            .as("n_tokens"))
+        .join(LangSegment.segment(fixt, "doc_id", "rtext",
+            langOf = l => LangModel.classify(l, m))
+          .select(col("doc_id"), col("majority_lang").as("lang")),
+          Seq("doc_id"))
+        .localCheckpoint(true)
+      val sel = graft.pipeline.Mixing.byTemperatureRoutedT2(
+          base, "lang", "source", "doc_id", "n_tokens", RouteBudgets)
+        .select(col("doc_id"), lit(true).as("__sel"))
+      base.join(sel, Seq("doc_id"), "left")
+        .groupBy("lang", "source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("lang_tokens"),
+          sum(when(col("__sel"), 1L).otherwise(0L)).as("n_selected"),
+          sum(when(col("__sel"), col("n_tokens")).otherwise(0L))
+            .as("sel_tokens"))
+        .orderBy("lang", "source")
+    },
+    Some {
+      val cls = LangGatePinned.classes
+      val margins = cls.indices.map(i =>
+        marginSql(LangGatePinned.weights(i), LangGatePinned.biases(i)) +
+          s" AS m_${cls(i)}").mkString(", ")
+      val best = cls.map(c => s"m_$c").mkString("greatest(", ", ", ")")
+      val langCase = "CASE " + cls.map(c =>
+        s"WHEN m_$c = best THEN '$c'").mkString(" ") + " END"
+      val budgetCase = "CASE s.lang " + RouteBudgets.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN '$k' THEN $v" }
+        .mkString(" ") + " ELSE 0 END"
+      s"WITH d AS (SELECT doc_id, source, $routeFixtureSql AS rtext " +
+        "FROM documents), " +
+        "gg AS (SELECT CASE WHEN (SELECT count(*) FROM documents) = " +
+        s"${LangGatePinned.GateRows} THEN 1 ELSE " +
+        "error('model-routed-curation trained-literal oracle is only " +
+        s"valid at the ${LangGatePinned.GateRows}-row gate corpus: " +
+        "regenerate LangGatePinned') END AS ok), " +
+        "ls AS (SELECT doc_id, string_split(rtext, chr(10)) AS lines " +
+        "FROM d), " +
+        "li AS (SELECT doc_id, lines, " +
+        "unnest(generate_series(1, len(lines))) AS pos FROM ls), " +
+        "l AS (SELECT doc_id, trim(lines[pos]) AS line FROM li), " +
+        "ln AS (SELECT doc_id, line FROM l WHERE length(line) > 0), " +
+        s"lt AS (SELECT doc_id, ${tokensSqlOf("line")} AS t FROM ln), " +
+        s"lm AS (SELECT doc_id, $margins FROM lt), " +
+        s"lb AS (SELECT *, $best AS best FROM lm), " +
+        s"lg AS (SELECT doc_id, $langCase AS lang FROM lb), " +
+        "c AS (SELECT doc_id, lang, count(*) AS cnt FROM lg " +
+        "GROUP BY 1, 2), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id " +
+        "ORDER BY cnt DESC, lang) AS rn FROM c), " +
+        "mj AS (SELECT doc_id, max(CASE WHEN rn = 1 THEN lang END) " +
+        "AS lang FROM r GROUP BY 1), " +
+        "toks AS (SELECT d.doc_id, d.source, mj.lang, " +
+        s"len(${tokensSqlOf("rtext")})::BIGINT AS n " +
+        "FROM d JOIN mj USING (doc_id)), " +
+        "s AS (SELECT lang, source, CAST(sum(n) AS BIGINT) AS stok " +
+        "FROM toks GROUP BY 1, 2), " +
+        "z AS (SELECT lang, CAST(sum(CAST(sqrt(stok) " +
+        "AS DECIMAL(38,12))) AS DOUBLE) AS zsum FROM s GROUP BY 1), " +
+        s"t AS (SELECT s.lang, s.source, CAST(floor(CAST($budgetCase " +
+        "AS DOUBLE) * sqrt(stok) / zsum) AS BIGINT) AS target " +
+        "FROM s JOIN z USING (lang)), " +
+        "cm AS (SELECT doc_id, lang, source, n, SUM(n) OVER (" +
+        "PARTITION BY lang, source ORDER BY md5(doc_id::VARCHAR), " +
+        "doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM toks), " +
+        "sel AS (SELECT cm.doc_id FROM cm JOIN t USING (lang, source) " +
+        "WHERE cum - n < target) " +
+        "SELECT toks.lang, toks.source, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n) AS BIGINT) AS lang_tokens, " +
+        "CAST(sum(CASE WHEN sel.doc_id IS NOT NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_selected, " +
+        "CAST(sum(CASE WHEN sel.doc_id IS NOT NULL THEN n ELSE 0 END) " +
+        "AS BIGINT) AS sel_tokens " +
+        "FROM toks LEFT JOIN sel ON toks.doc_id = sel.doc_id " +
+        "CROSS JOIN gg GROUP BY 1, 2 ORDER BY 1, 2"
+    })
+
   private def langSegmentsQuery = QueryDef(
     "text_lang_segments_documents",
     (s, dir) => LangSegment.segment(
@@ -2135,6 +2241,6 @@ object TextQueries extends QueryPack {
       domainsQuery, indexQuery, nfcQuery, htmlExtractQuery,
       qualityModelQuery, curateE2eQuery, sampleUniformQuery,
       markdownExtractQuery, langSegmentsQuery, langModelQuery,
-      routeLangQuery, gopherQuery, decontamExposureQuery,
-      qualityCalibrationQuery)
+      routeLangQuery, routeLangModelQuery, gopherQuery,
+      decontamExposureQuery, qualityCalibrationQuery)
 }

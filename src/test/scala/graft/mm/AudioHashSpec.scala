@@ -76,4 +76,18 @@ class AudioHashSpec extends SparkSpec {
     assert(got.map(_.media_id) === Seq(1L))
     assert(got.head.n_samples === 1 && got.head.energy_total === 100L)
   }
+
+  test("a crafted data chunk size near Int.MaxValue skips instead of " +
+      "overflowing the bounds guard (r14 ADVICE: compare in Long)") {
+    // a header that CLAIMS 0x7FFFFFF0 data bytes over a tiny payload:
+    // off + dataLen in Int arithmetic wraps negative and would pass
+    // `<= content.length`, then read past the array
+    val huge = AudioHeaders.wavHeader(1, 8000, 8, 0x7FFFFFF0) ++
+      Array.tabulate(16)(_.toByte)
+    val huge16 = AudioHeaders.wavHeader(1, 8000, 16, 0x7FFFFFF0) ++
+      Array.tabulate(16)(_.toByte)
+    assert(fps(Seq(
+      Media(1L, "audio", "wav", huge),
+      Media(2L, "audio", "wav", huge16))) === Seq.empty)
+  }
 }

@@ -78,4 +78,36 @@ class RoutedMixingSpec extends SparkSpec {
       .select("majority_lang").as[String].collect().head
     assert(majority === "en")
   }
+
+  test("heuristic and LEARNED-model routing genuinely disagree on a " +
+      "planted mixed line — the point of composing X113 into X114") {
+    import graft.text.{LangGatePinned, LangModel, LangSegment,
+      TextAnalysis}
+    // French mass with one German marker: the heuristic's first-match
+    // rule fires 'de' on ' der ', the pinned perceptron weighs the
+    // nine French tokens (margins fr=498 vs de=43 under the r14 gate
+    // literals — LangGateDriftSpec keeps them honest)
+    val line = "le chat et la maison le jour et les nuits der"
+    val df = Seq((1L, line)).toDF("doc_id", "text")
+    val heur = df.select(TextAnalysis.langId(col("text"))).as[String]
+      .collect().head
+    val model = df.select(LangModel.classifyPinned(col("text"),
+        LangGatePinned.classes.toIndexedSeq,
+        LangGatePinned.weights.toIndexedSeq,
+        LangGatePinned.biases.toIndexedSeq)).as[String]
+      .collect().head
+    assert(heur === "de" && model === "fr",
+      s"fixture no longer separates: heuristic=$heur model=$model")
+    // and the disagreement propagates through per-line majority
+    // routing: the same doc lands on different routes
+    val heurRoute = LangSegment.segment(df, "doc_id", "text")
+      .select("majority_lang").as[String].collect().head
+    val modelRoute = LangSegment.segment(df, "doc_id", "text",
+        langOf = l => LangModel.classifyPinned(l,
+          LangGatePinned.classes.toIndexedSeq,
+          LangGatePinned.weights.toIndexedSeq,
+          LangGatePinned.biases.toIndexedSeq))
+      .select("majority_lang").as[String].collect().head
+    assert(heurRoute === "de" && modelRoute === "fr")
+  }
 }

@@ -66,18 +66,32 @@ class MarkerSpec extends SparkSpec {
   }
 
   test("a garbled marker fails loud; absent marker WITH generation " +
-      "dirs (and no tmp) fails loud") {
+      "dirs and a BROKEN partial chain fails loud") {
     val (fs, dir) = fixture()
     put(fs, StreamingPipelines.markerPath(dir), "12x")
     intercept[IllegalStateException] {
       StreamingPipelines.readMarker(fs, dir)
     }
+    // gens present, b0 gone: partials were cleaned under a now-lost
+    // marker — no safe horizon exists
     val (fs2, dir2) = fixture()
     fs2.mkdirs(new Path(s"$dir2/compacted_g4"))
+    fs2.mkdirs(new Path(s"$dir2/b4"))
     val e = intercept[IllegalStateException] {
       StreamingPipelines.readMarker(fs2, dir2)
     }
-    assert(e.getMessage.contains("generation dirs exist"))
+    assert(e.getMessage.contains("b0 partial is gone"))
+  }
+
+  test("crash between a landed compaction and its marker tmp (gens " +
+      "present, no marker, b0.. chain intact) recovers to upto = 0") {
+    // the one no-marker/no-tmp window the protocol itself creates:
+    // compacted_g landed, writeMarker never started, cleanup never
+    // ran — every partial from b0 still exists, so 0 is a safe horizon
+    val (fs, dir) = fixture()
+    fs.mkdirs(new Path(s"$dir/compacted_g4"))
+    (0 to 3).foreach(i => fs.mkdirs(new Path(s"$dir/b$i")))
+    assert(StreamingPipelines.readMarker(fs, dir) === 0L)
   }
 
   test("a stale tmp from a crash BEFORE the swap is ignored while the " +

@@ -102,4 +102,15 @@ class LangModelSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, "alpha", 2L, true),
       (2L, "gamma", 1L, false)))
   }
+
+  test("fit refuses an unbounded training collect — the cap fires " +
+      "before a corpus-sized input can OOM the driver") {
+    // the collect itself is limit(cap + 1)-bounded (the r14 ADVICE
+    // item): the require sees at most cap + 1 rows, never the corpus
+    assertThrows[IllegalArgumentException] {
+      val big = spark.range(LangModel.MaxTrainRows + 1)
+        .selectExpr("id AS doc_id", "'x y z' AS text", "'en' AS label")
+      LangModel.fit(big, "doc_id", "text", "label")
+    }
+  }
 }
