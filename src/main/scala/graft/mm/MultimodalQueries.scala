@@ -319,36 +319,7 @@ object MultimodalQueries extends QueryPack {
         .orderBy("media_id")
     },
     Some {
-      val F = AudioHash.Frames
-      // byte j (1-based) of the payload via its hex dump
-      def byte(j: String) = s"('0x' || substr(hx, 2*($j)-1, 2))::BIGINT"
-      // 8-bit: sample i IS byte i, deviation from 128
-      val d8 = s"(${byte("i")} - 128)"
-      // 16-bit: sample i = little-endian signed pair (bytes 2i-1, 2i)
-      val v16 = s"(${byte("2*i-1")} + 256 * ${byte("2*i")})"
-      val s16 = s"(CASE WHEN $v16 >= 32768 THEN $v16 - 65536 " +
-        s"ELSE $v16 END)"
-      s"WITH a AS (SELECT doc_id, hex(encode(text)) AS hx, " +
-        "CASE WHEN (doc_id // 3) % 2 = 0 " +
-        "THEN octet_length(encode(text)) " +
-        "ELSE octet_length(encode(text)) // 2 END AS n, " +
-        "(doc_id // 3) % 2 AS wide FROM documents " +
-        "WHERE doc_id % 3 = 1), " +
-        "fr AS (SELECT doc_id, hx, n, wide, " +
-        s"unnest(generate_series(0, ${F - 1})) AS f FROM a), " +
-        "e AS (SELECT doc_id, n, f, coalesce(list_sum(" +
-        s"list_transform(generate_series(f*n//$F + 1, (f+1)*n//$F), " +
-        s"i -> CASE WHEN wide = 0 THEN $d8 * $d8 " +
-        s"ELSE $s16 * $s16 END)), 0) " +
-        "AS en FROM fr), " +
-        "w AS (SELECT doc_id, n, f, en, lead(en) OVER (PARTITION BY " +
-        "doc_id ORDER BY f) AS nx FROM e), " +
-        "fp AS (SELECT doc_id, CAST(max(n) AS INT) AS n_samples, " +
-        "CAST(coalesce(sum(CASE WHEN f < " +
-        s"${F - 1} AND nx > en THEN (1::BIGINT << CAST(f AS INT)) " +
-        "ELSE 0 END), 0) AS BIGINT) AS fp, " +
-        "CAST(sum(en) AS BIGINT) AS energy_total FROM w " +
-        "GROUP BY doc_id) " +
+      s"WITH $audioFpCtes " +
         "SELECT doc_id AS media_id, n_samples, fp, energy_total, " +
         "CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) " +
         "AS n_same_fp, " +
@@ -356,6 +327,44 @@ object MultimodalQueries extends QueryPack {
         "n_samples) AS BIGINT) AS n_same_profile " +
         "FROM fp ORDER BY media_id"
     })
+
+  /** The audio fingerprint replay (raw-byte hex decode → frame
+    * energies → gradient fp) as shared CTEs ending in
+    * `fp(doc_id, n_samples, fp, energy_total)` — used by the
+    * fingerprint lane AND the banded near-dup lane.
+    */
+  private def audioFpCtes: String = {
+    val F = AudioHash.Frames
+    // byte j (1-based) of the payload via its hex dump
+    def byte(j: String) = s"('0x' || substr(hx, 2*($j)-1, 2))::BIGINT"
+    // 8-bit: sample i IS byte i, deviation from 128
+    val d8 = s"(${byte("i")} - 128)"
+    // 16-bit: sample i = little-endian signed pair (bytes 2i-1, 2i)
+    val v16 = s"(${byte("2*i-1")} + 256 * ${byte("2*i")})"
+    val s16 = s"(CASE WHEN $v16 >= 32768 THEN $v16 - 65536 " +
+      s"ELSE $v16 END)"
+    s"a AS (SELECT doc_id, hex(encode(text)) AS hx, " +
+      "CASE WHEN (doc_id // 3) % 2 = 0 " +
+      "THEN octet_length(encode(text)) " +
+      "ELSE octet_length(encode(text)) // 2 END AS n, " +
+      "(doc_id // 3) % 2 AS wide FROM documents " +
+      "WHERE doc_id % 3 = 1), " +
+      "fr AS (SELECT doc_id, hx, n, wide, " +
+      s"unnest(generate_series(0, ${F - 1})) AS f FROM a), " +
+      "e AS (SELECT doc_id, n, f, coalesce(list_sum(" +
+      s"list_transform(generate_series(f*n//$F + 1, (f+1)*n//$F), " +
+      s"i -> CASE WHEN wide = 0 THEN $d8 * $d8 " +
+      s"ELSE $s16 * $s16 END)), 0) " +
+      "AS en FROM fr), " +
+      "w AS (SELECT doc_id, n, f, en, lead(en) OVER (PARTITION BY " +
+      "doc_id ORDER BY f) AS nx FROM e), " +
+      "fp AS (SELECT doc_id, CAST(max(n) AS INT) AS n_samples, " +
+      "CAST(coalesce(sum(CASE WHEN f < " +
+      s"${F - 1} AND nx > en THEN (1::BIGINT << CAST(f AS INT)) " +
+      "ELSE 0 END), 0) AS BIGINT) AS fp, " +
+      "CAST(sum(en) AS BIGINT) AS energy_total FROM w " +
+      "GROUP BY doc_id)"
+  }
 
   /** Perceptual video fingerprint dedup ([[VideoHash]]): every
     * synthesized video row (`doc_id % 3 = 2`) fingerprints from
@@ -383,28 +392,7 @@ object MultimodalQueries extends QueryPack {
         .orderBy("media_id")
     },
     Some {
-      val K = VideoHash.SampledFrames
-      def byte(j: String) = s"('0x' || substr(hx, 2*($j)-1, 2))::BIGINT"
-      val d = s"(${byte("i")} - 128)"
-      s"WITH a AS (SELECT doc_id, hex(encode(text)) AS hx, " +
-        "octet_length(encode(text)) AS len, " +
-        "24 + doc_id % 1000 AS nf FROM documents " +
-        "WHERE doc_id % 3 = 2), " +
-        "fr AS (SELECT doc_id, hx, len, nf, k, " +
-        s"(k * nf) // $K AS fi FROM a, " +
-        s"(SELECT unnest(generate_series(0, ${K - 1})) AS k)), " +
-        "e AS (SELECT doc_id, len, nf, k, coalesce(list_sum(" +
-        "list_transform(generate_series((fi*len)//nf + 1, " +
-        s"((fi+1)*len)//nf), i -> $d * $d)), 0) AS en FROM fr), " +
-        "w AS (SELECT doc_id, len, nf, k, en, lead(en) OVER (" +
-        "PARTITION BY doc_id ORDER BY k) AS nx FROM e), " +
-        "fp AS (SELECT doc_id, CAST(max(nf) AS INT) AS n_frames, " +
-        "CAST(max(len) AS INT) AS n_bytes, " +
-        s"CAST(coalesce(sum(CASE WHEN k < ${K - 1} AND nx > en " +
-        "THEN (1::BIGINT << CAST(k AS INT)) ELSE 0 END), 0) " +
-        "AS BIGINT) AS fp, " +
-        "CAST(sum(en) AS BIGINT) AS energy_total FROM w " +
-        "GROUP BY doc_id) " +
+      s"WITH $videoFpCtes " +
         "SELECT doc_id AS media_id, n_frames, n_bytes, fp, " +
         "energy_total, " +
         "CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) " +
@@ -414,7 +402,116 @@ object MultimodalQueries extends QueryPack {
         "FROM fp ORDER BY media_id"
     })
 
+  /** The video fingerprint replay as shared CTEs ending in
+    * `fp(doc_id, n_frames, n_bytes, fp, energy_total)` — used by the
+    * fingerprint lane AND the banded near-dup lane.
+    */
+  private def videoFpCtes: String = {
+    val K = VideoHash.SampledFrames
+    def byte(j: String) = s"('0x' || substr(hx, 2*($j)-1, 2))::BIGINT"
+    val d = s"(${byte("i")} - 128)"
+    s"a AS (SELECT doc_id, hex(encode(text)) AS hx, " +
+      "octet_length(encode(text)) AS len, " +
+      "24 + doc_id % 1000 AS nf FROM documents " +
+      "WHERE doc_id % 3 = 2), " +
+      "fr AS (SELECT doc_id, hx, len, nf, k, " +
+      s"(k * nf) // $K AS fi FROM a, " +
+      s"(SELECT unnest(generate_series(0, ${K - 1})) AS k)), " +
+      "e AS (SELECT doc_id, len, nf, k, coalesce(list_sum(" +
+      "list_transform(generate_series((fi*len)//nf + 1, " +
+      s"((fi+1)*len)//nf), i -> $d * $d)), 0) AS en FROM fr), " +
+      "w AS (SELECT doc_id, len, nf, k, en, lead(en) OVER (" +
+      "PARTITION BY doc_id ORDER BY k) AS nx FROM e), " +
+      "fp AS (SELECT doc_id, CAST(max(nf) AS INT) AS n_frames, " +
+      "CAST(max(len) AS INT) AS n_bytes, " +
+      s"CAST(coalesce(sum(CASE WHEN k < ${K - 1} AND nx > en " +
+      "THEN (1::BIGINT << CAST(k AS INT)) ELSE 0 END), 0) " +
+      "AS BIGINT) AS fp, " +
+      "CAST(sum(en) AS BIGINT) AS energy_total FROM w " +
+      "GROUP BY doc_id)"
+  }
+
+  /** Chunk widths for the 15-bit acoustic/video fingerprints: 3
+    * chunks of 5 bits — by pigeonhole, any pair within hamming ≤ 2
+    * shares an intact chunk, so the banded join is LOSSLESS for the
+    * verify threshold (within the bucket bound, exactly as the image
+    * and SimHash lanes).
+    */
+  private val MediaChunkBits = 5
+  private val MediaChunks = 3
+  private val MediaMaxHamming = 2
+  private val MediaMaxBucket = 64
+
+  /** The banded hamming near-dup tail over a `fp(doc_id, fp)` CTE —
+    * group collapse → bounded chunk buckets → candidate pairs → exact
+    * hamming verify, the [[graft.dedup.SimHash
+    * .nearDupFromFingerprints]] replay at 15-bit width.
+    */
+  private def fpNearDupTailSql: String = {
+    val mask = (1 << MediaChunkBits) - 1
+    "grp AS (SELECT fp, min(doc_id) AS rep, count(*) AS n FROM fp " +
+      "GROUP BY 1), " +
+      s"ch AS (SELECT rep, fp, n, ci, (fp >> (ci * $MediaChunkBits)) " +
+      s"& $mask AS cv FROM grp, (SELECT unnest(generate_series(0, " +
+      s"${MediaChunks - 1})) AS ci)), " +
+      "bk AS (SELECT ci, cv, count(*) AS bn FROM ch GROUP BY 1, 2), " +
+      "bd AS (SELECT ch.* FROM ch JOIN bk USING (ci, cv) " +
+      s"WHERE bn BETWEEN 2 AND $MediaMaxBucket), " +
+      "cand AS (SELECT DISTINCT a2.rep AS id_a, b2.rep AS id_b, " +
+      "a2.fp AS fp_a, b2.fp AS fp_b, a2.n AS n_a, b2.n AS n_b " +
+      "FROM bd a2 JOIN bd b2 ON a2.ci = b2.ci AND a2.cv = b2.cv " +
+      "AND a2.rep < b2.rep) " +
+      "SELECT * FROM (" +
+      "SELECT id_a, id_b, bit_count(xor(fp_a, fp_b))::BIGINT " +
+      "AS hamming, n_a, n_b FROM cand " +
+      s"WHERE bit_count(xor(fp_a, fp_b)) <= $MediaMaxHamming " +
+      "UNION ALL SELECT rep, rep, 0::BIGINT, n, n FROM grp " +
+      "WHERE n >= 2) ORDER BY id_a, id_b"
+  }
+
+  /** Banded acoustic near-dup ([[AudioHash]] fingerprints through the
+    * shared [[graft.dedup.SimHash.nearDupFromFingerprints]] core —
+    * directive-7 of r14, with the bucket guard from day one):
+    * exact-fingerprint groups report as diagonal rows, representative
+    * pairs within hamming ≤ 2 surface via bounded 3×5-bit chunk
+    * banding over genuinely parsed PCM energies. The oracle replays
+    * bytes → energies → fp → groups → bound → pairs bit-for-bit.
+    */
+  private def audioNearDupQuery = QueryDef(
+    "dedup_audio_neardup_documents",
+    (s, dir) => {
+      val media = Multimodal.synthesize(
+        Tables.load(s, dir, "documents", parallelize = true))
+      val fps = AudioHash.fingerprints(media).toDF()
+        .select(col("media_id"), col("fp"))
+      graft.util.Frames.localized(
+          graft.dedup.SimHash.nearDupFromFingerprints(fps, "media_id",
+            "fp", chunkBits = MediaChunkBits, nChunks = MediaChunks,
+            maxHamming = MediaMaxHamming, maxBucket = MediaMaxBucket))
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"WITH $audioFpCtes, $fpNearDupTailSql"))
+
+  /** Banded video near-dup — the acoustic recipe over the sampled
+    * frame-window energies of [[VideoHash]].
+    */
+  private def videoNearDupQuery = QueryDef(
+    "dedup_video_neardup_documents",
+    (s, dir) => {
+      val media = Multimodal.synthesize(
+        Tables.load(s, dir, "documents", parallelize = true))
+      val fps = VideoHash.fingerprints(media).toDF()
+        .select(col("media_id"), col("fp"))
+      graft.util.Frames.localized(
+          graft.dedup.SimHash.nearDupFromFingerprints(fps, "media_id",
+            "fp", chunkBits = MediaChunkBits, nChunks = MediaChunks,
+            maxHamming = MediaMaxHamming, maxBucket = MediaMaxBucket))
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"WITH $videoFpCtes, $fpNearDupTailSql"))
+
   override def queries: Seq[QueryDef] =
     Seq(pipelineQuery, audioQuery, videoQuery, imageHashQuery,
-      audioHashQuery, videoHashQuery)
+      audioHashQuery, videoHashQuery, audioNearDupQuery,
+      videoNearDupQuery)
 }

@@ -55,15 +55,63 @@ object PipelineQueries extends QueryPack {
           col("user_id"), col("event_type"), col("value"), col("props"))
         .orderBy("event_id")
     },
-    Some(
-      s"""WITH tgt AS (SELECT * FROM events WHERE ts < TIMESTAMP '$SplitTs'),
-         |src AS (SELECT * FROM events WHERE ts >= TIMESTAMP '$SplitTs'
-         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
-         |    ORDER BY epoch_us(ts) DESC, event_id DESC) = 1)
-         |SELECT $oracleProj FROM tgt
-         |  WHERE user_id NOT IN (SELECT user_id FROM src)
-         |UNION ALL SELECT $oracleProj FROM src
-         |ORDER BY event_id""".stripMargin.replace("\n", " ")))
+    Some(mergeOracleSql))
+
+  /** The SCD1 merge oracle, shared VERBATIM with the partition-pruned
+    * sink lane — the pruned merge must be hash-equal to the
+    * full-rewrite relation.
+    */
+  private def mergeOracleSql: String =
+    s"""WITH tgt AS (SELECT * FROM events WHERE ts < TIMESTAMP '$SplitTs'),
+       |src AS (SELECT * FROM events WHERE ts >= TIMESTAMP '$SplitTs'
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+       |    ORDER BY epoch_us(ts) DESC, event_id DESC) = 1)
+       |SELECT $oracleProj FROM tgt
+       |  WHERE user_id NOT IN (SELECT user_id FROM src)
+       |UNION ALL SELECT $oracleProj FROM src
+       |ORDER BY event_id""".stripMargin.replace("\n", " ")
+
+  /** Partition-pruned SCD1 MERGE SINK ([[PrunedMerge]] — the X64
+    * repair-scope ruling applied to the write side of
+    * `CODE_GENERATOR.sql:41-59`): the pre-split events stage as a
+    * key-hash-partitioned parquet target, the post-split batch merges
+    * through [[PrunedMerge.mergeInto]] (touched partition dirs swap
+    * temp-then-rename; untouched dirs are never read or written —
+    * `PrunedMergeSpec` pins their mtimes and the crash-rerun fixed
+    * point), and the lane reads the MUTATED TABLE back. The oracle is
+    * the full-rewrite merge lane's SQL VERBATIM — pruning must be
+    * invisible in the relation.
+    */
+  private def mergePrunedQuery = QueryDef(
+    "scd1_merge_pruned_events",
+    (s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val split = lit(SplitTs).cast("timestamp")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_pruned_merge").toString
+      val tgt = s"$tmp/target"
+      try {
+        PrunedMerge.stage(events.filter(col("ts") < split), tgt,
+          Seq("user_id"), nParts = 8)
+        PrunedMerge.mergeInto(s, tgt, events.filter(col("ts") >= split),
+          Seq("user_id"), "ts", tieBreakers = Seq("event_id"),
+          nParts = 8)
+        graft.util.Frames.localized(
+          PrunedMerge.readTable(s, tgt)
+            .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+              col("user_id"), col("event_type"), col("value"),
+              col("props"))
+            .orderBy("event_id"))
+      } finally deleteDir(new java.io.File(tmp))
+    },
+    Some(mergeOracleSql))
+
+  private def deleteDir(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).foreach(_.foreach(deleteDir))
+    f.delete()
+    ()
+  }
 
   /** Backward as-of join ([[AsofJoin]]): each purchase event paired with
     * the same user's latest click at-or-before it. DuckDB's native
@@ -1271,7 +1319,8 @@ object PipelineQueries extends QueryPack {
     })
 
   override def queries: Seq[QueryDef] =
-    Seq(latestQuery, mergeQuery, asofQuery, featuresQuery, funnelQuery,
+    Seq(latestQuery, mergeQuery, mergePrunedQuery, asofQuery,
+      featuresQuery, funnelQuery,
       retentionQuery, resampleQuery, anomalyQuery, changepointQuery,
       incrementalAggQuery, incrementalMinMaxQuery, transitionsQuery,
       attributionQuery, standardizeQuery, binningQuery, zorderQuery,

@@ -485,7 +485,9 @@ object StreamingPipelines {
       centroids: Array[Array[Double]], tau: Double, budget: Long,
       statePath: String, reportPath: String, checkpoint: String,
       compactEvery: Int = 16,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      minScore: Long = graft.text.QualityThresholdPinned.MinScore)
+      : StreamingQuery = {
     require(compactEvery >= 2, "compactEvery must be at least 2")
     source.writeStream
       .outputMode("append")
@@ -495,7 +497,8 @@ object StreamingPipelines {
         val s = batch.sparkSession
         val fs = fsOf(s, statePath)
         graft.text.Curation
-          .scoreDocs(batch, idCol, htmlCol, sourceCol, weights, bias)
+          .scoreDocs(batch, idCol, htmlCol, sourceCol, weights, bias,
+            minScore)
           .write.mode("overwrite").parquet(s"$statePath/b$batchId")
         val upto = readMarker(fs, statePath)
         if (upto > batchId + 1)

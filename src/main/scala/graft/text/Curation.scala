@@ -19,16 +19,25 @@ object Curation {
     * embarrassingly parallel per batch or per file split. Output:
     * `(idCol, sourceCol, n_tokens BIGINT, keep)` — the metadata-sized
     * frame every later curation stage reads INSTEAD of the corpus.
+    *
+    * The keep gate is `margin ≥ minScore · n_tokens` — the
+    * exact-integer form of `score ≥ minScore`, whose default is the
+    * CALIBRATION-CHOSEN operating threshold
+    * ([[QualityThresholdPinned]]; the choice itself is oracled by
+    * `text_quality_threshold_documents`). `minScore = 0` recovers the
+    * classic sign gate.
     */
   def scoreDocs(df: DataFrame, idCol: String, htmlCol: String,
-      sourceCol: String, weights: Array[Long], bias: Long): DataFrame =
+      sourceCol: String, weights: Array[Long], bias: Long,
+      minScore: Long = QualityThresholdPinned.MinScore): DataFrame =
     QualityModel.scorePinned(
         HtmlExtract.extract(
           df.withColumn(htmlCol, TextAnalysis.nfc(col(htmlCol))),
           idCol, htmlCol, keepCols = Seq(sourceCol)),
         idCol, "text", weights, bias, keepCols = Seq(sourceCol))
       .select(col(idCol), col(sourceCol),
-        col("n_tokens").cast("long").as("n_tokens"), col("keep"))
+        col("n_tokens").cast("long").as("n_tokens"),
+        (col("margin") >= lit(minScore) * col("n_tokens")).as("keep"))
 
   /** Selection + per-source funnel over a SCORED metadata frame:
     * quality-kept docs join the embeddings table for SemDeDup pruning

@@ -1610,6 +1610,97 @@ object TextQueries extends QueryPack {
         "FROM b CROSS JOIN gg GROUP BY bucket ORDER BY bucket"
     })
 
+  /** Calibration → THRESHOLD SELECTION (the r14 directive-8 lane —
+    * X122 made actionable): over the CURATION population (html
+    * fixture → NFC → extraction → pinned-weight scores, the very
+    * texts the keep gate tests — calibrating on raw documents would
+    * choose a threshold for a different score distribution), width-1
+    * score bins report suffix-cumulative size/positives/precision
+    * under TTR labels, each bin's exact-integer qualification
+    * `PrecisionDen · pos_ge ≥ PrecisionNum · n_ge`, and the CHOSEN
+    * operating bucket (the lowest qualifying bin — its lower edge is
+    * [[QualityThresholdPinned.MinScore]], the literal the X104/X115
+    * keep gate runs; QualityThresholdDriftSpec re-derives it every
+    * `sbt test`). The oracle replays extraction, scoring, binning,
+    * both suffix windows, the qualification test, and the argmin.
+    */
+  private def qualityThresholdQuery = QueryDef(
+    "text_quality_threshold_documents",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ext = HtmlExtract.extract(
+        withHtmlFixture(Tables.load(s, dir, "documents",
+            parallelize = true))
+          .withColumn("html", TextAnalysis.nfc(col("html"))),
+        "doc_id", "html")
+      val scored = QualityModel.scorePinned(
+          ext.withColumn("__label", QualityModel.ttrLabel(col("text"))),
+          "doc_id", "text", QualityGatePinned.weights,
+          QualityGatePinned.bias, keepCols = Seq("__label"))
+      val buckets = scored.select(
+          least(greatest(floor(col("score")), lit(-4.0)), lit(4.0))
+            .cast("int").as("bucket"),
+          col("__label"))
+        .groupBy("bucket").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("__label"), 1L).otherwise(0L)).as("n_pos"))
+      val wSfx = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      buckets
+        .withColumn("n_ge", sum(col("n_docs")).over(wSfx))
+        .withColumn("pos_ge", sum(col("n_pos")).over(wSfx))
+        .withColumn("qualifies",
+          lit(QualityThresholdPinned.PrecisionDen) * col("pos_ge") >=
+            lit(QualityThresholdPinned.PrecisionNum) * col("n_ge"))
+        .withColumn("chosen_bucket",
+          min(when(col("qualifies"), col("bucket"))).over(wAll))
+        .select(col("bucket"), col("n_docs"), col("n_pos"),
+          col("n_ge"), col("pos_ge"),
+          (col("pos_ge").cast("double") / col("n_ge")).as("prec_ge"),
+          col("qualifies"),
+          (col("bucket") === col("chosen_bucket")).as("chosen"))
+        .orderBy("bucket")
+    },
+    Some {
+      val num = QualityThresholdPinned.PrecisionNum
+      val den = QualityThresholdPinned.PrecisionDen
+      s"WITH h AS (SELECT doc_id, nfc_normalize($htmlFixtureSql) " +
+        "AS html FROM documents), " +
+        htmlExtractionCtes + ", " +
+        "gg AS (SELECT CASE WHEN (SELECT count(*) FROM documents) = " +
+        s"${QualityGatePinned.GateRows} THEN 1 ELSE " +
+        "error('threshold pinned oracle is only valid at the " +
+        s"${QualityGatePinned.GateRows}-row gate corpus: regenerate " +
+        "the pinned models') END AS ok), " +
+        "toks AS (SELECT doc_id, " +
+        "CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[] " +
+        "ELSE regexp_split_to_array(trim(text), '\\s+') END AS t " +
+        "FROM agg), " +
+        "m AS (SELECT doc_id, " +
+        "len(list_distinct(t)) * 2 >= len(t) AS label, " +
+        s"CAST(len(t) AS BIGINT) AS n_tokens, $qualityMarginSql " +
+        "AS margin FROM toks), " +
+        "bb AS (SELECT CAST(least(greatest(floor(margin::DOUBLE / " +
+        "greatest(n_tokens, 1)), -4.0), 4.0) AS INT) AS bucket, " +
+        "label FROM m), " +
+        "g2 AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_pos FROM bb CROSS JOIN gg GROUP BY 1), " +
+        "s2 AS (SELECT *, SUM(n_docs) OVER (ORDER BY bucket DESC " +
+        "ROWS UNBOUNDED PRECEDING) AS n_ge, SUM(n_pos) OVER (" +
+        "ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING) AS pos_ge " +
+        "FROM g2), " +
+        s"q2 AS (SELECT *, $den * pos_ge >= $num * n_ge " +
+        "AS qualifies FROM s2), " +
+        "c2 AS (SELECT *, min(CASE WHEN qualifies THEN bucket END) " +
+        "OVER () AS chosen_bucket FROM q2) " +
+        "SELECT bucket, n_docs, n_pos, CAST(n_ge AS BIGINT) AS n_ge, " +
+        "CAST(pos_ge AS BIGINT) AS pos_ge, " +
+        "pos_ge::DOUBLE / n_ge AS prec_ge, qualifies, " +
+        "bucket = chosen_bucket AS chosen FROM c2 ORDER BY bucket"
+    })
+
   /** Markdown → text extraction ([[MarkdownExtract.extract]]): each
     * document wraps into a deterministic markdown template carrying
     * every hazard — a fenced code block whose CONTENT contains fake
@@ -2166,6 +2257,11 @@ object TextQueries extends QueryPack {
     */
   private[graft] def curateE2eOracle: String = {
     val tau = graft.util.OracleSql.dbl(E2eTau)
+    // the calibration-chosen keep gate, rendered from the SAME pinned
+    // constant the Scala chain uses (margin ≥ T·n_tokens — exact
+    // integers; the choice of T is oracled by
+    // text_quality_threshold_documents)
+    val T = QualityThresholdPinned.MinScore
     s"WITH h AS (SELECT doc_id, nfc_normalize($htmlFixtureSql) " +
       "AS html FROM documents), " +
       htmlExtractionCtes + ", " +
@@ -2183,7 +2279,7 @@ object TextQueries extends QueryPack {
       "m AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) " +
       s"AS n_tokens, $qualityMarginSql AS margin FROM toks), " +
       "q AS (SELECT doc_id, source, n_tokens FROM m " +
-      "WHERE margin >= 0), " +
+      s"WHERE margin >= $T * n_tokens), " +
       graft.sim.SimilarityQueries.kmeansAssignCtes(
         graft.sim.KmeansGatePinned.centroids,
         "(SELECT embeddings.vec_id, embeddings.embedding " +
@@ -2216,8 +2312,8 @@ object TextQueries extends QueryPack {
       "sel AS (SELECT cm.doc_id FROM cm JOIN t2 USING (source) " +
       "WHERE cum - n_tokens < target) " +
       "SELECT m.source, CAST(count(*) AS BIGINT) AS n_docs, " +
-      "CAST(sum(CASE WHEN m.margin >= 0 THEN 1 ELSE 0 END) AS BIGINT) " +
-      "AS n_quality, " +
+      s"CAST(sum(CASE WHEN m.margin >= $T * m.n_tokens THEN 1 " +
+      "ELSE 0 END) AS BIGINT) AS n_quality, " +
       "CAST(sum(CASE WHEN ddk.doc_id IS NOT NULL THEN 1 ELSE 0 END) " +
       "AS BIGINT) AS n_dedup, " +
       "CAST(sum(CASE WHEN sel.doc_id IS NOT NULL THEN 1 ELSE 0 END) " +
@@ -2242,5 +2338,6 @@ object TextQueries extends QueryPack {
       qualityModelQuery, curateE2eQuery, sampleUniformQuery,
       markdownExtractQuery, langSegmentsQuery, langModelQuery,
       routeLangQuery, routeLangModelQuery, gopherQuery,
-      decontamExposureQuery, qualityCalibrationQuery)
+      decontamExposureQuery, qualityCalibrationQuery,
+      qualityThresholdQuery)
 }

@@ -55,8 +55,13 @@ class CurateStreamSpec extends SparkSpec {
     "doc_id", "text", "label")
 
   private def batchFunnel: Seq[(String, Long, Long, Long, Long, Long)] = {
+    // minScore = 0 (the classic sign gate): the spec pins CUT
+    // EQUALITY, which is threshold-agnostic — the calibration-chosen
+    // default is pinned by QualityThresholdDriftSpec and exercised by
+    // the gate lanes; the spec-local model's margins are not the
+    // pinned distribution the threshold was chosen for
     val scored = Curation.scoreDocs(corpus, "doc_id", "html", "source",
-      model.weights, model.bias).localCheckpoint(true)
+      model.weights, model.bias, minScore = 0L).localCheckpoint(true)
     Curation.funnel(scored, "doc_id", "source", embeddings, "vec_id",
         "embedding", cents, tau, budget)
       .orderBy("source")
@@ -78,7 +83,7 @@ class CurateStreamSpec extends SparkSpec {
     StreamingPipelines.curateStream(stream, "doc_id", "html", "source",
         model.weights, model.bias, embeddings, "vec_id", "embedding",
         cents, tau, budget, state, out, ckpt,
-        compactEvery = compactEvery)
+        compactEvery = compactEvery, minScore = 0L)
       .awaitTermination()
     (spark.read.parquet(out).orderBy("source")
       .as[(String, Long, Long, Long, Long, Long)].collect().toSeq,
