@@ -429,7 +429,27 @@ object ScaleProbe {
       SparkEntry.queries("dedup_audio_hash_documents")),
     // Gopher line signals — a single map-side projection: scan-bound
     ("gopher_signals", None,
-      SparkEntry.queries("text_gopher_documents")))
+      SparkEntry.queries("text_gopher_documents")),
+    // r15 additions. Model-routed curation: live driver training
+    // (id-sorted, capped) + map-side literal-weight line inference +
+    // the routed-mixing shuffle — expect the route_lang_mix slope
+    // plus the linear training term
+    ("route_lang_model", None,
+      SparkEntry.queries("corpus_route_lang_model_documents")),
+    // banded media near-dup: map-side parse + the bounded
+    // fingerprint-group join (candidates capped per bucket) — the
+    // bound is the 100 TB claim this row measures
+    ("media_neardup", None,
+      SparkEntry.queries("dedup_audio_neardup_documents")),
+    // partition-pruned merge: stage + merge; I/O O(touched)+O(batch)
+    // per batch — at fixed nParts the touched set saturates, so the
+    // slope should be the staging scan, not the merge
+    ("pruned_merge", None,
+      SparkEntry.queries("scd1_merge_pruned_events")),
+    // threshold selection: one map-side scoring pass + a 9-row
+    // suffix window — scan-bound
+    ("quality_threshold", None,
+      SparkEntry.queries("text_quality_threshold_documents")))
 
   /** The composed curation loop (NFC → extraction → pinned-weight
     * scoring → SemDeDup → temperature mixing) with the SCALE-path

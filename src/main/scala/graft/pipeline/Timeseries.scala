@@ -39,8 +39,13 @@ object Timeseries {
   def resampleFfill(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, stepUs: Long,
       tieBreaker: String): DataFrame = {
+    // materialized once: the deduped observation frame feeds TWO
+    // consumers (the bounds aggregate and the join side) — without the
+    // checkpoint the events scan + dedup window run twice (the
+    // multi-pass persist lesson from the quantiles lane)
     val obs = lastPerSlot(df, keyCol, tsCol, valueCol, stepUs, tieBreaker)
       .withColumnRenamed("value", "__v")
+      .localCheckpoint(true)
     // per-key slot grid, exploded map-side from the bounds row (bounds
     // of the deduped frame ≡ bounds of the raw observations — dedup
     // keeps every distinct (key, slot))
