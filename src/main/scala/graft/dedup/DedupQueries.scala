@@ -470,12 +470,7 @@ object DedupQueries extends QueryPack {
       // persist releases INSIDE the query (the jaccardQuery lifecycle),
       // leaving the cache empty on return.
       val fps = docs
-        .select(col("doc_id"), Dedup.tokensOf(col("text")).as("__toks"))
-        .select(col("doc_id"),
-          SimHash.simhashFromBases(
-            Dedup.md5Bases(
-              Dedup.wordShinglesFromTokens(col("__toks"), 3)), 60)
-            .as("fp"))
+        .select(col("doc_id"), simhashOracledFpOf(col("text")).as("fp"))
         .persist()
       try {
         graft.util.Frames.localized(
@@ -485,7 +480,14 @@ object DedupQueries extends QueryPack {
           .orderBy("id_a", "id_b")
       } finally { fps.unpersist(blocking = false); () }
     },
-    Some {
+    Some(simhashOracleSql))
+
+  /** The SimHash near-dup oracle, factored out so the STREAMING twin
+    * (`stream_simhash_documents`) replays it VERBATIM — the
+    * maintained fingerprint-group index folded over any batch cut
+    * reproduces the batch report (min/sum partials commute).
+    */
+  private[graft] def simhashOracleSql: String =
       s"WITH ${shingleCtes("documents")}, " +
         "b AS (SELECT doc_id, list_transform(s, x -> " +
         s"${md5BaseSql("x")}) AS bases FROM sh), " +
@@ -511,13 +513,24 @@ object DedupQueries extends QueryPack {
         "FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 12 " +
         "UNION ALL SELECT rep, rep, 0::BIGINT, n, n FROM grp " +
         "WHERE n >= 2) ORDER BY id_a, id_b"
-    })
 
   /** Bucket bound for the SimHash chunk blocking ([[SimHash
     * .nearDupFromFingerprints]]) — rendered into BOTH the Spark lane
     * and its oracle SQL so the two can never drift.
     */
-  private val SimhashMaxBucket = 64
+  private[graft] val SimhashMaxBucket = 64
+
+  /** The gate lanes' oracled fingerprint family as a column builder —
+    * md5-derived 60-bit bases → per-bit majority ([[SimHash
+    * .simhashFromBases]]); shared by the batch lane above and the
+    * streaming twin so both engines (and both lanes) run ONE
+    * fingerprint definition.
+    */
+  private[graft] def simhashOracledFpOf(text: org.apache.spark.sql
+      .Column): org.apache.spark.sql.Column =
+    SimHash.simhashFromBases(
+      Dedup.md5Bases(
+        Dedup.wordShinglesFromTokens(Dedup.tokensOf(text), 3)), 60)
 
   /** Embedding-cosine near-dup, label-blocked exact variant: pairs within
     * the same `label` block with cosine ≥ 0.3 (≈ the 99th percentile of

@@ -71,25 +71,46 @@ object SimHash {
   def nearDupFromFingerprints(fps: org.apache.spark.sql.DataFrame,
       idCol: String, fpCol: String, chunkBits: Int, nChunks: Int,
       maxHamming: Int, maxBucket: Int = 64)
+      : org.apache.spark.sql.DataFrame =
+    nearDupFromGroups(
+      fps.groupBy(fpCol)
+        .agg(min(col(idCol)).as(idCol), count(lit(1)).as("__n")),
+      idCol, fpCol, chunkBits, nChunks, maxHamming, maxBucket)
+
+  /** [[nearDupFromFingerprints]] from PRE-COLLAPSED fingerprint
+    * groups `(idCol = min-id representative, fpCol, __n = member
+    * count)` — the maintained-stream entry point: per-batch group
+    * partials fold by (min, sum), which COMMUTES, so a streaming
+    * index folded over any batch cut feeds this tail and reproduces
+    * the batch report exactly ([[graft.streaming.StreamingPipelines
+    * .simhashStream]]). `persistIntermediates = false` skips the
+    * internal persists when `groups` is already materialized state
+    * (parquet/localCheckpoint) — re-reading tiny materialized frames
+    * beats caching them per micro-batch.
+    */
+  def nearDupFromGroups(groups0: org.apache.spark.sql.DataFrame,
+      idCol: String, fpCol: String, chunkBits: Int, nChunks: Int,
+      maxHamming: Int, maxBucket: Int = 64,
+      persistIntermediates: Boolean = true)
       : org.apache.spark.sql.DataFrame = {
     require(chunkBits > 0 && chunkBits < 64 && nChunks > 0 &&
       chunkBits * nChunks <= 64, "chunks must tile the fingerprint")
     require(maxBucket >= 2, "maxBucket must admit at least one pair")
     val mask = (1L << chunkBits) - 1L
-    val groups = fps.groupBy(fpCol)
-      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("__n"))
-      .persist()
+    val groups =
+      if (persistIntermediates) groups0.persist() else groups0
     val chunks = groups.select(col(idCol), col(fpCol), col("__n"),
       posexplode(array((0 until nChunks).map(i =>
         shiftrightunsigned(col(fpCol), i * chunkBits)
           .bitwiseAND(mask)): _*))
         .as(Seq("chunk_idx", "chunk_val")))
-    val bounded = chunks.withColumn("__bucket_n",
+    val bounded0 = chunks.withColumn("__bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("chunk_idx", "chunk_val")))
       .filter(col("__bucket_n").between(2, maxBucket))
       .drop("__bucket_n")
-      .persist()
+    val bounded =
+      if (persistIntermediates) bounded0.persist() else bounded0
     val cross = bounded.as("a")
       .join(bounded.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&

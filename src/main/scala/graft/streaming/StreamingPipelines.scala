@@ -680,6 +680,94 @@ object StreamingPipelines {
   def decontamReports(s: SparkSession, reportPath: String): DataFrame =
     s.read.option("recursiveFileLookup", "true").parquet(reportPath)
 
+  /** STREAMING SimHash near-dup — the bounded fingerprint-group
+    * report ([[graft.dedup.SimHash.nearDupFromGroups]]) MAINTAINED
+    * through the state contract: each micro-batch fingerprints its
+    * documents map-side (`fingerprintOf` — one projection, no
+    * shuffle) and lands its per-fingerprint group partial
+    * `(fp, min id, count)` in a batch-owned state dir; the partials
+    * COMMUTE under (min, sum), so the folded index over ANY batch
+    * cut equals the batch operator's group collapse, and the
+    * maintained report — the shared banded/bounded/verified tail
+    * over the folded groups — IS the batch near-dup report of the
+    * drained corpus (the gate oracle is the batch lane's SQL
+    * VERBATIM). State is FINGERPRINT-grain (one row per distinct
+    * fingerprint — boilerplate pileups collapse in the partials
+    * themselves, so a million identical docs cost ONE state row),
+    * marker-compacted every `compactEvery` batches.
+    */
+  def simhashStream(source: DataFrame, idCol: String, textCol: String,
+      fingerprintOf: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column,
+      chunkBits: Int, nChunks: Int, maxHamming: Int, maxBucket: Int,
+      reportPath: String, statePath: String, checkpoint: String,
+      compactEvery: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(compactEvery >= 2, "compactEvery must be at least 2")
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = fsOf(s, statePath)
+        batch
+          .select(col(idCol), fingerprintOf(col(textCol)).as("fp"))
+          .groupBy("fp")
+          .agg(min(col(idCol)).as(idCol), count(lit(1)).as("__n"))
+          .write.mode("overwrite").parquet(s"$statePath/b$batchId")
+        val upto = readMarker(fs, statePath)
+        if (upto > batchId + 1)
+          throw new IllegalStateException(
+            s"compaction marker $upto is ahead of batch $batchId " +
+              s"under $statePath — state belongs to a different stream")
+        val gen =
+          if (upto > 0) {
+            val g = s"$statePath/compacted_g$upto"
+            if (!fs.exists(new Path(g)))
+              throw new IllegalStateException(
+                s"marker says batches [0, $upto) are folded at $g but " +
+                  "the generation dir is missing")
+            Seq(g)
+          } else Nil
+        val parts = gen ++ (upto to batchId).map { i =>
+          val p = s"$statePath/b$i"
+          if (!fs.exists(new Path(p)))
+            throw new IllegalStateException(
+              s"state for batch $i (implied by batch counter $batchId " +
+                s"and marker $upto) is missing under $statePath")
+          p
+        }
+        val willCompact = batchId + 1 - upto >= compactEvery
+        val foldedRaw = s.read.parquet(parts: _*)
+          .groupBy("fp")
+          .agg(min(col(idCol)).as(idCol), sum(col("__n")).as("__n"))
+        // checkpoint only when the compaction fold reads it too
+        val folded =
+          if (willCompact) foldedRaw.localCheckpoint(true) else foldedRaw
+        graft.dedup.SimHash
+          .nearDupFromGroups(folded, idCol, "fp", chunkBits, nChunks,
+            maxHamming, maxBucket, persistIntermediates = false)
+          .write.mode("overwrite").parquet(reportPath)
+        if (willCompact) {
+          val g = s"$statePath/compacted_g${batchId + 1}"
+          folded.write.mode("overwrite").parquet(g)
+          writeMarker(fs, statePath, batchId + 1)
+          fs.listStatus(new Path(statePath)).foreach { st =>
+            val nm = st.getPath.getName
+            val stale =
+              (nm.startsWith("b") && nm.drop(1).forall(_.isDigit) &&
+                nm.drop(1).toLong <= batchId) ||
+                (nm.startsWith("compacted_g") &&
+                  nm != s"compacted_g${batchId + 1}")
+            if (stale) { fs.delete(st.getPath, true); () }
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** STREAMING repeated-substring self-scrub —
     * [[graft.dedup.SubstringDedup]] through the r13 state contract
     * (the ingest-time form a production corpus build runs): each

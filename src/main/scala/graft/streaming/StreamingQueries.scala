@@ -723,9 +723,46 @@ object StreamingQueries extends QueryPack {
     },
     Some(graft.dedup.DedupQueries.substringScrubOracleSql))
 
+  /** STREAMING SimHash near-dup ([[StreamingPipelines.simhashStream]]):
+    * the documents corpus drains in TWO files; each micro-batch
+    * fingerprints map-side (the SAME oracled md5/60-bit family as the
+    * batch lane — one shared builder) and lands its fingerprint-group
+    * partial; (min, sum) partials commute, so the folded index equals
+    * the batch group collapse under any cut and the maintained
+    * report — the shared bounded banded tail — IS the batch near-dup
+    * report. Oracle = `dedup_simhash_documents`' SQL VERBATIM; state
+    * is fingerprint-grain (a boilerplate pileup costs ONE row);
+    * multi-batch mechanics pinned in `SimhashStreamSpec`.
+    */
+  private def simhashQuery = QueryDef(
+    "stream_simhash_documents",
+    (s, dir) => withStreamSession(s) { iso =>
+      val staged = StreamStage.ensureOrdered(iso, dir, "sh2",
+          "documents")(x =>
+          graft.io.Tables.load(x, dir, "documents", parallelize = false)
+            .select(col("doc_id"), col("text")))(
+          col("doc_id") % 2 === 0)
+      withTempDirs("graft_stream_sh_report", "graft_stream_sh_state",
+        "graft_stream_sh_ckpt") {
+      case Seq(report, state, ckpt) =>
+        val schema = iso.read.parquet(staged).schema
+        val src = iso.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(staged)
+        val q = StreamingPipelines.simhashStream(src, "doc_id", "text",
+          graft.dedup.DedupQueries.simhashOracledFpOf, chunkBits = 15,
+          nChunks = 4, maxHamming = 12,
+          maxBucket = graft.dedup.DedupQueries.SimhashMaxBucket,
+          report, state, ckpt)
+        q.awaitTermination()
+        graft.util.Frames.localized(iso.read.parquet(report)
+          .orderBy("id_a", "id_b"))
+      }
+    },
+    Some(graft.dedup.DedupQueries.simhashOracleSql))
+
   override def queries: Seq[QueryDef] =
     Seq(windowedQuery, sessionizeQuery, dedupQuery, intervalJoinQuery,
       pipelineQuery, profileQuery, funnelQuery, maintainedAggQuery,
       activesQuery, nearDupQuery, qualityQuery, decontamQuery,
-      curateQuery, substringScrubQuery)
+      curateQuery, substringScrubQuery, simhashQuery)
 }
