@@ -109,8 +109,14 @@ object SimHash {
           .partitionBy("chunk_idx", "chunk_val")))
       .filter(col("__bucket_n").between(2, maxBucket))
       .drop("__bucket_n")
+    // the bounded index feeds BOTH join sides: cache it in the batch
+    // lanes (released at the gate/bench boundary), or — when the
+    // input is materialized state (the streaming path, where per-batch
+    // cache entries would leak) — take a localCheckpoint barrier that
+    // frees with the frame, so the bucket window still runs ONCE
     val bounded =
-      if (persistIntermediates) bounded0.persist() else bounded0
+      if (persistIntermediates) bounded0.persist()
+      else bounded0.localCheckpoint(true)
     val cross = bounded.as("a")
       .join(bounded.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&

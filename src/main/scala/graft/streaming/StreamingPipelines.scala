@@ -739,12 +739,21 @@ object StreamingPipelines {
           p
         }
         val willCompact = batchId + 1 - upto >= compactEvery
-        val foldedRaw = s.read.parquet(parts: _*)
-          .groupBy("fp")
-          .agg(min(col(idCol)).as(idCol), sum(col("__n")).as("__n"))
-        // checkpoint only when the compaction fold reads it too
+        // a single state part (batch 0, or a replay right after a
+        // compaction) IS the fold — each partial is already grouped
+        // by fingerprint, so skip the re-aggregate and its barrier.
+        // Multi-part folds checkpoint ALWAYS, unlike the corpus-grain
+        // state lanes: the folded index is FINGERPRINT-grain —
+        // trivially small — and the report tail reads it from four
+        // subtrees (chunks, both join sides, diagonal); without the
+        // barrier each re-runs the fold aggregate (measured on the
+        // gate lane)
         val folded =
-          if (willCompact) foldedRaw.localCheckpoint(true) else foldedRaw
+          if (parts.size == 1) s.read.parquet(parts.head)
+          else s.read.parquet(parts: _*)
+            .groupBy("fp")
+            .agg(min(col(idCol)).as(idCol), sum(col("__n")).as("__n"))
+            .localCheckpoint(true)
         graft.dedup.SimHash
           .nearDupFromGroups(folded, idCol, "fp", chunkBits, nChunks,
             maxHamming, maxBucket, persistIntermediates = false)
