@@ -466,9 +466,11 @@ object DedupQueries extends QueryPack {
       // persist: the fingerprint frame is exploded into 4 chunks and
       // self-joined — without it the whole base pipeline re-evaluates
       // per chunk element and per join side (the r4 SimHash lesson).
-      // The survivor set is report-sized, so it localizes and the
-      // persist releases INSIDE the query (the jaccardQuery lifecycle),
-      // leaving the cache empty on return.
+      // The survivor set is report-sized, so it localizes and the fps
+      // persist releases in the finally below; the shared core's OWN
+      // groups/bounded persists (nearDupFromFingerprints's documented
+      // lifecycle) stay cached after return and are released by the
+      // gate/bench-boundary clearCache.
       val fps = docs
         .select(col("doc_id"), simhashOracledFpOf(col("text")).as("fp"))
         .persist()

@@ -161,6 +161,16 @@ object SimHash {
     * them with `clearCache()` (what the gate/bench/spec boundaries do)
     * or materializes the pair set first. Unpersisting here would
     * re-tokenize the corpus on first use of the result.
+    *
+    * API-CHANGE NOTE (r15): output is at FINGERPRINT-GROUP grain, not
+    * pair grain — exact-equal fingerprints report as ONE diagonal
+    * `(rep, rep, 0, n, n)` row instead of the m²/2 within-group pairs,
+    * and cross rows carry the new `n_a`/`n_b` member counts. The
+    * `maxBucket` bound (default 64) also makes the banding LOSSY for
+    * chunk-value buckets past the bound — a deliberate recall trade
+    * sized to the skew budget. Callers that need the pre-r15
+    * every-pair, lossless behavior must explode the diagonal groups
+    * themselves and pass `maxBucket = Int.MaxValue`.
     */
   def nearDuplicates(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, shingleK: Int = 3, maxHamming: Int = 12,

@@ -47,6 +47,18 @@ import org.apache.spark.sql.functions._
   * source keys`, and re-unioning `latest` restores exactly the merged
   * rows). The stale temp dir is removed and rebuilt by the re-run.
   *
+  * The swap itself goes through a BACKUP RENAME, never a delete-then-
+  * rename (the r15 ADVICE window): each touched `__p=k` renames to a
+  * hidden `.__swap_backup_p<k>` sibling (invisible to Spark's
+  * partition discovery — dot-prefixed), the temp partition renames in,
+  * and only then is the backup deleted. Every window is recoverable:
+  * a crash between the two renames leaves the partition's rows intact
+  * in the backup, and (re)entry restores any backup whose primary dir
+  * is missing BEFORE touching the stale temp — so no window exists in
+  * which target rows live only in a dir the re-run deletes. Renames
+  * are atomic on HDFS and local filesystems (the same primitive the
+  * other temp-swap sinks rely on).
+  *
   * Scale shape: per batch, I/O is O(touched partitions) + O(batch),
   * never O(table); the anti-join shuffles only touched-partition rows
   * on the key (or broadcasts a small `latest` — AQE decides); the
@@ -71,6 +83,44 @@ object PrunedMerge {
   def readTable(s: SparkSession, targetPath: String): DataFrame =
     s.read.parquet(targetPath).drop("__p")
 
+  /** Hidden (dot-prefixed — Spark's partition discovery skips it)
+    * sibling that holds partition `k`'s previous contents for the
+    * duration of one swap.
+    */
+  private def backupOf(targetPath: String, k: Long): Path =
+    new Path(s"$targetPath/.__swap_backup_p$k")
+
+  private val BackupPrefix = ".__swap_backup_p"
+
+  /** Restore any partition whose swap crashed between the backup
+    * rename and the temp rename-in: a backup dir whose primary
+    * `__p=k` is MISSING holds the partition's only copy — rename it
+    * back before anything else runs. A backup whose primary exists is
+    * a completed swap's leftover (crash before backup delete) and is
+    * removed. Runs on every [[mergeInto]] entry, BEFORE the stale
+    * temp delete, so no crash window can orphan target rows.
+    */
+  private def recoverPendingSwaps(fs: org.apache.hadoop.fs.FileSystem,
+      targetPath: String): Unit = {
+    val root = new Path(targetPath)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith(BackupPrefix) &&
+          nm.drop(BackupPrefix.length).forall(_.isDigit)) {
+        val k = nm.drop(BackupPrefix.length).toLong
+        val primary = new Path(s"$targetPath/__p=$k")
+        if (!fs.exists(primary)) {
+          if (!fs.rename(st.getPath, primary))
+            throw new IllegalStateException(
+              s"crash recovery failed: ${st.getPath} -> $primary")
+        } else if (!fs.delete(st.getPath, true))
+          throw new IllegalStateException(
+            s"stale swap backup delete failed: ${st.getPath}")
+      }
+    }
+  }
+
   /** Upsert `source` into the partitioned target at `targetPath`,
     * rewriting only touched partition dirs. Returns the touched
     * partition ids (sorted — report-sized by construction).
@@ -81,6 +131,10 @@ object PrunedMerge {
     require(nParts > 0, "nParts must be positive")
     val fs = new Path(targetPath).getFileSystem(
       s.sparkContext.hadoopConfiguration)
+    // heal any crashed swap BEFORE reading target partitions or
+    // deleting the stale temp — a backup may hold a partition's only
+    // copy (the r15 ADVICE crash window)
+    recoverPendingSwaps(fs, targetPath)
     val latest = Scd1.latestPerKey(source, keys, orderCol, tieBreakers)
       .withColumn("__p", partitionOf(keys, nParts))
       .persist() // read by the touched-list collect AND the merge
@@ -114,11 +168,20 @@ object PrunedMerge {
         if (!fs.exists(src))
           throw new IllegalStateException(
             s"merged temp is missing partition __p=$k under $tmp")
-        if (fs.exists(dst) && !fs.delete(dst, true))
-          throw new IllegalStateException(s"swap delete failed: $dst")
+        // backup-rename swap: the old partition is never deleted while
+        // it is the rows' only copy — rename it aside (atomic), rename
+        // the merged temp in, then drop the backup. Either crash
+        // window recovers on re-entry via recoverPendingSwaps.
+        val bak = backupOf(targetPath, k)
+        if (fs.exists(dst) && !fs.rename(dst, bak))
+          throw new IllegalStateException(
+            s"swap backup rename failed: $dst -> $bak")
         if (!fs.rename(src, dst))
           throw new IllegalStateException(
             s"swap rename failed: $src -> $dst")
+        if (fs.exists(bak) && !fs.delete(bak, true))
+          throw new IllegalStateException(
+            s"swap backup delete failed: $bak")
       }
       fs.delete(new Path(tmp), true)
       touched

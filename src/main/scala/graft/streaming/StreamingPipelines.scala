@@ -270,8 +270,12 @@ object StreamingPipelines {
     * leaves generations with no marker and no tmp — cleanup only runs
     * after the marker swap succeeds, so the `b0..` partial chain is
     * still complete and resuming at `upto = 0` is safe (the orphan
-    * generation is swept as stale by the next compaction). So:
-    * absent/garbled marker + generations + `b0` present → 0; the same
+    * generation is swept as stale by the next compaction). So: an
+    * ABSENT marker (no tmp either) + generations + `b0` present → 0;
+    * a GARBLED (unreadable) marker always fails loud at the parse —
+    * it never reaches the `b0` recovery branch (MarkerSpec pins the
+    * throw: garbled means state was mutated outside the protocol,
+    * which no automatic horizon guess can repair). The absent case
     * WITHOUT `b0` means partials were cleaned under a now-lost marker,
     * i.e. state was mutated outside the protocol — fail loud rather
     * than probe the wrong horizon. An absent marker with NO

@@ -96,6 +96,27 @@ class PngPixelsSpec extends SparkSpec {
     assert(PngPixels.lumaGridOf(real.take(real.length / 2), C, R).isEmpty)
   }
 
+  test("decompression-bomb PNGs (tiny payload, huge declared IHDR) " +
+      "are rejected header-only, never decoded") {
+    // a crafted bomb: valid signature + IHDR declaring 50,000×50,000
+    // (2.5 Gpx ≈ 10 GB of ARGB raster if inflated) over a few bytes of
+    // junk body — the guard must return None from the header parse
+    // alone, before ImageIO touches pixel data
+    val bomb = ImageHeaders.pngHeader(50000, 50000, 2) ++
+      Array.fill(64)(0x55.toByte)
+    assert(PngPixels.isPng(bomb))
+    assert(bomb.length < 1024) // the bomb shape: KB in, GB declared
+    val t0 = System.nanoTime()
+    assert(PngPixels.lumaGridOf(bomb, C, R).isEmpty)
+    // header-only rejection is near-instant; a real decode attempt of
+    // 2.5 Gpx would OOM or stall far beyond this bound
+    assert((System.nanoTime() - t0) < 2e9)
+    // boundary: a REAL image well under the bound still decodes
+    assert(2L * C * 2 * R <= PngPixels.MaxDecodePixels)
+    val ok = png(grayImage(2 * C, 2 * R, (x, y) => (x + y) % 250))
+    assert(PngPixels.lumaGridOf(ok, C, R).nonEmpty)
+  }
+
   test("HeaderCodec hashes REAL decoded pixels for PNG media and the " +
       "stub for everything else; brightness-shifted PNGs collapse to " +
       "one perceptual fingerprint group") {

@@ -114,6 +114,50 @@ class PrunedMergeSpec extends SparkSpec {
     assert(!new java.io.File(s"${tgt}__merge_tmp").exists())
   }
 
+  test("a crash between the backup rename and the temp rename-in " +
+      "loses no rows: re-entry restores the backup before merging " +
+      "(the r15 ADVICE window)") {
+    val tgt = tmpTarget()
+    PrunedMerge.stage(targetRows, tgt, Seq("user_id"), P)
+    // pick the partition key 2 lands in and find a co-resident key
+    // that is NOT in the batch — the row the old code lost
+    val k2 = Seq(2L).toDF("user_id")
+      .select(PrunedMerge.partitionOf(Seq("user_id"), P))
+      .as[Long].head()
+    val coResident = (1 to 40).map(_.toLong)
+      .toDF("user_id")
+      .withColumn("__p", PrunedMerge.partitionOf(Seq("user_id"), P))
+      .filter(col("__p") === k2 && col("user_id") =!= 2L)
+      .as[(Long, Long)].collect().map(_._1)
+    assert(coResident.nonEmpty,
+      "fixture must co-locate an untouched key with key 2")
+    // simulate the crash window: the swap renamed __p=k2 aside and
+    // died before renaming the temp in — the partition's ONLY copy
+    // now lives in the hidden backup dir
+    val dst = new java.io.File(s"$tgt/__p=$k2")
+    val bak = new java.io.File(s"$tgt/.__swap_backup_p$k2")
+    assert(dst.exists())
+    assert(dst.renameTo(bak), "fixture rename failed")
+    assert(!dst.exists() && bak.exists())
+    // re-run the batch: recovery must restore the backup first, so
+    // co-resident non-batch rows survive the merge
+    PrunedMerge.mergeInto(spark, tgt, sourceRows, Seq("user_id"),
+      "ts", nParts = P)
+    assert(!bak.exists(), "backup must be consumed by recovery")
+    val got = PrunedMerge.readTable(spark, tgt)
+      .orderBy("user_id", "payload")
+      .as[(Long, String, Long)].collect().toSeq
+    val want = Scd1.merge(targetRows, sourceRows, Seq("user_id"), "ts")
+      .orderBy("user_id", "payload")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === want,
+      "recovered merge must equal the full-rewrite relation — " +
+        "co-resident rows outside the batch must survive")
+    coResident.foreach { u =>
+      assert(got.exists(_._1 == u), s"non-batch key $u was lost")
+    }
+  }
+
   test("an empty batch touches nothing") {
     val tgt = tmpTarget()
     PrunedMerge.stage(targetRows, tgt, Seq("user_id"), P)
