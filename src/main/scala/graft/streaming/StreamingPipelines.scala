@@ -138,6 +138,26 @@ object StreamingPipelines {
   private def fsOf(s: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  /** Restore scan parallelism for a micro-batch before heavy fused
+    * map work (tokenize/shingle/fingerprint/extract chains): a
+    * FileStreamSource batch over few — often one single-row-group —
+    * files arrives with that few partitions, so the whole per-doc map
+    * chain would run in ONE task (measured ~2s single-threaded per
+    * batch on the simhash gate lane; the [[graft.io.Tables]]
+    * `parallelize` story on the stream side). Round-robin to the
+    * FIXED [[graft.io.Tables.ScanParallelism]] — a literal, never the
+    * core count, for the same reason Tables pins it: double
+    * aggregates accumulate in partition order, and the bench re-runs
+    * at several core counts. Batches that already carry ≥ that many
+    * partitions (cluster-scale file splits) pass through untouched,
+    * so at real scale this is a no-op, exactly like the batch
+    * loader's repartition.
+    */
+  private def spread(batch: DataFrame): DataFrame = {
+    val n = graft.io.Tables.ScanParallelism
+    if (batch.rdd.getNumPartitions >= n) batch else batch.repartition(n)
+  }
+
   /** Write-temp-then-swap through the Hadoop FS: the merged plan READS
     * `targetPath`, so a direct overwrite would clobber its own input
     * mid-scan. `rename` is atomic on HDFS-like stores; an object-store
@@ -387,7 +407,7 @@ object StreamingPipelines {
         val s = batch.sparkSession
         val fs = fsOf(s, statePath)
         graft.text.QualityModel
-          .scorePinned(batch, idCol, textCol, weights, bias,
+          .scorePinned(spread(batch), idCol, textCol, weights, bias,
             keepCols = Seq(groupCol))
           .groupBy(col(groupCol)).agg(
             count(lit(1)).as("n_docs"),
@@ -501,8 +521,8 @@ object StreamingPipelines {
         val s = batch.sparkSession
         val fs = fsOf(s, statePath)
         graft.text.Curation
-          .scoreDocs(batch, idCol, htmlCol, sourceCol, weights, bias,
-            minScore)
+          .scoreDocs(spread(batch), idCol, htmlCol, sourceCol, weights,
+            bias, minScore)
           .write.mode("overwrite").parquet(s"$statePath/b$batchId")
         val upto = readMarker(fs, statePath)
         if (upto > batchId + 1)
@@ -598,6 +618,9 @@ object StreamingPipelines {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val fs = fsOf(s, statePath)
+        // NOT spread: measured +0.5s at gate scale (same story as the
+        // substring scrub — the probe's own exchanges fan out, the
+        // repartition is a pure tax on this chain)
         val grams = graft.text.Decontam
           .docGramArrays(batch, idCol, textCol, n).persist()
         try {
@@ -715,7 +738,7 @@ object StreamingPipelines {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val fs = fsOf(s, statePath)
-        batch
+        spread(batch)
           .select(col(idCol), fingerprintOf(col(textCol)).as("fp"))
           .groupBy("fp")
           .agg(min(col(idCol)).as(idCol), count(lit(1)).as("__n"))
@@ -746,18 +769,22 @@ object StreamingPipelines {
         // a single state part (batch 0, or a replay right after a
         // compaction) IS the fold — each partial is already grouped
         // by fingerprint, so skip the re-aggregate and its barrier.
-        // Multi-part folds checkpoint ALWAYS, unlike the corpus-grain
-        // state lanes: the folded index is FINGERPRINT-grain —
-        // trivially small — and the report tail reads it from four
-        // subtrees (chunks, both join sides, diagonal); without the
-        // barrier each re-runs the fold aggregate (measured on the
-        // gate lane)
-        val folded =
+        // Multi-part folds checkpoint only when the compaction write
+        // adds a third consumer: the report tail reads the fold from
+        // exactly TWO subtrees (the chunk/window side is checkpointed
+        // inside nearDupFromGroups, the diagonal re-aggregates), and
+        // re-running the fingerprint-grain aggregate over materialized
+        // state parquet twice is cheaper than the eager checkpoint
+        // job it replaces (A/B'd on the gate lane this round)
+        val foldedRaw =
           if (parts.size == 1) s.read.parquet(parts.head)
           else s.read.parquet(parts: _*)
             .groupBy("fp")
             .agg(min(col(idCol)).as(idCol), sum(col("__n")).as("__n"))
-            .localCheckpoint(true)
+        val folded =
+          if (willCompact && parts.size > 1)
+            foldedRaw.localCheckpoint(true)
+          else foldedRaw
         graft.dedup.SimHash
           .nearDupFromGroups(folded, idCol, "fp", chunkBits, nChunks,
             maxHamming, maxBucket, persistIntermediates = false)
@@ -825,6 +852,10 @@ object StreamingPipelines {
         val fs = fsOf(s, statePath)
         // the gramArrays persist contract: the frame is read by the
         // docs-layer write AND the partial aggregate
+        // NOT spread: measured +0.3s at gate scale — the gram explode
+        // already fans out through its aggregate exchange, and the
+        // repartition + 32-file docs-state write cost more than the
+        // single-task tokenize saves (A/B'd both ways this round)
         val arrays = graft.dedup.SubstringDedup
           .gramArrays(batch, idCol, textCol, minLen).persist()
         try {
@@ -943,6 +974,8 @@ object StreamingPipelines {
         // needs no ordering tricks at all
         val setsDir = s"$statePath/sets/b$batchId"
         val bandsDir = s"$statePath/bands/b$batchId"
+        // NOT spread: measured +0.2s at gate scale — the probe joins
+        // dominate and the set write is the checkpoint (A/B'd)
         graft.dedup.Dedup.shingleSets(batch, idCol, textCol, 3)
           .write.mode("overwrite").parquet(setsDir)
         val sets = s.read.parquet(setsDir)
