@@ -204,6 +204,8 @@ object StreamingPipelines {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // NOT spread: A/B'd flat (2.09 vs 2.10) — the profile pass is
+        // not the batch's bottleneck at gate scale
         graft.profile.Profiler.profile(batch, now = now)
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(resultsPath)
@@ -233,6 +235,8 @@ object StreamingPipelines {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        // NOT spread: A/B'd +0.16s — the pairs map is light and the
+        // distinct-union exchange already fans out
         val newPairs = graft.pipeline.Actives.pairs(batch, userCol, tsCol)
         val merged = existingTarget(s, statePath, newPairs)
           .unionByName(newPairs).distinct()
