@@ -9,9 +9,34 @@ package graft
   * ~10-20% above a warm full-bench run.
   */
 object BenchOne {
+
+  /** `--jobs` diagnostic: per-query Spark job/stage/task counters (job
+    * count ≈ fixed scheduling overhead at gate scale; task time vs wall
+    * separates compute-bound from overhead-bound lanes).
+    */
+  private class Counters extends org.apache.spark.scheduler.SparkListener {
+    @volatile var jobs = 0
+    @volatile var stages = 0
+    @volatile var tasks = 0
+    @volatile var taskMs = 0L
+    override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      jobs += 1
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      stages += 1
+      tasks += s.stageInfo.numTasks
+    }
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (t.taskInfo != null) taskMs += t.taskInfo.duration
+    def reset(): Unit = { jobs = 0; stages = 0; tasks = 0; taskMs = 0L }
+  }
+
   def main(args: Array[String]): Unit = {
     val explain = args.contains("--explain")
-    val named = args.toSeq.filterNot(_ == "--explain")
+    val jobsDiag = args.contains("--jobs")
+    val named = args.toSeq.filterNot(a => a == "--explain" || a == "--jobs")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
     val names =
@@ -34,10 +59,16 @@ object BenchOne {
       }
       spark.catalog.clearCache()
     }
+    val counters = new Counters
+    if (jobsDiag) spark.sparkContext.addSparkListener(counters)
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       if (explain) fn(spark, sfDir).explain("formatted")
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 3).map { i =>
+        if (jobsDiag && i == 3) {
+          // settle listener events from prior runs, then count run 3
+          Thread.sleep(300); counters.reset()
+        }
         val t0 = System.nanoTime()
         fn(spark, sfDir).queryExecution.toRdd.count()
         spark.catalog.clearCache()
@@ -45,6 +76,13 @@ object BenchOne {
         // post-timing teardown, same boundary as Bench
         util.DeferredCleanup.drain()
         dt
+      }
+      if (jobsDiag) {
+        Thread.sleep(300) // let queued listener events drain
+        println(f"BENCHJOBS $name run3=${times.last}%.3f " +
+          s"jobs=${counters.jobs} stages=${counters.stages} " +
+          s"tasks=${counters.tasks} " +
+          f"taskSec=${counters.taskMs / 1e3}%.2f")
       }
       println(f"BENCHONE $name min=${times.min}%.3f runs=" +
         times.map(t => f"$t%.3f").mkString(","))

@@ -13,12 +13,14 @@ import org.apache.spark.sql.functions._
   * materialized (`localCheckpoint`, ≤W rows). Every merge iteration
   * then runs over that W-row frame: one pair-count aggregation, one
   * 1-row TakeOrdered for the winning pair, one rewrite — cost
-  * O(steps · W), independent of corpus size. The winning pair never
-  * leaves the dataflow (the 1-row frame is cross-joined broadcast into
-  * the rewrite — no driver-side decision making beyond plan
-  * construction). A real 32k-merge trainer at 100 TB would add the
-  * standard incremental refinement — only words CONTAINING the merged
-  * pair change, so pair counts are delta-maintainable exactly like the
+  * O(steps · W), independent of corpus size. The winning pair is a
+  * 1-row bounded collect to the driver (the iterative-loop scalar, the
+  * [[graft.graph.Components]] stability-check shape) applied to the
+  * rewrite as literals — one Spark job per rule instead of the former
+  * checkpoint + broadcast + cross-join trio. A real 32k-merge trainer
+  * at 100 TB would add the standard incremental refinement — only
+  * words CONTAINING the merged pair change, so pair counts are
+  * delta-maintainable exactly like the
   * [[graft.pipeline.IncrementalAgg]] family — which composes on top of
   * this recount form without changing any per-step semantics.
   *
@@ -55,16 +57,25 @@ object Bpe {
       .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
       .agg(sum(col("cnt")).as("weight"))
 
-  /** The greedy-scan fold: `lhs`/`rhs` resolve to the cross-joined
-    * winning-pair columns.
+  /** The greedy-scan fold over symbol list `l` with the winning pair
+    * embedded as LITERALS (DSL-built — no SQL string interpolation, so
+    * arbitrary symbols are injection-safe): append each symbol, or —
+    * when the accumulator's last element equals `lhs` and the incoming
+    * symbol equals `rhs` — replace that last element with the merged
+    * symbol. Literal embedding is what lets a merge step run as a pure
+    * projection: no 1-row cross join, no broadcast job per rule.
     */
-  private val ApplyMergeExpr =
-    "aggregate(l, cast(array() as array<string>), (acc, x) -> " +
-      "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = lhs " +
-      "AND x = rhs " +
-      "THEN concat(slice(acc, 1, size(acc) - 1), " +
-      "array(concat(lhs, rhs))) " +
-      "ELSE concat(acc, array(x)) END)"
+  private def applyMergeLit(lhs: String, rhs: String)
+      : org.apache.spark.sql.Column = {
+    require(lhs != null && rhs != null,
+      "merge rule symbols must be non-null")
+    val merged = lhs + rhs
+    aggregate(col("l"), array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(lhs) && x === lit(rhs),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+        .otherwise(concat(acc, array(x))))
+  }
 
   /** The word/alphabet normalization every BPE entry point shares:
     * whitespace tokens, lowercased, alphabetic words only (the
@@ -88,32 +99,65 @@ object Bpe {
     * `(word, cnt)` frame (see [[wordCounts]]). Returns one row per
     * merge: `(step, lhs, rhs, merged, weight)`, `weight` = the exact
     * corpus occurrence count the pair had when chosen. EAGER: each
-    * step's winning pair and rewritten word frame are materialized
-    * (`localCheckpoint`) so step k+1 plans against ≤W checkpointed
-    * rows, not a k-deep replay.
+    * step's rewritten word frame is materialized (`localCheckpoint`)
+    * so step k+1 plans against ≤W checkpointed rows, not a k-deep
+    * replay. The winning pair is a 1-row bounded TakeOrdered collected
+    * to the DRIVER (the [[graft.graph.Components]] stability-scalar
+    * shape) and applied as literals — one job per rule instead of the
+    * former checkpoint + broadcast + cross-join trio (measured ~⅓ of
+    * the merges lane at gate scale), and the returned merge table is a
+    * rule-grain local relation (zero jobs to consume). A degenerate
+    * frame with no adjacent pairs left stops early — identical output
+    * rows to the dataflow form, where an empty winner emptied every
+    * later step.
     */
   def mergesFromCounts(wordCounts: DataFrame, steps: Int,
       topWords: Int): DataFrame = {
     require(steps > 0, "need at least one merge step")
     require(topWords > 0, "need a positive word-frame bound")
+    val spark = wordCounts.sparkSession
     val wordFrame = wordCounts
       .orderBy(col("cnt").desc, col("word").asc).limit(topWords)
     var words = wordFrame
       .select(expr(InitSymbolsExpr).as("l"), col("cnt"))
       .localCheckpoint(true)
-    val out = (1 to steps).map { k =>
-      val top1 = pairCounts(words)
+    val picked = Seq.newBuilder[org.apache.spark.sql.Row]
+    var k = 1
+    var exhausted = false
+    while (k <= steps && !exhausted) {
+      val top = pairCounts(words)
         .orderBy(col("weight").desc, col("lhs").asc, col("rhs").asc)
-        .limit(1)
-        .localCheckpoint(true)
-      words = words.crossJoin(broadcast(top1))
-        .select(expr(ApplyMergeExpr).as("l"), col("cnt"))
-        .localCheckpoint(true)
-      top1.select(lit(k).as("step"), col("lhs"), col("rhs"),
-        concat(col("lhs"), col("rhs")).as("merged"), col("weight"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (lhs, rhs) = (top(0).getString(0), top(0).getString(1))
+        picked += org.apache.spark.sql.Row(
+          k, lhs, rhs, lhs + rhs, top(0).getLong(2))
+        words = words.select(applyMergeLit(lhs, rhs).as("l"), col("cnt"))
+          .localCheckpoint(true)
+      }
+      k += 1
     }
-    out.reduce(_ unionByName _)
+    spark.createDataFrame(
+      java.util.Arrays.asList(picked.result(): _*), MergeTableSchema)
   }
+
+  /** Schema of the merge table — matches the former dataflow output
+    * (`lit(step)` non-nullable, aggregate-derived columns nullable) so
+    * the oracled lanes' dumped schema is unchanged.
+    */
+  private val MergeTableSchema = org.apache.spark.sql.types.StructType(
+    Seq(
+      org.apache.spark.sql.types.StructField("step",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("lhs",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("rhs",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("merged",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("weight",
+        org.apache.spark.sql.types.LongType, nullable = true)))
 
   /** Learn merges straight from a document frame — one corpus pass for
     * the word counts, then O(steps · topWords) iteration.
@@ -141,49 +185,54 @@ object Bpe {
     * symbol list. Dictionary-encoded by design: callers pass DISTINCT
     * words and join occurrences back, so merge application costs
     * O(rules · vocabulary), never O(rules · corpus) — the only shape
-    * that survives a 32k-rule table at 100 TB (each step is a
-    * broadcast-1-row cross join, so the chain runs with zero
-    * exchanges; the plan is re-materialized every
-    * [[EncodeCheckpointEvery]] rules so planning cost stays LINEAR in
-    * the rule count — the production-regime guard BpeScaleSpec pins at
-    * 1,024 rules). Codegen note: the greedy fold is a higher-order
-    * `aggregate`, which Spark evaluates as a codegen-fallback
-    * expression (interpreted closure per row) inside the codegen'd
-    * projection — the documented trade; at dictionary grain the rows
-    * are ≤vocab, so the interpreted fold is never the bottleneck.
+    * that survives a 32k-rule table at 100 TB (each rule applies as a
+    * LITERAL projection from the driver-collected rule-grain table, so
+    * the chain runs with zero exchanges and zero broadcast jobs; the
+    * plan is re-materialized every [[EncodeCheckpointEvery]] rules so
+    * planning cost stays LINEAR in the rule count — the
+    * production-regime guard BpeScaleSpec pins at 1,024 rules).
+    * Codegen note: the greedy fold is a higher-order `aggregate`,
+    * which Spark evaluates as a codegen-fallback expression
+    * (interpreted closure per row) inside the codegen'd projection —
+    * the documented trade; at dictionary grain the rows are ≤vocab, so
+    * the interpreted fold is never the bottleneck.
     *
     * `mergesDf` must carry `(step, lhs, rhs)` for steps `1..steps`
-    * exactly (it is checkpointed once here; a missing step would empty
-    * the frame via its cross join, so the step count is `require`d
-    * against the table).
+    * exactly once each with non-null symbols, `require`d against the
+    * collected table (a missing or duplicated step would silently
+    * mis-encode).
     */
   def encodeWords(words: DataFrame, mergesDf: DataFrame,
       steps: Int): DataFrame = {
     require(steps > 0, "need at least one merge step")
-    val m = mergesDf.select(col("step"), col("lhs"), col("rhs"))
-      .localCheckpoint(true)
-    // distinct step presence AND per-step uniqueness, not a raw row
-    // count: a table with a duplicated step and a missing one has the
-    // right cardinality, but the missing step's empty 1-row cross join
-    // would silently empty the whole output (and the duplicated step's
-    // 2-row cross join would double every word) — the exact failures
-    // this require guards
-    val Array(rows, distinctSteps) = m
+    // the merge table is RULE-grain (≤ steps relevant rows — a 32k-rule
+    // production table is a few MBs), so collect it once and validate
+    // driver-side: distinct step presence AND per-step uniqueness, not
+    // a raw row count — a table with a duplicated step and a missing
+    // one has the right cardinality, but a missing step would silently
+    // skip a rule (and a duplicated one is ambiguous). Collecting also
+    // lets every rule apply as a literal projection: zero joins, zero
+    // broadcast jobs, zero exchanges across the whole chain.
+    val mRows = mergesDf.select(col("step"), col("lhs"), col("rhs"))
       .filter(col("step").between(1, steps))
-      .agg(count(lit(1)), countDistinct(col("step")))
-      .head() match { case r => Array(r.getLong(0), r.getLong(1)) }
+      .collect()
+    val rows = mRows.length.toLong
+    val distinctSteps =
+      mRows.map(r => r.get(0).asInstanceOf[Number].longValue())
+        .distinct.length.toLong
     require(rows == steps && distinctSteps == steps,
       s"merge table must carry every step 1..$steps exactly once: " +
         s"got $rows rows over $distinctSteps distinct steps")
+    val ordered = mRows
+      .sortBy(r => r.get(0).asInstanceOf[Number].longValue())
+      .map(r => (r.getString(1), r.getString(2)))
     var w = words.select(col("word"), expr(InitSymbolsExpr).as("l"))
     var k = 1
-    while (k <= steps) {
-      w = w.crossJoin(broadcast(m.filter(col("step") === k)
-          .select(col("lhs"), col("rhs"))))
-        .select(col("word"), expr(ApplyMergeExpr).as("l"))
+    ordered.foreach { case (lhs, rhs) =>
+      w = w.select(col("word"), applyMergeLit(lhs, rhs).as("l"))
       // bound the plan, not the data: every EncodeCheckpointEvery
       // rules the ≤vocab-row frame re-materializes so the NEXT segment
-      // plans against an RDD scan instead of a k-deep join tree
+      // plans against an RDD scan instead of a k-deep expression tree
       if (k % EncodeCheckpointEvery == 0 && k < steps)
         w = w.localCheckpoint(true)
       k += 1
