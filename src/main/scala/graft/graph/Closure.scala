@@ -35,12 +35,16 @@ object Closure {
   def ancestors(edges: DataFrame, childCol: String, parentCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 0, "rounds must be non-negative")
+    // LAZY checkpoint + count: the broadcast-gate count is the action
+    // that materializes each round's checkpoint, so one job does both
+    // (the eager-checkpoint-then-count form paid two jobs per round —
+    // ~⅓ of this lane's gate wall-clock was those extra job launches)
     var p = edges
       .select(col(childCol).as("descendant"), col(parentCol).as("ancestor"))
       .filter(col("descendant") =!= col("ancestor"))
       .distinct()
       .select(col("descendant"), col("ancestor"), lit(1).as("depth"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // the broadcast gate re-evaluates EVERY round on the materialized
     // closure frame: unlike PageRank/Components, whose broadcast sides
     // are node-bounded, this frame GROWS (keys·log depth, nodes² on
@@ -60,7 +64,7 @@ object Closure {
         .filter(col("descendant") =!= col("ancestor")) // cycles fold to self-pairs
         .groupBy(col("descendant"), col("ancestor"))
         .agg(min(col("depth")).as("depth"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       small = small && p.count() <= PageRank.MaxBroadcastNodes
       k += 1
     }

@@ -1153,7 +1153,10 @@ object TextQueries extends QueryPack {
       val mergesDf = Bpe.mergesFromCounts(wc, BpeSteps, BpeTopWords)
       val enc = Bpe.encodeWords(wc.select(col("word")), mergesDf,
           BpeSteps)
-        .localCheckpoint(true) // dictionary-sized; consumed twice below
+        // dictionary-sized; consumed twice below. LAZY: the broadcast-
+        // gate count right after is the materializing action (one job
+        // for checkpoint + count, the Closure idiom)
+        .localCheckpoint(false)
       // checkpointed frames carry no size statistics, so gate the
       // dictionary side's broadcast on its (already materialized)
       // count — the PageRank/IncrementalDedup decision shape
