@@ -141,9 +141,16 @@ object MarkovAttribution {
         .as("p"))
     var k = 0
     while (k < iters) {
+      // NOTE (r16 A/B): broadcasting the (variants × states)-sized p /
+      // stepped sides was tried and measured SLOWER at gate scale
+      // (2.90 → 3.5 with both hints, 3.0 with p only): each broadcast
+      // build is its own collect job, serializing the iteration
+      // pipeline that the lazy sort-merge form overlaps. The SMJ
+      // exchanges are tiny at this grain; leave the planner's choice.
       val stepped = edges
-        .join(p.select(col("variant"), col("state").as("dst"),
-          col("p").as("pt")), Seq("variant", "dst"))
+        .join(p.select(col("variant"),
+          col("state").as("dst"), col("p").as("pt")),
+          Seq("variant", "dst"))
         // the product runs in DECIMAL(38,0): cnt is a raw corpus-scale
         // transition count and pt ≤ 10¹², so a Long product overflows
         // past cnt ≈ 9.2·10⁶ (ANSI would throw, non-ANSI would wrap
