@@ -91,8 +91,13 @@ object Mixing {
       tokenCol: String, totalTokens: Long): DataFrame = {
     require(totalTokens > 0, "totalTokens must be positive")
     val n = col(tokenCol).cast("long")
+    // LAZY checkpoint: the first consumer is tot's broadcast build,
+    // which materializes src; targets then reads the cached rows — the
+    // consumers are strictly sequential (targets depends on tot's
+    // broadcast), so laziness saves the dedicated materialization job
+    // without any double-evaluation window (r16; |sources| rows)
     val src = df.groupBy(col(sourceCol)).agg(sum(n).as("__stok"))
-      .localCheckpoint(true) // |sources| rows; normalizer + targets
+      .localCheckpoint(false)
     val tot = src.agg(
       sum(sqrt(col("__stok")).cast("decimal(38,12)")).cast("double")
         .as("__zsum"))
@@ -136,7 +141,9 @@ object Mixing {
     val n = col(tokenCol).cast("long")
     val grp = df.groupBy(col(routeCol), col(sourceCol))
       .agg(sum(n).as("__stok"))
-      .localCheckpoint(true) // |routes·sources| rows; normalizer + targets
+      // LAZY: tot's broadcast build materializes it; targets reads the
+      // cache (sequential consumers — the byTemperatureT2 rationale)
+      .localCheckpoint(false)
     val tot = grp.groupBy(col(routeCol)).agg(
       sum(sqrt(col("__stok")).cast("decimal(38,12)")).cast("double")
         .as("__zsum"))
